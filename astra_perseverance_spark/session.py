@@ -1,0 +1,45 @@
+"""SparkSession factory tuned for the engine.
+
+Local testing runs ``local[N]``; the same configuration scales to a
+real cluster — partition counts and AQE settings are the knobs that
+matter at 100 TB, and they are set here, once, not per-query.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "astra-perseverance-spark",
+              shuffle_partitions: int | None = None) -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    Scale notes:
+    - AQE on: runtime coalescing of shuffle partitions, skew-join
+      splitting, and dynamic broadcast conversion. At 100 TB the static
+      ``spark.sql.shuffle.partitions`` is only an upper bound; AQE
+      right-sizes each exchange.
+    - ``maxPartitionBytes`` 128m keeps scan tasks memory-bounded
+      regardless of input size.
+    - Arrow enabled for the (few) pandas-UDF paths.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if shuffle_partitions is None:
+        shuffle_partitions = max(cpus, 32)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        .config("spark.sql.files.maxPartitionBytes", "128m")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()
