@@ -41,6 +41,30 @@ class Thresholds:
     gr_colcnt: int = 75
     gr_lpar_mb: int = 200
 
+    def clamped(self, **overrides: int) -> "Thresholds":
+        """Apply user overrides, clamping each tp_* to its guardrail.
+
+        Reference explore.py:150-169 accepts a CLI tp override only when
+        it does not exceed the matching gr_* guardrail; larger values
+        fall back to the guardrail (bug B4's silent-None path is fixed:
+        unknown keys raise, values are always ints).
+        """
+        caps = {
+            "tp_mv": self.gr_mv, "tp_si": self.gr_si, "tp_sai": self.gr_sai,
+            "tp_tblcnt": self.gr_tblcnt, "tp_colcnt": self.gr_colcnt,
+            "tp_lpar_mb": self.gr_lpar_mb,
+        }
+        cleaned: dict[str, int] = {}
+        for key, val in overrides.items():
+            if not hasattr(self, key):
+                raise KeyError(f"unknown threshold {key!r}")
+            val = int(val)  # B8: tp_sai was float in the reference
+            if key in caps:
+                val = min(val, caps[key])
+            cleaned[key] = val
+        from dataclasses import replace
+        return replace(self, **cleaned)
+
 
 # Reference explore.py:469 — keyspaces excluded from workload/size views
 # unless the user passes -incl_sys (P3 in SURVEY.md §2.2).

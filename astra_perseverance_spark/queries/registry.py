@@ -1,4 +1,9 @@
-"""Query registry: name → callable(spark, sf_dir) → DataFrame."""
+"""Query registry: name → callable(spark, sf_dir) → DataFrame.
+
+Every declared query from SURVEY.md §2.10 (Q1–Q20) is registered here;
+each has a DuckDB oracle twin in ``oracle.sqls`` unless listed in
+``NO_ORACLE`` (the driver then runs a rows-only check).
+"""
 
 from __future__ import annotations
 
@@ -6,17 +11,35 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from astra_perseverance_spark.queries import workload
+from astra_perseverance_spark.queries import gc, health, schema_checks, workload
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 QUERY_REGISTRY: dict[str, QueryFn] = {
+    # Q1-Q4, Q18, Q20-long — workload family
     "workload_reads": workload.q_workload_reads,
     "workload_writes": workload.q_workload_writes,
     "workload_summary": workload.q_workload_summary,
     "data_size": workload.q_data_size,
     "workload_rw_outer": workload.q_workload_rw_outer,
     "summary_long": workload.q_summary_long,
+    # Q5, Q19 — GC percentile family
+    "gc_percentiles": gc.q_gc_percentiles,
+    "gc_p99_health": gc.q_gc_p99_health,
+    # Q6-Q14 — health / threshold family
+    "proxyhistograms_ms": health.q_proxyhistograms_ms,
+    "node_data": health.q_node_data,
+    "dropped_mutations": health.q_dropped_mutations,
+    "large_partitions": health.q_large_partitions,
+    "sstable_count": health.q_sstable_count,
+    "num_tables": health.q_num_tables,
+    "read_latency": health.q_read_latency,
+    "write_latency": health.q_write_latency,
+    "tombstones": health.q_tombstones,
+    # Q15-Q17 — schema guardrail family
+    "guardrail_dependents": schema_checks.q_guardrail_dependents,
+    "column_count": schema_checks.q_column_count,
+    "uda_udf_presence": schema_checks.q_uda_udf_presence,
 }
 
 # Queries with no SQL-expressible oracle (driver runs rows-only check).

@@ -28,9 +28,17 @@ def get_spark(app_name: str = "astra-perseverance-spark",
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
         shuffle_partitions = max(cpus, 32)
+    # Honor an externally configured master (spark-submit --master,
+    # MASTER env); default to local[N] only when none is set, so the
+    # same entry points run unchanged on a real cluster.
+    master = os.environ.get("SPARK_MASTER") or os.environ.get("MASTER")
+    builder = SparkSession.builder.appName(app_name)
+    if master:
+        builder = builder.master(master)
+    else:
+        builder = builder.master(f"local[{cpus}]")
     builder = (
-        SparkSession.builder.appName(app_name)
-        .master(f"local[{cpus}]")
+        builder
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
