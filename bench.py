@@ -1,0 +1,80 @@
+"""Benchmark harness: time every registered query at one scale factor.
+
+Prints exactly ONE machine-readable JSON line on stdout:
+
+    {"metric": "suite_seconds", "value": <total>, "unit": "sec",
+     "queries": {"workload_reads": <sec>, ...}, "sf": <sf>}
+
+Everything else (Spark chatter, progress) goes to stderr.  Each query
+is forced end-to-end with a noop write (no driver collect, no result
+materialization on the driver — the number measures the distributed
+plan, not pandas conversion).
+
+Env knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+SPARK_GRAFT_CPUS (default 32), BENCH_REPEAT (default 1; best-of-N).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _force(df) -> None:
+    """Execute the full plan without collecting to the driver."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    repeat = int(os.environ.get("BENCH_REPEAT", "1"))
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else 0.0
+
+    from astra_perseverance_spark import get_spark
+    from astra_perseverance_spark.queries import QUERY_REGISTRY
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm the JVM + materialize the conformed-model cache once; the
+    # cache build is charged to warmup, not to any single query, so
+    # per-query numbers measure the query plans themselves.
+    t0 = time.time()
+    from astra_perseverance_spark.conformed import load_model
+
+    model = load_model(spark, sf_dir)
+    _force(model.cfstats_metric)
+    _force(model.gc_event)
+    warm = time.time() - t0
+    print(f"warmup (model cache build): {warm:.2f}s", file=sys.stderr)
+
+    timings: dict[str, float] = {}
+    for name, fn in QUERY_REGISTRY.items():
+        best = None
+        for _ in range(repeat):
+            t0 = time.time()
+            _force(fn(spark, sf_dir))
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 4)
+        print(f"{name}: {best:.2f}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 4)
+    print(json.dumps({
+        "metric": "suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
