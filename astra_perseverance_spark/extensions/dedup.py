@@ -1,0 +1,278 @@
+"""Document deduplication: exact, bag-of-words, MinHash-LSH, SimHash.
+
+Scale design (the point of these operators at 100 TB):
+
+- Exact / bag-of-words dedup is one hash-partitioned ``groupBy`` on a
+  digest — Spark's partial aggregation makes the shuffle carry only
+  (digest, partial-group) rows, never document text.
+- MinHash-LSH shuffles on (band, band-signature) — candidate
+  generation is strictly bucket-local; no all-pairs product ever
+  materializes.  A bucket-size cap (``MINHASH_BUCKET_CAP``) bounds the
+  worst bucket so one degenerate signature cannot go quadratic: with
+  8 bands a real near-dup pair still meets in its other bands.
+- SimHash blocks on 12-bit signature chunks (4 blocks): a pair within
+  Hamming distance 6 of a 48-bit signature must agree exactly on at
+  least one chunk (pigeonhole), so blocking loses no true pair while
+  keeping the join bucket-local.
+- All verification joins re-attach shingle arrays by doc_id — an
+  equi-join Spark plans as shuffle-hash — and only on the candidate
+  set, which is orders of magnitude smaller than the corpus.
+
+Everything is built from JVM-side expressions (higher-order array
+functions, no Python UDFs); the arithmetic is exact-integer so the
+DuckDB oracles in ``oracle.ext_sqls`` match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from astra_perseverance_spark.functions.texthash import (
+    MINHASH_BUCKET_CAP,
+    MINHASH_JACCARD_MIN,
+    MINHASH_P,
+    MINHASH_ROWS,
+    SIMHASH_BITS,
+    SIMHASH_BLOCK_BITS,
+    SIMHASH_BLOCKS,
+    SIMHASH_MAX_HAMMING,
+    h15,
+    minhash_coeffs,
+    tokens,
+    word_shingles,
+)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def normalized_text() -> F.Column:
+    """Whitespace-collapsed, lower-cased, trimmed text."""
+    return F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on normalized text: one row per distinct content
+    digest with the representative (minimum) doc_id and group size.
+
+    Scale: single groupBy on the md5 digest; the shuffle key is the
+    digest so the distribution is uniform by construction (no skew)."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.md5(normalized_text()).alias("content_md5")
+    )
+    return (
+        d.groupBy("content_md5")
+        .agg(
+            F.min("doc_id").alias("rep_doc"),
+            F.count("*").cast("long").alias("n_docs"),
+        )
+        .select("content_md5", "rep_doc", "n_docs")
+        .orderBy("rep_doc")
+    )
+
+
+def q_dedup_tokenset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-of-words dedup: documents with the same *distinct token
+    set* are duplicates regardless of word order/repetition.  Emits
+    only groups of ≥ 2 with a comma-joined sorted member list."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.md5(F.array_join(F.array_sort(F.array_distinct(tokens("text"))), " "))
+        .alias("bag_md5"),
+    )
+    return (
+        d.groupBy("bag_md5")
+        .agg(
+            F.min("doc_id").alias("rep_doc"),
+            F.count("*").cast("long").alias("n_docs"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("members"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .select("bag_md5", "rep_doc", "n_docs", "members")
+        .orderBy("rep_doc")
+    )
+
+
+def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sh: array<string>) distinct 3-word shingles, docs with
+    ≥ 1 shingle only."""
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", tokens("text").alias("toks"))
+        .select("doc_id", word_shingles("toks").alias("sh"))
+        .filter(F.size("sh") > 0)
+    )
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs via MinHash + banded LSH, verified with
+    exact Jaccard (≥ 0.5) on the candidate set.
+
+    Pipeline: shingle → 16 MinHashes (permutations of the 60-bit md5
+    prefix hash, mod 1e9+7) → 8 bands × 2 rows → bucket join on
+    (band, signature) → exact-Jaccard verify.  With corpus pairs at
+    j ≥ 0.8 the miss probability per pair is (1-0.8²)^8 ≈ 3·10⁻⁴.
+
+    Determinism: the permutation constants are literals on both
+    engines, so the candidate set (not just the verified output) is
+    identical — parity does not depend on LSH recall."""
+    sh = _shingled(spark, sf_dir)
+    hm = sh.select(
+        "doc_id", "sh",
+        F.transform(F.col("sh"), lambda s: h15(s) % MINHASH_P).alias("hm"),
+    )
+    sig = hm.select(
+        "doc_id", "sh",
+        F.array(*[
+            F.array_min(
+                F.transform(F.col("hm"), lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_P)
+            )
+            for a, b in minhash_coeffs()
+        ]).alias("mh"),
+    )
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.concat_ws(
+                        ":",
+                        *[F.col("mh")[b * MINHASH_ROWS + r].cast("string")
+                          for r in range(MINHASH_ROWS)],
+                    ).alias("key"),
+                )
+                for b in range(8)
+            ])
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.key")
+    # Skew guard: drop degenerate buckets (documented semantics).
+    sized = bands.withColumn(
+        "bucket_n", F.count("*").over(Window.partitionBy("band", "key"))
+    ).filter(F.col("bucket_n") <= MINHASH_BUCKET_CAP)
+    cand = (
+        sized.alias("x")
+        .join(sized.alias("y"), ["band", "key"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    verified = (
+        cand.join(sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            (
+                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+                / F.size(F.array_distinct(F.array_union("sh_a", "sh_b")))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= MINHASH_JACCARD_MIN)
+    )
+    return verified.orderBy("doc_a", "doc_b")
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs via 48-bit SimHash with 12-bit-block
+    candidate blocking and Hamming ≤ 6 verification.
+
+    The per-(doc, bit) contribution sum explodes to (doc × token ×
+    bit) grain — each stage is a hash aggregation on doc_id, so the
+    plan is two shuffles on a uniform key regardless of corpus size.
+    Pigeonhole: 48 bits in 4 blocks means Hamming ≤ 6 < 4 blocks ⇒ at
+    least one block identical, so blocking is lossless."""
+    toks = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(tokens("text")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .withColumn("th", h15(F.col("tok")))
+    )
+    bit = F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("i")
+    contrib = toks.select(
+        "doc_id", "cnt", "th", bit
+    ).select(
+        "doc_id", "i",
+        F.expr("cnt * (((th >> i) & 1) * 2 - 1)").alias("c"),
+    )
+    sim = (
+        contrib.groupBy("doc_id", "i")
+        .agg(F.sum("c").alias("s"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.expr("CASE WHEN s >= 0 THEN shiftleft(1L, i) ELSE 0L END")
+            ).cast("long").alias("simhash")
+        )
+    )
+    mask = (1 << SIMHASH_BLOCK_BITS) - 1
+    blocks = sim.select(
+        "doc_id", "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(c).alias("blk"),
+                    F.expr(f"(simhash >> {c * SIMHASH_BLOCK_BITS}) & {mask}")
+                    .alias("chunk"),
+                )
+                for c in range(SIMHASH_BLOCKS)
+            ])
+        ).alias("b"),
+    ).select("doc_id", "simhash", "b.blk", "b.chunk")
+    pairs = (
+        blocks.alias("x")
+        .join(blocks.alias("y"), ["blk", "chunk"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("x.simhash").bitwiseXOR(F.col("y.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+    )
+    return pairs.orderBy("doc_a", "doc_b")
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact within-block 3-gram Jaccard: all pairs *within a language
+    block* with jaccard ≥ 0.5.
+
+    This is the exact-verification baseline; blocks grow with the
+    corpus, so at 100 TB the scale path is ``q_dedup_minhash_lsh``
+    (bucket-local) — this operator exists for block-bounded domains
+    and for auditing LSH recall on samples."""
+    sh = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "lang", tokens("text").alias("toks"))
+        .select("doc_id", "lang", word_shingles("toks").alias("sh"))
+        .filter(F.size("sh") > 0)
+    )
+    return (
+        sh.alias("x")
+        .join(sh.alias("y"), "lang")
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            "lang",
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            (
+                F.size(F.array_intersect("x.sh", "y.sh")).cast("double")
+                / F.size(F.array_distinct(F.array_union("x.sh", "y.sh")))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= MINHASH_JACCARD_MIN)
+        .orderBy("doc_a", "doc_b")
+    )

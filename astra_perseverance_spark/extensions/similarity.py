@@ -1,0 +1,135 @@
+"""Similarity search over the ``embeddings`` table.
+
+Two paths, same exact-integer cosine (``functions.vectors``):
+
+- ``q_embedding_topk`` — brute-force exact top-k for a query subset.
+  The query side is tiny (2% of vectors) and explicitly broadcast, so
+  the plan is one scan of the corpus with a broadcast nested-loop of
+  width |queries| — the right baseline, and the recall oracle for the
+  bucketed path.  At 100 TB the corpus side stays partition-parallel;
+  cost is O(|corpus| · |queries|), so this is only for small query
+  batches — exactly how a recall-audit runs in production.
+- ``q_ann_lsh_bucket`` — random-hyperplane LSH: corpus and queries
+  hash to 4096 sign-buckets; candidates are bucket-local (equi-join on
+  the bucket id, shuffle-partitioned by bucket), then exact cosine
+  top-k within the candidate set.  Sub-linear work per query at scale;
+  recall is tunable via ``ANN_PLANES``.
+
+Ranking ties are impossible to mis-order: cosine values are
+bit-identical across engines (exact integer dot/norms, one float
+expression) and the window orders by (cosine DESC, neighbor id).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from astra_perseverance_spark.functions.vectors import (
+    ANN_TOPK,
+    cosine,
+    dot_q,
+    hyperplane_bucket,
+    norm2_q,
+    quantize,
+)
+
+# Every 50th vector is a query probe (deterministic, scale-free).
+QUERY_STRIDE = 50
+
+# Embedding near-dup cosine threshold.  Production pipelines use
+# ~0.95; the driver's synthetic embeddings are near-orthogonal random
+# vectors (max pairwise cosine ≈ 0.4–0.6), so the registered query
+# uses 0.35 to keep the operator path exercised end to end.
+DUP_COSINE_MIN = 0.35
+
+
+def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, label, eq, n2) quantized vectors + exact sq-norms."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return e.select(
+        "vec_id", "label", quantize(F.col("embedding")).alias("eq")
+    ).withColumn("n2", norm2_q(F.col("eq")))
+
+
+def _topk(pairs: DataFrame) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= ANN_TOPK)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+        .orderBy("query_id", "rank")
+    )
+
+
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 neighbors for each query vector
+    (vec_id % 50 == 0), self excluded."""
+    v = _vectors(spark, sf_dir)
+    q = v.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("eq").alias("q_eq"),
+        F.col("n2").alias("q_n2"),
+    )
+    pairs = (
+        v.join(F.broadcast(q), v.vec_id != q.query_id)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(dot_q(F.col("q_eq"), F.col("eq")), F.col("q_n2"), F.col("n2"))
+            .alias("cosine"),
+        )
+    )
+    return _topk(pairs)
+
+
+def q_ann_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN: same queries as ``q_embedding_topk`` but
+    candidates restricted to the query's hyperplane bucket, then exact
+    cosine top-10 within the bucket.
+
+    The join key is the 12-bit bucket id — bucket-local shuffles, no
+    broadcast of the corpus, no all-pairs product."""
+    v = _vectors(spark, sf_dir).withColumn("bucket", hyperplane_bucket(F.col("eq")))
+    q = v.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("eq").alias("q_eq"),
+        F.col("n2").alias("q_n2"),
+        F.col("bucket"),
+    )
+    pairs = (
+        v.join(q, "bucket")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(dot_q(F.col("q_eq"), F.col("eq")), F.col("q_n2"), F.col("n2"))
+            .alias("cosine"),
+        )
+    )
+    return _topk(pairs)
+
+
+def q_embedding_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate pairs: cosine ≥ ``DUP_COSINE_MIN``
+    within a hyperplane bucket (the embedding-space analog of MinHash
+    dedup).
+
+    Bucket-local pairing only — the standard scale pattern for
+    embedding dedup; near-identical vectors land in the same bucket
+    with probability ≈ 1 − planes·θ/π."""
+    v = _vectors(spark, sf_dir).withColumn("bucket", hyperplane_bucket(F.col("eq")))
+    return (
+        v.alias("x")
+        .join(v.alias("y"), "bucket")
+        .filter(F.col("x.vec_id") < F.col("y.vec_id"))
+        .select(
+            F.col("x.vec_id").alias("vec_a"),
+            F.col("y.vec_id").alias("vec_b"),
+            cosine(
+                dot_q(F.col("x.eq"), F.col("y.eq")), F.col("x.n2"), F.col("y.n2")
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= DUP_COSINE_MIN)
+        .orderBy("vec_a", "vec_b")
+    )

@@ -1,0 +1,104 @@
+"""Cross-engine deterministic text hashing.
+
+Every hash here is defined so Spark and DuckDB compute the *identical*
+64-bit integer from the same string — the extension queries' oracle
+parity depends on it:
+
+- ``h15``: the first 15 hex chars of md5 (60 bits, always positive)
+  parsed as an integer.  Spark: ``conv(substr(md5(x),1,15),16,10)``;
+  DuckDB lacks ``conv`` so the twin re-implements the hex parse with a
+  shift/sum over the 15 nibbles (see ``h15_sql``).
+- MinHash permutations: ``(a_j * (h15 % P) + b_j) % P`` with
+  ``P = 1e9+7``; the reduction keeps every product < 2^61 so BIGINT
+  arithmetic never overflows in either engine.
+- Rolling char-gram hash: polynomial base 257 mod 2^61-1 over ASCII
+  codes — pure integer arithmetic, no md5 per gram.
+
+All constants are generated in Python and embedded as literals on both
+sides, which makes parity trivially auditable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Modulus for MinHash permutations (prime, < 2^30 so a*h + b < 2^61).
+MINHASH_P = 1_000_000_007
+
+# Number of MinHash functions and the LSH banding (bands × rows = n).
+MINHASH_N = 16
+MINHASH_BANDS = 8
+MINHASH_ROWS = 2  # per band
+
+# Candidate buckets larger than this are dropped (skew guard: a
+# degenerate shingle shared by everything would otherwise make one
+# bucket quadratic; real pairs still meet in their other 7 bands).
+MINHASH_BUCKET_CAP = 100
+
+# Pairs below this exact-Jaccard threshold are filtered after LSH.
+MINHASH_JACCARD_MIN = 0.5
+
+# SimHash: 48 bits (keeps every shifted value far from BIGINT sign).
+SIMHASH_BITS = 48
+SIMHASH_BLOCKS = 4          # 4 blocks × 12 bits for candidate blocking
+SIMHASH_BLOCK_BITS = 12
+SIMHASH_MAX_HAMMING = 6
+
+# Rolling char-gram fingerprint (winnowing-lite).
+FP_GRAM = 5                 # char n-gram width
+FP_WINDOW = 8               # winnowing window (min-hash per window)
+FP_BASE = 257
+FP_MOD = (1 << 61) - 1      # Mersenne prime 2^61-1
+
+
+def minhash_coeffs(n: int = MINHASH_N) -> list[tuple[int, int]]:
+    """Deterministic (a_j, b_j) pairs for the j-th permutation."""
+    return [
+        ((2654435761 * (j + 1)) % MINHASH_P, (40503 * 65537 * (j + 1) + 17) % MINHASH_P)
+        for j in range(n)
+    ]
+
+
+# --- Spark side -----------------------------------------------------------
+
+def tokens(col: str | Column) -> Column:
+    """Lower-cased word tokens (ASCII alnum runs)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(F.lower(c), F.lit("[a-z0-9]+"), 0)
+
+
+def h15(col: Column) -> Column:
+    """md5-prefix 60-bit positive hash of a string column."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def h15_sql(expr: str) -> str:
+    """DuckDB twin of :func:`h15` (no conv(); parse 15 nibbles)."""
+    return (
+        "CAST(list_sum(list_transform(range(15), i -> "
+        f"((strpos('0123456789abcdef', substr(md5({expr}), CAST(i+1 AS INT), 1)) - 1)::BIGINT"
+        " << CAST(4*(14 - i) AS INT)))) AS BIGINT)"
+    )
+
+
+def word_shingles(tok_col: str, k: int = 3) -> Column:
+    """Distinct k-word shingles from a token-array column; empty when
+    the doc has fewer than k tokens (guards Spark's descending
+    ``sequence`` when size-k < 0)."""
+    joins = ", ".join(f"{tok_col}[i + {d}]" for d in range(k))
+    return F.expr(
+        f"CASE WHEN size({tok_col}) >= {k} THEN "
+        f"array_distinct(transform(sequence(0, size({tok_col}) - {k}), "
+        f"i -> concat_ws(' ', {joins}))) "
+        f"ELSE array()::array<string> END"
+    )
+
+
+def word_shingles_sql(tok_expr: str, k: int = 3) -> str:
+    """DuckDB twin of :func:`word_shingles` (1-based list indexing)."""
+    joins = " || ' ' || ".join(f"({tok_expr})[CAST(i + {d + 1} AS INT)]" for d in range(k))
+    return (
+        f"list_distinct(list_transform(range(greatest(len({tok_expr}) - {k - 1}, 0)), "
+        f"i -> {joins}))"
+    )

@@ -1,0 +1,348 @@
+"""DuckDB oracle twins for the extension queries.
+
+Each SQL mirrors the Spark pipeline step-for-step with exact integer
+arithmetic (see ``functions.texthash`` / ``functions.vectors`` for the
+shared determinism contract).  DuckDB syntax deltas handled here:
+1-based list indexing, ``regexp_replace`` needs the ``'g'`` flag,
+``xor()`` instead of ``^`` (power in DuckDB), no ``conv()`` (h15
+re-parses nibbles with shifts).
+"""
+
+from __future__ import annotations
+
+from astra_perseverance_spark.extensions.similarity import DUP_COSINE_MIN, QUERY_STRIDE
+from astra_perseverance_spark.extensions.text_stats import LANG_PROFILES
+from astra_perseverance_spark.functions.texthash import (
+    FP_BASE,
+    FP_GRAM,
+    FP_MOD,
+    FP_WINDOW,
+    MINHASH_BUCKET_CAP,
+    MINHASH_JACCARD_MIN,
+    MINHASH_P,
+    MINHASH_ROWS,
+    SIMHASH_BITS,
+    SIMHASH_BLOCK_BITS,
+    SIMHASH_BLOCKS,
+    SIMHASH_MAX_HAMMING,
+    h15_sql,
+    minhash_coeffs,
+    word_shingles_sql,
+)
+from astra_perseverance_spark.functions.vectors import (
+    ANN_DIM,
+    ANN_TOPK,
+    dot_q_sql,
+    hyperplane_bucket_sql,
+    quantize_sql,
+)
+
+_TOKS = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+
+EXT_ORACLE_SQL: dict[str, str] = {}
+
+EXT_ORACLE_SQL["dedup_exact"] = """
+WITH d AS (
+  SELECT doc_id,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS content_md5
+  FROM documents
+)
+SELECT content_md5, MIN(doc_id) AS rep_doc, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM d GROUP BY content_md5 ORDER BY rep_doc
+"""
+
+EXT_ORACLE_SQL["dedup_tokenset"] = f"""
+WITH d AS (
+  SELECT doc_id,
+         md5(array_to_string(list_sort(list_distinct({_TOKS})), ' ')) AS bag_md5
+  FROM documents
+)
+SELECT bag_md5, MIN(doc_id) AS rep_doc, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS members
+FROM d GROUP BY bag_md5 HAVING COUNT(*) >= 2 ORDER BY rep_doc
+"""
+
+_MH_SIG = ", ".join(
+    f"list_min(list_transform(hm, h -> ({a}::BIGINT * h + {b}) % {MINHASH_P}))"
+    for a, b in minhash_coeffs()
+)
+_MH_BANDS = ", ".join(
+    "("
+    + " || ':' || ".join(
+        f"CAST(mh[{b * MINHASH_ROWS + r + 1}] AS VARCHAR)" for r in range(MINHASH_ROWS)
+    )
+    + f") AS k{b}"
+    for b in range(8)
+)
+_MH_BAND_UNION = " UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band, k{b} AS key FROM sig_bands" for b in range(8)
+)
+
+EXT_ORACLE_SQL["dedup_minhash_lsh"] = f"""
+WITH sh AS (
+  SELECT doc_id, {word_shingles_sql(_TOKS)} AS sh
+  FROM documents
+  WHERE len({word_shingles_sql(_TOKS)}) > 0
+),
+hm AS (
+  SELECT doc_id, sh,
+         list_transform(sh, s -> {h15_sql('s')} % {MINHASH_P}) AS hm
+  FROM sh
+),
+sig AS (
+  SELECT doc_id, sh, [{_MH_SIG}] AS mh FROM hm
+),
+sig_bands AS (
+  SELECT doc_id, {_MH_BANDS} FROM sig
+),
+bands AS ({_MH_BAND_UNION}),
+sized AS (
+  SELECT doc_id, band, key,
+         COUNT(*) OVER (PARTITION BY band, key) AS bucket_n
+  FROM bands
+),
+capped AS (SELECT * FROM sized WHERE bucket_n <= {MINHASH_BUCKET_CAP}),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM capped x JOIN capped y
+    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+FROM cand c
+JOIN sh a ON a.doc_id = c.doc_a
+JOIN sh b ON b.doc_id = c.doc_b
+WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         / len(list_distinct(list_concat(a.sh, b.sh))) >= {MINHASH_JACCARD_MIN}
+ORDER BY doc_a, doc_b
+"""
+
+_SIM_CHUNKS = ", ".join(
+    f"((simhash >> {c * SIMHASH_BLOCK_BITS}) & {(1 << SIMHASH_BLOCK_BITS) - 1}) AS c{c}"
+    for c in range(SIMHASH_BLOCKS)
+)
+_SIM_BLOCK_UNION = " UNION ALL ".join(
+    f"SELECT doc_id, simhash, {c} AS blk, c{c} AS chunk FROM chunked"
+    for c in range(SIMHASH_BLOCKS)
+)
+
+EXT_ORACLE_SQL["dedup_simhash"] = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+),
+tc AS (
+  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS cnt,
+         {h15_sql('tok')} AS th
+  FROM tok GROUP BY doc_id, tok
+),
+contrib AS (
+  SELECT doc_id, i.i AS i,
+         cnt * (((th >> CAST(i.i AS INT)) & 1) * 2 - 1) AS c
+  FROM tc CROSS JOIN (SELECT unnest(range({SIMHASH_BITS})) AS i) i
+),
+bits AS (
+  SELECT doc_id, i, SUM(c) AS s FROM contrib GROUP BY doc_id, i
+),
+sim AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN s >= 0 THEN (1::BIGINT << CAST(i AS INT)) ELSE 0 END) AS BIGINT)
+           AS simhash
+  FROM bits GROUP BY doc_id
+),
+chunked AS (SELECT doc_id, simhash, {_SIM_CHUNKS} FROM sim),
+blocks AS ({_SIM_BLOCK_UNION})
+SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       bit_count(xor(x.simhash, y.simhash)) AS hamming
+FROM blocks x JOIN blocks y
+  ON x.blk = y.blk AND x.chunk = y.chunk AND x.doc_id < y.doc_id
+WHERE bit_count(xor(x.simhash, y.simhash)) <= {SIMHASH_MAX_HAMMING}
+ORDER BY doc_a, doc_b
+"""
+
+EXT_ORACLE_SQL["ngram_jaccard"] = f"""
+WITH sh AS (
+  SELECT doc_id, lang, {word_shingles_sql(_TOKS)} AS sh
+  FROM documents
+  WHERE len({word_shingles_sql(_TOKS)}) > 0
+)
+SELECT x.lang, x.doc_id AS doc_a, y.doc_id AS doc_b,
+       CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+         / len(list_distinct(list_concat(x.sh, y.sh))) AS jaccard
+FROM sh x JOIN sh y ON x.lang = y.lang AND x.doc_id < y.doc_id
+WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+         / len(list_distinct(list_concat(x.sh, y.sh))) >= {MINHASH_JACCARD_MIN}
+ORDER BY doc_a, doc_b
+"""
+
+_VEC = f"""
+v AS (
+  SELECT vec_id, label, {quantize_sql('embedding')} AS eq FROM embeddings
+),
+vn AS (
+  SELECT vec_id, label, eq, {dot_q_sql('eq', 'eq', ANN_DIM)} AS n2 FROM v
+)
+"""
+
+_COS = (
+    f"CAST({dot_q_sql('q.eq', 'c.eq', ANN_DIM)} AS DOUBLE)"
+    " / (sqrt(CAST(q.n2 AS DOUBLE)) * sqrt(CAST(c.n2 AS DOUBLE)))"
+)
+
+EXT_ORACLE_SQL["embedding_topk"] = f"""
+WITH {_VEC},
+q AS (SELECT * FROM vn WHERE vec_id % {QUERY_STRIDE} = 0),
+pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {_COS} AS cosine
+  FROM q JOIN vn c ON c.vec_id <> q.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM pairs
+)
+SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cosine
+FROM ranked WHERE rank <= {ANN_TOPK} ORDER BY query_id, rank
+"""
+
+EXT_ORACLE_SQL["ann_lsh_bucket"] = f"""
+WITH {_VEC},
+vb AS (SELECT vec_id, label, eq, n2, {hyperplane_bucket_sql('eq')} AS bucket FROM vn),
+q AS (SELECT * FROM vb WHERE vec_id % {QUERY_STRIDE} = 0),
+pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {_COS} AS cosine
+  FROM q JOIN vb c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM pairs
+)
+SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cosine
+FROM ranked WHERE rank <= {ANN_TOPK} ORDER BY query_id, rank
+"""
+
+EXT_ORACLE_SQL["embedding_cosine_dups"] = f"""
+WITH {_VEC},
+vb AS (SELECT vec_id, eq, n2, {hyperplane_bucket_sql('eq')} AS bucket FROM vn)
+SELECT q.vec_id AS vec_a, c.vec_id AS vec_b, {_COS} AS cosine
+FROM vb q JOIN vb c ON c.bucket = q.bucket AND q.vec_id < c.vec_id
+WHERE {_COS} >= {DUP_COSINE_MIN}
+ORDER BY vec_a, vec_b
+"""
+
+_STOP_EN = ", ".join(f"'{s}'" for s in LANG_PROFILES[0][1])
+
+EXT_ORACLE_SQL["text_stats"] = f"""
+WITH d AS (
+  SELECT doc_id, lang, source, CAST(n_chars AS BIGINT) AS n_chars,
+         {_TOKS} AS toks,
+         CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS BIGINT)
+           AS n_punct
+  FROM documents
+),
+s AS (
+  SELECT doc_id, lang, source, n_chars,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens,
+         CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks)
+           AS avg_token_len,
+         CAST(len(list_intersect(list_distinct(toks), [{_STOP_EN}])) AS DOUBLE)
+           / len(list_distinct(toks)) AS stopword_ratio,
+         CAST(n_punct AS DOUBLE) / n_chars AS punct_ratio,
+         CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr
+  FROM d
+)
+SELECT *, least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * (1.0 - punct_ratio) * ttr
+         AS quality
+FROM s ORDER BY doc_id
+"""
+
+
+def _lang_id_sql() -> str:
+    scores = ", ".join(
+        f"CAST(len(list_intersect(dt, [{', '.join(repr(s) for s in prof)}])) AS BIGINT)"
+        f" AS s_{lang}"
+        for lang, prof in LANG_PROFILES
+    )
+    # Mirror the Spark fold: strictly-greater beats the running best.
+    pred = f"'{LANG_PROFILES[0][0]}'"
+    best = f"s_{LANG_PROFILES[0][0]}"
+    for lang, _ in LANG_PROFILES[1:]:
+        pred = f"CASE WHEN s_{lang} > {best} THEN '{lang}' ELSE {pred} END"
+        best = f"CASE WHEN s_{lang} > {best} THEN s_{lang} ELSE {best} END"
+    return f"""
+WITH d AS (
+  SELECT doc_id, lang, list_distinct({_TOKS}) AS dt FROM documents
+),
+s AS (SELECT doc_id, lang, {scores} FROM d)
+SELECT doc_id, lang, {pred} AS pred_lang, {best} AS score,
+       CAST({pred} = lang AS INT) AS is_match
+FROM s ORDER BY doc_id
+"""
+
+
+EXT_ORACLE_SQL["lang_id"] = _lang_id_sql()
+
+EXT_ORACLE_SQL["token_count"] = f"""
+SELECT doc_id,
+       CAST(len({_TOKS}) AS BIGINT) AS n_ws_tokens,
+       CAST(list_sum(list_transform({_TOKS}, t -> (length(t) + 3) // 4)) AS BIGINT)
+         AS n_bpe_units,
+       CAST(n_chars AS DOUBLE) / len({_TOKS}) AS chars_per_token
+FROM documents ORDER BY doc_id
+"""
+
+_FP_POWERS = [FP_BASE ** (FP_GRAM - 1 - k) % FP_MOD for k in range(FP_GRAM)]
+_FP_GRAM_TERMS = " + ".join(
+    f"ascii(substr(nt, CAST(p + {k + 1} AS INT), 1)) * {_FP_POWERS[k]}::BIGINT"
+    for k in range(FP_GRAM)
+)
+
+EXT_ORACLE_SQL["doc_fingerprint"] = f"""
+WITH d AS (
+  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS nt
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         list_transform(range(length(nt) - {FP_GRAM - 1}),
+                        p -> ({_FP_GRAM_TERMS}) % {FP_MOD}) AS gh
+  FROM d WHERE length(nt) - {FP_GRAM - 1} >= {FP_WINDOW}
+),
+f AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(len(gh) - {FP_WINDOW - 1}),
+           w -> list_min(list_slice(gh, CAST(w + 1 AS INT), CAST(w + {FP_WINDOW} AS INT)))))
+           AS fps
+  FROM g
+)
+SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fps, list_min(fps) AS min_fp,
+       CAST(list_sum(fps) % {FP_MOD} AS BIGINT) AS fp_digest
+FROM f ORDER BY doc_id
+"""
+
+EXT_ORACLE_SQL["multimodal_features"] = f"""
+SELECT doc_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'image'
+            WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+       CAST(64 + doc_id % 960 AS INT) AS width,
+       CAST(64 + (doc_id * 7) % 540 AS INT) AS height,
+       CAST(1 + doc_id % 8 AS INT) AS n_frames,
+       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+       {h15_sql('text')} AS content_h15
+FROM documents ORDER BY doc_id
+"""
+
+EXT_ORACLE_SQL["multimodal_frame_sample"] = """
+WITH video AS (
+  SELECT doc_id, CAST(1 + doc_id % 8 AS BIGINT) AS n_frames,
+         CAST(octet_length(encode(text)) AS BIGINT) AS byte_len
+  FROM documents WHERE doc_id % 3 = 2
+)
+SELECT doc_id, CAST(unnest(range(0, n_frames, 2)) AS INT) AS frame_no,
+       CAST(n_frames AS INT) AS n_frames, byte_len // n_frames AS est_bytes
+FROM video ORDER BY doc_id, frame_no
+"""

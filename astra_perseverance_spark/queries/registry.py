@@ -11,6 +11,12 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from astra_perseverance_spark.extensions import (
+    dedup,
+    multimodal,
+    similarity,
+    text_stats,
+)
 from astra_perseverance_spark.queries import gc, health, schema_checks, workload
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -40,6 +46,24 @@ QUERY_REGISTRY: dict[str, QueryFn] = {
     "guardrail_dependents": schema_checks.q_guardrail_dependents,
     "column_count": schema_checks.q_column_count,
     "uda_udf_presence": schema_checks.q_uda_udf_presence,
+    # Extensions — dedup family (documents)
+    "dedup_exact": dedup.q_dedup_exact,
+    "dedup_tokenset": dedup.q_dedup_tokenset,
+    "dedup_minhash_lsh": dedup.q_dedup_minhash_lsh,
+    "dedup_simhash": dedup.q_dedup_simhash,
+    "ngram_jaccard": dedup.q_ngram_jaccard,
+    # Extensions — similarity family (embeddings)
+    "embedding_topk": similarity.q_embedding_topk,
+    "ann_lsh_bucket": similarity.q_ann_lsh_bucket,
+    "embedding_cosine_dups": similarity.q_embedding_cosine_dups,
+    # Extensions — text analysis family (documents)
+    "text_stats": text_stats.q_text_stats,
+    "lang_id": text_stats.q_lang_id,
+    "token_count": text_stats.q_token_count,
+    "doc_fingerprint": text_stats.q_doc_fingerprint,
+    # Extensions — multimodal plumbing (documents → binary payloads)
+    "multimodal_features": multimodal.q_multimodal_features,
+    "multimodal_frame_sample": multimodal.q_multimodal_frame_sample,
 }
 
 # Queries with no SQL-expressible oracle (driver runs rows-only check).
