@@ -439,6 +439,15 @@ def load_model(spark: SparkSession, sf_dir: str) -> ConformedModel:
     input, so it fits executor memory at any realistic scale factor."""
     key = _session_key(spark, sf_dir)
     if key not in _MODEL_CACHE:
+        import os
+
+        if os.path.isdir(os.path.join(sf_dir, "nodes")):
+            # A real diagnostic tree (the reference's input layout) —
+            # route to the ingestion layer; same conformed contract.
+            from astra_perseverance_spark.sources.diag import load_model_from_diag
+
+            _MODEL_CACHE[key] = load_model_from_diag(spark, sf_dir)
+            return _MODEL_CACHE[key]
         _MODEL_CACHE[key] = ConformedModel(
             node_info=build_node_info(spark, sf_dir),
             keyspace_rf=build_keyspace_rf(spark, sf_dir),

@@ -1,0 +1,146 @@
+"""Property-based invariants (SURVEY.md §5.2) at sf0.001: structural
+truths that must hold for any input, not just the fixed oracle hash."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def q(spark):
+    from astra_perseverance_spark.queries import QUERY_REGISTRY
+
+    def run(name):
+        return QUERY_REGISTRY[name](spark, SF_SMALL)
+
+    return run
+
+
+class TestWorkloadInvariants:
+    def test_pct_reads_sums_to_one(self, q):
+        s = q("workload_reads").agg(F.sum("pct_reads")).collect()[0][0]
+        assert s == pytest.approx(1.0, abs=1e-9)
+
+    def test_r_plus_w_pct_rw_is_one(self, q):
+        r = q("workload_reads").agg(F.sum("r_pct_rw")).collect()[0][0]
+        w = q("workload_writes").agg(F.sum("w_pct_rw")).collect()[0][0]
+        assert r + w == pytest.approx(1.0, abs=1e-9)
+
+    def test_summary_totals_consistent(self, q):
+        s = q("workload_summary").collect()[0]
+        assert s["total_r_pct_rw"] + s["total_w_pct_rw"] == pytest.approx(1.0)
+        assert s["read_tpmo"] == pytest.approx(s["total_read_tps"] * 2_629_800)
+
+    def test_data_size_total_row_equals_sum(self, q):
+        rows = q("data_size").collect()
+        total = [r for r in rows if r["ks"] == "" and r["tbl"] == ""]
+        parts = [r for r in rows if not (r["ks"] == "" and r["tbl"] == "")]
+        assert len(total) == 1
+        assert total[0]["size_bytes"] == pytest.approx(
+            sum(r["size_bytes"] for r in parts), rel=1e-12
+        )
+
+    def test_outer_join_covers_both_sides(self, q):
+        reads = {(r["ks"], r["tbl"]) for r in q("workload_reads").collect()}
+        writes = {(r["ks"], r["tbl"]) for r in q("workload_writes").collect()}
+        outer = {(r["ks"], r["tbl"]) for r in q("workload_rw_outer").collect()}
+        assert outer == reads | writes
+
+
+class TestGcInvariants:
+    def test_percentile_monotonicity(self, q):
+        for r in q("gc_percentiles").collect():
+            seq = [r["min_ms"], r["p50"], r["p75"], r["p90"], r["p95"],
+                   r["p98"], r["p99"], r["max_ms"]]
+            assert seq == sorted(seq), r
+
+    def test_rollup_counts_consistent(self, q):
+        rows = q("gc_percentiles").collect()
+        db = [r for r in rows if r["lvl"] == 0]
+        dcs = [r for r in rows if r["lvl"] == 1]
+        nodes = [r for r in rows if r["lvl"] == 2]
+        assert len(db) == 1
+        assert db[0]["pauses"] == sum(r["pauses"] for r in dcs)
+        assert db[0]["pauses"] == sum(r["pauses"] for r in nodes)
+
+    def test_from_before_to(self, q):
+        for r in q("gc_percentiles").collect():
+            assert r["from_ts"] <= r["to_ts"]
+
+
+class TestExtensionInvariants:
+    def test_jaccard_bounds_and_symmetric_keys(self, q):
+        for r in q("dedup_minhash_lsh").collect():
+            assert 0.0 <= r["jaccard"] <= 1.0
+            assert r["doc_a"] < r["doc_b"]
+
+    def test_minhash_candidates_superset_of_blocked_exact(self, q):
+        """Every within-lang pair the exact blocked scan finds at the
+        same threshold must be found by LSH (recall check on the
+        fixture corpus — all true pairs are j ≥ 0.8 here)."""
+        lsh = {(r["doc_a"], r["doc_b"]) for r in q("dedup_minhash_lsh").collect()}
+        exact = {(r["doc_a"], r["doc_b"]) for r in q("ngram_jaccard").collect()}
+        assert exact <= lsh
+
+    def test_topk_ranks_contiguous(self, q):
+        from collections import defaultdict
+
+        by_q = defaultdict(list)
+        for r in q("embedding_topk").collect():
+            by_q[r["query_id"]].append(r["rank"])
+        for ranks in by_q.values():
+            assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+    def test_topk_cosine_descending(self, q):
+        from collections import defaultdict
+
+        by_q = defaultdict(list)
+        for r in q("embedding_topk").collect():
+            by_q[r["query_id"]].append((r["rank"], r["cosine"]))
+        for pairs in by_q.values():
+            cos = [c for _, c in sorted(pairs)]
+            assert cos == sorted(cos, reverse=True)
+
+    def test_ann_is_subset_quality(self, q):
+        """Bucketed ANN cosines can never exceed the exact top-1."""
+        exact_best = {r["query_id"]: r["cosine"]
+                      for r in q("embedding_topk").collect() if r["rank"] == 1}
+        for r in q("ann_lsh_bucket").collect():
+            if r["rank"] == 1:
+                assert r["cosine"] <= exact_best[r["query_id"]] + 1e-12
+
+    def test_simhash_hamming_bound(self, q):
+        for r in q("dedup_simhash").collect():
+            assert 0 <= r["hamming"] <= 6
+
+    def test_dedup_exact_partitions_corpus(self, q, spark):
+        n_docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").count()
+        rows = q("dedup_exact").collect()
+        assert sum(r["n_docs"] for r in rows) == n_docs
+
+    def test_text_stats_ratios_bounded(self, q):
+        for r in q("text_stats").collect():
+            assert 0.0 <= r["stopword_ratio"] <= 1.0
+            assert 0.0 <= r["punct_ratio"] <= 1.0
+            assert 0.0 < r["ttr"] <= 1.0
+            assert 0.0 <= r["quality"] <= 1.0
+
+
+class TestMultimodal:
+    def test_decode_stub_raises(self):
+        from astra_perseverance_spark.extensions.multimodal import decode_media
+
+        with pytest.raises(NotImplementedError):
+            decode_media(b"APSE1234", "image")
+
+    def test_feature_batch_shape(self, q, spark):
+        feats = q("multimodal_features").collect()
+        docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").count()
+        assert len(feats) == docs
+        for r in feats[:20]:
+            assert r["media_type"] in ("image", "audio", "video")
+            assert r["byte_len"] > 0
+            assert 0 <= r["content_h15"] < 1 << 60
