@@ -76,7 +76,12 @@ def _tbl_name(i: Column) -> Column:
 
 @dataclass(frozen=True)
 class ConformedModel:
-    """Bundle of the conformed DataFrames for one scale factor."""
+    """Bundle of the conformed DataFrames for one scale factor.
+
+    ``missing_node`` holds IPs referenced by status/gossip that have
+    no node directory (the reference's 'Missing Node Data' anti-join,
+    explore.py:302-304, 683-686); None ≡ empty (synthetic trees are
+    complete by construction)."""
 
     node_info: DataFrame
     keyspace_rf: DataFrame
@@ -86,13 +91,21 @@ class ConformedModel:
     gc_event: DataFrame
     tombstone_event: DataFrame
     proxyhistogram: DataFrame
+    missing_node: DataFrame | None = None
 
     def cache(self) -> "ConformedModel":
         for df in (self.node_info, self.keyspace_rf, self.schema_object,
                    self.schema_column, self.cfstats_metric, self.gc_event,
-                   self.tombstone_event, self.proxyhistogram):
-            df.cache()
+                   self.tombstone_event, self.proxyhistogram,
+                   self.missing_node):
+            if df is not None:
+                df.cache()
         return self
+
+    def missing_node_or_empty(self, spark: SparkSession) -> DataFrame:
+        if self.missing_node is not None:
+            return self.missing_node
+        return spark.createDataFrame([], "ip string")
 
 
 # memo: (applicationId, sf_dir) -> model.  applicationId is stable for

@@ -17,7 +17,14 @@ from astra_perseverance_spark.extensions import (
     similarity,
     text_stats,
 )
-from astra_perseverance_spark.queries import gc, health, schema_checks, workload
+from astra_perseverance_spark.queries import (
+    gc,
+    health,
+    schema_checks,
+    summary,
+    warnings,
+    workload,
+)
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -46,6 +53,9 @@ QUERY_REGISTRY: dict[str, QueryFn] = {
     "guardrail_dependents": schema_checks.q_guardrail_dependents,
     "column_count": schema_checks.q_column_count,
     "uda_udf_presence": schema_checks.q_uda_udf_presence,
+    # Findings framework + Q20 nested summary
+    "warnings": warnings.q_warnings,
+    "summary_json": summary.q_summary_json,
     # Extensions — dedup family (documents)
     "dedup_exact": dedup.q_dedup_exact,
     "dedup_tokenset": dedup.q_dedup_tokenset,

@@ -24,6 +24,22 @@ _DEP_LABELS = {
 }
 
 
+def dependent_counts(m, cfg: EngineConfig = DEFAULT_CONFIG) -> DataFrame:
+    """(obj_type-label, src_ks, src_tbl, n) dependent counts — the
+    shared grain under Q15 and the warnings framework."""
+    so = m.schema_object
+    label = F.create_map(
+        *[x for k, v in _DEP_LABELS.items() for x in (F.lit(k), F.lit(v))]
+    )[F.col("obj_type")]
+    return (
+        so.filter(F.col("obj_type").isin(*_DEP_LABELS)
+                  & ~F.col("src_ks").isin(*cfg.excluded_keyspaces))
+        .select(label.alias("obj_type"), "src_ks", "src_tbl")
+        .groupBy("obj_type", "src_ks", "src_tbl")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+
 def q_guardrail_dependents(spark: SparkSession, sf_dir: str,
                            cfg: EngineConfig = DEFAULT_CONFIG) -> DataFrame:
     """Q15 — per (dependent type, source table): count of MV/2i/SAI;
@@ -34,19 +50,9 @@ def q_guardrail_dependents(spark: SparkSession, sf_dir: str,
           "Materialized Views": t.tp_mv}
     gr = {"Secondary Indexes": t.gr_si, "Storage-Attached Indexes": t.gr_sai,
           "Materialized Views": t.gr_mv}
-    so = load_model(spark, sf_dir).schema_object
-    label = F.create_map(
-        *[x for k, v in _DEP_LABELS.items() for x in (F.lit(k), F.lit(v))]
-    )[F.col("obj_type")]
     tp_col = F.create_map(*[x for k, v in tp.items() for x in (F.lit(k), F.lit(v))])
     gr_col = F.create_map(*[x for k, v in gr.items() for x in (F.lit(k), F.lit(v))])
-    agg = (
-        so.filter(F.col("obj_type").isin(*_DEP_LABELS)
-                  & ~F.col("src_ks").isin(*cfg.excluded_keyspaces))
-        .select(label.alias("obj_type"), "src_ks", "src_tbl")
-        .groupBy("obj_type", "src_ks", "src_tbl")
-        .agg(F.count("*").cast("long").alias("n"))
-    )
+    agg = dependent_counts(load_model(spark, sf_dir), cfg)
     return (
         agg.filter(F.col("n") > tp_col[F.col("obj_type")])
         .select(

@@ -1,0 +1,200 @@
+"""Findings/warnings framework (add_to_warning, explore.py:230-239)
+and the nested Q20 ``summary.json`` built on top of it.
+
+``q_warnings`` emits one row per finding — (category, check, message)
+— reproducing every warning the reference raises, with its exact
+message formats:
+
+- Astra Guardrails: MV/SI/SAI dependent counts (explore.py:1086-1099),
+  table count (1448-1452), large partitions (1453-1462), column count
+  (1102-1119, B3 fixed: actual count), UDF/UDA presence (809-838,
+  B2 fixed: all collected).
+- Database Health: GC P99 (387-389), tombstones (349-357), dropped
+  mutations / read / write latency tab gates (1463-1464).
+- Missing Data: the status/gossip → node-dir anti-join (302-304).
+- Workload: not-supported workloads from gossip payloads (697-703).
+
+All checks run over the *aggregated* conformed tables (dims or
+per-table grains), so every rule is a filter + projection on rows that
+are already orders of magnitude smaller than the raw input; the
+messages are built with ``format_string`` — no driver-side loops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from astra_perseverance_spark.config import DEFAULT_CONFIG, EngineConfig
+from astra_perseverance_spark.conformed import load_model
+from astra_perseverance_spark.queries.schema_checks import dependent_counts
+
+GUARDRAIL_CAT = "Astra Guardrails"
+HEALTH_CAT = "Database Health"
+
+# check name → (tp attr, gr attr) for the dependent-object rules
+DEP_CHECKS = {
+    "Materialized Views": ("tp_mv", "gr_mv"),
+    "Secondary Indexes": ("tp_si", "gr_si"),
+    "Storage-Attached Indexes": ("tp_sai", "gr_sai"),
+}
+
+
+def _row(cat: str, check: str, message) -> list:
+    return [F.lit(cat).alias("category"), F.lit(check).alias("check"),
+            message.alias("message")]
+
+
+def q_warnings(spark: SparkSession, sf_dir: str,
+               cfg: EngineConfig = DEFAULT_CONFIG) -> DataFrame:
+    """All findings, ordered (category, check, message)."""
+    m = load_model(spark, sf_dir)
+    t = cfg.thresholds
+    parts: list[DataFrame] = []
+
+    # -- guardrails: dependent objects (Q15 grain) ---------------------
+    deps = dependent_counts(m, cfg)
+    for check, (tp_a, gr_a) in DEP_CHECKS.items():
+        tp, gr = getattr(t, tp_a), getattr(t, gr_a)
+        parts.append(
+            deps.filter((F.col("obj_type") == check) & (F.col("n") > tp))
+            .select(*_row(
+                GUARDRAIL_CAT, check,
+                F.concat(
+                    F.format_string("%d " + check + " of %s.%s",
+                                    F.col("n"), F.col("src_ks"), F.col("src_tbl")),
+                    F.when(F.col("n") > gr, "***").otherwise(""),
+                ),
+            ))
+        )
+
+    # -- guardrails: cluster table count (Q11 grain) -------------------
+    tblcnt = (
+        m.cfstats_metric.filter(F.col("metric") == "total_number_of_tables")
+        .agg(F.max("value").cast("long").alias("v"))
+        .filter(F.col("v") >= t.tp_tblcnt)
+    )
+    parts.append(tblcnt.select(*_row(
+        GUARDRAIL_CAT, "Number of Tables",
+        F.concat(
+            F.format_string("%d tables in database", F.col("v")),
+            F.when(F.col("v") >= t.gr_tblcnt, "***").otherwise(""),
+        ),
+    )))
+
+    # -- guardrails: large partitions (per dc.ks.tbl, max over nodes) --
+    lpar = (
+        m.cfstats_metric.filter(
+            (F.col("metric") == "compacted_partition_max_bytes")
+            & (F.col("value") >= t.tp_lpar_mb * 1_000_000)
+            & ~F.col("ks").isin(*cfg.excluded_keyspaces)
+        )
+        .groupBy("dc", "ks", "tbl")
+        .agg(F.max("value").alias("v"))
+    )
+    parts.append(lpar.select(*_row(
+        GUARDRAIL_CAT, "Large Partitions",
+        F.concat(
+            F.format_string(
+                "Table %s.%s.%s partition size %dMB",
+                F.col("dc"), F.col("ks"), F.col("tbl"),
+                F.floor(F.col("v") / 1_000_000).cast("long"),
+            ),
+            F.when(F.col("v") >= t.gr_lpar_mb * 1_000_000, "***").otherwise(""),
+        ),
+    )))
+
+    # -- guardrails: column count (Q16 grain) --------------------------
+    colcnt = (
+        m.schema_column
+        .filter(~F.col("ks").isin(*cfg.excluded_keyspaces))
+        .groupBy("ks", "tbl").agg(F.count("*").alias("n"))
+        .filter(F.col("n") > t.tp_colcnt)
+    )
+    parts.append(colcnt.select(*_row(
+        GUARDRAIL_CAT, "Number of Columns",
+        F.concat(
+            F.format_string("%d columns in %s.%s",
+                            F.col("n"), F.col("ks"), F.col("tbl")),
+            F.when(F.col("n") > t.gr_colcnt, "***").otherwise(""),
+        ),
+    )))
+
+    # -- guardrails: UDF / UDA presence (Q17) --------------------------
+    for obj, check in (("UDF", "User-Defined Function"),
+                       ("UDA", "User-Defined Aggregate")):
+        parts.append(
+            m.schema_object.filter(
+                (F.col("obj_type") == obj)
+                & ~F.col("ks").isin(*cfg.excluded_keyspaces)
+            )
+            .select(*_row(
+                GUARDRAIL_CAT, check,
+                F.format_string(obj + " %s in %s", F.col("name"), F.col("ks")),
+            ))
+        )
+
+    # -- health: GC P99 at database level (explore.py:387-389) ---------
+    from astra_perseverance_spark.queries.gc import q_gc_percentiles
+
+    gc_db = (
+        q_gc_percentiles(spark, sf_dir, cfg)
+        .filter((F.col("lvl") == 0) & (F.col("p99") > t.tp_gcp_ms))
+    )
+    parts.append(gc_db.select(*_row(
+        HEALTH_CAT, "GC Pauses",
+        F.lit(f"P99 GC pause greater than {t.tp_gcp_ms}"),
+    )))
+
+    # -- health: tombstones (explore.py:349-357) -----------------------
+    ts_hit = (
+        m.tombstone_event.filter(F.col("tombstones") >= t.tp_ts)
+        .agg(F.count("*").alias("n")).filter(F.col("n") > 0)
+    )
+    parts.append(ts_hit.select(*_row(
+        HEALTH_CAT, "Tombstones",
+        F.lit(f"Tombstones greater than {t.tp_ts:,} in a single read request"),
+    )))
+
+    # -- health: threshold-tab single-line gates (explore.py:1463-1464)
+    for metric, check, tp_v in (
+        ("dropped_mutations", "Dropped Mutation", t.tp_drm),
+        ("local_read_latency_ms", "Read Latency", t.tp_rl_ms),
+        ("local_write_latency_ms", "Write Latency", t.tp_wl_ms),
+    ):
+        hit = (
+            m.cfstats_metric.filter(
+                (F.col("metric") == metric) & (F.col("value") >= tp_v)
+                & ~F.col("ks").isin(*cfg.excluded_keyspaces)
+            )
+            .agg(F.count("*").alias("n")).filter(F.col("n") > 0)
+        )
+        parts.append(hit.select(*_row(
+            HEALTH_CAT, check, F.lit(f"{check} greater than {tp_v}"),
+        )))
+
+    # -- missing node data (anti-join J1) ------------------------------
+    parts.append(
+        m.missing_node_or_empty(spark)
+        .select(*_row("Missing Data", "Missing Node Data", F.col("ip")))
+    )
+
+    # -- unsupported workloads (explore.py:697-703) --------------------
+    wl = (
+        m.node_info
+        .select(F.regexp_replace("workload", r" \+ Graph$", "").alias("base"),
+                F.col("workload").endswith(" + Graph").alias("graph"))
+    )
+    parts.append(
+        wl.filter(~F.col("base").isin("Cassandra", "OSS Cassandra", "DSE Core"))
+        .select(*_row("Workload", "Not Supported", F.col("base")))
+    )
+    parts.append(
+        wl.filter(F.col("graph"))
+        .select(*_row("Workload", "Not Supported", F.lit("Graph")))
+    )
+
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.distinct().orderBy("category", "check", "message")

@@ -691,6 +691,19 @@ def build_proxyhistogram(spark: SparkSession, root: str) -> DataFrame:
 # model assembly
 # ---------------------------------------------------------------------------
 
+def build_missing_node(spark: SparkSession, root: str) -> DataFrame:
+    """'Missing Node Data' anti-join (explore.py:302-304, 683-686):
+    IPs present in status or gossip endpoint lines with no resolved
+    node directory — a broadcast left-anti join against the node map."""
+    st_ips = status_rows(spark, root).select("ip")
+    gs_ips = gossip_blocks(spark, root).select("ip")
+    known = node_map(spark, root).select("ip")
+    return (
+        st_ips.unionByName(gs_ips).distinct()
+        .join(F.broadcast(known), "ip", "left_anti")
+    )
+
+
 def load_model_from_diag(spark: SparkSession, root: str) -> ConformedModel:
     """Parse a diagnostic tree into the conformed star schema.
 
@@ -698,6 +711,7 @@ def load_model_from_diag(spark: SparkSession, root: str) -> ConformedModel:
     every registered query runs on it unchanged (``load_model`` routes
     here when ``root`` contains a ``nodes/`` directory)."""
     return ConformedModel(
+        missing_node=build_missing_node(spark, root),
         node_info=build_node_info(spark, root),
         keyspace_rf=build_keyspace_rf(spark, root),
         schema_object=build_schema_objects(spark, root),

@@ -51,6 +51,13 @@ def status_text() -> str:
                     f"UN  {ip}  {100 + n}.25 KiB  16           50.0%             "
                     f"00000000-0000-0000-0000-00000000000{n}  {RACKS[ip]}"
                 )
+        if dc == "dc2":
+            # a status row with no node directory → 'Missing Node
+            # Data' warning (explore.py:302-304)
+            out.append(
+                "DN  10.9.9.9  0.00 KiB  16           0.0%              "
+                "00000000-0000-0000-0000-000000000099  rack9"
+            )
         out.append("")
     return "\n".join(out) + "\n"
 
