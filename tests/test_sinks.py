@@ -1,0 +1,91 @@
+"""Excel workbook (S11) + summary.json (S12) sink tests: write the
+full report from the fixture diag tree, then validate the xlsx zip
+structure and sheet XML without any Excel library."""
+
+from __future__ import annotations
+
+import json
+import xml.etree.ElementTree as ET
+import zipfile
+
+import pytest
+
+from tests.conftest import FIXTURE_DIAG
+
+NS = {"m": "http://schemas.openxmlformats.org/spreadsheetml/2006/main"}
+
+EXPECTED_TABS = [
+    "Astra Metrics", "Workload", "Data Size", "Node Data", "Proxihistogram",
+    "Dropped Mutation", "Number of Tables", "Large Partitions",
+    "SSTable Count", "Read Latency", "Write Latency", "Tombstones",
+    "GC Pauses",
+]
+
+
+@pytest.fixture(scope="module")
+def report(spark, tmp_path_factory):
+    from astra_perseverance_spark.sinks import write_report
+
+    out = tmp_path_factory.mktemp("report")
+    return write_report(spark, FIXTURE_DIAG, str(out), "FixtureCluster")
+
+
+def _sheet_names(path: str) -> list[str]:
+    with zipfile.ZipFile(path) as zf:
+        wb = ET.fromstring(zf.read("xl/workbook.xml"))
+    return [s.attrib["name"] for s in wb.findall(".//m:sheet", NS)]
+
+
+def _sheet_rows(path: str, idx: int) -> list[list[str]]:
+    with zipfile.ZipFile(path) as zf:
+        ws = ET.fromstring(zf.read(f"xl/worksheets/sheet{idx}.xml"))
+    rows = []
+    for row in ws.findall(".//m:row", NS):
+        vals = []
+        for c in row.findall("m:c", NS):
+            t = c.find("m:is/m:t", NS)
+            v = c.find("m:v", NS)
+            vals.append(t.text if t is not None else (v.text if v is not None else None))
+        rows.append(vals)
+    return rows
+
+
+class TestWorkbook:
+    def test_file_is_valid_zip_with_all_parts(self, report):
+        with zipfile.ZipFile(report["xlsx"]) as zf:
+            names = set(zf.namelist())
+            assert zf.testzip() is None
+        assert {"[Content_Types].xml", "_rels/.rels", "xl/workbook.xml",
+                "xl/styles.xml"} <= names
+
+    def test_all_reference_tabs_present(self, report):
+        assert _sheet_names(report["xlsx"]) == EXPECTED_TABS
+
+    def test_every_sheet_xml_parses(self, report):
+        for i in range(1, len(EXPECTED_TABS) + 1):
+            assert _sheet_rows(report["xlsx"], i) is not None
+
+    def test_workload_tab_content(self, report):
+        rows = _sheet_rows(report["xlsx"], EXPECTED_TABS.index("Workload") + 1)
+        assert rows[0][:3] == ["Keyspace", "Table", "Read Requests"]
+        by_tbl = {r[1]: r for r in rows[1:]}
+        assert float(by_tbl["orders"][2]) == pytest.approx(1250.0)
+
+    def test_node_data_tab_rows(self, report):
+        rows = _sheet_rows(report["xlsx"], EXPECTED_TABS.index("Node Data") + 1)
+        assert len(rows) == 1 + 4  # header + 4 nodes
+
+    def test_metrics_tab_has_warnings(self, report):
+        rows = _sheet_rows(report["xlsx"], 1)
+        flat = [c for r in rows for c in r if c]
+        assert "Read TPS" in flat
+        assert any("Missing Data" in c for c in flat)
+        assert "10.9.9.9" in flat
+
+
+class TestSummaryJsonSink:
+    def test_file_written_and_valid(self, report):
+        with open(report["summary_json"]) as fh:
+            doc = json.load(fh)
+        assert doc["missing_data"] == 1
+        assert "workload" in doc
