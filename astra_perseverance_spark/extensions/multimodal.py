@@ -57,7 +57,9 @@ def build_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Metadata is arithmetic on doc_id (deterministic, SQL-mirrorable);
     the payload is magic + utf-8 text bytes."""
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )  # single-file source; partition for the Arrow batch work
     did = F.col("doc_id")
     media_type = (
         F.when(did % 3 == 0, "image").when(did % 3 == 1, "audio").otherwise("video")

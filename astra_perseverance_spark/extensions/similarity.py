@@ -46,7 +46,9 @@ DUP_COSINE_MIN = 0.35
 
 def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, label, eq, n2) quantized vectors + exact sq-norms."""
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(
+        spark.sparkContext.defaultParallelism, "vec_id"
+    )  # single-file source; partition for the vector-math compute
     return e.select(
         "vec_id", "label", quantize(F.col("embedding")).alias("eq")
     ).withColumn("n2", norm2_q(F.col("eq")))

@@ -35,7 +35,15 @@ STOPWORDS_EN = LANG_PROFILES[0][1]
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # documents.parquet is a single small file; without an explicit
+    # repartition every downstream higher-order-function pipeline
+    # (shingling, hashing) runs in ONE task.  The rows are cheap to
+    # shuffle but expensive to process — partition for the compute,
+    # not the bytes (maxPartitionBytes cannot see that).
+    return (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    )
 
 
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -132,17 +140,30 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
     d = _docs(spark, sf_dir).select("doc_id", norm.alias("nt"))
     n_grams = F.length("nt") - (FP_GRAM - 1)
-    # gram hash at 1-based position p: Σ_k ascii(s[p+k]) * BASE^(GRAM-1-k) mod M
+    # gram hash at 0-based position p over a precomputed ASCII-code
+    # array (one split pass instead of O(len·gram) substr calls):
+    # Σ_k codes[p+k] * BASE^(GRAM-1-k) mod M
     powers = [FP_BASE ** (FP_GRAM - 1 - k) % FP_MOD for k in range(FP_GRAM)]
     gram_terms = " + ".join(
-        f"ascii(substr(nt, p + {k}, 1)) * {powers[k]}L" for k in range(FP_GRAM)
+        f"cs[p + {k}] * {powers[k]}L" for k in range(FP_GRAM)
     )
-    d = d.filter(n_grams >= FP_WINDOW).select(
-        "doc_id",
-        F.expr(
-            f"transform(sequence(1, length(nt) - {FP_GRAM - 1}), "
-            f"p -> ({gram_terms}) % {FP_MOD}L)"
-        ).alias("gh"),
+    d = (
+        d.filter(n_grams >= FP_WINDOW)
+        .select(
+            "doc_id",
+            # slice() drops the trailing empty token Java's split
+            # emits with limit -1
+            F.expr("transform(slice(split(nt, ''), 1, length(nt)), "
+                   "c -> cast(ascii(c) as bigint))")
+            .alias("cs"),
+        )
+        .select(
+            "doc_id",
+            F.expr(
+                f"transform(sequence(0, size(cs) - {FP_GRAM}), "
+                f"p -> ({gram_terms}) % {FP_MOD}L)"
+            ).alias("gh"),
+        )
     )
     fps = F.expr(
         f"array_distinct(transform(sequence(1, size(gh) - {FP_WINDOW - 1}), "

@@ -82,21 +82,11 @@ def h15_sql(expr: str) -> str:
     )
 
 
-def word_shingles(tok_col: str, k: int = 3) -> Column:
-    """Distinct k-word shingles from a token-array column; empty when
-    the doc has fewer than k tokens (guards Spark's descending
-    ``sequence`` when size-k < 0)."""
-    joins = ", ".join(f"{tok_col}[i + {d}]" for d in range(k))
-    return F.expr(
-        f"CASE WHEN size({tok_col}) >= {k} THEN "
-        f"array_distinct(transform(sequence(0, size({tok_col}) - {k}), "
-        f"i -> concat_ws(' ', {joins}))) "
-        f"ELSE array()::array<string> END"
-    )
-
-
 def word_shingles_sql(tok_expr: str, k: int = 3) -> str:
-    """DuckDB twin of :func:`word_shingles` (1-based list indexing)."""
+    """Distinct k-word shingles (DuckDB; 1-based list indexing).  The
+    Spark side builds the same set row-wise — ``dedup.shingle_rows``
+    (posexplode + lead window, codegen-friendly) — so there is no
+    array-valued Spark twin of this helper."""
     joins = " || ' ' || ".join(f"({tok_expr})[CAST(i + {d + 1} AS INT)]" for d in range(k))
     return (
         f"list_distinct(list_transform(range(greatest(len({tok_expr}) - {k - 1}, 0)), "

@@ -120,6 +120,37 @@ warn_distinct AS (SELECT DISTINCT category, chk, message FROM warn)
 
 WARN_ORACLE_SQL: dict[str, str] = {}
 
+WARN_ORACLE_SQL["gc_minute_windows"] = CONFORMED_PRELUDE + """
+SELECT make_timestamp((epoch(ts)::BIGINT // 300) * 300 * 1000000) AS window_start,
+       dc, CAST(COUNT(*) AS BIGINT) AS pauses,
+       CAST(MAX(pause_ms) AS BIGINT) AS max_pause_ms,
+       CAST(SUM(pause_ms) AS BIGINT) AS sum_pause_ms
+FROM gc_event
+GROUP BY 1, 2 ORDER BY window_start, dc
+"""
+
+WARN_ORACLE_SQL["gc_sessions"] = CONFORMED_PRELUDE + """
+, gaps AS (
+  SELECT node, ts, pause_ms,
+         CASE WHEN epoch(ts)::BIGINT
+                   - LAG(epoch(ts)::BIGINT, 1, 0) OVER
+                     (PARTITION BY node ORDER BY ts, pause_ms) >= 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM gc_event
+),
+sess AS (
+  SELECT node, ts, pause_ms,
+         SUM(new_session) OVER (PARTITION BY node ORDER BY ts, pause_ms
+                                ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM gaps
+)
+SELECT node, CAST(session_no AS BIGINT) AS session_no,
+       MIN(ts) AS session_start, MAX(ts) AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS pauses,
+       CAST(MAX(pause_ms) AS BIGINT) AS max_pause_ms
+FROM sess GROUP BY node, session_no ORDER BY node, session_no
+"""
+
 WARN_ORACLE_SQL["warnings"] = CONFORMED_PRELUDE + _WARN_CTES + """
 SELECT category, chk AS "check", message
 FROM warn_distinct ORDER BY category, chk, message

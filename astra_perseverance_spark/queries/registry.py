@@ -25,6 +25,7 @@ from astra_perseverance_spark.queries import (
     warnings,
     workload,
 )
+from astra_perseverance_spark.streaming import gc_stream
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -56,6 +57,10 @@ QUERY_REGISTRY: dict[str, QueryFn] = {
     # Findings framework + Q20 nested summary
     "warnings": warnings.q_warnings,
     "summary_json": summary.q_summary_json,
+    # Streaming-shared windowed aggregations (batch twins; the
+    # readStream path shares the same column logic — streaming/)
+    "gc_minute_windows": gc_stream.q_gc_minute_windows,
+    "gc_sessions": gc_stream.q_gc_sessions,
     # Extensions — dedup family (documents)
     "dedup_exact": dedup.q_dedup_exact,
     "dedup_tokenset": dedup.q_dedup_tokenset,

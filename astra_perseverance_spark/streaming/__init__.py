@@ -1,0 +1,14 @@
+"""Structured Streaming variants of the event facts (SURVEY.md §7.5).
+
+The reference is strictly batch (§2.9) — this package is the additive
+scale path: the same windowed semantics over an unbounded gc_event
+stream, sharing column logic with the batch queries so parity holds
+between the two execution modes.
+"""
+
+from astra_perseverance_spark.streaming.gc_stream import (
+    gc_minute_window_agg,
+    stream_gc_minute_windows,
+)
+
+__all__ = ["gc_minute_window_agg", "stream_gc_minute_windows"]

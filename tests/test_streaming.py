@@ -1,0 +1,71 @@
+"""Structured Streaming equivalence: the same windowed aggregation
+over a file-source stream must converge to the batch twin's result
+(shared-logic design, streaming/gc_stream.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def gc_source(spark, tmp_path_factory):
+    """Materialize the conformed gc_event fact as a parquet directory
+    the file-source stream can replay."""
+    from astra_perseverance_spark.conformed import load_model
+
+    out = str(tmp_path_factory.mktemp("gc_stream_src"))
+    load_model(spark, SF_SMALL).gc_event.write.mode("overwrite").parquet(out)
+    return out
+
+
+def test_stream_matches_batch(spark, gc_source):
+    from astra_perseverance_spark.streaming import (
+        gc_minute_window_agg,
+        stream_gc_minute_windows,
+    )
+
+    sdf = stream_gc_minute_windows(spark, gc_source)
+    q = (
+        sdf.writeStream.format("memory").queryName("gc_win_test")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["window_start"], r["dc"]): (r["pauses"], r["max_pause_ms"], r["sum_pause_ms"])
+        for r in spark.sql("SELECT * FROM gc_win_test").collect()
+    }
+    want = {
+        (r["window_start"], r["dc"]): (r["pauses"], r["max_pause_ms"], r["sum_pause_ms"])
+        for r in gc_minute_window_agg(spark.read.parquet(gc_source)).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_watermark_present_in_plan(spark, gc_source):
+    from astra_perseverance_spark.streaming import stream_gc_minute_windows
+
+    sdf = stream_gc_minute_windows(spark, gc_source)
+    assert sdf.isStreaming
+    assert "EventTimeWatermark" in sdf._jdf.queryExecution().logical().toString()
+
+
+def test_sessions_close_on_gap(spark):
+    from astra_perseverance_spark.queries import QUERY_REGISTRY
+
+    rows = QUERY_REGISTRY["gc_sessions"](spark, SF_SMALL).collect()
+    assert rows, "no sessions"
+    # session boundaries respect the 30-min gap: within a node,
+    # consecutive sessions are separated by >= 1800s
+    from collections import defaultdict
+
+    by_node = defaultdict(list)
+    for r in rows:
+        by_node[r["node"]].append(r)
+    for sess in by_node.values():
+        sess.sort(key=lambda r: r["session_no"])
+        for a, b in zip(sess, sess[1:]):
+            gap = (b["session_start"] - a["session_end"]).total_seconds()
+            assert gap >= 1800, (a, b)
