@@ -25,6 +25,18 @@ def get_spark(app_name: str = "astra-perseverance-spark",
       regardless of input size.
     - Arrow enabled for the (few) pandas-UDF paths.
     """
+    # Python workers (mapInPandas paths) import this package by name;
+    # exporting the repo root on PYTHONPATH before the JVM launches
+    # makes the entry points runnable from any working directory.  On
+    # a real cluster the equivalent is --py-files / a wheel on the
+    # executors.
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_root + (os.pathsep + existing if existing else "")
+        )
+
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
         shuffle_partitions = max(cpus, 32)
