@@ -80,7 +80,11 @@ def q_summary_json(spark: SparkSession, sf_dir: str,
         "total_reads", "total_writes",
         (F.col("total_reads") + F.col("total_writes")).alias("total_rw"),
     )
-    both = r.join(w, ["ks", "tbl"], "full_outer").crossJoin(F.broadcast(tot))
+    # shuffled-hash: full-outer can't broadcast, both sides tiny
+    both = (
+        r.join(w.hint("shuffle_hash"), ["ks", "tbl"], "full_outer")
+        .crossJoin(F.broadcast(tot))
+    )
     read_obj = F.when(
         F.col("read_req").isNotNull(),
         _obj(F.array(

@@ -172,8 +172,10 @@ def q_workload_rw_outer(spark: SparkSession, sf_dir: str,
     m = load_model(spark, sf_dir)
     r = _req_agg(reads_base(m, cfg), "read_requests", "avg_read_tps")
     w = _req_agg(writes_base(m, cfg), "write_requests", "avg_write_tps")
+    # full-outer can't broadcast; both sides are per-table grains, so
+    # a shuffled-hash join beats the default sort-merge (no sorts)
     return (
-        r.join(w, ["ks", "tbl"], "full_outer")
+        r.join(w.hint("shuffle_hash"), ["ks", "tbl"], "full_outer")
         .select("ks", "tbl", "read_requests", "avg_read_tps",
                 "write_requests", "avg_write_tps")
         .orderBy("ks", "tbl")

@@ -584,11 +584,18 @@ def _unzip_lines(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 def _log_lines(spark: SparkSession, root: str) -> DataFrame:
     """All system*.log lines across nodes, zip archives included
-    (explore.py:1024-1066 glob; 311-316 zip)."""
-    glob = f"{root}/nodes/*/logs/cassandra/*"
+    (explore.py:1024-1066 glob; 311-316 zip).  The optional
+    ``AdditionalLogs/<node>/var/log/cassandra`` side tree
+    (explore.py:1048-1066) is unioned in when present; its node dir is
+    extracted from the AdditionalLogs path segment instead of nodes/."""
+    globs = [f"{root}/nodes/*/logs/cassandra/*"]
+    import os
+
+    if os.path.isdir(os.path.join(root, "AdditionalLogs")):
+        globs.append(f"{root}/AdditionalLogs/*/var/log/cassandra/*")
     try:
         text = (
-            spark.read.text(glob)
+            spark.read.text(globs)
             .select(F.input_file_name().alias("path"), F.col("value").alias("line"))
             .filter(~F.col("path").endswith(".zip"))
         )
@@ -598,15 +605,19 @@ def _log_lines(spark: SparkSession, root: str) -> DataFrame:
         zipped = (
             spark.read.format("binaryFile")
             .option("pathGlobFilter", "*.zip")
-            .load(glob)
+            .load(globs)
             .select("path", "content")
             .mapInPandas(_unzip_lines, schema="path string, line string")
         )
         text = text.unionByName(zipped)
     except AnalysisException:
         pass
+    node_dir = F.when(
+        F.col("path").contains("/AdditionalLogs/"),
+        F.regexp_extract("path", r"AdditionalLogs/([^/]+)/", 1),
+    ).otherwise(_node_dir(F.col("path")))
     return (
-        text.withColumn("node_dir", _node_dir(F.col("path")))
+        text.withColumn("node_dir", node_dir)
         .filter(F.regexp_extract("path", r"/(system[^/]*)$", 1) != "")
     )
 

@@ -280,6 +280,13 @@ def main() -> None:
             w("logs/cassandra/system.log", syslog_text(ip))
             if d == "10.1.0.1":  # rotated second log file
                 w("logs/cassandra/system.log.1", syslog_text(ip).replace("2023-04", "2023-03"))
+
+    # optional AdditionalLogs side tree (explore.py:1048-1066)
+    extra = os.path.join(os.path.dirname(ROOT), "AdditionalLogs",
+                         "10-2-0-1", "var", "log", "cassandra")
+    os.makedirs(extra, exist_ok=True)
+    with open(os.path.join(extra, "system.log"), "w") as f:
+        f.write(syslog_text("10.2.0.1").replace("2023-04", "2023-02"))
     print(f"fixture written under {ROOT}")
 
 

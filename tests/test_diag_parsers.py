@@ -130,6 +130,11 @@ class TestLogs:
         """system.log + system.log.1 both scanned (explore.py:1043-1046)."""
         assert model.gc_event.filter(F.col("node") == "10.1.0.1").count() == 12
 
+    def test_additional_logs_tree(self, model):
+        """AdditionalLogs/<node>/var/log/cassandra is unioned in
+        (explore.py:1048-1066): 6 from nodes/ + 6 from the side tree."""
+        assert model.gc_event.filter(F.col("node") == "10-2-0-1").count() == 12
+
     def test_gc_minute_truncation(self, model):
         ts = model.gc_event.filter(F.col("node") == "10_1_0_2").select("ts").collect()
         assert all(t["ts"].second == 0 for t in ts)

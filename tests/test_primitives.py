@@ -1,0 +1,91 @@
+"""Property-based tests (hypothesis) for the pure primitives — the
+shipped SQL/expression artifacts are exercised through DuckDB so the
+tests cover what actually runs, not a Python re-derivation."""
+
+from __future__ import annotations
+
+import hashlib
+
+import duckdb
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from astra_perseverance_spark.functions.percentiles import GC_PCTS, nearest_rank_sql
+from astra_perseverance_spark.functions.texthash import h15_sql
+from astra_perseverance_spark.sinks.xlsx import _col_letter
+
+
+@pytest.fixture(scope="module")
+def con():
+    return duckdb.connect()
+
+
+class TestNearestRank:
+    """The engine's index formula must equal the reference's
+    ``int(round(n·p)) − 1`` with CPython banker's rounding and the
+    −1 → n−1 wrap (explore.py:364-398)."""
+
+    @settings(max_examples=200, deadline=None)
+    @given(n=st.integers(min_value=1, max_value=100_000))
+    def test_matches_python_round_semantics(self, n):
+        con = duckdb.connect()
+        for pct in GC_PCTS:
+            ref_idx = int(round(n * pct / 100)) - 1
+            if ref_idx < 0:
+                ref_idx = n - 1
+            got = con.sql(
+                f"SELECT {nearest_rank_sql(str(n), pct)}"
+            ).fetchone()[0]
+            assert got == ref_idx + 1, (n, pct)
+
+    def test_half_even_tie_cases(self, con):
+        # n·p/100 landing exactly on .5: n=50, p=50 → 25.0 is not a
+        # tie; n=2, p=75 → 1.5 → banker's round = 2 → idx 1
+        assert int(round(2 * 75 / 100)) == 2
+        got = con.sql(f"SELECT {nearest_rank_sql('2', 75)}").fetchone()[0]
+        assert got == 2
+        # n=6, p=75 → 4.5 → banker's = 4 → idx 3 → rank 4
+        assert int(round(6 * 75 / 100)) == 4
+        got = con.sql(f"SELECT {nearest_rank_sql('6', 75)}").fetchone()[0]
+        assert got == 4
+
+
+class TestH15:
+    """DuckDB's nibble-parse twin must equal Python's
+    ``int(md5(s)[:15], 16)`` — the definition Spark's
+    ``conv(substr(md5, 1, 15), 16, 10)`` implements."""
+
+    @settings(max_examples=100, deadline=None)
+    @given(s=st.text(
+        alphabet=st.characters(min_codepoint=0x20, max_codepoint=0x7E,
+                               exclude_characters="'\\"),
+        max_size=80,
+    ))
+    def test_matches_hashlib(self, s):
+        con = duckdb.connect()
+        want = int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+        got = con.sql(f"SELECT {h15_sql(chr(39) + s + chr(39))}").fetchone()[0]
+        assert got == want
+
+    def test_range(self, con):
+        got = con.sql(f"SELECT {h15_sql(chr(39) + 'x' + chr(39))}").fetchone()[0]
+        assert 0 <= got < 1 << 60
+
+
+class TestColLetter:
+    @given(i=st.integers(min_value=0, max_value=16_383))
+    def test_roundtrip(self, i):
+        s = _col_letter(i)
+        # decode back
+        val = 0
+        for ch in s:
+            val = val * 26 + (ord(ch) - ord("A") + 1)
+        assert val - 1 == i
+
+    def test_known_values(self):
+        assert _col_letter(0) == "A"
+        assert _col_letter(25) == "Z"
+        assert _col_letter(26) == "AA"
+        assert _col_letter(701) == "ZZ"
+        assert _col_letter(702) == "AAA"
