@@ -119,6 +119,21 @@ def _session_key(spark: SparkSession, sf_dir: str) -> Tuple[str, str]:
     return (spark.sparkContext.applicationId, sf_dir)
 
 
+# memo for small *aggregated* frames shared across queries (per-table
+# workload aggs, totals, warnings, GC histograms).  Everything cached
+# here is dims-or-smaller grain — safe to pin at any fact scale — and
+# one query's materialization pays for every later consumer's subtree.
+_FRAME_MEMO: Dict[tuple, DataFrame] = {}
+
+
+def memo_frame(spark: SparkSession, sf_dir: str, tag: tuple, build) -> DataFrame:
+    """Session-scoped memo: ``build()`` once, ``.cache()``, reuse."""
+    key = (_session_key(spark, sf_dir), tag)
+    if key not in _FRAME_MEMO:
+        _FRAME_MEMO[key] = build().cache()
+    return _FRAME_MEMO[key]
+
+
 def _n_nodes(spark: SparkSession, sf_dir: str) -> int:
     """Node count (supplier rows) — a driver-side scalar folded into the
     plans.  Memoized so builders don't re-run the count job per query."""

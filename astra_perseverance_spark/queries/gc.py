@@ -19,80 +19,101 @@ latest ts, explore.py:335-341) uses an integer pack:
 
 from __future__ import annotations
 
-from functools import reduce
-
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from astra_perseverance_spark.config import DEFAULT_CONFIG, EngineConfig
 from astra_perseverance_spark.conformed import load_model
+from astra_perseverance_spark.conformed.model import _session_key
 from astra_perseverance_spark.functions.percentiles import GC_PCTS, nearest_rank_1based
 
 _PACK = 10_000_000_000  # pause_ms ≤ 10^6 ≪ pack base; epoch_sec < 10^10
 
+# The node-level histogram is the reduction every GC consumer starts
+# from (Q5's three rollup levels, Q19, the warnings P99 gate, Q20).
+# Its cardinality is bounded — nodes × distinct pause_ms — so caching
+# it is safe at any fact scale and collapses the raw-event scan to one.
+_HIST_CACHE: dict = {}
+
 
 def _node_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(dc, node, pause_ms) histogram with per-bucket ts extremes."""
-    gc = load_model(spark, sf_dir).gc_event
-    return gc.select(
-        "dc", "node", "pause_ms", F.col("ts").cast("long").alias("ep")
-    ).groupBy("dc", "node", "pause_ms").agg(
-        F.count("*").alias("cnt"),
-        F.min("ep").alias("min_ep"),
-        F.max("ep").alias("max_ep"),
-    )
-
-
-def _pct_block(hist: DataFrame, group_cols: list[str], lvl: int) -> DataFrame:
-    """Percentile block for one grouping level over a value histogram."""
-    grp = group_cols if group_cols else []
-    # re-aggregate histogram to this level
-    h = hist.groupBy(*grp, "pause_ms").agg(
-        F.sum("cnt").alias("cnt"),
-        F.min("min_ep").alias("min_ep"),
-        F.max("max_ep").alias("max_ep"),
-    )
-    stats = h.groupBy(*grp).agg(
-        F.sum("cnt").cast("long").alias("n"),
-        F.min("pause_ms").cast("long").alias("min_ms"),
-        F.max("pause_ms").cast("long").alias("max_ms"),
-        F.min("min_ep").alias("from_ts"),
-        F.max("max_ep").alias("to_ts"),
-        (F.max(F.col("pause_ms").cast("long") * _PACK + F.col("max_ep")) % _PACK)
-        .alias("max_ts"),
-    )
-    for p in GC_PCTS:
-        stats = stats.withColumn(f"rank{p}", nearest_rank_1based(F.col("n"), p))
-    w = Window.partitionBy(*(grp or [F.lit(1)])).orderBy("pause_ms") \
-        .rowsBetween(Window.unboundedPreceding, 0)
-    cum = h.withColumn("cum", F.sum("cnt").over(w))
-    joined = cum.join(F.broadcast(stats), grp) if grp else cum.crossJoin(F.broadcast(stats))
-    picks = joined.groupBy(*grp).agg(
-        *[
-            F.min(F.when(F.col("cum") >= F.col(f"rank{p}"), F.col("pause_ms")))
-            .cast("long").alias(f"p{p}")
-            for p in GC_PCTS
-        ]
-    )
-    out = stats.join(picks, grp) if grp else stats.crossJoin(picks)
-    return out.select(
-        F.lit(lvl).cast("long").alias("lvl"),
-        (F.col("dc") if "dc" in grp else F.lit("ALL")).alias("dc"),
-        (F.col("node") if "node" in grp else F.lit("ALL")).alias("node"),
-        F.col("n").alias("pauses"),
-        "min_ms", *[f"p{p}" for p in GC_PCTS], "max_ms",
-        "from_ts", "to_ts", "max_ts",
-    )
+    key = _session_key(spark, sf_dir)
+    if key not in _HIST_CACHE:
+        gc = load_model(spark, sf_dir).gc_event
+        _HIST_CACHE[key] = gc.select(
+            "dc", "node", "pause_ms", F.col("ts").cast("long").alias("ep")
+        ).groupBy("dc", "node", "pause_ms").agg(
+            F.count("*").alias("cnt"),
+            F.min("ep").alias("min_ep"),
+            F.max("ep").alias("max_ep"),
+        ).cache()
+    return _HIST_CACHE[key]
 
 
 def q_gc_percentiles(spark: SparkSession, sf_dir: str,
                      cfg: EngineConfig = DEFAULT_CONFIG) -> DataFrame:
-    """Q5 — GROUPING SETS ((), (dc), (dc,node)) percentile blocks."""
-    hist = _node_hist(spark, sf_dir)
-    db = _pct_block(hist, [], 0)
-    dc = _pct_block(hist, ["dc"], 1)
-    node = _pct_block(hist, ["dc", "node"], 2)
-    return db.unionByName(dc).unionByName(node).orderBy("lvl", "dc", "node")
+    """Q5 — GROUPING SETS ((), (dc), (dc,node)) percentile blocks.
+
+    One shuffle off the cached node histogram: each (dc,node,pause_ms)
+    bucket belongs to exactly three rollup groups — (dc,node), (dc),
+    () — so exploding it threefold expresses the grouping sets in a
+    single pass.  A cumulative-count window ordered by pause_ms plus a
+    whole-partition total yields every nearest-rank pick inside the
+    following same-keyed groupBy (which reuses the window's hash
+    partitioning — no second exchange).  Everything stays inside
+    whole-stage codegen; the exploded frame is 3× the *histogram*
+    (bounded by nodes × distinct pause values), never the fact.
+    """
+    g = F.explode(F.array(
+        F.struct(F.lit(2).alias("lvl"), F.col("dc").alias("gdc"),
+                 F.col("node").alias("gnode")),
+        F.struct(F.lit(1).alias("lvl"), F.col("dc").alias("gdc"),
+                 F.lit("ALL").alias("gnode")),
+        F.struct(F.lit(0).alias("lvl"), F.lit("ALL").alias("gdc"),
+                 F.lit("ALL").alias("gnode")),
+    )).alias("g")
+    keys = ["lvl", "dc", "node"]
+    h = _node_hist(spark, sf_dir).select(
+        g, "pause_ms", "cnt", "min_ep", "max_ep"
+    ).select(
+        F.col("g.lvl").alias("lvl"), F.col("g.gdc").alias("dc"),
+        F.col("g.gnode").alias("node"), "pause_ms", "cnt",
+        "min_ep", "max_ep",
+    )
+    w_cum = Window.partitionBy(*keys).orderBy("pause_ms") \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy(*keys)
+    h = (
+        h.withColumn("cum", F.sum("cnt").over(w_cum))
+        .withColumn("n", F.sum("cnt").over(w_all))
+    )
+    # duplicate pause_ms rows (same value from different nodes) are fine:
+    # cum rises within the tie-group and min(when(cum ≥ rank)) still
+    # lands on that same pause value.
+    picks = [
+        F.min(F.when(F.col("cum") >= nearest_rank_1based(F.col("n"), p),
+                     F.col("pause_ms"))).cast("long").alias(f"p{p}")
+        for p in GC_PCTS
+    ]
+    return (
+        h.groupBy(*keys).agg(
+            F.max("n").cast("long").alias("pauses"),
+            F.min("pause_ms").cast("long").alias("min_ms"),
+            *picks,
+            F.max("pause_ms").cast("long").alias("max_ms"),
+            F.min("min_ep").alias("from_ts"),
+            F.max("max_ep").alias("to_ts"),
+            (F.max(F.col("pause_ms").cast("long") * _PACK + F.col("max_ep"))
+             % _PACK).alias("max_ts"),
+        )
+        .select(
+            F.col("lvl").cast("long").alias("lvl"), "dc", "node",
+            "pauses", "min_ms", *[f"p{p}" for p in GC_PCTS],
+            "max_ms", "from_ts", "to_ts", "max_ts",
+        )
+        .orderBy("lvl", "dc", "node")
+    )
 
 
 def q_gc_p99_health(spark: SparkSession, sf_dir: str,

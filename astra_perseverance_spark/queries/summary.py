@@ -73,10 +73,12 @@ def q_summary_json(spark: SparkSession, sf_dir: str,
     """One row, one column ``summary_json`` — the canonical document."""
     m = load_model(spark, sf_dir)
 
-    # ---- workload section -------------------------------------------
-    r = W._req_agg(W.reads_base(m, cfg), "read_req", "r_tps")
-    w = W._req_agg(W.writes_base(m, cfg), "write_req", "w_tps")
-    tot = W._totals(m, cfg).select(
+    # ---- workload section (memoized canonical grains) ----------------
+    r = W.reads_agg(spark, sf_dir, cfg).select(
+        "ks", "tbl", F.col("req").alias("read_req"), F.col("tps").alias("r_tps"))
+    w = W.writes_agg(spark, sf_dir, cfg).select(
+        "ks", "tbl", F.col("req").alias("write_req"), F.col("tps").alias("w_tps"))
+    tot = W.totals(spark, sf_dir, cfg).select(
         "total_reads", "total_writes",
         (F.col("total_reads") + F.col("total_writes")).alias("total_rw"),
     )
@@ -134,7 +136,8 @@ def q_summary_json(spark: SparkSession, sf_dir: str,
     )
 
     # ---- dataset_size section ---------------------------------------
-    s = W.sizes_base(m, cfg).groupBy("ks", "tbl").agg(F.sum("rn").alias("size"))
+    s = W.sizes_agg(spark, sf_dir, cfg).select(
+        "ks", "tbl", F.col("size_bytes").alias("size"))
     ds_ks = _collect_obj(
         s.select(
             "ks",

@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from astra_perseverance_spark.config import DEFAULT_CONFIG, EngineConfig
 from astra_perseverance_spark.conformed import load_model
+from astra_perseverance_spark.conformed.model import memo_frame
 from astra_perseverance_spark.queries.schema_checks import dependent_counts
 
 GUARDRAIL_CAT = "Astra Guardrails"
@@ -47,7 +48,15 @@ def _row(cat: str, check: str, message) -> list:
 
 def q_warnings(spark: SparkSession, sf_dir: str,
                cfg: EngineConfig = DEFAULT_CONFIG) -> DataFrame:
-    """All findings, ordered (category, check, message)."""
+    """All findings, ordered (category, check, message) — memoized:
+    Q20's summary.json embeds the same finding set, so the 14-branch
+    union is materialized once per session and reused."""
+    return memo_frame(spark, sf_dir, ("warnings", id(cfg)),
+                      lambda: _build_warnings(spark, sf_dir, cfg))
+
+
+def _build_warnings(spark: SparkSession, sf_dir: str,
+                    cfg: EngineConfig) -> DataFrame:
     m = load_model(spark, sf_dir)
     t = cfg.thresholds
     parts: list[DataFrame] = []

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from astra_perseverance_spark.config import DEFAULT_CONFIG, SECONDS_PER_MONTH, EngineConfig
 from astra_perseverance_spark.conformed import ConformedModel, load_model
+from astra_perseverance_spark.conformed.model import memo_frame
 
 
 def _app_metric(m: ConformedModel, metric: str, cfg: EngineConfig) -> DataFrame:
@@ -75,20 +76,62 @@ def _req_agg(base: DataFrame, req: str, tps: str) -> DataFrame:
     )
 
 
-def _totals(m: ConformedModel, cfg: EngineConfig) -> DataFrame:
+# ---- memoized canonical grains ---------------------------------------
+# Five queries (Q1, Q2, Q3, Q18, Q20 ×2) consume the same per-table
+# (ks, tbl) aggregates of the big fact.  Each is cached once per
+# session — the fact is scanned once, every later consumer reads a
+# ~table-count-row frame.  Totals are re-sums of the cached grain:
+# exact, because every rn is dyadic (model.py determinism rules), so
+# regrouping cannot change the double result.
+
+def reads_agg(spark: SparkSession, sf_dir: str,
+              cfg: EngineConfig = DEFAULT_CONFIG) -> DataFrame:
+    """(ks, tbl, req, tps) read aggregate — cached."""
+    return memo_frame(
+        spark, sf_dir, ("reads_agg", id(cfg)),
+        lambda: _req_agg(reads_base(load_model(spark, sf_dir), cfg), "req", "tps"),
+    )
+
+
+def writes_agg(spark: SparkSession, sf_dir: str,
+               cfg: EngineConfig = DEFAULT_CONFIG) -> DataFrame:
+    """(ks, tbl, req, tps) write aggregate — cached."""
+    return memo_frame(
+        spark, sf_dir, ("writes_agg", id(cfg)),
+        lambda: _req_agg(writes_base(load_model(spark, sf_dir), cfg), "req", "tps"),
+    )
+
+
+def sizes_agg(spark: SparkSession, sf_dir: str,
+              cfg: EngineConfig = DEFAULT_CONFIG) -> DataFrame:
+    """(ks, tbl, size_bytes) RF-normalized live size — cached."""
+    return memo_frame(
+        spark, sf_dir, ("sizes_agg", id(cfg)),
+        lambda: sizes_base(load_model(spark, sf_dir), cfg)
+        .groupBy("ks", "tbl").agg(F.sum("rn").cast("double").alias("size_bytes")),
+    )
+
+
+def totals(spark: SparkSession, sf_dir: str,
+           cfg: EngineConfig = DEFAULT_CONFIG) -> DataFrame:
     """1-row totals frame: total_reads, total_writes (RF-normalized)."""
-    r = reads_base(m, cfg).agg(F.coalesce(F.sum("rn"), F.lit(0.0)).alias("total_reads"))
-    w = writes_base(m, cfg).agg(F.coalesce(F.sum("rn"), F.lit(0.0)).alias("total_writes"))
-    return r.crossJoin(w)
+    def build() -> DataFrame:
+        r = reads_agg(spark, sf_dir, cfg).agg(
+            F.coalesce(F.sum("req"), F.lit(0.0)).alias("total_reads"))
+        w = writes_agg(spark, sf_dir, cfg).agg(
+            F.coalesce(F.sum("req"), F.lit(0.0)).alias("total_writes"))
+        return r.crossJoin(w)
+    return memo_frame(spark, sf_dir, ("totals", id(cfg)), build)
 
 
 def q_workload_reads(spark: SparkSession, sf_dir: str,
                      cfg: EngineConfig = DEFAULT_CONFIG) -> DataFrame:
     """Q1 — per-table read workload (explore.py:962-978, 1730-1752)."""
-    m = load_model(spark, sf_dir)
-    agg = _req_agg(reads_base(m, cfg), "read_requests", "avg_read_tps")
+    agg = reads_agg(spark, sf_dir, cfg).select(
+        "ks", "tbl", F.col("req").alias("read_requests"),
+        F.col("tps").alias("avg_read_tps"))
     return (
-        agg.crossJoin(F.broadcast(_totals(m, cfg)))
+        agg.crossJoin(F.broadcast(totals(spark, sf_dir, cfg)))
         .select(
             "ks", "tbl", "read_requests", "avg_read_tps",
             (F.col("read_requests") / F.col("total_reads")).alias("pct_reads"),
@@ -102,10 +145,11 @@ def q_workload_reads(spark: SparkSession, sf_dir: str,
 def q_workload_writes(spark: SparkSession, sf_dir: str,
                       cfg: EngineConfig = DEFAULT_CONFIG) -> DataFrame:
     """Q2 — per-table write workload (explore.py:979-998, 1767-1790)."""
-    m = load_model(spark, sf_dir)
-    agg = _req_agg(writes_base(m, cfg), "write_requests", "avg_write_tps")
+    agg = writes_agg(spark, sf_dir, cfg).select(
+        "ks", "tbl", F.col("req").alias("write_requests"),
+        F.col("tps").alias("avg_write_tps"))
     return (
-        agg.crossJoin(F.broadcast(_totals(m, cfg)))
+        agg.crossJoin(F.broadcast(totals(spark, sf_dir, cfg)))
         .select(
             "ks", "tbl", "write_requests", "avg_write_tps",
             (F.col("write_requests") / F.col("total_writes")).alias("pct_writes"),
@@ -120,10 +164,7 @@ def q_data_size(spark: SparkSession, sf_dir: str,
                 cfg: EngineConfig = DEFAULT_CONFIG) -> DataFrame:
     """Q4 — RF-normalized live size per table + grand-total row
     (explore.py:939-961, 1709-1724).  Total row has ks = tbl = ''."""
-    m = load_model(spark, sf_dir)
-    per_tbl = sizes_base(m, cfg).groupBy("ks", "tbl").agg(
-        F.sum("rn").cast("double").alias("size_bytes")
-    )
+    per_tbl = sizes_agg(spark, sf_dir, cfg)
     total = per_tbl.agg(
         F.coalesce(F.sum("size_bytes"), F.lit(0.0)).cast("double").alias("size_bytes")
     ).select(F.lit("").alias("ks"), F.lit("").alias("tbl"), "size_bytes")
@@ -135,15 +176,16 @@ def q_workload_summary(spark: SparkSession, sf_dir: str,
     """Q3 — cluster-level workload scalars (explore.py:1749-1750,
     1789-1790, 1811-1826, 1563)."""
     m = load_model(spark, sf_dir)
-    rt = reads_base(m, cfg).agg(
-        F.coalesce(F.sum("rn"), F.lit(0.0)).alias("total_reads"),
-        F.coalesce(F.sum(F.col("rn") / F.col("uptime_sec")), F.lit(0.0)).alias("total_read_tps"),
+    rt = reads_agg(spark, sf_dir, cfg).agg(
+        F.coalesce(F.sum("req"), F.lit(0.0)).alias("total_reads"),
+        F.coalesce(F.sum("tps"), F.lit(0.0)).alias("total_read_tps"),
     )
-    wt = writes_base(m, cfg).agg(
-        F.coalesce(F.sum("rn"), F.lit(0.0)).alias("total_writes"),
-        F.coalesce(F.sum(F.col("rn") / F.col("uptime_sec")), F.lit(0.0)).alias("total_write_tps"),
+    wt = writes_agg(spark, sf_dir, cfg).agg(
+        F.coalesce(F.sum("req"), F.lit(0.0)).alias("total_writes"),
+        F.coalesce(F.sum("tps"), F.lit(0.0)).alias("total_write_tps"),
     )
-    st = sizes_base(m, cfg).agg(F.coalesce(F.sum("rn"), F.lit(0.0)).alias("total_size_bytes"))
+    st = sizes_agg(spark, sf_dir, cfg).agg(
+        F.coalesce(F.sum("size_bytes"), F.lit(0.0)).alias("total_size_bytes"))
     up = m.node_info.agg(F.avg("uptime_sec").alias("avg_uptime_sec"))
     return (
         rt.crossJoin(wt).crossJoin(st).crossJoin(up)
@@ -169,9 +211,12 @@ def q_workload_rw_outer(spark: SparkSession, sf_dir: str,
     """Q18 — full-outer merge of read × write workload per table
     (explore.py:1735-1779).  The reference renders missing sides as
     'n/a'; the engine keeps NULLs (rendering is the sink's job)."""
-    m = load_model(spark, sf_dir)
-    r = _req_agg(reads_base(m, cfg), "read_requests", "avg_read_tps")
-    w = _req_agg(writes_base(m, cfg), "write_requests", "avg_write_tps")
+    r = reads_agg(spark, sf_dir, cfg).select(
+        "ks", "tbl", F.col("req").alias("read_requests"),
+        F.col("tps").alias("avg_read_tps"))
+    w = writes_agg(spark, sf_dir, cfg).select(
+        "ks", "tbl", F.col("req").alias("write_requests"),
+        F.col("tps").alias("avg_write_tps"))
     # full-outer can't broadcast; both sides are per-table grains, so
     # a shuffled-hash join beats the default sort-merge (no sorts)
     return (
@@ -187,30 +232,28 @@ def q_summary_long(spark: SparkSession, sf_dir: str,
     """Q20 — summary.json flattened to long format
     (section, ks, tbl, metric, value), explore.py:1718-1790, 1851-1854.
     The nested-JSON rendering is a driver-side sink over these rows."""
-    m = load_model(spark, sf_dir)
-    r = _req_agg(reads_base(m, cfg), "v_req", "v_tps").select(
+    ra, wa = reads_agg(spark, sf_dir, cfg), writes_agg(spark, sf_dir, cfg)
+    r = ra.select(
         F.lit("workload_read").alias("section"), "ks", "tbl",
-        F.lit("requests").alias("metric"), F.col("v_req").alias("value"),
+        F.lit("requests").alias("metric"), F.col("req").alias("value"),
     ).unionByName(
-        _req_agg(reads_base(m, cfg), "v_req", "v_tps").select(
+        ra.select(
             F.lit("workload_read").alias("section"), "ks", "tbl",
-            F.lit("tps").alias("metric"), F.col("v_tps").alias("value"),
+            F.lit("tps").alias("metric"), F.col("tps").alias("value"),
         )
     )
-    w = _req_agg(writes_base(m, cfg), "v_req", "v_tps").select(
+    w = wa.select(
         F.lit("workload_write").alias("section"), "ks", "tbl",
-        F.lit("requests").alias("metric"), F.col("v_req").alias("value"),
+        F.lit("requests").alias("metric"), F.col("req").alias("value"),
     ).unionByName(
-        _req_agg(writes_base(m, cfg), "v_req", "v_tps").select(
+        wa.select(
             F.lit("workload_write").alias("section"), "ks", "tbl",
-            F.lit("tps").alias("metric"), F.col("v_tps").alias("value"),
+            F.lit("tps").alias("metric"), F.col("tps").alias("value"),
         )
     )
-    s = sizes_base(m, cfg).groupBy("ks", "tbl").agg(
-        F.sum("rn").cast("double").alias("value")
-    ).select(
+    s = sizes_agg(spark, sf_dir, cfg).select(
         F.lit("data_size").alias("section"), "ks", "tbl",
-        F.lit("bytes").alias("metric"), "value",
+        F.lit("bytes").alias("metric"), F.col("size_bytes").alias("value"),
     )
     summary = q_workload_summary(spark, sf_dir, cfg)
     tot = summary.select(
