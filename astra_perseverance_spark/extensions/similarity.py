@@ -25,13 +25,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from astra_perseverance_spark.extensions.corpus import vectors_frame as _vectors
 from astra_perseverance_spark.functions.vectors import (
     ANN_TOPK,
     cosine,
     dot_q,
     hyperplane_bucket,
-    norm2_q,
-    quantize,
 )
 
 # Every 50th vector is a query probe (deterministic, scale-free).
@@ -42,16 +41,6 @@ QUERY_STRIDE = 50
 # vectors (max pairwise cosine ≈ 0.4–0.6), so the registered query
 # uses 0.35 to keep the operator path exercised end to end.
 DUP_COSINE_MIN = 0.35
-
-
-def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(vec_id, label, eq, n2) quantized vectors + exact sq-norms."""
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(
-        spark.sparkContext.defaultParallelism, "vec_id"
-    )  # single-file source; partition for the vector-math compute
-    return e.select(
-        "vec_id", "label", quantize(F.col("embedding")).alias("eq")
-    ).withColumn("n2", norm2_q(F.col("eq")))
 
 
 def _topk(pairs: DataFrame) -> DataFrame:

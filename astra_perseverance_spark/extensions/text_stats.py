@@ -34,16 +34,7 @@ LANG_PROFILES: list[tuple[str, tuple[str, ...]]] = [
 STOPWORDS_EN = LANG_PROFILES[0][1]
 
 
-def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # documents.parquet is a single small file; without an explicit
-    # repartition every downstream higher-order-function pipeline
-    # (shingling, hashing) runs in ONE task.  The rows are cheap to
-    # shuffle but expensive to process — partition for the compute,
-    # not the bytes (maxPartitionBytes cannot see that).
-    return (
-        spark.read.parquet(f"{sf_dir}/documents.parquet")
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
-    )
+from astra_perseverance_spark.extensions.corpus import docs_frame as _docs
 
 
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
