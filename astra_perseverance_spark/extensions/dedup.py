@@ -220,11 +220,14 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate pairs via 48-bit SimHash with 12-bit-block
     candidate blocking and Hamming ≤ 6 verification.
 
-    The per-(doc, bit) contribution sum explodes to (doc × token ×
-    bit) grain — each stage is a hash aggregation on doc_id, so the
-    plan is two shuffles on a uniform key regardless of corpus size.
-    Pigeonhole: 48 bits in 4 blocks means Hamming ≤ 6 < 4 blocks ⇒ at
-    least one block identical, so blocking is lossless."""
+    The 48 per-bit contribution sums are 48 conditional SUM aggregates
+    inside ONE ``groupBy(doc_id)`` — never an exploded (doc × token ×
+    bit) grain: partial aggregation reduces each map partition to one
+    48-column row per doc before the single uniform-key shuffle.
+    (The exploded formulation measured 48× the shuffled rows for the
+    same answer.)  Pigeonhole: 48 bits in 4 blocks means Hamming ≤ 6
+    < 4 blocks ⇒ at least one block identical, so blocking is
+    lossless."""
     toks = (
         _docs(spark, sf_dir)
         .select("doc_id", F.explode(tokens("text")).alias("tok"))
@@ -232,22 +235,17 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("cnt"))
         .withColumn("th", h15(F.col("tok")))
     )
-    bit = F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("i")
-    contrib = toks.select(
-        "doc_id", "cnt", "th", bit
-    ).select(
-        "doc_id", "i",
-        F.expr("cnt * (((th >> i) & 1) * 2 - 1)").alias("c"),
-    )
-    sim = (
-        contrib.groupBy("doc_id", "i")
-        .agg(F.sum("c").alias("s"))
-        .groupBy("doc_id")
-        .agg(
-            F.sum(
-                F.expr("CASE WHEN s >= 0 THEN shiftleft(1L, i) ELSE 0L END")
-            ).cast("long").alias("simhash")
-        )
+    bit_sums = toks.groupBy("doc_id").agg(*[
+        F.sum(F.col("cnt") * (((F.shiftright("th", i) % 2) * 2) - 1)).alias(f"s{i}")
+        for i in range(SIMHASH_BITS)
+    ])
+    sim = bit_sums.select(
+        "doc_id",
+        sum(
+            (F.when(F.col(f"s{i}") >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+             for i in range(1, SIMHASH_BITS)),
+            start=F.when(F.col("s0") >= 0, F.lit(1)).otherwise(F.lit(0)),
+        ).cast("long").alias("simhash"),
     )
     mask = (1 << SIMHASH_BLOCK_BITS) - 1
     blocks = sim.select(

@@ -62,20 +62,32 @@ def _build_warnings(spark: SparkSession, sf_dir: str,
     parts: list[DataFrame] = []
 
     # -- guardrails: dependent objects (Q15 grain) ---------------------
+    # one scan for all three dependent-object rules: the per-type
+    # thresholds become CASE chains on obj_type (the check name IS the
+    # obj_type value), so Catalyst plans a single filter+project branch
+    # instead of three scans of the same frame.
+    def _case_by_type(which: int):
+        expr = None
+        for check, attrs in DEP_CHECKS.items():
+            cond = F.col("obj_type") == check
+            val = F.lit(getattr(t, attrs[which]))
+            expr = F.when(cond, val) if expr is None else expr.when(cond, val)
+        return expr
+
+    tp_c, gr_c = _case_by_type(0), _case_by_type(1)
     deps = dependent_counts(m, cfg)
-    for check, (tp_a, gr_a) in DEP_CHECKS.items():
-        tp, gr = getattr(t, tp_a), getattr(t, gr_a)
-        parts.append(
-            deps.filter((F.col("obj_type") == check) & (F.col("n") > tp))
-            .select(*_row(
-                GUARDRAIL_CAT, check,
-                F.concat(
-                    F.format_string("%d " + check + " of %s.%s",
-                                    F.col("n"), F.col("src_ks"), F.col("src_tbl")),
-                    F.when(F.col("n") > gr, "***").otherwise(""),
-                ),
-            ))
+    parts.append(
+        deps.filter(F.col("obj_type").isin(*DEP_CHECKS) & (F.col("n") > tp_c))
+        .select(
+            F.lit(GUARDRAIL_CAT).alias("category"),
+            F.col("obj_type").alias("check"),
+            F.concat(
+                F.col("n").cast("string"), F.lit(" "), F.col("obj_type"),
+                F.lit(" of "), F.col("src_ks"), F.lit("."), F.col("src_tbl"),
+                F.when(F.col("n") > gr_c, "***").otherwise(""),
+            ).alias("message"),
         )
+    )
 
     # -- guardrails: cluster table count (Q11 grain) -------------------
     tblcnt = (
@@ -129,19 +141,20 @@ def _build_warnings(spark: SparkSession, sf_dir: str,
         ),
     )))
 
-    # -- guardrails: UDF / UDA presence (Q17) --------------------------
-    for obj, check in (("UDF", "User-Defined Function"),
-                       ("UDA", "User-Defined Aggregate")):
-        parts.append(
-            m.schema_object.filter(
-                (F.col("obj_type") == obj)
-                & ~F.col("ks").isin(*cfg.excluded_keyspaces)
-            )
-            .select(*_row(
-                GUARDRAIL_CAT, check,
-                F.format_string(obj + " %s in %s", F.col("name"), F.col("ks")),
-            ))
+    # -- guardrails: UDF / UDA presence (Q17, one scan for both) -------
+    parts.append(
+        m.schema_object.filter(
+            F.col("obj_type").isin("UDF", "UDA")
+            & ~F.col("ks").isin(*cfg.excluded_keyspaces)
         )
+        .select(
+            F.lit(GUARDRAIL_CAT).alias("category"),
+            F.when(F.col("obj_type") == "UDF", "User-Defined Function")
+            .otherwise("User-Defined Aggregate").alias("check"),
+            F.concat(F.col("obj_type"), F.lit(" "), F.col("name"),
+                     F.lit(" in "), F.col("ks")).alias("message"),
+        )
+    )
 
     # -- health: GC P99 at database level (explore.py:387-389) ---------
     from astra_perseverance_spark.queries.gc import q_gc_percentiles
@@ -166,21 +179,34 @@ def _build_warnings(spark: SparkSession, sf_dir: str,
     )))
 
     # -- health: threshold-tab single-line gates (explore.py:1463-1464)
-    for metric, check, tp_v in (
-        ("dropped_mutations", "Dropped Mutation", t.tp_drm),
-        ("local_read_latency_ms", "Read Latency", t.tp_rl_ms),
-        ("local_write_latency_ms", "Write Latency", t.tp_wl_ms),
-    ):
-        hit = (
-            m.cfstats_metric.filter(
-                (F.col("metric") == metric) & (F.col("value") >= tp_v)
-                & ~F.col("ks").isin(*cfg.excluded_keyspaces)
-            )
-            .agg(F.count("*").alias("n")).filter(F.col("n") > 0)
+    # one scan for the three gates: per-metric threshold via CASE, one
+    # groupBy(metric) instead of three COUNT branches.
+    gates = {
+        "dropped_mutations": ("Dropped Mutation", t.tp_drm),
+        "local_read_latency_ms": ("Read Latency", t.tp_rl_ms),
+        "local_write_latency_ms": ("Write Latency", t.tp_wl_ms),
+    }
+    tp_gate = None
+    for metric, (_, tp_v) in gates.items():
+        cond = F.col("metric") == metric
+        tp_gate = (F.when(cond, F.lit(float(tp_v))) if tp_gate is None
+                   else tp_gate.when(cond, F.lit(float(tp_v))))
+    check_c, msg_c = None, None
+    for metric, (check, tp_v) in gates.items():
+        cond = F.col("metric") == metric
+        check_v, msg_v = F.lit(check), F.lit(f"{check} greater than {tp_v}")
+        check_c = F.when(cond, check_v) if check_c is None else check_c.when(cond, check_v)
+        msg_c = F.when(cond, msg_v) if msg_c is None else msg_c.when(cond, msg_v)
+    parts.append(
+        m.cfstats_metric.filter(
+            F.col("metric").isin(*gates) & (F.col("value") >= tp_gate)
+            & ~F.col("ks").isin(*cfg.excluded_keyspaces)
         )
-        parts.append(hit.select(*_row(
-            HEALTH_CAT, check, F.lit(f"{check} greater than {tp_v}"),
-        )))
+        .groupBy("metric").agg(F.count("*").alias("n"))
+        .filter(F.col("n") > 0)
+        .select(F.lit(HEALTH_CAT).alias("category"),
+                check_c.alias("check"), msg_c.alias("message"))
+    )
 
     # -- missing node data (anti-join J1) ------------------------------
     parts.append(
