@@ -272,8 +272,8 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("x.simhash").bitwiseXOR(F.col("y.simhash"))
             ).alias("hamming"),
         )
-        .distinct()
         .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .distinct()
     )
     return pairs.orderBy("doc_a", "doc_b")
 

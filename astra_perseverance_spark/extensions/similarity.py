@@ -26,12 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from astra_perseverance_spark.extensions.corpus import vectors_frame as _vectors
-from astra_perseverance_spark.functions.vectors import (
-    ANN_TOPK,
-    cosine,
-    dot_q,
-    hyperplane_bucket,
-)
+from astra_perseverance_spark.functions.vectors import ANN_TOPK, cosine, dot_q
 
 # Every 50th vector is a query probe (deterministic, scale-free).
 QUERY_STRIDE = 50
@@ -62,6 +57,7 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("eq").alias("q_eq"),
         F.col("n2").alias("q_n2"),
     )
+    v = v.drop("bucket")
     pairs = (
         v.join(F.broadcast(q), v.vec_id != q.query_id)
         .select(
@@ -81,7 +77,7 @@ def q_ann_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The join key is the 12-bit bucket id — bucket-local shuffles, no
     broadcast of the corpus, no all-pairs product."""
-    v = _vectors(spark, sf_dir).withColumn("bucket", hyperplane_bucket(F.col("eq")))
+    v = _vectors(spark, sf_dir)
     q = v.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("eq").alias("q_eq"),
@@ -109,7 +105,7 @@ def q_embedding_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     Bucket-local pairing only — the standard scale pattern for
     embedding dedup; near-identical vectors land in the same bucket
     with probability ≈ 1 − planes·θ/π."""
-    v = _vectors(spark, sf_dir).withColumn("bucket", hyperplane_bucket(F.col("eq")))
+    v = _vectors(spark, sf_dir)
     return (
         v.alias("x")
         .join(v.alias("y"), "bucket")

@@ -138,6 +138,12 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     gram_terms = " + ".join(
         f"cs[p + {k}] * {powers[k]}L" for k in range(FP_GRAM)
     )
+    # Each stage is its own projection so the expensive HOF arrays
+    # (cs → gh → fps) are evaluated ONCE per row — Catalyst keeps the
+    # projections separate because the aliases are non-cheap and
+    # multiply-referenced (inlining fps into all three outputs
+    # measured 2× slower; HOF lambdas run interpreted, so there is no
+    # codegen CSE to fall back on).
     d = (
         d.filter(n_grams >= FP_WINDOW)
         .select(
@@ -155,17 +161,19 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"p -> ({gram_terms}) % {FP_MOD}L)"
             ).alias("gh"),
         )
-    )
-    fps = F.expr(
-        f"array_distinct(transform(sequence(1, size(gh) - {FP_WINDOW - 1}), "
-        f"w -> array_min(slice(gh, w, {FP_WINDOW}))))"
+        .select(
+            "doc_id",
+            F.expr(
+                f"array_distinct(transform(sequence(1, size(gh) - {FP_WINDOW - 1}), "
+                f"w -> array_min(slice(gh, w, {FP_WINDOW}))))"
+            ).alias("fps"),
+        )
     )
     return d.select(
         "doc_id",
-        F.size(fps).cast("long").alias("n_fps"),
-        F.array_min(fps).alias("min_fp"),
+        F.size("fps").cast("long").alias("n_fps"),
+        F.array_min("fps").alias("min_fp"),
         F.expr(
-            f"aggregate(array_distinct(transform(sequence(1, size(gh) - {FP_WINDOW - 1}), "
-            f"w -> array_min(slice(gh, w, {FP_WINDOW})))), 0L, (a, x) -> (a + x) % {FP_MOD}L)"
+            f"aggregate(fps, 0L, (a, x) -> (a + x) % {FP_MOD}L)"
         ).alias("fp_digest"),
     ).orderBy("doc_id")
