@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from astra_perseverance_spark.config import DEFAULT_CONFIG, EngineConfig
 from astra_perseverance_spark.conformed import load_model
-from astra_perseverance_spark.conformed.model import _session_key
+from astra_perseverance_spark.conformed.model import _session_key, memo_frame
 from astra_perseverance_spark.functions.percentiles import GC_PCTS, nearest_rank_1based
 
 _PACK = 10_000_000_000  # pause_ms ≤ 10^6 ≪ pack base; epoch_sec < 10^10
@@ -54,6 +54,19 @@ def _node_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_gc_percentiles(spark: SparkSession, sf_dir: str,
                      cfg: EngineConfig = DEFAULT_CONFIG) -> DataFrame:
     """Q5 — GROUPING SETS ((), (dc), (dc,node)) percentile blocks.
+
+    The result grain is 1 + #dc + #node rows, so the default-config
+    rollup is memoized: Q19, the warnings P99 gate, and Q20 all start
+    from this frame and would otherwise re-run the window pass each.
+    """
+    if cfg is DEFAULT_CONFIG:
+        return memo_frame(spark, sf_dir, ("gc_pct_rollup",),
+                          lambda: _build_gc_percentiles(spark, sf_dir))
+    return _build_gc_percentiles(spark, sf_dir)
+
+
+def _build_gc_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5 plan builder (see ``q_gc_percentiles``).
 
     One shuffle off the cached node histogram: each (dc,node,pause_ms)
     bucket belongs to exactly three rollup groups — (dc,node), (dc),
