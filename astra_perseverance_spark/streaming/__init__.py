@@ -9,6 +9,11 @@ between the two execution modes.
 from astra_perseverance_spark.streaming.gc_stream import (
     gc_minute_window_agg,
     stream_gc_minute_windows,
+    stream_gc_sessions,
 )
 
-__all__ = ["gc_minute_window_agg", "stream_gc_minute_windows"]
+__all__ = [
+    "gc_minute_window_agg",
+    "stream_gc_minute_windows",
+    "stream_gc_sessions",
+]

@@ -72,14 +72,117 @@ def stream_gc_minute_windows(spark: SparkSession, source_dir: str,
     return gc_minute_window_agg(stream)
 
 
+SESSION_GAP_SEC = 1800
+
+_SESSION_OUT_SCHEMA = (
+    "node string, session_start timestamp, session_end timestamp, "
+    "pauses long, max_pause_ms long"
+)
+# open-session state: span extremes in epoch seconds + running stats
+_SESSION_STATE_SCHEMA = "start long, end long, pauses long, max_pause long"
+
+
+def _session_update(key, pdf_iter, state):
+    """applyInPandasWithState update function for one node.
+
+    State is the single open session (a gap-free span).  Each batch:
+    merge the open span with the batch's events in ts order; every
+    ≥ ``SESSION_GAP_SEC`` gap closes a session, which is emitted
+    downstream (append mode).  The last span stays in state with an
+    event-time timeout at end + gap, so a quiet node still closes its
+    final session once the watermark passes the gap horizon.
+
+    Runs once per (node, micro-batch) on already-shuffled Arrow
+    batches — state size is one row per node, independent of rate."""
+    import pandas as pd
+
+    node = key[0]
+
+    def _emit(spans):
+        if not spans:
+            return pd.DataFrame(columns=[
+                "node", "session_start", "session_end", "pauses",
+                "max_pause_ms",
+            ])
+        return pd.DataFrame({
+            "node": node,
+            "session_start": pd.to_datetime(
+                [s[0] for s in spans], unit="s", utc=True
+            ).tz_localize(None),
+            "session_end": pd.to_datetime(
+                [s[1] for s in spans], unit="s", utc=True
+            ).tz_localize(None),
+            "pauses": [s[2] for s in spans],
+            "max_pause_ms": [s[3] for s in spans],
+        })
+
+    if state.hasTimedOut:
+        # watermark passed end + gap: the open session is final.
+        closed = [state.get] if state.exists else []
+        state.remove()
+        yield _emit(closed)
+        return
+
+    # (start, end, pauses, max_pause) spans: open state + batch events
+    spans = [tuple(state.get)] if state.exists else []
+    for pdf in pdf_iter:
+        ep = (pdf["ts"].astype("int64") // 1_000_000_000).to_numpy()
+        pm = pdf["pause_ms"].to_numpy()
+        spans.extend((int(e), int(e), 1, int(p)) for e, p in zip(ep, pm))
+    spans.sort()
+
+    merged = [spans[0]]
+    for s in spans[1:]:
+        last = merged[-1]
+        if s[0] - last[1] >= SESSION_GAP_SEC:
+            merged.append(s)
+        else:
+            merged[-1] = (last[0], max(last[1], s[1]),
+                          last[2] + s[2], max(last[3], s[3]))
+
+    open_span = merged.pop()
+    state.update(open_span)
+    state.setTimeoutTimestamp((open_span[1] + SESSION_GAP_SEC) * 1000)
+    yield _emit(merged)
+
+
+def stream_gc_sessions(spark: SparkSession, source_dir: str,
+                       schema: str | None = None):
+    """Streaming sessionization: the ``q_gc_sessions`` gap rule as a
+    custom stateful operator (``applyInPandasWithState``).
+
+    Same semantics as the batch form, incrementally: closed sessions
+    append as soon as a gap is observed (or the watermark times the
+    open session out).  Returns the unstarted streaming DataFrame."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    sch = schema or "node string, dc string, ts timestamp, pause_ms int"
+    stream = (
+        spark.readStream.schema(sch).parquet(source_dir)
+        .withWatermark("ts", WATERMARK)
+    )
+    return (
+        stream.groupBy("node")
+        .applyInPandasWithState(
+            _session_update,
+            outputStructType=_SESSION_OUT_SCHEMA,
+            stateStructType=_SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def q_gc_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization of GC activity per node (batch form).
 
     A session closes after a ≥ 30-minute quiet gap.  Expressed with
     the standard lag + cumulative-sum window pattern — shuffle only on
     node, both windows share the same (node, ts) sort.  The streaming
-    equivalent would be ``applyInPandasWithState`` with a session
-    timeout; the batch form is the oracle-checkable semantics."""
+    equivalent is ``stream_gc_sessions`` (applyInPandasWithState with
+    an event-time timeout); the batch form is the oracle-checkable
+    semantics, and ``tests/test_streaming.py`` asserts the two agree
+    on the fixture stream."""
     from pyspark.sql import Window
 
     from astra_perseverance_spark.conformed import load_model
