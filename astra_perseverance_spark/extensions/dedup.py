@@ -225,9 +225,10 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit) grain: partial aggregation reduces each map partition to one
     48-column row per doc before the single uniform-key shuffle.
     (The exploded formulation measured 48× the shuffled rows for the
-    same answer.)  Pigeonhole: 48 bits in 4 blocks means Hamming ≤ 6
-    < 4 blocks ⇒ at least one block identical, so blocking is
-    lossless."""
+    same answer.)  Pigeonhole: a pair within Hamming distance 3 of a
+    48-bit signature split into 4 blocks leaves at least one block
+    untouched (3 < 4), so 12-bit-block candidate blocking is lossless
+    at the declared threshold (see ``functions.texthash``)."""
     toks = (
         _docs(spark, sf_dir)
         .select("doc_id", F.explode(tokens("text")).alias("tok"))

@@ -43,7 +43,13 @@ MINHASH_JACCARD_MIN = 0.5
 SIMHASH_BITS = 48
 SIMHASH_BLOCKS = 4          # 4 blocks × 12 bits for candidate blocking
 SIMHASH_BLOCK_BITS = 12
-SIMHASH_MAX_HAMMING = 6
+# Pigeonhole guarantee: a pair with Hamming distance d touches at most
+# d blocks, so with d ≤ BLOCKS − 1 at least one block is identical and
+# 12-bit-block candidate generation is LOSSLESS.  (d up to 6 would need
+# ≥ 7 blocks of ≤ 7 bits each — 128 distinct block values, i.e. ~n²/128
+# candidate pairs: quadratic at scale.  d = 3 over 4 × 12-bit blocks is
+# the standard Manku-et-al. operating point.)
+SIMHASH_MAX_HAMMING = SIMHASH_BLOCKS - 1
 
 # Rolling char-gram fingerprint (winnowing-lite).
 FP_GRAM = 5                 # char n-gram width

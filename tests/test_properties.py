@@ -113,8 +113,12 @@ class TestExtensionInvariants:
                 assert r["cosine"] <= exact_best[r["query_id"]] + 1e-12
 
     def test_simhash_hamming_bound(self, q):
+        from astra_perseverance_spark.functions.texthash import (
+            SIMHASH_MAX_HAMMING,
+        )
+
         for r in q("dedup_simhash").collect():
-            assert 0 <= r["hamming"] <= 6
+            assert 0 <= r["hamming"] <= SIMHASH_MAX_HAMMING
 
     def test_dedup_exact_partitions_corpus(self, q, spark):
         n_docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").count()
