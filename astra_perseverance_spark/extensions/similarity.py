@@ -1,6 +1,6 @@
 """Similarity search over the ``embeddings`` table.
 
-Two paths, same exact-integer cosine (``functions.vectors``):
+Three paths, same exact-integer cosine (``functions.vectors``):
 
 - ``q_embedding_topk`` — brute-force exact top-k for a query subset.
   The query side is tiny (2% of vectors) and explicitly broadcast, so
@@ -14,6 +14,10 @@ Two paths, same exact-integer cosine (``functions.vectors``):
   the bucket id, shuffle-partitioned by bucket), then exact cosine
   top-k within the candidate set.  Sub-linear work per query at scale;
   recall is tunable via ``ANN_PLANES``.
+- ``q_ann_ivf`` — inverted-file coarse quantizer: vectors join their
+  nearest centroid's list, queries probe ``IVF_NPROBE`` lists.  The
+  IVF/LSH pair covers both standard ANN index families; recall knobs
+  are list count and nprobe.
 
 Ranking ties are impossible to mis-order: cosine values are
 bit-identical across engines (exact integer dot/norms, one float
@@ -36,6 +40,12 @@ QUERY_STRIDE = 50
 # vectors (max pairwise cosine ≈ 0.4–0.6), so the registered query
 # uses 0.35 to keep the operator path exercised end to end.
 DUP_COSINE_MIN = 0.35
+
+# IVF coarse quantizer: every 31st vector is a centroid (≈ n/31 lists;
+# at real scale centroids come from k-means and stride keeps parity
+# deterministic), queries probe their 2 nearest lists.
+IVF_CENTROID_STRIDE = 31
+IVF_NPROBE = 2
 
 
 def _topk(pairs: DataFrame) -> DataFrame:
@@ -86,6 +96,71 @@ def q_ann_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = (
         v.join(q, "bucket")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(dot_q(F.col("q_eq"), F.col("eq")), F.col("q_n2"), F.col("n2"))
+            .alias("cosine"),
+        )
+    )
+    return _topk(pairs)
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: an inverted-file coarse quantizer as the second
+    scale path next to LSH bucketing.
+
+    1. coarse centroids = every ``IVF_CENTROID_STRIDE``-th vector
+       (deterministic stand-in for k-means centroids — the list
+       *structure* is what's under test, and parity must not depend on
+       an iterative trainer);
+    2. every vector joins the list of its nearest centroid by exact
+       cosine (a broadcast of the ~n/31 centroids against the corpus —
+       one partition-parallel pass, ties broken by centroid id);
+    3. each query probes its ``IVF_NPROBE`` nearest lists; candidates
+       are list-local (equi-join on centroid id), then exact cosine
+       top-k.
+
+    At 100 TB: centroid assignment is a broadcast map pass; the
+    candidate join shuffles on the list id, and probing costs
+    O(|query| · n/|lists| · nprobe) — the classic IVF trade-off, with
+    |lists| playing the role the plane count plays for LSH.  A vector
+    belongs to exactly one list and probe lists are distinct, so no
+    pair dedup is needed."""
+    v = _vectors(spark, sf_dir).drop("bucket")
+    cent = v.filter(F.col("vec_id") % IVF_CENTROID_STRIDE == 0).select(
+        F.col("vec_id").alias("cid"),
+        F.col("eq").alias("c_eq"),
+        F.col("n2").alias("c_n2"),
+    )
+    aff = v.join(F.broadcast(cent)).select(
+        "vec_id", "eq", "n2", "cid",
+        cosine(dot_q(F.col("eq"), F.col("c_eq")), F.col("n2"), F.col("c_n2"))
+        .alias("ccos"),
+    )
+    w_aff = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), "cid")
+    ranked = aff.withColumn("crank", F.row_number().over(w_aff))
+    assign = ranked.filter(F.col("crank") == 1).select(
+        "vec_id", "eq", "n2", "cid"
+    )
+    probes = (
+        ranked.filter(
+            (F.col("vec_id") % QUERY_STRIDE == 0)
+            & (F.col("crank") <= IVF_NPROBE)
+        )
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("eq").alias("q_eq"),
+            F.col("n2").alias("q_n2"),
+            "cid",
+        )
+    )
+    # list-local candidate join: both sides hash-partition on cid; the
+    # hint picks shuffled-hash over sort-merge (no per-partition sort —
+    # the downstream top-k window re-sorts by query anyway)
+    pairs = (
+        probes.join(assign.hint("shuffle_hash"), "cid")
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",

@@ -10,7 +10,12 @@ re-parses nibbles with shifts).
 
 from __future__ import annotations
 
-from astra_perseverance_spark.extensions.similarity import DUP_COSINE_MIN, QUERY_STRIDE
+from astra_perseverance_spark.extensions.similarity import (
+    DUP_COSINE_MIN,
+    IVF_CENTROID_STRIDE,
+    IVF_NPROBE,
+    QUERY_STRIDE,
+)
 from astra_perseverance_spark.extensions.text_stats import LANG_PROFILES
 from astra_perseverance_spark.functions.texthash import (
     FP_BASE,
@@ -213,6 +218,45 @@ q AS (SELECT * FROM vb WHERE vec_id % {QUERY_STRIDE} = 0),
 pairs AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {_COS} AS cosine
   FROM q JOIN vb c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM pairs
+)
+SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cosine
+FROM ranked WHERE rank <= {ANN_TOPK} ORDER BY query_id, rank
+"""
+
+EXT_ORACLE_SQL["ann_ivf"] = f"""
+WITH {_VEC},
+cent AS (SELECT vec_id AS cid, eq AS c_eq, n2 AS c_n2 FROM vn
+         WHERE vec_id % {IVF_CENTROID_STRIDE} = 0),
+aff AS (
+  SELECT v.vec_id, v.eq, v.n2, c.cid,
+         CAST({dot_q_sql('v.eq', 'c.c_eq', ANN_DIM)} AS DOUBLE)
+           / (sqrt(CAST(v.n2 AS DOUBLE)) * sqrt(CAST(c.c_n2 AS DOUBLE)))
+           AS ccos
+  FROM vn v CROSS JOIN cent c
+),
+ranked_aff AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                               ORDER BY ccos DESC, cid) AS crank
+  FROM aff
+),
+assign AS (SELECT vec_id, eq, n2, cid FROM ranked_aff WHERE crank = 1),
+probes AS (
+  SELECT vec_id AS query_id, eq AS q_eq, n2 AS q_n2, cid
+  FROM ranked_aff
+  WHERE vec_id % {QUERY_STRIDE} = 0 AND crank <= {IVF_NPROBE}
+),
+pairs AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         CAST({dot_q_sql('p.q_eq', 'a.eq', ANN_DIM)} AS DOUBLE)
+           / (sqrt(CAST(p.q_n2 AS DOUBLE)) * sqrt(CAST(a.n2 AS DOUBLE)))
+           AS cosine
+  FROM probes p JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.query_id
 ),
 ranked AS (
   SELECT query_id, neighbor_id, cosine,

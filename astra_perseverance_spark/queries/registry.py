@@ -70,6 +70,7 @@ QUERY_REGISTRY: dict[str, QueryFn] = {
     # Extensions — similarity family (embeddings)
     "embedding_topk": similarity.q_embedding_topk,
     "ann_lsh_bucket": similarity.q_ann_lsh_bucket,
+    "ann_ivf": similarity.q_ann_ivf,
     "embedding_cosine_dups": similarity.q_embedding_cosine_dups,
     # Extensions — text analysis family (documents)
     "text_stats": text_stats.q_text_stats,

@@ -112,6 +112,16 @@ class TestExtensionInvariants:
             if r["rank"] == 1:
                 assert r["cosine"] <= exact_best[r["query_id"]] + 1e-12
 
+    def test_ivf_is_subset_quality(self, q):
+        """IVF-probed cosines can never exceed the exact top-1."""
+        exact_best = {r["query_id"]: r["cosine"]
+                      for r in q("embedding_topk").collect() if r["rank"] == 1}
+        rows = q("ann_ivf").collect()
+        assert rows, "IVF returned nothing"
+        for r in rows:
+            if r["rank"] == 1:
+                assert r["cosine"] <= exact_best[r["query_id"]] + 1e-12
+
     def test_simhash_hamming_bound(self, q):
         from astra_perseverance_spark.functions.texthash import (
             SIMHASH_MAX_HAMMING,

@@ -1,0 +1,173 @@
+"""Empirical scale probe: do the extension operators scale linearly?
+
+Replicates the sf0.1 ``documents``/``embeddings`` corpus REP× (default
+8×, ~400k docs / 16k vectors) and times every extension operator at 1×
+and REP×.  Replicas are id-offset and lightly perturbed (a per-replica
+prefix token / one nudged vector component), which keeps *exact*-dedup
+groups replica-local but deliberately leaves every document with
+REP − 1 cross-replica NEAR-duplicates — the replicated corpus is an
+adversarially dup-dense input where the near-dup operators must find
+~REP× more true pairs per document than at 1×.  Staying ~linear in
+runtime there is the strong form of the claim.
+
+Each operator row reports the measured ratio t(REP×)/t(1×) against its
+expected complexity, and the result is written to docs/SCALE_PROBE.md.
+
+Expected shapes (the honest part):
+
+- map-parallel ops (text stats, lang id, token count, fingerprint,
+  exact/tokenset dedup, minhash signatures): O(n) — ratio ≈ REP, and
+  well under REP while per-task constants still dominate.
+- LSH-blocked joins (simhash, minhash buckets, ann buckets): work is
+  Σ bucket² over a FIXED key space (4096 12-bit chunks / 4096
+  hyperplane buckets), so density grows REP× and candidate pairs grow
+  up to REP²×.  That is the textbook LSH trade-off: at a larger corpus
+  you add blocking bits / planes, exactly like you add shuffle
+  partitions.  The probe surfaces this rather than hiding it.
+- brute-force topk: O(|corpus|·|queries|) = REP² by design (the
+  documented recall-audit baseline, not the scale path).
+
+Usage: python tools/scale_probe.py [REP] [sf_dir]
+Scratch parquet goes under .scratch/ (gitignored).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+OUT_MD = os.path.join(REPO, "docs", "SCALE_PROBE.md")
+
+OPS = [
+    # (name, expected shape)
+    ("dedup_exact", "O(n)"),
+    ("dedup_tokenset", "O(n)"),
+    ("dedup_minhash_lsh", "O(n) sigs + bucket-local pairs"),
+    ("dedup_simhash", "O(n) sigs + Σ bucket² (fixed 4096-key space)"),
+    ("ngram_jaccard", "Σ posting² per shingle"),
+    ("text_stats", "O(n)"),
+    ("lang_id", "O(n)"),
+    ("token_count", "O(n)"),
+    ("doc_fingerprint", "O(n)"),
+    ("embedding_topk", "O(n·q) — q grows with n ⇒ ~REP²"),
+    ("ann_lsh_bucket", "Σ bucket·q_bucket (fixed 4096 buckets)"),
+    ("ann_ivf", "O(n·k) assign + O(q·n/lists·nprobe) probe"),
+    ("embedding_cosine_dups", "Σ bucket² (fixed 4096 buckets)"),
+]
+
+
+def replicate(spark, sf_dir: str, rep: int, out_dir: str) -> None:
+    """Write REP content-perturbed, id-offset copies of the corpus."""
+    from pyspark.sql import functions as F
+
+    os.makedirs(out_dir, exist_ok=True)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_doc = docs.count()
+    r = F.explode(F.sequence(F.lit(0), F.lit(rep - 1))).alias("r")
+    (
+        docs.select("*", r)
+        .select(
+            (F.col("doc_id") + F.col("r") * n_doc).alias("doc_id"),
+            # distinct leading token per replica: exact/bag dedup
+            # groups stay replica-local; cross-replica NEAR-dup pairs
+            # remain (intentional — see module docstring)
+            F.concat(F.lit("rep"), F.col("r"), F.lit(" "), F.col("text"))
+            .alias("text"),
+            "lang", "source", "n_chars",
+        )
+        .write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
+    )
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n_vec = emb.count()
+    (
+        emb.select("*", r)
+        .select(
+            (F.col("vec_id") + F.col("r") * n_vec).alias("vec_id"),
+            "label",
+            # nudge dim 0 by replica index so replicas are not exact
+            # duplicates (keeps near-orthogonal structure intact)
+            F.transform(
+                "embedding",
+                lambda x, i: F.when(
+                    i == 0, x + F.col("r").cast("float") * F.lit(0.001)
+                ).otherwise(x),
+            ).alias("embedding"),
+        )
+        .write.mode("overwrite").parquet(f"{out_dir}/embeddings.parquet")
+    )
+
+
+def time_op(fn, spark, sf_dir: str) -> float:
+    t0 = time.time()
+    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    return time.time() - t0
+
+
+def main() -> int:
+    rep = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+
+    from astra_perseverance_spark import get_spark
+    from astra_perseverance_spark.queries import QUERY_REGISTRY
+
+    spark = get_spark("scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    scratch = os.path.join(REPO, ".scratch", f"probe_rep{rep}")
+    print(f"replicating {sf_dir} x{rep} -> {scratch}", file=sys.stderr)
+    replicate(spark, sf_dir, rep, scratch)
+
+    rows = []
+    for name, shape in OPS:
+        fn = QUERY_REGISTRY[name]
+        # warm both plans once (codegen/caches), then measure
+        time_op(fn, spark, sf_dir)
+        t1 = time_op(fn, spark, sf_dir)
+        time_op(fn, spark, scratch)
+        tn = time_op(fn, spark, scratch)
+        ratio = tn / t1 if t1 > 0 else float("inf")
+        rows.append((name, shape, t1, tn, ratio))
+        print(f"{name}: 1x={t1:.2f}s {rep}x={tn:.2f}s ratio={ratio:.1f}",
+              file=sys.stderr)
+
+    lines = [
+        "# Scale probe — extension operators at 1× vs "
+        f"{rep}× corpus ({sf_dir})",
+        "",
+        "Generated by `tools/scale_probe.py`.  Replicas are id-offset and",
+        "lightly perturbed: exact-dedup groups stay replica-local, while",
+        "every document keeps REP−1 cross-replica near-duplicates — so the",
+        "near-dup operators face a dup-dense corpus that must yield ~REP×",
+        "more true pairs per document.  See the module docstring for the",
+        "expected complexity of each family.",
+        "",
+        f"| operator | expected shape | t(1×) s | t({rep}×) s | ratio "
+        f"(ideal ≤ {rep}) |",
+        "|---|---|---|---|---|",
+    ]
+    for name, shape, t1, tn, ratio in rows:
+        lines.append(
+            f"| {name} | {shape} | {t1:.2f} | {tn:.2f} | {ratio:.1f} |"
+        )
+    lines += [
+        "",
+        "Ratios at or under the replication factor mean the operator is",
+        "partition-parallel with no hidden quadratic stage; ratios above",
+        "it are the documented fixed-key-space LSH densities (the knob at",
+        "real scale is more blocking bits/planes, like shuffle partitions)",
+        "or the deliberately-quadratic brute-force baseline.",
+    ]
+    with open(OUT_MD, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(f"wrote {OUT_MD}", file=sys.stderr)
+    shutil.rmtree(scratch, ignore_errors=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
