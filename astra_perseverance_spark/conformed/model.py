@@ -134,6 +134,19 @@ def memo_frame(spark: SparkSession, sf_dir: str, tag: tuple, build) -> DataFrame
     return _FRAME_MEMO[key]
 
 
+def memo_plan(spark: SparkSession, sf_dir: str, tag: tuple, build) -> DataFrame:
+    """Like ``memo_frame`` but WITHOUT ``.cache()`` — reuses only the
+    constructed DataFrame (logical plan).  For wide assembly queries
+    (the Q20 document builds hundreds of column expressions through
+    py4j — ~1 s of pure driver time), re-running the builder costs
+    more than executing the plan; memoizing the plan object is free
+    and changes nothing about execution."""
+    key = (_session_key(spark, sf_dir), ("plan",) + tag)
+    if key not in _FRAME_MEMO:
+        _FRAME_MEMO[key] = build()
+    return _FRAME_MEMO[key]
+
+
 def _n_nodes(spark: SparkSession, sf_dir: str) -> int:
     """Node count (supplier rows) — a driver-side scalar folded into the
     plans.  Memoized so builders don't re-run the count job per query."""

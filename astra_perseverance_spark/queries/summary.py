@@ -40,6 +40,7 @@ from pyspark.sql import functions as F
 
 from astra_perseverance_spark.config import DEFAULT_CONFIG, EngineConfig
 from astra_perseverance_spark.conformed import load_model
+from astra_perseverance_spark.conformed.model import memo_plan
 from astra_perseverance_spark.queries import workload as W
 from astra_perseverance_spark.queries.warnings import q_warnings
 
@@ -70,7 +71,20 @@ def _collect_obj(df: DataFrame, group: list[str], entry: Column,
 
 def q_summary_json(spark: SparkSession, sf_dir: str,
                    cfg: EngineConfig = DEFAULT_CONFIG) -> DataFrame:
-    """One row, one column ``summary_json`` — the canonical document."""
+    """One row, one column ``summary_json`` — the canonical document.
+
+    The default-config plan object is memoized (``memo_plan``): the
+    document assembly is ~1 s of pure driver-side expression building,
+    bigger than the plan's own execution once the input grains are
+    cached."""
+    if cfg is DEFAULT_CONFIG:
+        return memo_plan(spark, sf_dir, ("summary_json",),
+                         lambda: _build_summary_json(spark, sf_dir, cfg))
+    return _build_summary_json(spark, sf_dir, cfg)
+
+
+def _build_summary_json(spark: SparkSession, sf_dir: str,
+                        cfg: EngineConfig) -> DataFrame:
     m = load_model(spark, sf_dir)
 
     # ---- workload section (memoized canonical grains) ----------------
