@@ -85,21 +85,22 @@ TAB_REGISTRY: list[tuple[str, str, list[tuple[str, str]]]] = [
 ]
 
 
-def _metrics_sheet(wb: Workbook, spark: SparkSession, sf_dir: str) -> None:
+def _metrics_sheet(wb: Workbook, spark: SparkSession, sf_dir: str,
+                   cfg) -> None:
     """The 'Astra Metrics' tab: workload scalars + the warnings list
     (explore.py:1806-1846)."""
     from astra_perseverance_spark.queries import QUERY_REGISTRY
 
     sh = wb.add_sheet("Astra Metrics", freeze_rows=1, col_widths=[30, 60])
     sh.add_row(["Workload Summary", None], style=HEADER_STYLE)
-    s = QUERY_REGISTRY["workload_summary"](spark, sf_dir).collect()[0]
+    s = QUERY_REGISTRY["workload_summary"](spark, sf_dir, cfg).collect()[0]
     for label, key in (
         ("Read TPS", "total_read_tps"), ("Read TPMo", "read_tpmo"),
         ("Write TPS", "total_write_tps"), ("Write TPMo", "write_tpmo"),
         ("Data Size (GB)", "data_size_gb"), ("Average Uptime", "avg_uptime_sec"),
     ):
         sh.add_row([label, s[key]])
-    warn = QUERY_REGISTRY["warnings"](spark, sf_dir).collect()
+    warn = QUERY_REGISTRY["warnings"](spark, sf_dir, cfg).collect()
     if warn:
         cur = None
         for r in warn:
@@ -122,24 +123,34 @@ def _df_sheet(wb: Workbook, name: str, df: DataFrame,
         sh.add_row([row[c] for _, c in cols])
 
 
-def write_workbook(spark: SparkSession, sf_dir: str, out_path: str) -> str:
-    """Render the full report workbook; returns the path written."""
+def write_workbook(spark: SparkSession, sf_dir: str, out_path: str,
+                   cfg=None) -> str:
+    """Render the full report workbook; returns the path written.
+
+    ``cfg`` carries the reference's CLI-tunable parameters (threshold
+    overrides after guardrail clamping, the -incl_sys toggle); every
+    tab query accepts it positionally."""
+    from astra_perseverance_spark.config import DEFAULT_CONFIG
     from astra_perseverance_spark.queries import QUERY_REGISTRY
 
+    cfg = cfg or DEFAULT_CONFIG
     wb = Workbook()
-    _metrics_sheet(wb, spark, sf_dir)
+    _metrics_sheet(wb, spark, sf_dir, cfg)
     for tab, qname, cols in TAB_REGISTRY:
-        _df_sheet(wb, tab, QUERY_REGISTRY[qname](spark, sf_dir), cols)
+        _df_sheet(wb, tab, QUERY_REGISTRY[qname](spark, sf_dir, cfg), cols)
     os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
     wb.save(out_path)
     return out_path
 
 
-def write_summary_json(spark: SparkSession, sf_dir: str, out_path: str) -> str:
+def write_summary_json(spark: SparkSession, sf_dir: str, out_path: str,
+                       cfg=None) -> str:
     """S12: the canonical nested summary.json (explore.py:1851-1854)."""
+    from astra_perseverance_spark.config import DEFAULT_CONFIG
     from astra_perseverance_spark.queries import QUERY_REGISTRY
 
-    doc = QUERY_REGISTRY["summary_json"](spark, sf_dir).collect()[0][0]
+    cfg = cfg or DEFAULT_CONFIG
+    doc = QUERY_REGISTRY["summary_json"](spark, sf_dir, cfg).collect()[0][0]
     os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
     with open(out_path, "w") as fh:
         fh.write(doc)
@@ -148,13 +159,14 @@ def write_summary_json(spark: SparkSession, sf_dir: str, out_path: str) -> str:
 
 
 def write_report(spark: SparkSession, sf_dir: str, out_dir: str,
-                 cluster_name: str = "cluster") -> dict[str, str]:
+                 cluster_name: str = "cluster", cfg=None) -> dict[str, str]:
     """The reference's two artifacts (explore.py:1124, 1853):
     <name>_astra_chart.xlsx + summary.json."""
     os.makedirs(out_dir, exist_ok=True)
     return {
         "xlsx": write_workbook(
-            spark, sf_dir, os.path.join(out_dir, f"{cluster_name}_astra_chart.xlsx")),
+            spark, sf_dir,
+            os.path.join(out_dir, f"{cluster_name}_astra_chart.xlsx"), cfg),
         "summary_json": write_summary_json(
-            spark, sf_dir, os.path.join(out_dir, "summary.json")),
+            spark, sf_dir, os.path.join(out_dir, "summary.json"), cfg),
     }

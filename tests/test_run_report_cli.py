@@ -39,3 +39,25 @@ def test_unpack_rejects_unknown_archive(tmp_path):
     bad.write_bytes(b"xx")
     with pytest.raises(SystemExit):
         run_report._unpack(str(bad), str(tmp_path / "y"))
+
+
+def test_cli_threshold_overrides_change_report(spark, tmp_path):
+    """--set drops a tab's threshold (more rows) and is guardrail-
+    clamped like the reference CLI; --incl-sys widens the keyspaces."""
+    out_default = tmp_path / "d"
+    out_loose = tmp_path / "l"
+    assert run_report.main(
+        ["-p", FIXTURE_DIAG, "-o", str(out_default), "--name", "c"]) == 0
+    assert run_report.main(
+        ["-p", FIXTURE_DIAG, "-o", str(out_loose), "--name", "c",
+         "--set", "tp_sstbl=1", "--incl-sys"]) == 0
+    # the looser sstable threshold can only grow the workbook
+    assert (out_loose / "c_astra_chart.xlsx").stat().st_size >= \
+        (out_default / "c_astra_chart.xlsx").stat().st_size
+
+    from astra_perseverance_spark.config import Thresholds
+
+    clamped = Thresholds().clamped(tp_lpar_mb=500)
+    assert clamped.tp_lpar_mb == Thresholds().gr_lpar_mb  # 200 cap
+    with pytest.raises(KeyError):
+        Thresholds().clamped(nonsense=1)

@@ -5,6 +5,7 @@ The engine-side analog of the reference's headless wrapper
 delete input), re-expressed as one thin Python driver:
 
     python tools/run_report.py -p <input> [-o OUT_DIR] [--name NAME]
+        [--set tp_KEY=VAL ...] [--incl-sys]
 
 ``<input>`` may be (repeatable, like the reference's ``-p``):
 - a diagnostic tree directory (contains ``nodes/``),
@@ -60,10 +61,30 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("-o", "--out", default=".", help="output directory")
     ap.add_argument("--name", default=None,
                     help="cluster name override (default: describecluster)")
+    ap.add_argument("--set", action="append", default=[], metavar="KEY=VAL",
+                    dest="overrides",
+                    help="threshold override, e.g. --set tp_sstbl=10 "
+                         "(clamped to the matching guardrail, like the "
+                         "reference CLI — explore.py:150-169)")
+    ap.add_argument("--incl-sys", action="store_true",
+                    help="include system keyspaces (reference -incl_sys; "
+                         "OpsCenter stays excluded)")
     args = ap.parse_args(argv)
 
     from astra_perseverance_spark import get_spark
+    from astra_perseverance_spark.config import EngineConfig, Thresholds
     from astra_perseverance_spark.sinks import write_report
+
+    overrides = {}
+    for item in args.overrides:
+        key, _, val = item.partition("=")
+        if not val:
+            raise SystemExit(f"--set expects KEY=VAL, got {item!r}")
+        overrides[key] = int(val)
+    cfg = EngineConfig(
+        thresholds=Thresholds().clamped(**overrides),
+        include_system_keyspaces=args.incl_sys,
+    )
 
     spark = get_spark("run-report")
     spark.sparkContext.setLogLevel("ERROR")
@@ -82,7 +103,7 @@ def main(argv: list[str] | None = None) -> int:
                 name = cluster_name(spark, data_dir) or "cluster"
             else:
                 name = os.path.basename(os.path.normpath(data_dir)) or "cluster"
-        out = write_report(spark, data_dir, args.out, name)
+        out = write_report(spark, data_dir, args.out, name, cfg)
         print(f"{path}: wrote {out['xlsx']} and {out['summary_json']}")
     return 0
 
