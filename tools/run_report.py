@@ -75,12 +75,15 @@ def main(argv: list[str] | None = None) -> int:
     from astra_perseverance_spark.config import EngineConfig, Thresholds
     from astra_perseverance_spark.sinks import write_report
 
+    # reference flag spellings (explore.py:140-169) → Thresholds fields
+    aliases = {"tp_rl": "tp_rl_ms", "tp_wl": "tp_wl_ms",
+               "tp_lpar": "tp_lpar_mb", "tp_gcp": "tp_gcp_ms"}
     overrides = {}
     for item in args.overrides:
         key, _, val = item.partition("=")
         if not val:
             raise SystemExit(f"--set expects KEY=VAL, got {item!r}")
-        overrides[key] = int(val)
+        overrides[aliases.get(key, key)] = int(val)
     cfg = EngineConfig(
         thresholds=Thresholds().clamped(**overrides),
         include_system_keyspaces=args.incl_sys,
