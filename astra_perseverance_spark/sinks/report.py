@@ -113,6 +113,24 @@ def _metrics_sheet(wb: Workbook, spark: SparkSession, sf_dir: str,
     else:
         sh.add_row(["No potential guardrail issues identified", None])
 
+    # the reference renders this as a textbox (explore.py:173-205,
+    # 1846); the dependency-free OOXML writer renders the same content
+    # as cells — content parity, not drawing parity
+    t = cfg.thresholds
+    sh.add_row([None, None])
+    sh.add_row(["Astra Guardrail Limits", None], style=HEADER_STYLE)
+    for line in (
+        f"{t.gr_mv} materialized views per table",
+        f"{t.gr_si} secondary index per table",
+        f"{t.gr_sai} storage-attached indexes per table",
+        f"{t.gr_tblcnt} tables in a cluster",
+        f"{t.gr_colcnt} columns in a table",
+        f"{t.gr_lpar_mb} MB partition size",
+        "This sheet is intended to be used as a guide; see the current "
+        "Astra guardrails documentation for authoritative limits.",
+    ):
+        sh.add_row([None, line])
+
 
 def _df_sheet(wb: Workbook, name: str, df: DataFrame,
               cols: list[tuple[str, str]]) -> None:
