@@ -36,6 +36,7 @@ TAB_REGISTRY: list[tuple[str, str, list[tuple[str, str]]]] = [
     ("Node Data", "node_data", [
         ("Datacenter", "dc"), ("Node", "node"), ("Load", "load_str"),
         ("Tokens", "tokens"), ("Rack", "rack"), ("Uptime (sec)", "uptime_sec"),
+        ("Uptime", "uptime_sec", "uptime"),
         ("Workload", "workload"), ("Version", "version"),
     ]),
     ("Proxihistogram", "proxyhistograms_ms", [
@@ -132,13 +133,53 @@ def _metrics_sheet(wb: Workbook, spark: SparkSession, sf_dir: str,
         sh.add_row([None, line])
 
 
+def _fmt_uptime(sec) -> str | None:
+    """Seconds → 'D days hh:mm:ss' — the reference renders this as an
+    Excel formula column (explore.py:1554); the engine formats the
+    already-computed value instead (render concern, like B7)."""
+    if sec is None:
+        return None
+    d, rem = divmod(int(sec), 86400)
+    h, rem = divmod(rem, 3600)
+    m, s = divmod(rem, 60)
+    return f"{d} days {h:02d}:{m:02d}:{s:02d}"
+
+
+_RENDERERS = {"uptime": _fmt_uptime}
+
+# Per-tab comment textbox texts (explore.py:443-450 sheet comments,
+# 1663 gc_comment), rendered as a trailing row by the OOXML writer.
+TAB_COMMENTS = {
+    "dropped_mutations": lambda t:
+        f"Tables with more than {t.tp_drm:,} dropped mutations. (cfstats)",
+    "large_partitions": lambda t:
+        f"Tables with partiton sizes greater than {t.tp_lpar_mb}MB. (cfstats)",
+    "sstable_count": lambda t:
+        f"Tables with number of sstables greater than {t.tp_sstbl}.",
+    "read_latency": lambda t:
+        f"Tables with read latency greater than {t.tp_rl_ms}ms. (cfstats)",
+    "write_latency": lambda t:
+        f"Tables with write latency greater than {t.tp_wl_ms}ms. (cfstats)",
+    "gc_percentiles": lambda t:
+        "NOTE: The GC pauses on this sheet are based on GC pauses over "
+        "200ms (default setting).  Pauses under 200ms are not recorded "
+        "in the system logs.",
+}
+
+
 def _df_sheet(wb: Workbook, name: str, df: DataFrame,
-              cols: list[tuple[str, str]]) -> None:
+              cols: list[tuple], comment: str | None = None) -> None:
     sh = wb.add_sheet(name, freeze_rows=1,
                       col_widths=[18] * len(cols))
-    sh.add_row([h for h, _ in cols], style=HEADER_STYLE)
+    sh.add_row([spec[0] for spec in cols], style=HEADER_STYLE)
     for row in df.collect():
-        sh.add_row([row[c] for _, c in cols])
+        sh.add_row([
+            _RENDERERS[spec[2]](row[spec[1]]) if len(spec) > 2
+            else row[spec[1]]
+            for spec in cols
+        ])
+    if comment:
+        sh.add_row([comment])
 
 
 def write_workbook(spark: SparkSession, sf_dir: str, out_path: str,
@@ -155,7 +196,9 @@ def write_workbook(spark: SparkSession, sf_dir: str, out_path: str,
     wb = Workbook()
     _metrics_sheet(wb, spark, sf_dir, cfg)
     for tab, qname, cols in TAB_REGISTRY:
-        _df_sheet(wb, tab, QUERY_REGISTRY[qname](spark, sf_dir, cfg), cols)
+        comment = TAB_COMMENTS.get(qname)
+        _df_sheet(wb, tab, QUERY_REGISTRY[qname](spark, sf_dir, cfg), cols,
+                  comment(cfg.thresholds) if comment else None)
     os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
     wb.save(out_path)
     return out_path
