@@ -229,7 +229,8 @@ def _build_minhash_postings(sh: DataFrame) -> DataFrame:
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate pairs via 48-bit SimHash with 12-bit-block
-    candidate blocking and Hamming ≤ 6 verification.
+    candidate blocking and Hamming ≤ ``SIMHASH_MAX_HAMMING`` (= 3)
+    verification.
 
     The 48 per-bit contribution sums are 48 conditional SUM aggregates
     inside ONE ``groupBy(doc_id)`` — never an exploded (doc × token ×

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from astra_perseverance_spark.config import DEFAULT_CONFIG, EngineConfig
 from astra_perseverance_spark.conformed import load_model
+from astra_perseverance_spark.functions.ordering import report_sorted
 
 _PCT_COLS = [("max", "Max"), ("p99", "99%"), ("p98", "98%"), ("p95", "95%"),
              ("p75", "75%"), ("p50", "50%"), ("min", "Min")]
@@ -34,7 +35,7 @@ def q_proxyhistograms_ms(spark: SparkSession, sf_dir: str,
                             F.lit(0.0)) / 1000.0)
                 .cast("double").alias(f"{side}_{col}_ms")
             )
-    return ph.groupBy("dc", "node").agg(*aggs).orderBy("dc", "node")
+    return ph.groupBy("dc", "node").agg(*aggs).transform(report_sorted("dc", "node"))
 
 
 def q_node_data(spark: SparkSession, sf_dir: str,
@@ -42,7 +43,7 @@ def q_node_data(spark: SparkSession, sf_dir: str,
     """Q7 — node dimension view (explore.py:1544-1560, 674-712)."""
     ni = load_model(spark, sf_dir).node_info
     return ni.select("dc", "node", "load_str", "tokens", "rack",
-                     "uptime_sec", "workload", "version").orderBy("dc", "node")
+                     "uptime_sec", "workload", "version").transform(report_sorted("dc", "node"))
 
 
 def _threshold_rows(spark: SparkSession, sf_dir: str, cfg: EngineConfig,
@@ -64,7 +65,7 @@ def q_dropped_mutations(spark: SparkSession, sf_dir: str,
         _threshold_rows(spark, sf_dir, cfg, "dropped_mutations",
                         cfg.thresholds.tp_drm)
         .select("node", "dc", "ks", "tbl", "value")
-        .orderBy("dc", "node", "ks", "tbl")
+        .transform(report_sorted("dc", "node", "ks", "tbl"))
     )
 
 
@@ -82,7 +83,7 @@ def q_large_partitions(spark: SparkSession, sf_dir: str,
             F.when(F.col("value") >= gr, 1).otherwise(0).cast("long")
             .alias("guardrail_flag"),
         )
-        .orderBy(F.desc("size_mb"), "dc", "node", "ks", "tbl")
+        .transform(report_sorted(F.desc("size_mb"), "dc", "node", "ks", "tbl"))
     )
 
 
@@ -98,7 +99,7 @@ def q_sstable_count(spark: SparkSession, sf_dir: str,
         base.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select(F.col("node").alias("example_node"), "dc", "ks", "tbl", "value")
-        .orderBy(F.desc("value"), "ks", "tbl")
+        .transform(report_sorted(F.desc("value"), "ks", "tbl"))
     )
 
 
@@ -126,7 +127,7 @@ def q_read_latency(spark: SparkSession, sf_dir: str,
         _threshold_rows(spark, sf_dir, cfg, "local_read_latency_ms",
                         cfg.thresholds.tp_rl_ms)
         .select("node", "dc", "ks", "tbl", F.col("value").alias("ms"))
-        .orderBy(F.desc("ms"), "node", "ks", "tbl")
+        .transform(report_sorted(F.desc("ms"), "node", "ks", "tbl"))
     )
 
 
@@ -137,7 +138,7 @@ def q_write_latency(spark: SparkSession, sf_dir: str,
         _threshold_rows(spark, sf_dir, cfg, "local_write_latency_ms",
                         cfg.thresholds.tp_wl_ms)
         .select("node", "dc", "ks", "tbl", F.col("value").alias("ms"))
-        .orderBy(F.desc("ms"), "node", "ks", "tbl")
+        .transform(report_sorted(F.desc("ms"), "node", "ks", "tbl"))
     )
 
 
@@ -160,5 +161,5 @@ def q_tombstones(spark: SparkSession, sf_dir: str,
         base.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("dc", "node", "ks", "tbl", "live_rows", "tombstones")
-        .orderBy(F.desc("tombstones"), "ks", "tbl")
+        .transform(report_sorted(F.desc("tombstones"), "ks", "tbl"))
     )

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from astra_perseverance_spark.config import DEFAULT_CONFIG, EngineConfig
 from astra_perseverance_spark.conformed import load_model
+from astra_perseverance_spark.functions.ordering import report_sorted
 
 # obj_type in schema_object → reference guardrail label + (tp, gr) keys
 _DEP_LABELS = {
@@ -60,7 +61,7 @@ def q_guardrail_dependents(spark: SparkSession, sf_dir: str,
             F.when(F.col("n") > gr_col[F.col("obj_type")], 1).otherwise(0)
             .cast("long").alias("guardrail_flag"),
         )
-        .orderBy("obj_type", "src_ks", "src_tbl")
+        .transform(report_sorted("obj_type", "src_ks", "src_tbl"))
     )
 
 
@@ -79,7 +80,7 @@ def q_column_count(spark: SparkSession, sf_dir: str,
         .select("ks", "tbl", "n",
                 F.when(F.col("n") > t.gr_colcnt, 1).otherwise(0)
                 .cast("long").alias("guardrail_flag"))
-        .orderBy(F.desc("n"), "ks", "tbl")
+        .transform(report_sorted(F.desc("n"), "ks", "tbl"))
     )
 
 
@@ -92,5 +93,5 @@ def q_uda_udf_presence(spark: SparkSession, sf_dir: str,
         so.filter(F.col("obj_type").isin("UDF", "UDA")
                   & ~F.col("ks").isin(*cfg.excluded_keyspaces))
         .select("ks", "name", F.col("obj_type").alias("kind"))
-        .orderBy("kind", "ks", "name")
+        .transform(report_sorted("kind", "ks", "name"))
     )

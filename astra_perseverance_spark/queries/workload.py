@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from astra_perseverance_spark.config import DEFAULT_CONFIG, SECONDS_PER_MONTH, EngineConfig
 from astra_perseverance_spark.conformed import ConformedModel, load_model
 from astra_perseverance_spark.conformed.model import memo_frame
+from astra_perseverance_spark.functions.ordering import report_sorted
 
 
 def _app_metric(m: ConformedModel, metric: str, cfg: EngineConfig) -> DataFrame:
@@ -138,7 +139,7 @@ def q_workload_reads(spark: SparkSession, sf_dir: str,
             (F.col("read_requests") / (F.col("total_reads") + F.col("total_writes")))
             .alias("r_pct_rw"),
         )
-        .orderBy(F.desc("read_requests"), "ks", "tbl")
+        .transform(report_sorted(F.desc("read_requests"), "ks", "tbl"))
     )
 
 
@@ -156,7 +157,7 @@ def q_workload_writes(spark: SparkSession, sf_dir: str,
             (F.col("write_requests") / (F.col("total_reads") + F.col("total_writes")))
             .alias("w_pct_rw"),
         )
-        .orderBy(F.desc("write_requests"), "ks", "tbl")
+        .transform(report_sorted(F.desc("write_requests"), "ks", "tbl"))
     )
 
 
@@ -168,7 +169,7 @@ def q_data_size(spark: SparkSession, sf_dir: str,
     total = per_tbl.agg(
         F.coalesce(F.sum("size_bytes"), F.lit(0.0)).cast("double").alias("size_bytes")
     ).select(F.lit("").alias("ks"), F.lit("").alias("tbl"), "size_bytes")
-    return per_tbl.unionByName(total).orderBy(F.desc("size_bytes"), "ks", "tbl")
+    return per_tbl.unionByName(total).transform(report_sorted(F.desc("size_bytes"), "ks", "tbl"))
 
 
 def q_workload_summary(spark: SparkSession, sf_dir: str,
@@ -223,7 +224,7 @@ def q_workload_rw_outer(spark: SparkSession, sf_dir: str,
         r.join(w.hint("shuffle_hash"), ["ks", "tbl"], "full_outer")
         .select("ks", "tbl", "read_requests", "avg_read_tps",
                 "write_requests", "avg_write_tps")
-        .orderBy("ks", "tbl")
+        .transform(report_sorted("ks", "tbl"))
     )
 
 
