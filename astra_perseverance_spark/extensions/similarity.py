@@ -128,27 +128,21 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     |lists| playing the role the plane count plays for LSH.  A vector
     belongs to exactly one list and probe lists are distinct, so no
     pair dedup is needed."""
-    v = _vectors(spark, sf_dir).drop("bucket")
-    cent = v.filter(F.col("vec_id") % IVF_CENTROID_STRIDE == 0).select(
-        F.col("vec_id").alias("cid"),
-        F.col("eq").alias("c_eq"),
-        F.col("n2").alias("c_n2"),
-    )
-    aff = v.join(F.broadcast(cent)).select(
-        "vec_id", "eq", "n2", "cid",
-        cosine(dot_q(F.col("eq"), F.col("c_eq")), F.col("n2"), F.col("c_n2"))
-        .alias("ccos"),
-    )
-    w_aff = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), "cid")
-    ranked = aff.withColumn("crank", F.row_number().over(w_aff))
+    # (vec_id, eq, n2, cid, crank ≤ nprobe) — memoized: the assign
+    # branch (crank = 1, all vectors) and the probe branch (crank ≤
+    # nprobe, query vectors) both read this frame, and without the
+    # cache the n×k centroid-affinity pass runs once per branch.  This
+    # is the IVF index build — the artifact a production system
+    # persists.
+    from astra_perseverance_spark.conformed.model import memo_frame
+
+    ranked = memo_frame(spark, sf_dir, ("ivf_lists",),
+                        lambda: _build_ivf_lists(spark, sf_dir))
     assign = ranked.filter(F.col("crank") == 1).select(
         "vec_id", "eq", "n2", "cid"
     )
     probes = (
-        ranked.filter(
-            (F.col("vec_id") % QUERY_STRIDE == 0)
-            & (F.col("crank") <= IVF_NPROBE)
-        )
+        ranked.filter(F.col("vec_id") % QUERY_STRIDE == 0)
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("eq").alias("q_eq"),
@@ -170,6 +164,28 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _topk(pairs)
+
+
+def _build_ivf_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF index: every vector's ``IVF_NPROBE`` nearest coarse
+    centroids by exact cosine (crank 1 is its list assignment)."""
+    v = _vectors(spark, sf_dir).drop("bucket")
+    cent = v.filter(F.col("vec_id") % IVF_CENTROID_STRIDE == 0).select(
+        F.col("vec_id").alias("cid"),
+        F.col("eq").alias("c_eq"),
+        F.col("n2").alias("c_n2"),
+    )
+    aff = v.join(F.broadcast(cent)).select(
+        "vec_id", "eq", "n2", "cid",
+        cosine(dot_q(F.col("eq"), F.col("c_eq")), F.col("n2"), F.col("c_n2"))
+        .alias("ccos"),
+    )
+    w_aff = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), "cid")
+    return (
+        aff.withColumn("crank", F.row_number().over(w_aff))
+        .filter(F.col("crank") <= IVF_NPROBE)
+        .select("vec_id", "eq", "n2", "cid", "crank")
+    )
 
 
 def q_embedding_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
