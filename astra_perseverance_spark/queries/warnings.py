@@ -51,7 +51,7 @@ def q_warnings(spark: SparkSession, sf_dir: str,
     """All findings, ordered (category, check, message) — memoized:
     Q20's summary.json embeds the same finding set, so the 14-branch
     union is materialized once per session and reused."""
-    return memo_frame(spark, sf_dir, ("warnings", id(cfg)),
+    return memo_frame(spark, sf_dir, ("warnings", cfg),
                       lambda: _build_warnings(spark, sf_dir, cfg))
 
 

@@ -89,7 +89,7 @@ def reads_agg(spark: SparkSession, sf_dir: str,
               cfg: EngineConfig = DEFAULT_CONFIG) -> DataFrame:
     """(ks, tbl, req, tps) read aggregate — cached."""
     return memo_frame(
-        spark, sf_dir, ("reads_agg", id(cfg)),
+        spark, sf_dir, ("reads_agg", cfg),
         lambda: _req_agg(reads_base(load_model(spark, sf_dir), cfg), "req", "tps"),
     )
 
@@ -98,7 +98,7 @@ def writes_agg(spark: SparkSession, sf_dir: str,
                cfg: EngineConfig = DEFAULT_CONFIG) -> DataFrame:
     """(ks, tbl, req, tps) write aggregate — cached."""
     return memo_frame(
-        spark, sf_dir, ("writes_agg", id(cfg)),
+        spark, sf_dir, ("writes_agg", cfg),
         lambda: _req_agg(writes_base(load_model(spark, sf_dir), cfg), "req", "tps"),
     )
 
@@ -107,7 +107,7 @@ def sizes_agg(spark: SparkSession, sf_dir: str,
               cfg: EngineConfig = DEFAULT_CONFIG) -> DataFrame:
     """(ks, tbl, size_bytes) RF-normalized live size — cached."""
     return memo_frame(
-        spark, sf_dir, ("sizes_agg", id(cfg)),
+        spark, sf_dir, ("sizes_agg", cfg),
         lambda: sizes_base(load_model(spark, sf_dir), cfg)
         .groupBy("ks", "tbl").agg(F.sum("rn").cast("double").alias("size_bytes")),
     )
@@ -122,7 +122,7 @@ def totals(spark: SparkSession, sf_dir: str,
         w = writes_agg(spark, sf_dir, cfg).agg(
             F.coalesce(F.sum("req"), F.lit(0.0)).alias("total_writes"))
         return r.crossJoin(w)
-    return memo_frame(spark, sf_dir, ("totals", id(cfg)), build)
+    return memo_frame(spark, sf_dir, ("totals", cfg), build)
 
 
 def q_workload_reads(spark: SparkSession, sf_dir: str,
