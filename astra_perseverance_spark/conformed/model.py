@@ -314,9 +314,22 @@ def build_gc_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     explore.py:329), constructed from the raw wall-clock nanos integer
     so both engines agree regardless of session timezone."""
     n_nodes = _n_nodes(spark, sf_dir)
-    ev = _read(spark, sf_dir, "events").select(
+    raw = _read(spark, sf_dir, "events")
+    ts_type = dict(raw.dtypes).get("ts", "")
+    if ts_type in ("bigint", "long"):
+        # TIMESTAMP(NANOS) parquet read as raw nanos via nanosAsLong.
+        ts_min = F.expr("ts div 60000000000")
+    else:
+        # timestamp / timestamp_ntz parquet: whole wall-clock minutes
+        # since epoch, computed against an NTZ origin so the session
+        # timezone never enters (matches DuckDB's epoch_ns(ts)//60e9).
+        ts_min = F.expr(
+            "timestampdiff(MINUTE, to_timestamp_ntz('1970-01-01 00:00:00'), "
+            "cast(ts as timestamp_ntz))"
+        )
+    ev = raw.select(
         F.col("user_id").cast("long").alias("uid"),
-        F.expr("ts div 60000000000").alias("ts_min"),  # wall minutes since epoch
+        ts_min.alias("ts_min"),  # wall minutes since epoch
         F.floor(F.col("value") * 100).alias("v100"),
     )
     nodek = F.col("uid") % n_nodes
