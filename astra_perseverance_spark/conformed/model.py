@@ -319,10 +319,15 @@ def build_gc_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     if ts_type in ("bigint", "long"):
         # TIMESTAMP(NANOS) parquet read as raw nanos via nanosAsLong.
         ts_min = F.expr("ts div 60000000000")
+    elif ts_type == "timestamp":
+        # Instant-semantics timestamp: go straight through the epoch so
+        # the session timezone never enters (a cast to timestamp_ntz
+        # would shift by the session offset on non-UTC sessions).
+        ts_min = F.expr("unix_micros(ts) div 60000000")
     else:
-        # timestamp / timestamp_ntz parquet: whole wall-clock minutes
-        # since epoch, computed against an NTZ origin so the session
-        # timezone never enters (matches DuckDB's epoch_ns(ts)//60e9).
+        # timestamp_ntz parquet: whole wall-clock minutes since an NTZ
+        # origin; no instant conversion happens, so this is tz-proof
+        # (matches DuckDB's epoch_ns(ts)//60e9).
         ts_min = F.expr(
             "timestampdiff(MINUTE, to_timestamp_ntz('1970-01-01 00:00:00'), "
             "cast(ts as timestamp_ntz))"
