@@ -319,6 +319,13 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     implementation.  At 100 TB this is the standard shape: work is
     Σ freq(shingle)², bounded by dropping ubiquitous shingles in the
     LSH path (``q_dedup_minhash_lsh``'s bucket cap)."""
+    return ngram_pairs(spark, sf_dir).orderBy("doc_a", "doc_b")
+
+
+def ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(lang, doc_a, doc_b, jaccard) near-dup pairs, unordered — the
+    shared edge source for ``q_ngram_jaccard`` and
+    ``q_dedup_clusters`` (see the former for the plan-shape notes)."""
     post = shingle_rows(spark, sf_dir)
     tau = MINHASH_JACCARD_MIN
     overlaps = (
@@ -346,5 +353,109 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("jaccard"),
         )
         .filter(F.col("jaccard") >= tau)
-        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _dup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected duplicate-graph edges ``(a, b)`` with ``a < b``:
+    exact-content duplicates (star edges group-min → member, so a
+    k-group contributes k−1 edges, never k²) unioned with the
+    verified n-gram Jaccard near-dup pairs."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.md5(normalized_text()).alias("h")
+    )
+    groups = (
+        d.groupBy("h")
+        .agg(F.min("doc_id").alias("m"), F.count("*").alias("c"))
+        .filter(F.col("c") >= 2)
+    )
+    exact = (
+        d.join(groups, "h")
+        .filter(F.col("doc_id") > F.col("m"))
+        .select(F.col("m").alias("a"), F.col("doc_id").alias("b"))
+    )
+    near = ngram_pairs(spark, sf_dir).select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    )
+    return exact.union(near).distinct()
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster assignment: connected components of the
+    duplicate graph (exact-dup edges ∪ near-dup Jaccard pairs), each
+    doc labeled with the minimum doc_id of its component.
+
+    Algorithm: distributed min-label propagation with pointer
+    jumping.  Each round does (1) a neighbor-min step — every node
+    takes the minimum label over itself and its neighbors, one
+    equi-join on the symmetric edge list keyed by node id — and
+    (2) a pointer-jump step — every node re-reads the label OF its
+    current label (``lbl ← lbl[lbl]``), which halves label-chain
+    depth, giving O(log diameter) rounds to a fixpoint instead of
+    O(diameter) for plain propagation.
+
+    Scale: the loop is driver-controlled but every step is a
+    distributed join/aggregate keyed by doc id — no collect, no
+    driver state proportional to data.  ``localCheckpoint`` truncates
+    the per-round lineage so plans stay O(1) deep (on a production
+    cluster use ``checkpoint()`` to HDFS for fault tolerance).  This
+    is the same shape GraphFrames' connected components runs; near-dup
+    clusters have tiny diameters, so 2–3 rounds typical.
+
+    Output: (cluster_id, doc_id, cluster_size) for every doc in the
+    duplicate graph — singleton docs have no edges and are omitted,
+    so every cluster has size ≥ 2."""
+    edges = _dup_edges(spark, sf_dir)
+    sym = edges.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).union(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    sym = sym.localCheckpoint()
+
+    lbl = (
+        sym.select(F.col("src").alias("doc"))
+        .distinct()
+        .withColumn("lbl", F.col("doc"))
+        .localCheckpoint()
+    )
+    for _ in range(20):
+        # (1) neighbor-min: min(label) over self ∪ neighbors.
+        prop = sym.join(
+            lbl.withColumnRenamed("doc", "src"), "src"
+        ).select(F.col("dst").alias("doc"), "lbl")
+        new = (
+            lbl.unionByName(prop)
+            .groupBy("doc")
+            .agg(F.min("lbl").alias("lbl"))
+        )
+        # (2) pointer jump: lbl ← lbl[lbl].  Labels are doc ids of
+        # the same component, so the parent row always exists and its
+        # label is ≤ ours (min-monotone).
+        parent = new.select(
+            F.col("doc").alias("p_doc"), F.col("lbl").alias("p_lbl")
+        )
+        new = (
+            new.join(parent, new["lbl"] == parent["p_doc"])
+            .select("doc", F.col("p_lbl").alias("lbl"))
+            .localCheckpoint()
+        )
+        changed = (
+            new.alias("n")
+            .join(lbl.alias("o"), "doc")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        lbl = new
+        if changed == 0:
+            break
+
+    return (
+        lbl.select(
+            F.col("lbl").alias("cluster_id"),
+            F.col("doc").alias("doc_id"),
+        )
+        .withColumn(
+            "cluster_size",
+            F.count("*").over(Window.partitionBy("cluster_id")),
+        )
+        .orderBy("cluster_id", "doc_id")
     )

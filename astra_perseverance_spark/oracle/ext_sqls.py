@@ -180,6 +180,45 @@ WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
 ORDER BY doc_a, doc_b
 """
 
+EXT_ORACLE_SQL["dedup_clusters"] = f"""
+WITH RECURSIVE
+d AS (
+  SELECT doc_id,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS h
+  FROM documents
+),
+grp AS (SELECT h, MIN(doc_id) AS m, COUNT(*) AS c FROM d GROUP BY h),
+exact_e AS (
+  SELECT grp.m AS a, d.doc_id AS b
+  FROM d JOIN grp USING (h)
+  WHERE grp.c >= 2 AND d.doc_id > grp.m
+),
+sh AS (
+  SELECT doc_id, lang, {word_shingles_sql(_TOKS)} AS sh
+  FROM documents
+  WHERE len({word_shingles_sql(_TOKS)}) > 0
+),
+near_e AS (
+  SELECT x.doc_id AS a, y.doc_id AS b
+  FROM sh x JOIN sh y ON x.lang = y.lang AND x.doc_id < y.doc_id
+  WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+          / len(list_distinct(list_concat(x.sh, y.sh))) >= {MINHASH_JACCARD_MIN}
+),
+edges AS (SELECT a, b FROM exact_e UNION SELECT a, b FROM near_e),
+sym AS (SELECT a AS s, b AS t FROM edges
+        UNION ALL SELECT b AS s, a AS t FROM edges),
+nodes AS (SELECT DISTINCT s AS doc FROM sym),
+reach(doc, m) AS (
+  SELECT doc, doc FROM nodes
+  UNION
+  SELECT r.doc, s.t FROM reach r JOIN sym s ON s.s = r.m
+),
+cl AS (SELECT doc AS doc_id, MIN(m) AS cluster_id FROM reach GROUP BY doc)
+SELECT cluster_id, doc_id,
+       CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+FROM cl ORDER BY cluster_id, doc_id
+"""
+
 _VEC = f"""
 v AS (
   SELECT vec_id, label, {quantize_sql('embedding')} AS eq FROM embeddings

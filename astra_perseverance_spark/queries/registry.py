@@ -67,6 +67,7 @@ QUERY_REGISTRY: dict[str, QueryFn] = {
     "dedup_minhash_lsh": dedup.q_dedup_minhash_lsh,
     "dedup_simhash": dedup.q_dedup_simhash,
     "ngram_jaccard": dedup.q_ngram_jaccard,
+    "dedup_clusters": dedup.q_dedup_clusters,
     # Extensions — similarity family (embeddings)
     "embedding_topk": similarity.q_embedding_topk,
     "ann_lsh_bucket": similarity.q_ann_lsh_bucket,
