@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from astra_perseverance_spark.conformed.model import memo_frame
+from astra_perseverance_spark.functions.graph import connected_components
 from astra_perseverance_spark.functions.texthash import (
     MINHASH_BUCKET_CAP,
     MINHASH_JACCARD_MIN,
@@ -385,73 +386,29 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicate graph (exact-dup edges ∪ near-dup Jaccard pairs), each
     doc labeled with the minimum doc_id of its component.
 
-    Algorithm: distributed min-label propagation with pointer
-    jumping.  Each round does (1) a neighbor-min step — every node
-    takes the minimum label over itself and its neighbors, one
-    equi-join on the symmetric edge list keyed by node id — and
-    (2) a pointer-jump step — every node re-reads the label OF its
-    current label (``lbl ← lbl[lbl]``), which halves label-chain
-    depth, giving O(log diameter) rounds to a fixpoint instead of
-    O(diameter) for plain propagation.
-
-    Scale: the loop is driver-controlled but every step is a
-    distributed join/aggregate keyed by doc id — no collect, no
-    driver state proportional to data.  ``localCheckpoint`` truncates
-    the per-round lineage so plans stay O(1) deep (on a production
-    cluster use ``checkpoint()`` to HDFS for fault tolerance).  This
-    is the same shape GraphFrames' connected components runs; near-dup
-    clusters have tiny diameters, so 2–3 rounds typical.
+    Algorithm: ``functions.graph.connected_components`` — distributed
+    min-label propagation with pointer jumping, O(log diameter)
+    rounds, localCheckpoint-truncated lineage, no driver state (see
+    that module for the scale notes).
 
     Output: (cluster_id, doc_id, cluster_size) for every doc in the
     duplicate graph — singleton docs have no edges and are omitted,
-    so every cluster has size ≥ 2."""
-    edges = _dup_edges(spark, sf_dir)
-    sym = edges.select(
-        F.col("a").alias("src"), F.col("b").alias("dst")
-    ).union(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
-    sym = sym.localCheckpoint()
+    so every cluster has size ≥ 2.
 
-    lbl = (
-        sym.select(F.col("src").alias("doc"))
-        .distinct()
-        .withColumn("lbl", F.col("doc"))
-        .localCheckpoint()
+    The converged label frame is memoized per session: cluster
+    assignment is a pipeline artifact (every downstream consumer —
+    reject lists, representative picks, stats — reads the same
+    labels), and the iterative loop is the one operator here whose
+    cost is driver-round-trip-bound, so recomputing it per consumer
+    would multiply a fixed O(log d)-round latency for no new data."""
+    comp = memo_frame(
+        spark, sf_dir, ("dup_components",),
+        lambda: connected_components(_dup_edges(spark, sf_dir)),
     )
-    for _ in range(20):
-        # (1) neighbor-min: min(label) over self ∪ neighbors.
-        prop = sym.join(
-            lbl.withColumnRenamed("doc", "src"), "src"
-        ).select(F.col("dst").alias("doc"), "lbl")
-        new = (
-            lbl.unionByName(prop)
-            .groupBy("doc")
-            .agg(F.min("lbl").alias("lbl"))
-        )
-        # (2) pointer jump: lbl ← lbl[lbl].  Labels are doc ids of
-        # the same component, so the parent row always exists and its
-        # label is ≤ ours (min-monotone).
-        parent = new.select(
-            F.col("doc").alias("p_doc"), F.col("lbl").alias("p_lbl")
-        )
-        new = (
-            new.join(parent, new["lbl"] == parent["p_doc"])
-            .select("doc", F.col("p_lbl").alias("lbl"))
-            .localCheckpoint()
-        )
-        changed = (
-            new.alias("n")
-            .join(lbl.alias("o"), "doc")
-            .filter(F.col("n.lbl") != F.col("o.lbl"))
-            .count()
-        )
-        lbl = new
-        if changed == 0:
-            break
-
     return (
-        lbl.select(
-            F.col("lbl").alias("cluster_id"),
-            F.col("doc").alias("doc_id"),
+        comp.select(
+            F.col("component").alias("cluster_id"),
+            F.col("node").alias("doc_id"),
         )
         .withColumn(
             "cluster_size",

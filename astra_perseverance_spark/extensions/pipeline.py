@@ -1,0 +1,163 @@
+"""Corpus-pipeline operators: vocabulary heavy hitters, TF-IDF term
+ranking, deterministic stratified sampling, and the end-of-pipeline
+quality filter.
+
+These are the steps a training-data pipeline runs *after* the
+per-document analyses (``text_stats``) and dedup passes: build the
+vocabulary, rank salient terms, carve reproducible samples, and emit
+the reject list with reasons.
+
+Scale shape (the 100 TB contract):
+
+- Vocabulary/DF counting aggregates (term)-keyed with map-side
+  partial aggregation — the shuffle carries (term, partial-count)
+  rows, never documents.  Top-k per language runs on the *aggregated*
+  vocabulary (orders of magnitude smaller than the corpus), so the
+  per-language window is cheap; at extreme vocabulary sizes swap in a
+  two-phase partial top-k without changing the query surface.
+- TF-IDF joins the per-(doc, term) TF frame to the per-term DF frame
+  keyed by term — a uniform-key shuffle join (term frequencies are
+  Zipfian but the DF side is one row per term, so no skewed
+  multiplicity).  The top-k window partitions by doc_id — uniform.
+- Sampling is a pure narrow filter (hash of the key against a
+  threshold) — no shuffle, reproducible across runs/engines,
+  stratification implicit because the hash is uniform within every
+  stratum.
+- The quality filter is one narrow projection over the stats frame
+  plus one digest-keyed equi-join for the exact-dup rule.
+
+All arithmetic is exact-integer counting followed by single IEEE
+double divisions, so the DuckDB twins (``oracle.ext_sqls``) match
+bitwise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from astra_perseverance_spark.extensions.corpus import docs_frame as _docs
+from astra_perseverance_spark.extensions.dedup import normalized_text
+from astra_perseverance_spark.extensions.text_stats import text_stats_frame
+from astra_perseverance_spark.functions.texthash import h15, tokens
+
+# Vocabulary: top terms per language by document frequency.
+VOCAB_TOP_K = 20
+# TF-IDF: top terms per document.
+TFIDF_TOP_K = 5
+# Stratified sample: keep doc when h15(doc_id) % SAMPLE_MOD == 0.
+SAMPLE_MOD = 10
+# Quality-filter thresholds.
+QF_MIN_TOKENS = 10
+QF_MIN_TTR = 0.30
+QF_MAX_PUNCT = 0.20
+
+
+def q_vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language vocabulary heavy hitters: the ``VOCAB_TOP_K``
+    terms with the highest document frequency (ties → term ASC).
+
+    DF counts each document once per term (distinct tokens per doc),
+    so a term repeated 1000× in one spammy doc scores 1."""
+    dt = _docs(spark, sf_dir).select(
+        "doc_id", "lang",
+        F.explode(F.array_distinct(tokens("text"))).alias("term"),
+    )
+    df_counts = dt.groupBy("lang", "term").agg(
+        F.count("*").cast("long").alias("df_docs")
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("df_docs"), "term")
+    return (
+        df_counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= VOCAB_TOP_K)
+        .select("lang", "rank", "term", "df_docs")
+        .orderBy("lang", "rank")
+    )
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-``TFIDF_TOP_K`` terms by a rational TF-IDF
+    score: ``score = tf * n_docs / df`` (one double multiply + one
+    divide over exact integers — bitwise-deterministic, unlike a
+    log-based idf whose last ulp depends on the platform libm; the
+    ranking it induces per document is identical to tf·(n/df) under
+    any monotone transform).  Ties → term ASC."""
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", F.explode(tokens("text")).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    df_counts = tf.groupBy("term").agg(
+        F.count("*").cast("long").alias("df_docs")
+    )
+    n_docs = _docs(spark, sf_dir).agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    scored = (
+        tf.join(df_counts, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id", "term", "tf", "df_docs",
+            (F.col("tf").cast("double") * F.col("n_docs") / F.col("df_docs"))
+            .alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TFIDF_TOP_K)
+        .select("doc_id", "rank", "term", "tf", "df_docs", "score")
+        .orderBy("doc_id", "rank")
+    )
+
+
+def q_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% corpus sample: keep a doc when the md5-based
+    ``h15`` of its id taken mod ``SAMPLE_MOD`` is 0.
+
+    Hash-based (not ``rand()``-based) so the sample is reproducible
+    across runs, engines, and cluster layouts, and composable —
+    re-running at a different rate yields a superset/subset.  The
+    hash is uniform within every language/source stratum, so the
+    sample is stratified without a per-stratum pass.  Narrow filter:
+    no shuffle except the output ordering."""
+    return (
+        _docs(spark, sf_dir)
+        .filter(h15(F.col("doc_id").cast("string")) % SAMPLE_MOD == 0)
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-of-pipeline reject list: every document failing at least
+    one keep rule, with the semicolon-joined reason list (fixed rule
+    order: too_short; low_ttr; high_punct; exact_dup).
+
+    exact_dup rejects every non-representative member of an
+    exact-content group (the group's minimum doc_id is kept)."""
+    stats = text_stats_frame(spark, sf_dir).select(
+        "doc_id", "n_tokens", "ttr", "punct_ratio"
+    )
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.md5(normalized_text()).alias("h")
+    )
+    rep = d.groupBy("h").agg(F.min("doc_id").alias("rep_doc"))
+    dup = d.join(rep, "h").select(
+        "doc_id", (F.col("doc_id") > F.col("rep_doc")).alias("is_dup")
+    )
+    flagged = stats.join(dup, "doc_id").select(
+        "doc_id",
+        F.concat_ws(
+            ";",
+            F.when(F.col("n_tokens") < QF_MIN_TOKENS, F.lit("too_short")),
+            F.when(F.col("ttr") < QF_MIN_TTR, F.lit("low_ttr")),
+            F.when(F.col("punct_ratio") > QF_MAX_PUNCT, F.lit("high_punct")),
+            F.when(F.col("is_dup"), F.lit("exact_dup")),
+        ).alias("reasons"),
+    )
+    return (
+        flagged.filter(F.col("reasons") != "")
+        .orderBy("doc_id")
+    )

@@ -43,6 +43,13 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Counts are exact integers; each ratio is one double division; the
     quality score is a fixed expression over those ratios (mirrored
     verbatim in SQL), so parity is bitwise."""
+    return text_stats_frame(spark, sf_dir).orderBy("doc_id")
+
+
+def text_stats_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unordered per-document quality-feature frame — shared by
+    ``q_text_stats`` and the downstream quality-filter pipeline
+    (``extensions.pipeline.q_quality_filter``)."""
     d = _docs(spark, sf_dir).select(
         "doc_id", "lang", "source", "n_chars", tokens("text").alias("toks"),
         F.length(F.regexp_replace("text", r"[A-Za-z0-9\s]", "")).alias("n_punct"),
@@ -67,7 +74,7 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         * (1.0 - F.col("punct_ratio"))
         * F.col("ttr")
     )
-    return d.withColumn("quality", quality).orderBy("doc_id")
+    return d.withColumn("quality", quality)
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:

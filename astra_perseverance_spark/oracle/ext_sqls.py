@@ -180,6 +180,85 @@ WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
 ORDER BY doc_a, doc_b
 """
 
+EXT_ORACLE_SQL["vocab_top_terms"] = f"""
+WITH dt AS (
+  SELECT doc_id, lang, unnest(list_distinct({_TOKS})) AS term
+  FROM documents
+),
+dfc AS (
+  SELECT lang, term, CAST(COUNT(*) AS BIGINT) AS df_docs
+  FROM dt GROUP BY lang, term
+)
+SELECT lang, rank, term, df_docs FROM (
+  SELECT lang, term, df_docs,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY df_docs DESC, term) AS rank
+  FROM dfc
+) WHERE rank <= 20 ORDER BY lang, rank
+"""
+
+EXT_ORACLE_SQL["tfidf_top_terms"] = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks GROUP BY doc_id, term
+),
+dfc AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df_docs
+  FROM tf GROUP BY term
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfc.df_docs,
+         CAST(tf.tf AS DOUBLE) * n.n_docs / dfc.df_docs AS score
+  FROM tf JOIN dfc USING (term) CROSS JOIN n
+)
+SELECT doc_id, rank, term, tf, df_docs, score FROM (
+  SELECT doc_id, term, tf, df_docs, score,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, term) AS rank
+  FROM scored
+) WHERE rank <= 5 ORDER BY doc_id, rank
+"""
+
+EXT_ORACLE_SQL["corpus_sample"] = f"""
+SELECT doc_id, lang, source, n_chars FROM documents
+WHERE {h15_sql("CAST(doc_id AS VARCHAR)")} % 10 = 0
+ORDER BY doc_id
+"""
+
+EXT_ORACLE_SQL["quality_filter"] = f"""
+WITH d AS (
+  SELECT doc_id,
+         {_TOKS} AS toks,
+         CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+           / n_chars AS punct_ratio,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS h
+  FROM documents
+),
+s AS (
+  SELECT doc_id, h,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr,
+         punct_ratio
+  FROM d
+),
+rep AS (SELECT h, MIN(doc_id) AS rep_doc FROM d GROUP BY h),
+flagged AS (
+  SELECT s.doc_id,
+         concat_ws(';',
+           CASE WHEN s.n_tokens < 10 THEN 'too_short' END,
+           CASE WHEN s.ttr < 0.30 THEN 'low_ttr' END,
+           CASE WHEN s.punct_ratio > 0.20 THEN 'high_punct' END,
+           CASE WHEN s.doc_id > rep.rep_doc THEN 'exact_dup' END
+         ) AS reasons
+  FROM s JOIN rep USING (h)
+)
+SELECT doc_id, reasons FROM flagged WHERE reasons <> '' ORDER BY doc_id
+"""
+
 EXT_ORACLE_SQL["dedup_clusters"] = f"""
 WITH RECURSIVE
 d AS (

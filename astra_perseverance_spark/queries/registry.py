@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from astra_perseverance_spark.extensions import (
     dedup,
     multimodal,
+    pipeline,
     similarity,
     text_stats,
 )
@@ -78,6 +79,11 @@ QUERY_REGISTRY: dict[str, QueryFn] = {
     "lang_id": text_stats.q_lang_id,
     "token_count": text_stats.q_token_count,
     "doc_fingerprint": text_stats.q_doc_fingerprint,
+    # Extensions — corpus-pipeline family (documents)
+    "vocab_top_terms": pipeline.q_vocab_top_terms,
+    "tfidf_top_terms": pipeline.q_tfidf_top_terms,
+    "corpus_sample": pipeline.q_corpus_sample,
+    "quality_filter": pipeline.q_quality_filter,
     # Extensions — multimodal plumbing (documents → binary payloads)
     "multimodal_features": multimodal.q_multimodal_features,
     "multimodal_frame_sample": multimodal.q_multimodal_frame_sample,

@@ -158,3 +158,95 @@ class TestMultimodal:
             assert r["media_type"] in ("image", "audio", "video")
             assert r["byte_len"] > 0
             assert 0 <= r["content_h15"] < 1 << 60
+
+
+class TestGraphAndPipeline:
+    def test_connected_components_synthetic(self, spark):
+        from astra_perseverance_spark.functions.graph import (
+            connected_components,
+        )
+
+        # chain 0-1-...-5, a triangle {10,11,12}, an isolated edge
+        # {20,21}, and a self-loop {30} — four components.
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(5)]
+            + [(10, 11), (11, 12), (12, 10), (20, 21), (30, 30)],
+            "a long, b long",
+        )
+        got = {(r["node"], r["component"])
+               for r in connected_components(edges).collect()}
+        want = {(i, 0) for i in range(6)}
+        want |= {(10, 10), (11, 10), (12, 10), (20, 20), (21, 20), (30, 30)}
+        assert got == want
+
+    def test_clusters_labeled_by_min_member(self, q):
+        from collections import defaultdict
+
+        members = defaultdict(list)
+        for r in q("dedup_clusters").collect():
+            members[r["cluster_id"]].append((r["doc_id"], r["cluster_size"]))
+        assert members, "no duplicate clusters on the fixture corpus"
+        for cid, rows in members.items():
+            ids = sorted(d for d, _ in rows)
+            assert ids[0] == cid
+            assert len(ids) >= 2
+            assert all(sz == len(ids) for _, sz in rows)
+
+    def test_clusters_cover_exact_dup_groups(self, q):
+        """Every multi-member exact-content group must land inside
+        one cluster."""
+        rep_of = {}
+        for r in q("dedup_clusters").collect():
+            rep_of[r["doc_id"]] = r["cluster_id"]
+        for r in q("dedup_exact").collect():
+            if r["n_docs"] >= 2:
+                assert r["rep_doc"] in rep_of
+
+    def test_vocab_ranks_contiguous_per_lang(self, q):
+        from collections import defaultdict
+
+        by_lang = defaultdict(list)
+        for r in q("vocab_top_terms").collect():
+            by_lang[r["lang"]].append((r["rank"], r["df_docs"]))
+        for pairs in by_lang.values():
+            ranks = sorted(rk for rk, _ in pairs)
+            assert ranks == list(range(1, len(ranks) + 1))
+            dfs = [d for _, d in sorted(pairs)]
+            assert dfs == sorted(dfs, reverse=True)
+
+    def test_tfidf_score_formula(self, q, spark):
+        n = spark.read.parquet(f"{SF_SMALL}/documents.parquet").count()
+        for r in q("tfidf_top_terms").collect()[:100]:
+            assert r["score"] == pytest.approx(
+                r["tf"] * n / r["df_docs"], rel=1e-12
+            )
+
+    def test_corpus_sample_is_deterministic_subset(self, q, spark):
+        all_ids = {r["doc_id"] for r in spark.read.parquet(
+            f"{SF_SMALL}/documents.parquet").select("doc_id").collect()}
+        s1 = [r["doc_id"] for r in q("corpus_sample").collect()]
+        s2 = [r["doc_id"] for r in q("corpus_sample").collect()]
+        assert s1 == s2
+        assert set(s1) <= all_ids
+        assert 0 < len(s1) < len(all_ids)
+
+    def test_quality_filter_reasons_well_formed(self, q):
+        valid = {"too_short", "low_ttr", "high_punct", "exact_dup"}
+        rows = q("quality_filter").collect()
+        assert rows, "fixture corpus has no rejects"
+        for r in rows:
+            parts = r["reasons"].split(";")
+            assert parts, r
+            assert set(parts) <= valid
+
+    def test_quality_filter_flags_exact_dups(self, q):
+        """Every non-representative member of an exact group must be
+        rejected with exact_dup among its reasons."""
+        reasons = {r["doc_id"]: r["reasons"].split(";")
+                   for r in q("quality_filter").collect()}
+        reps = {r["rep_doc"] for r in q("dedup_exact").collect()
+                if r["n_docs"] >= 2}
+        # group representatives are never rejected as exact_dup
+        for doc, rs in reasons.items():
+            if "exact_dup" in rs:
+                assert doc not in reps
