@@ -6,6 +6,7 @@ stream, sharing column logic with the batch queries so parity holds
 between the two execution modes.
 """
 
+from astra_perseverance_spark.streaming.doc_stream import stream_dedup_exact
 from astra_perseverance_spark.streaming.gc_stream import (
     gc_minute_window_agg,
     stream_gc_minute_windows,
@@ -14,6 +15,7 @@ from astra_perseverance_spark.streaming.gc_stream import (
 
 __all__ = [
     "gc_minute_window_agg",
+    "stream_dedup_exact",
     "stream_gc_minute_windows",
     "stream_gc_sessions",
 ]

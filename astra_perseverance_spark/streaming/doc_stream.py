@@ -1,0 +1,62 @@
+"""Streaming exact dedup over an unbounded ``documents`` stream.
+
+The streaming side of the LLM-pipeline dedup family
+(``extensions.dedup``): documents arrive continuously, and the first
+occurrence of each normalized-content digest passes through; later
+repeats are dropped.
+
+Scale design: ``dropDuplicatesWithinWatermark`` keys state on the
+content digest and *expires* each key once the watermark passes its
+event time + horizon — state is bounded by the dedup horizon's
+arrival volume, not corpus history, which is the only formulation
+that survives an unbounded stream.  (Plain ``dropDuplicates`` on a
+stream keeps every digest forever.)  The digest computation is the
+same JVM-side expression as the batch twin ``q_dedup_exact``, so
+batch run ≡ streaming pass-through set for the same input.
+
+The synthetic event time derives from ``doc_id`` (the fixture corpus
+has no arrival column); a production source (Kafka/file drop) carries
+its own event time and the pipeline is otherwise identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DOC_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+# Dedup horizon: repeats farther apart than this in event time may
+# both pass (their state has been reclaimed) — the explicit
+# correctness/state-size trade every streaming dedup makes.
+DEDUP_HORIZON = "1 hour"
+
+
+# Synthetic event-time base (2001-09-09).  Must sit strictly above
+# the initial watermark (epoch 0): a row whose event time equals the
+# watermark is already "late" and silently dropped by the dedup
+# operator, so deriving ts directly from doc_id loses doc 0.
+BASE_EPOCH = 1_000_000_000
+
+
+def doc_digest_frame(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang, ts, content_md5) with the batch dedup's digest
+    and a doc_id-derived event time."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    return docs.select(
+        "doc_id", "lang",
+        F.timestamp_seconds(F.col("doc_id") + F.lit(BASE_EPOCH)).alias("ts"),
+        F.md5(norm).alias("content_md5"),
+    )
+
+
+def stream_dedup_exact(spark: SparkSession, source_dir: str) -> DataFrame:
+    """First-seen documents from a file-source stream, one per
+    content digest within the watermark horizon.  Returns the
+    unstarted streaming DataFrame; the caller picks sink/trigger."""
+    stream = spark.readStream.schema(DOC_SCHEMA).parquet(source_dir)
+    return (
+        doc_digest_frame(stream)
+        .withWatermark("ts", DEDUP_HORIZON)
+        .dropDuplicatesWithinWatermark(["content_md5"])
+    )

@@ -111,3 +111,52 @@ def test_sessions_close_on_gap(spark):
         for a, b in zip(sess, sess[1:]):
             gap = (b["session_start"] - a["session_end"]).total_seconds()
             assert gap >= 1800, (a, b)
+
+
+@pytest.fixture(scope="module")
+def doc_source(spark, tmp_path_factory):
+    """Replay the fixture documents through a file-source stream."""
+    out = str(tmp_path_factory.mktemp("doc_stream_src"))
+    (
+        spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        .write.mode("overwrite").parquet(out)
+    )
+    return out
+
+
+def test_stream_dedup_matches_batch_digest_set(spark, doc_source, tmp_path):
+    """Streaming exact dedup passes exactly one doc per content
+    digest, and every survivor carries its group's digest (which doc
+    survives depends on arrival order — the digest set is the
+    deterministic contract)."""
+    from astra_perseverance_spark.streaming import stream_dedup_exact
+
+    sdf = stream_dedup_exact(spark, doc_source)
+    q = (
+        sdf.writeStream.format("memory").queryName("doc_dedup_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM doc_dedup_test").collect()
+
+    from astra_perseverance_spark.streaming.doc_stream import doc_digest_frame
+
+    batch = doc_digest_frame(spark.read.parquet(doc_source))
+    want_digests = {r["content_md5"] for r in batch.collect()}
+    group_of = {r["doc_id"]: r["content_md5"] for r in batch.collect()}
+
+    assert {r["content_md5"] for r in got} == want_digests
+    assert len(got) == len(want_digests)  # exactly one survivor each
+    for r in got:
+        assert group_of[r["doc_id"]] == r["content_md5"]
+
+
+def test_stream_dedup_state_is_watermark_bounded(spark, doc_source):
+    """The plan must use dedup-within-watermark (expiring state), not
+    the unbounded streaming dropDuplicates."""
+    from astra_perseverance_spark.streaming import stream_dedup_exact
+
+    plan = stream_dedup_exact(spark, doc_source)._jdf.queryExecution().analyzed().toString()
+    assert "DeduplicateWithinWatermark" in plan
