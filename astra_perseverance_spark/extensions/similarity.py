@@ -196,6 +196,12 @@ def q_embedding_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     Bucket-local pairing only — the standard scale pattern for
     embedding dedup; near-identical vectors land in the same bucket
     with probability ≈ 1 − planes·θ/π."""
+    return _cosine_dup_pairs(spark, sf_dir).orderBy("vec_a", "vec_b")
+
+
+def _cosine_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_a, vec_b, cosine) bucket-local near-dup pairs, unordered —
+    shared by ``q_embedding_cosine_dups`` and the cluster rollup."""
     v = _vectors(spark, sf_dir)
     return (
         v.alias("x")
@@ -209,5 +215,38 @@ def q_embedding_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cosine"),
         )
         .filter(F.col("cosine") >= DUP_COSINE_MIN)
-        .orderBy("vec_a", "vec_b")
+    )
+
+
+def q_embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding duplicate groups: connected components of the cosine
+    near-dup pair graph, each vector labeled with its component's
+    minimum vec_id — the same composition the text side uses
+    (``dedup.q_dedup_clusters``), reusing
+    ``functions.graph.connected_components`` (O(log diameter)
+    distributed label propagation, memoized labels).
+
+    Output: (cluster_id, vec_id, cluster_size), size ≥ 2 by
+    construction (singletons have no edges)."""
+    from astra_perseverance_spark.conformed.model import memo_frame
+    from astra_perseverance_spark.functions.graph import (
+        connected_components,
+    )
+
+    comp = memo_frame(
+        spark, sf_dir, ("emb_dup_components",),
+        lambda: connected_components(
+            _cosine_dup_pairs(spark, sf_dir).select("vec_a", "vec_b")
+        ),
+    )
+    return (
+        comp.select(
+            F.col("component").alias("cluster_id"),
+            F.col("node").alias("vec_id"),
+        )
+        .withColumn(
+            "cluster_size",
+            F.count("*").over(Window.partitionBy("cluster_id")),
+        )
+        .orderBy("cluster_id", "vec_id")
     )

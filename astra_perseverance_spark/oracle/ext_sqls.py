@@ -397,6 +397,28 @@ ORDER BY vec_a, vec_b
 
 _STOP_EN = ", ".join(f"'{s}'" for s in LANG_PROFILES[0][1])
 
+EXT_ORACLE_SQL["embedding_dup_clusters"] = f"""
+WITH RECURSIVE
+{_VEC},
+vb AS (SELECT vec_id, eq, n2, {hyperplane_bucket_sql('eq')} AS bucket FROM vn),
+e AS (
+  SELECT q.vec_id AS a, c.vec_id AS b
+  FROM vb q JOIN vb c ON c.bucket = q.bucket AND q.vec_id < c.vec_id
+  WHERE {_COS} >= {DUP_COSINE_MIN}
+),
+sym AS (SELECT a AS s, b AS t FROM e UNION ALL SELECT b AS s, a AS t FROM e),
+nodes AS (SELECT DISTINCT s AS v FROM sym),
+reach(v, m) AS (
+  SELECT v, v FROM nodes
+  UNION
+  SELECT r.v, s.t FROM reach r JOIN sym s ON s.s = r.m
+),
+cl AS (SELECT v AS vec_id, MIN(m) AS cluster_id FROM reach GROUP BY v)
+SELECT cluster_id, vec_id,
+       CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+FROM cl ORDER BY cluster_id, vec_id
+"""
+
 EXT_ORACLE_SQL["text_stats"] = f"""
 WITH d AS (
   SELECT doc_id, lang, source, CAST(n_chars AS BIGINT) AS n_chars,

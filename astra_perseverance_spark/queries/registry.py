@@ -74,6 +74,7 @@ QUERY_REGISTRY: dict[str, QueryFn] = {
     "ann_lsh_bucket": similarity.q_ann_lsh_bucket,
     "ann_ivf": similarity.q_ann_ivf,
     "embedding_cosine_dups": similarity.q_embedding_cosine_dups,
+    "embedding_dup_clusters": similarity.q_embedding_dup_clusters,
     # Extensions — text analysis family (documents)
     "text_stats": text_stats.q_text_stats,
     "lang_id": text_stats.q_lang_id,

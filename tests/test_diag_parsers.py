@@ -178,9 +178,8 @@ class TestQueriesOverDiag:
         from astra_perseverance_spark.queries import QUERY_REGISTRY
 
         skip = {  # extension queries read documents/embeddings parquet
-            n for n in QUERY_REGISTRY
-            if n.startswith(("dedup", "embedding", "ann", "text", "lang",
-                             "token", "doc_", "ngram", "multimodal"))
+            n for n, fn in QUERY_REGISTRY.items()
+            if fn.__module__.startswith("astra_perseverance_spark.extensions")
         }
         for name, fn in QUERY_REGISTRY.items():
             if name in skip:

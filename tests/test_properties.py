@@ -250,3 +250,24 @@ class TestGraphAndPipeline:
         for doc, rs in reasons.items():
             if "exact_dup" in rs:
                 assert doc not in reps
+
+    def test_embedding_clusters_labeled_by_min_member(self, q):
+        from collections import defaultdict
+
+        members = defaultdict(list)
+        for r in q("embedding_dup_clusters").collect():
+            members[r["cluster_id"]].append((r["vec_id"], r["cluster_size"]))
+        for cid, rows in members.items():
+            ids = sorted(v for v, _ in rows)
+            assert ids[0] == cid
+            assert len(ids) >= 2
+            assert all(sz == len(ids) for _, sz in rows)
+
+    def test_embedding_clusters_cover_pairs(self, q):
+        """Both endpoints of every cosine near-dup pair must appear
+        in the same cluster."""
+        cluster_of = {r["vec_id"]: r["cluster_id"]
+                      for r in q("embedding_dup_clusters").collect()}
+        pairs = q("embedding_cosine_dups").collect()
+        for r in pairs:
+            assert cluster_of[r["vec_a"]] == cluster_of[r["vec_b"]]

@@ -58,6 +58,11 @@ OPS = [
     ("ann_lsh_bucket", "Σ bucket·q_bucket (fixed 4096 buckets)"),
     ("ann_ivf", "O(n·k) assign + O(q·n/lists·nprobe) probe"),
     ("embedding_cosine_dups", "Σ bucket² (fixed 4096 buckets)"),
+    ("dedup_clusters", "O(E) per round × O(log d) rounds"),
+    ("vocab_top_terms", "O(n) tokens + vocab-grain agg"),
+    ("tfidf_top_terms", "O(n) tokens + term-keyed join"),
+    ("corpus_sample", "O(n) narrow filter"),
+    ("quality_filter", "O(n) + digest-keyed join"),
 ]
 
 
