@@ -51,6 +51,10 @@ SAMPLE_MOD = 10
 QF_MIN_TOKENS = 10
 QF_MIN_TTR = 0.30
 QF_MAX_PUNCT = 0.20
+# n-gram language-model counts: top bigrams per language.
+NGRAM_TOP_K = 50
+# Fixed-size stratified sample: docs kept per language.
+SAMPLE_PER_STRATUM = 25
 
 
 def q_vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -127,6 +131,65 @@ def q_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(h15(F.col("doc_id").cast("string")) % SAMPLE_MOD == 0)
         .select("doc_id", "lang", "source", "n_chars")
         .orderBy("doc_id")
+    )
+
+
+def q_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language bigram language-model counts: the ``NGRAM_TOP_K``
+    most frequent token bigrams per language with their corpus
+    occurrence counts (every occurrence counts, unlike the
+    document-frequency vocabulary).  Ties → bigram ASC.
+
+    Same row-based shape as ``dedup.shingle_rows`` (posexplode +
+    ``lead`` window — codegen'd, ~4× the interpreted HOF-array
+    formulation): the shuffle after the window is (lang, bigram)-keyed
+    with map-side partial aggregation, so it carries (bigram,
+    partial-count) rows, never token streams.  The top-k window runs
+    on the aggregated bigram table."""
+    w = Window.partitionBy("doc_id").orderBy("p")
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", "lang", F.posexplode(tokens("text")).alias("p", "t0")
+    )
+    grams = (
+        toks.withColumn("t1", F.lead("t0", 1).over(w))
+        .filter(F.col("t1").isNotNull())
+        .select("lang", F.concat_ws(" ", "t0", "t1").alias("bigram"))
+    )
+    counts = grams.groupBy("lang", "bigram").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    topw = Window.partitionBy("lang").orderBy(F.desc("n"), "bigram")
+    return (
+        counts.withColumn("rank", F.row_number().over(topw))
+        .filter(F.col("rank") <= NGRAM_TOP_K)
+        .select("lang", "rank", "bigram", "n")
+        .orderBy("lang", "rank")
+    )
+
+
+def q_corpus_sample_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size stratified sample: exactly ``SAMPLE_PER_STRATUM``
+    docs per language (fewer only if the stratum is smaller), chosen
+    by hash order — the deterministic, distributed equivalent of
+    per-stratum reservoir sampling.
+
+    Ordering docs by ``(h15(doc_id), doc_id)`` within each stratum is
+    a uniform random permutation fixed by the hash, so the first k
+    are an unbiased sample, reproducible across runs/engines, and
+    growing k only ever *extends* the sample.  One window per stratum
+    over (lang)-partitioned data; at scale strata are few and the
+    rank cutoff applies before any further processing."""
+    ranked = _docs(spark, sf_dir).select(
+        "doc_id", "lang",
+        F.row_number().over(
+            Window.partitionBy("lang")
+            .orderBy(h15(F.col("doc_id").cast("string")), "doc_id")
+        ).alias("pick"),
+    )
+    return (
+        ranked.filter(F.col("pick") <= SAMPLE_PER_STRATUM)
+        .select("lang", "pick", "doc_id")
+        .orderBy("lang", "pick")
     )
 
 

@@ -223,6 +223,36 @@ SELECT doc_id, rank, term, tf, df_docs, score FROM (
 ) WHERE rank <= 5 ORDER BY doc_id, rank
 """
 
+EXT_ORACLE_SQL["ngram_counts"] = f"""
+WITH toks AS (
+  SELECT doc_id, lang, {_TOKS} AS t FROM documents
+),
+grams AS (
+  SELECT lang, t[CAST(i + 1 AS INT)] || ' ' || t[CAST(i + 2 AS INT)] AS bigram
+  FROM toks, unnest(range(greatest(len(t) - 1, 0))) AS u(i)
+),
+counts AS (
+  SELECT lang, bigram, CAST(COUNT(*) AS BIGINT) AS n
+  FROM grams GROUP BY lang, bigram
+)
+SELECT lang, rank, bigram, n FROM (
+  SELECT lang, bigram, n,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, bigram) AS rank
+  FROM counts
+) WHERE rank <= 50 ORDER BY lang, rank
+"""
+
+EXT_ORACLE_SQL["corpus_sample_fixed"] = f"""
+SELECT lang, pick, doc_id FROM (
+  SELECT lang, doc_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY {h15_sql("CAST(doc_id AS VARCHAR)")}, doc_id
+         ) AS pick
+  FROM documents
+) WHERE pick <= 25 ORDER BY lang, pick
+"""
+
 EXT_ORACLE_SQL["corpus_sample"] = f"""
 SELECT doc_id, lang, source, n_chars FROM documents
 WHERE {h15_sql("CAST(doc_id AS VARCHAR)")} % 10 = 0

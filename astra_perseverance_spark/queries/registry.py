@@ -84,6 +84,8 @@ QUERY_REGISTRY: dict[str, QueryFn] = {
     "vocab_top_terms": pipeline.q_vocab_top_terms,
     "tfidf_top_terms": pipeline.q_tfidf_top_terms,
     "corpus_sample": pipeline.q_corpus_sample,
+    "corpus_sample_fixed": pipeline.q_corpus_sample_fixed,
+    "ngram_counts": pipeline.q_ngram_counts,
     "quality_filter": pipeline.q_quality_filter,
     # Extensions — multimodal plumbing (documents → binary payloads)
     "multimodal_features": multimodal.q_multimodal_features,

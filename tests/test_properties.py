@@ -271,3 +271,34 @@ class TestGraphAndPipeline:
         pairs = q("embedding_cosine_dups").collect()
         for r in pairs:
             assert cluster_of[r["vec_a"]] == cluster_of[r["vec_b"]]
+
+    def test_ngram_counts_ranked_and_bounded(self, q):
+        from collections import defaultdict
+
+        from astra_perseverance_spark.extensions.pipeline import NGRAM_TOP_K
+
+        by_lang = defaultdict(list)
+        for r in q("ngram_counts").collect():
+            assert len(r["bigram"].split(" ")) == 2
+            by_lang[r["lang"]].append((r["rank"], r["n"]))
+        for pairs in by_lang.values():
+            ranks = sorted(rk for rk, _ in pairs)
+            assert ranks == list(range(1, len(ranks) + 1))
+            assert len(ranks) <= NGRAM_TOP_K
+            ns = [n for _, n in sorted(pairs)]
+            assert ns == sorted(ns, reverse=True)
+
+    def test_fixed_sample_exact_size_per_stratum(self, q, spark):
+        from collections import Counter
+
+        from astra_perseverance_spark.extensions.pipeline import (
+            SAMPLE_PER_STRATUM,
+        )
+
+        stratum_sizes = Counter(
+            r["lang"] for r in spark.read.parquet(
+                f"{SF_SMALL}/documents.parquet").select("lang").collect()
+        )
+        got = Counter(r["lang"] for r in q("corpus_sample_fixed").collect())
+        for lang, total in stratum_sizes.items():
+            assert got[lang] == min(SAMPLE_PER_STRATUM, total)
