@@ -39,6 +39,7 @@ from pyspark.sql import functions as F
 from astra_perseverance_spark.extensions.corpus import docs_frame as _docs
 from astra_perseverance_spark.extensions.dedup import normalized_text
 from astra_perseverance_spark.extensions.text_stats import text_stats_frame
+from astra_perseverance_spark.functions.ordering import salted_topk
 from astra_perseverance_spark.functions.texthash import h15, tokens
 
 # Vocabulary: top terms per language by document frequency.
@@ -62,7 +63,11 @@ def q_vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms with the highest document frequency (ties → term ASC).
 
     DF counts each document once per term (distinct tokens per doc),
-    so a term repeated 1000× in one spammy doc scores 1."""
+    so a term repeated 1000× in one spammy doc scores 1.
+
+    Top-k is the exact two-phase ``salted_topk`` — a plain
+    per-language window is one reducer task per language, a skew wall
+    when the vocabulary is large and languages are few."""
     dt = _docs(spark, sf_dir).select(
         "doc_id", "lang",
         F.explode(F.array_distinct(tokens("text"))).alias("term"),
@@ -70,10 +75,9 @@ def q_vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     df_counts = dt.groupBy("lang", "term").agg(
         F.count("*").cast("long").alias("df_docs")
     )
-    w = Window.partitionBy("lang").orderBy(F.desc("df_docs"), "term")
     return (
-        df_counts.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= VOCAB_TOP_K)
+        salted_topk(df_counts, ["lang"], [F.desc("df_docs"), "term"],
+                    VOCAB_TOP_K, salt_on="term")
         .select("lang", "rank", "term", "df_docs")
         .orderBy("lang", "rank")
     )
@@ -158,10 +162,9 @@ def q_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = grams.groupBy("lang", "bigram").agg(
         F.count("*").cast("long").alias("n")
     )
-    topw = Window.partitionBy("lang").orderBy(F.desc("n"), "bigram")
     return (
-        counts.withColumn("rank", F.row_number().over(topw))
-        .filter(F.col("rank") <= NGRAM_TOP_K)
+        salted_topk(counts, ["lang"], [F.desc("n"), "bigram"],
+                    NGRAM_TOP_K, salt_on="bigram")
         .select("lang", "rank", "bigram", "n")
         .orderBy("lang", "rank")
     )
@@ -176,18 +179,19 @@ def q_corpus_sample_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     Ordering docs by ``(h15(doc_id), doc_id)`` within each stratum is
     a uniform random permutation fixed by the hash, so the first k
     are an unbiased sample, reproducible across runs/engines, and
-    growing k only ever *extends* the sample.  One window per stratum
-    over (lang)-partitioned data; at scale strata are few and the
-    rank cutoff applies before any further processing."""
-    ranked = _docs(spark, sf_dir).select(
-        "doc_id", "lang",
-        F.row_number().over(
-            Window.partitionBy("lang")
-            .orderBy(h15(F.col("doc_id").cast("string")), "doc_id")
-        ).alias("pick"),
+    growing k only ever *extends* the sample.  Selection is the exact
+    two-phase ``salted_topk`` — strata are few (languages), so a
+    plain per-stratum window would sort each stratum's full corpus in
+    one task."""
+    picked = salted_topk(
+        _docs(spark, sf_dir).select("doc_id", "lang"),
+        ["lang"],
+        [h15(F.col("doc_id").cast("string")), "doc_id"],
+        SAMPLE_PER_STRATUM,
+        salt_on="doc_id",
     )
     return (
-        ranked.filter(F.col("pick") <= SAMPLE_PER_STRATUM)
+        picked.withColumnRenamed("rank", "pick")
         .select("lang", "pick", "doc_id")
         .orderBy("lang", "pick")
     )

@@ -28,3 +28,44 @@ def report_sort(df: DataFrame, *cols) -> DataFrame:
 def report_sorted(*cols):
     """Curried form for ``DataFrame.transform`` chains."""
     return lambda df: report_sort(df, *cols)
+
+
+# Salt fan-out for two-phase top-k.  Bounds the partial stage's
+# per-task input at input/(|groups|·SALTS) while the merge stage sees
+# only |groups|·SALTS·k rows.
+TOPK_SALTS = 64
+
+
+def salted_topk(df: DataFrame, group_cols: list[str], order_cols: list,
+                k: int, salt_on: str) -> DataFrame:
+    """Exact per-group top-k that survives low-cardinality groups.
+
+    A single ``row_number().over(partitionBy(group))`` puts one
+    *reducer task per group* — with a handful of groups (languages,
+    tenants) that is a skew wall at scale: one task sorts the whole
+    group.  This runs the classic exact two-phase shape instead:
+
+    1. partial: top-k within (group, salt) where salt =
+       ``hash(salt_on) % TOPK_SALTS`` — parallelism is
+       |groups|·SALTS, input per task shrinks proportionally;
+    2. merge: top-k over the surviving ≤ |groups|·SALTS·k rows.
+
+    Exact because every global top-k row is also top-k within its own
+    salt bucket (ranks only shrink when rows are removed).  The salt
+    column must be a deterministic function of the row (``salt_on``),
+    never ``rand()``, so re-runs and AQE retries see the same
+    partitioning.
+    """
+    from pyspark.sql import Window, functions as F
+
+    salt = F.pmod(F.xxhash64(F.col(salt_on)), F.lit(TOPK_SALTS))
+    w_partial = Window.partitionBy(*group_cols, "_salt").orderBy(*order_cols)
+    w_final = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    return (
+        df.withColumn("_salt", salt)
+        .withColumn("_pr", F.row_number().over(w_partial))
+        .filter(F.col("_pr") <= k)
+        .withColumn("rank", F.row_number().over(w_final))
+        .filter(F.col("rank") <= k)
+        .drop("_salt", "_pr")
+    )

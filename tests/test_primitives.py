@@ -89,3 +89,35 @@ class TestColLetter:
         assert _col_letter(26) == "AA"
         assert _col_letter(701) == "ZZ"
         assert _col_letter(702) == "AAA"
+
+
+class TestSaltedTopK:
+    def test_matches_naive_window(self, spark):
+        """Exact two-phase top-k must equal the single-window top-k on
+        a skewed synthetic frame (one giant group, one tiny one)."""
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from astra_perseverance_spark.functions.ordering import salted_topk
+
+        rows = [("big", i, (i * 37) % 1000) for i in range(5000)]
+        rows += [("small", i, i) for i in range(3)]
+        df = spark.createDataFrame(rows, "grp string, id long, score long")
+
+        k = 7
+        order = [F.desc("score"), "id"]
+        naive = (
+            df.withColumn(
+                "rank",
+                F.row_number().over(Window.partitionBy("grp").orderBy(*order)),
+            )
+            .filter(F.col("rank") <= k)
+        )
+        got = {(r["grp"], r["rank"], r["id"])
+               for r in salted_topk(df, ["grp"], order, k, salt_on="id").collect()}
+        want = {(r["grp"], r["rank"], r["id"]) for r in naive.collect()}
+        assert got == want
+        # the tiny group keeps all its rows, ranked 1..3
+        assert {(g, rk) for g, rk, _ in got if g == "small"} == {
+            ("small", 1), ("small", 2), ("small", 3)
+        }
