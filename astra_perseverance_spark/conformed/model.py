@@ -323,6 +323,9 @@ def build_gc_event(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Instant-semantics timestamp: go straight through the epoch so
         # the session timezone never enters (a cast to timestamp_ntz
         # would shift by the session offset on non-UTC sessions).
+        # Pre-epoch instants: both Spark `div` and DuckDB `//`
+        # truncate toward zero (verified empirically), so the minute
+        # bucket agrees on either side of 1970 too.
         ts_min = F.expr("unix_micros(ts) div 60000000")
     else:
         # timestamp_ntz parquet: whole wall-clock minutes since an NTZ

@@ -53,17 +53,30 @@ def normalized_text() -> F.Column:
     return F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
 
 
+def content_digest_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, content_md5) — the exact-dedup digest, memoized per
+    session: ``q_dedup_exact``, the duplicate-graph edge build, and
+    the quality filter's exact_dup rule all consume the same digest,
+    so the md5-over-normalized-text pass runs once, and the
+    representative rule (group min) can only ever change in one
+    place."""
+    return memo_frame(
+        spark, sf_dir, ("content_digest",),
+        lambda: _docs(spark, sf_dir).select(
+            "doc_id", F.md5(normalized_text()).alias("content_md5")
+        ),
+    )
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup on normalized text: one row per distinct content
     digest with the representative (minimum) doc_id and group size.
 
     Scale: single groupBy on the md5 digest; the shuffle key is the
     digest so the distribution is uniform by construction (no skew)."""
-    d = _docs(spark, sf_dir).select(
-        "doc_id", F.md5(normalized_text()).alias("content_md5")
-    )
     return (
-        d.groupBy("content_md5")
+        content_digest_frame(spark, sf_dir)
+        .groupBy("content_md5")
         .agg(
             F.min("doc_id").alias("rep_doc"),
             F.count("*").cast("long").alias("n_docs"),
@@ -124,18 +137,28 @@ def shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
                       lambda: _build_shingle_rows(spark, sf_dir))
 
 
-def _build_shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+def k_gram_rows(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
+    """(doc_id, lang, g): one row per k-word-gram *occurrence* —
+    the shared codegen'd row pipeline (posexplode + ``lead`` window,
+    see ``shingle_rows`` for why this beats HOF arrays ~4×) behind
+    both the 3-gram shingle set and the bigram LM counts."""
     w = Window.partitionBy("doc_id").orderBy("p")
-    toks = _docs(spark, sf_dir).select(
+    grams = _docs(spark, sf_dir).select(
         "doc_id", "lang", F.posexplode(tokens("text")).alias("p", "t0")
     )
-    grams = (
-        toks.withColumn("t1", F.lead("t0", 1).over(w))
-        .withColumn("t2", F.lead("t0", 2).over(w))
-        .filter(F.col("t2").isNotNull())
-        .select("doc_id", "lang", F.concat_ws(" ", "t0", "t1", "t2").alias("g"))
-        .distinct()
+    for i in range(1, k):
+        grams = grams.withColumn(f"t{i}", F.lead("t0", i).over(w))
+    return (
+        grams.filter(F.col(f"t{k - 1}").isNotNull())
+        .select(
+            "doc_id", "lang",
+            F.concat_ws(" ", *[f"t{i}" for i in range(k)]).alias("g"),
+        )
     )
+
+
+def _build_shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    grams = k_gram_rows(spark, sf_dir, 3).distinct()
     return grams.withColumn(
         "n", F.count("*").over(Window.partitionBy("doc_id"))
     )
@@ -362,16 +385,14 @@ def _dup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-content duplicates (star edges group-min → member, so a
     k-group contributes k−1 edges, never k²) unioned with the
     verified n-gram Jaccard near-dup pairs."""
-    d = _docs(spark, sf_dir).select(
-        "doc_id", F.md5(normalized_text()).alias("h")
-    )
+    d = content_digest_frame(spark, sf_dir)
     groups = (
-        d.groupBy("h")
+        d.groupBy("content_md5")
         .agg(F.min("doc_id").alias("m"), F.count("*").alias("c"))
         .filter(F.col("c") >= 2)
     )
     exact = (
-        d.join(groups, "h")
+        d.join(groups, "content_md5")
         .filter(F.col("doc_id") > F.col("m"))
         .select(F.col("m").alias("a"), F.col("doc_id").alias("b"))
     )

@@ -37,7 +37,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from astra_perseverance_spark.extensions.corpus import docs_frame as _docs
-from astra_perseverance_spark.extensions.dedup import normalized_text
+from astra_perseverance_spark.extensions.dedup import content_digest_frame
 from astra_perseverance_spark.extensions.text_stats import text_stats_frame
 from astra_perseverance_spark.functions.ordering import salted_topk
 from astra_perseverance_spark.functions.texthash import h15, tokens
@@ -144,20 +144,16 @@ def q_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     occurrence counts (every occurrence counts, unlike the
     document-frequency vocabulary).  Ties → bigram ASC.
 
-    Same row-based shape as ``dedup.shingle_rows`` (posexplode +
-    ``lead`` window — codegen'd, ~4× the interpreted HOF-array
-    formulation): the shuffle after the window is (lang, bigram)-keyed
-    with map-side partial aggregation, so it carries (bigram,
-    partial-count) rows, never token streams.  The top-k window runs
-    on the aggregated bigram table."""
-    w = Window.partitionBy("doc_id").orderBy("p")
-    toks = _docs(spark, sf_dir).select(
-        "doc_id", "lang", F.posexplode(tokens("text")).alias("p", "t0")
-    )
-    grams = (
-        toks.withColumn("t1", F.lead("t0", 1).over(w))
-        .filter(F.col("t1").isNotNull())
-        .select("lang", F.concat_ws(" ", "t0", "t1").alias("bigram"))
+    Gram rows come from the shared ``dedup.k_gram_rows`` pipeline
+    (posexplode + ``lead`` window — codegen'd, ~4× the interpreted
+    HOF-array formulation); the shuffle after the window is
+    (lang, bigram)-keyed with map-side partial aggregation, so it
+    carries (bigram, partial-count) rows, never token streams.  The
+    top-k runs on the aggregated bigram table."""
+    from astra_perseverance_spark.extensions.dedup import k_gram_rows
+
+    grams = k_gram_rows(spark, sf_dir, 2).select(
+        "lang", F.col("g").alias("bigram")
     )
     counts = grams.groupBy("lang", "bigram").agg(
         F.count("*").cast("long").alias("n")
@@ -207,11 +203,9 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = text_stats_frame(spark, sf_dir).select(
         "doc_id", "n_tokens", "ttr", "punct_ratio"
     )
-    d = _docs(spark, sf_dir).select(
-        "doc_id", F.md5(normalized_text()).alias("h")
-    )
-    rep = d.groupBy("h").agg(F.min("doc_id").alias("rep_doc"))
-    dup = d.join(rep, "h").select(
+    d = content_digest_frame(spark, sf_dir)
+    rep = d.groupBy("content_md5").agg(F.min("doc_id").alias("rep_doc"))
+    dup = d.join(rep, "content_md5").select(
         "doc_id", (F.col("doc_id") > F.col("rep_doc")).alias("is_dup")
     )
     flagged = stats.join(dup, "doc_id").select(

@@ -57,6 +57,7 @@ def connected_components(edges: DataFrame) -> DataFrame:
         .withColumn("lbl", F.col("node"))
         .localCheckpoint()
     )
+    converged = False
     for _ in range(MAX_ROUNDS):
         # (1) neighbor-min: min(label) over self ∪ neighbors.
         prop = sym.join(
@@ -86,5 +87,13 @@ def connected_components(edges: DataFrame) -> DataFrame:
         )
         lbl = new
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # Partial labels would silently violate the component-min
+        # invariant downstream — fail loudly instead.
+        raise RuntimeError(
+            f"connected_components did not converge in {MAX_ROUNDS} "
+            "rounds; raise MAX_ROUNDS for this graph"
+        )
     return lbl.select("node", F.col("lbl").alias("component"))

@@ -16,6 +16,16 @@ from astra_perseverance_spark.extensions.similarity import (
     IVF_NPROBE,
     QUERY_STRIDE,
 )
+from astra_perseverance_spark.extensions.pipeline import (
+    NGRAM_TOP_K,
+    QF_MAX_PUNCT,
+    QF_MIN_TOKENS,
+    QF_MIN_TTR,
+    SAMPLE_MOD,
+    SAMPLE_PER_STRATUM,
+    TFIDF_TOP_K,
+    VOCAB_TOP_K,
+)
 from astra_perseverance_spark.extensions.text_stats import LANG_PROFILES
 from astra_perseverance_spark.functions.texthash import (
     FP_BASE,
@@ -194,7 +204,7 @@ SELECT lang, rank, term, df_docs FROM (
          ROW_NUMBER() OVER (PARTITION BY lang
                             ORDER BY df_docs DESC, term) AS rank
   FROM dfc
-) WHERE rank <= 20 ORDER BY lang, rank
+) WHERE rank <= {VOCAB_TOP_K} ORDER BY lang, rank
 """
 
 EXT_ORACLE_SQL["tfidf_top_terms"] = f"""
@@ -220,7 +230,7 @@ SELECT doc_id, rank, term, tf, df_docs, score FROM (
          ROW_NUMBER() OVER (PARTITION BY doc_id
                             ORDER BY score DESC, term) AS rank
   FROM scored
-) WHERE rank <= 5 ORDER BY doc_id, rank
+) WHERE rank <= {TFIDF_TOP_K} ORDER BY doc_id, rank
 """
 
 EXT_ORACLE_SQL["ngram_counts"] = f"""
@@ -239,7 +249,7 @@ SELECT lang, rank, bigram, n FROM (
   SELECT lang, bigram, n,
          ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, bigram) AS rank
   FROM counts
-) WHERE rank <= 50 ORDER BY lang, rank
+) WHERE rank <= {NGRAM_TOP_K} ORDER BY lang, rank
 """
 
 EXT_ORACLE_SQL["corpus_sample_fixed"] = f"""
@@ -250,12 +260,12 @@ SELECT lang, pick, doc_id FROM (
            ORDER BY {h15_sql("CAST(doc_id AS VARCHAR)")}, doc_id
          ) AS pick
   FROM documents
-) WHERE pick <= 25 ORDER BY lang, pick
+) WHERE pick <= {SAMPLE_PER_STRATUM} ORDER BY lang, pick
 """
 
 EXT_ORACLE_SQL["corpus_sample"] = f"""
 SELECT doc_id, lang, source, n_chars FROM documents
-WHERE {h15_sql("CAST(doc_id AS VARCHAR)")} % 10 = 0
+WHERE {h15_sql("CAST(doc_id AS VARCHAR)")} % {SAMPLE_MOD} = 0
 ORDER BY doc_id
 """
 
@@ -279,9 +289,9 @@ rep AS (SELECT h, MIN(doc_id) AS rep_doc FROM d GROUP BY h),
 flagged AS (
   SELECT s.doc_id,
          concat_ws(';',
-           CASE WHEN s.n_tokens < 10 THEN 'too_short' END,
-           CASE WHEN s.ttr < 0.30 THEN 'low_ttr' END,
-           CASE WHEN s.punct_ratio > 0.20 THEN 'high_punct' END,
+           CASE WHEN s.n_tokens < {QF_MIN_TOKENS} THEN 'too_short' END,
+           CASE WHEN s.ttr < {QF_MIN_TTR} THEN 'low_ttr' END,
+           CASE WHEN s.punct_ratio > {QF_MAX_PUNCT} THEN 'high_punct' END,
            CASE WHEN s.doc_id > rep.rep_doc THEN 'exact_dup' END
          ) AS reasons
   FROM s JOIN rep USING (h)

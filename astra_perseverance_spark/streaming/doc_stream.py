@@ -10,9 +10,18 @@ content digest and *expires* each key once the watermark passes its
 event time + horizon — state is bounded by the dedup horizon's
 arrival volume, not corpus history, which is the only formulation
 that survives an unbounded stream.  (Plain ``dropDuplicates`` on a
-stream keeps every digest forever.)  The digest computation is the
-same JVM-side expression as the batch twin ``q_dedup_exact``, so
-batch run ≡ streaming pass-through set for the same input.
+stream keeps every digest forever.)  The digest computation reuses
+the batch twin's ``dedup.normalized_text`` expression, so the two
+modes can never drift.
+
+Equivalence contract, stated precisely: batch run ≡ streaming
+pass-through set **when every row arrives before the watermark
+passes its event time** (single-batch replay, or any source whose
+lateness stays inside the horizon).  Beyond the horizon the operator
+makes the standard two-sided trade: a repeat later than the horizon
+passes again (state reclaimed), and a *first* occurrence arriving
+later than the horizon is dropped as late.  Choose the horizon for
+the source's real disorder bound.
 
 The synthetic event time derives from ``doc_id`` (the fixture corpus
 has no arrival column); a production source (Kafka/file drop) carries
@@ -42,11 +51,12 @@ BASE_EPOCH = 1_000_000_000
 def doc_digest_frame(docs: DataFrame) -> DataFrame:
     """(doc_id, lang, ts, content_md5) with the batch dedup's digest
     and a doc_id-derived event time."""
-    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    from astra_perseverance_spark.extensions.dedup import normalized_text
+
     return docs.select(
         "doc_id", "lang",
         F.timestamp_seconds(F.col("doc_id") + F.lit(BASE_EPOCH)).alias("ts"),
-        F.md5(norm).alias("content_md5"),
+        F.md5(normalized_text()).alias("content_md5"),
     )
 
 
