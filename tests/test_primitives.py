@@ -121,3 +121,47 @@ class TestSaltedTopK:
         assert {(g, rk) for g, rk, _ in got if g == "small"} == {
             ("small", 1), ("small", 2), ("small", 3)
         }
+
+
+class TestConnectedComponentsRandom:
+    def test_random_graphs_match_union_find(self, spark):
+        """30 random graphs (disjoint id spaces) unioned into ONE
+        Spark connected_components call, checked against a Python
+        union-find oracle."""
+        import random
+
+        from astra_perseverance_spark.functions.graph import (
+            connected_components,
+        )
+
+        rng = random.Random(42)
+        edges: list[tuple[int, int]] = []
+        for g in range(30):
+            base = g * 1000
+            n = rng.randint(2, 40)
+            m = rng.randint(1, 60)
+            for _ in range(m):
+                a, b = rng.randrange(n), rng.randrange(n)
+                edges.append((base + a, base + b))
+
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        def union(a: int, b: int) -> None:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+
+        for a, b in edges:
+            union(a, b)
+        want = {x: find(x) for x in parent}
+
+        df = spark.createDataFrame(edges, "a long, b long")
+        got = {r["node"]: r["component"]
+               for r in connected_components(df).collect()}
+        assert got == want
