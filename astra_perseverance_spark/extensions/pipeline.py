@@ -39,7 +39,7 @@ from pyspark.sql import functions as F
 from astra_perseverance_spark.extensions.corpus import docs_frame as _docs
 from astra_perseverance_spark.extensions.dedup import content_digest_frame
 from astra_perseverance_spark.extensions.text_stats import text_stats_frame
-from astra_perseverance_spark.functions.ordering import salted_topk
+from astra_perseverance_spark.functions.ordering import report_sorted, salted_topk
 from astra_perseverance_spark.functions.texthash import h15, tokens
 
 # Vocabulary: top terms per language by document frequency.
@@ -79,7 +79,7 @@ def q_vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         salted_topk(df_counts, ["lang"], [F.desc("df_docs"), "term"],
                     VOCAB_TOP_K, salt_on="term")
         .select("lang", "rank", "term", "df_docs")
-        .orderBy("lang", "rank")
+        .transform(report_sorted("lang", "rank"))
     )
 
 
@@ -162,7 +162,7 @@ def q_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         salted_topk(counts, ["lang"], [F.desc("n"), "bigram"],
                     NGRAM_TOP_K, salt_on="bigram")
         .select("lang", "rank", "bigram", "n")
-        .orderBy("lang", "rank")
+        .transform(report_sorted("lang", "rank"))
     )
 
 
@@ -189,7 +189,7 @@ def q_corpus_sample_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         picked.withColumnRenamed("rank", "pick")
         .select("lang", "pick", "doc_id")
-        .orderBy("lang", "pick")
+        .transform(report_sorted("lang", "pick"))
     )
 
 

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from astra_perseverance_spark.config import DEFAULT_CONFIG, EngineConfig
 from astra_perseverance_spark.conformed import load_model
 from astra_perseverance_spark.conformed.model import _session_key, memo_frame
+from astra_perseverance_spark.functions.ordering import report_sorted
 from astra_perseverance_spark.functions.percentiles import GC_PCTS, nearest_rank_1based
 
 _PACK = 10_000_000_000  # pause_ms ≤ 10^6 ≪ pack base; epoch_sec < 10^10
@@ -125,7 +126,7 @@ def _build_gc_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pauses", "min_ms", *[f"p{p}" for p in GC_PCTS],
             "max_ms", "from_ts", "to_ts", "max_ts",
         )
-        .orderBy("lvl", "dc", "node")
+        .transform(report_sorted("lvl", "dc", "node"))
     )
 
 
@@ -139,5 +140,5 @@ def q_gc_p99_health(spark: SparkSession, sf_dir: str,
         .filter(F.col("p99") > tp)
         .select("lvl", "dc", "node", "p99",
                 F.lit(tp).cast("long").alias("threshold_ms"))
-        .orderBy("lvl", "dc", "node")
+        .transform(report_sorted("lvl", "dc", "node"))
     )

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from astra_perseverance_spark.config import DEFAULT_CONFIG, EngineConfig
 from astra_perseverance_spark.conformed import load_model
 from astra_perseverance_spark.conformed.model import memo_frame
+from astra_perseverance_spark.functions.ordering import report_sorted
 from astra_perseverance_spark.queries.schema_checks import dependent_counts
 
 GUARDRAIL_CAT = "Astra Guardrails"
@@ -232,4 +233,4 @@ def _build_warnings(spark: SparkSession, sf_dir: str,
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    return out.distinct().orderBy("category", "check", "message")
+    return out.distinct().transform(report_sorted("category", "check", "message"))

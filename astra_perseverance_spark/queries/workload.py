@@ -283,6 +283,6 @@ def _build_summary_long(spark: SparkSession, sf_dir: str,
         F.lit("totals").alias("section"), F.lit("").alias("ks"),
         F.lit("").alias("tbl"), "metric", F.col("value").cast("double"),
     )
-    return r.unionByName(w).unionByName(s).unionByName(tot).orderBy(
-        "section", "ks", "tbl", "metric"
+    return r.unionByName(w).unionByName(s).unionByName(tot).transform(
+        report_sorted("section", "ks", "tbl", "metric")
     )

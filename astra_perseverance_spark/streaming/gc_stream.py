@@ -22,6 +22,8 @@ aggregation happens per micro-batch before the state-store shuffle.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+
+from astra_perseverance_spark.functions.ordering import report_sorted
 from pyspark.sql import functions as F
 
 WATERMARK = "10 minutes"
@@ -51,7 +53,7 @@ def q_gc_minute_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return (
         gc_minute_window_agg(load_model(spark, sf_dir).gc_event)
-        .orderBy("window_start", "dc")
+        .transform(report_sorted("window_start", "dc"))
     )
 
 
@@ -206,5 +208,5 @@ def q_gc_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("long").alias("pauses"),
             F.max("pause_ms").cast("long").alias("max_pause_ms"),
         )
-        .orderBy("node", "session_no")
+        .transform(report_sorted("node", "session_no"))
     )
