@@ -160,3 +160,49 @@ def test_stream_dedup_state_is_watermark_bounded(spark, doc_source):
 
     plan = stream_dedup_exact(spark, doc_source)._jdf.queryExecution().analyzed().toString()
     assert "DeduplicateWithinWatermark" in plan
+
+
+def test_stream_dedup_multibatch_within_horizon(spark, tmp_path):
+    """Multi-batch replay (maxFilesPerTrigger=1): with arrivals whose
+    lateness stays inside the horizon, the pass-through set still
+    equals the batch digest set — the equivalence contract's stated
+    precondition, exercised across watermark advances."""
+    from astra_perseverance_spark.streaming import stream_dedup_exact
+    from astra_perseverance_spark.streaming.doc_stream import (
+        doc_digest_frame,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    src = str(tmp_path / "src")
+    # two files with interleaved doc_ids — event times overlap, all
+    # within one horizon of each other (ids span < 3600 s)
+    docs.filter("doc_id % 2 = 0").coalesce(1).write.parquet(src)
+    docs.filter("doc_id % 2 = 1").coalesce(1).write.mode("append").parquet(src)
+
+    sdf = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    from astra_perseverance_spark.streaming.doc_stream import (
+        DEDUP_HORIZON,
+        doc_digest_frame as ddf,
+    )
+
+    dedup = (
+        ddf(sdf).withWatermark("ts", DEDUP_HORIZON)
+        .dropDuplicatesWithinWatermark(["content_md5"])
+    )
+    q = (
+        dedup.writeStream.format("memory").queryName("doc_dedup_mb")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql("SELECT content_md5 FROM doc_dedup_mb").collect()
+    want = {r["content_md5"] for r in doc_digest_frame(docs).collect()}
+    assert {r["content_md5"] for r in got} == want
+    assert len(got) == len(want)
