@@ -218,6 +218,46 @@ def _cosine_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the LSH-bucketed ANN path against the exact
+    brute-force baseline, per query — the audit every production ANN
+    deployment runs to tune its index knobs (here: ``ANN_PLANES``).
+
+    recall = |exact top-k ∩ bucketed top-k| / |exact top-k| — both
+    sides are deterministic (exact integer cosine, total tie order),
+    so the audit itself is oracle-checkable, not just a diagnostic.
+    Composes the two registered queries' frames; the join is
+    (query_id, neighbor_id)-keyed on k-bounded result sets, so the
+    audit's cost is the two searches, not the join."""
+    exact = q_embedding_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    ann = q_ann_lsh_bucket(spark, sf_dir).select(
+        "query_id", F.col("neighbor_id").alias("ann_neighbor")
+    )
+    hits = exact.join(
+        ann,
+        (exact["query_id"] == ann["query_id"])
+        & (exact["neighbor_id"] == ann["ann_neighbor"]),
+        "left",
+    ).select(
+        exact["query_id"],
+        F.when(F.col("ann_neighbor").isNotNull(), 1).otherwise(0).alias("hit"),
+    )
+    return (
+        hits.groupBy("query_id")
+        .agg(
+            F.count("*").cast("long").alias("n_exact"),
+            F.sum("hit").cast("long").alias("n_hit"),
+        )
+        .select(
+            "query_id", "n_exact", "n_hit",
+            (F.col("n_hit").cast("double") / F.col("n_exact")).alias("recall"),
+        )
+        .orderBy("query_id")
+    )
+
+
 def q_embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding duplicate groups: connected components of the cosine
     near-dup pair graph, each vector labeled with its component's

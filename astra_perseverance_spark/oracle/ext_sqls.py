@@ -387,6 +387,44 @@ SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cosine
 FROM ranked WHERE rank <= {ANN_TOPK} ORDER BY query_id, rank
 """
 
+EXT_ORACLE_SQL["ann_recall_audit"] = f"""
+WITH {_VEC},
+vb AS (SELECT vec_id, label, eq, n2, {hyperplane_bucket_sql('eq')} AS bucket FROM vn),
+q AS (SELECT * FROM vb WHERE vec_id % {QUERY_STRIDE} = 0),
+exact_pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {_COS} AS cosine
+  FROM q JOIN vn c ON c.vec_id <> q.vec_id
+),
+exact_ranked AS (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM exact_pairs
+),
+exact_k AS (SELECT query_id, neighbor_id FROM exact_ranked WHERE rank <= {ANN_TOPK}),
+ann_pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {_COS} AS cosine
+  FROM q JOIN vb c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
+),
+ann_ranked AS (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM ann_pairs
+),
+ann_k AS (SELECT query_id, neighbor_id FROM ann_ranked WHERE rank <= {ANN_TOPK}),
+hits AS (
+  SELECT e.query_id,
+         CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+  FROM exact_k e LEFT JOIN ann_k a
+    ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+)
+SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_exact,
+       CAST(SUM(hit) AS BIGINT) AS n_hit,
+       CAST(SUM(hit) AS DOUBLE) / COUNT(*) AS recall
+FROM hits GROUP BY query_id ORDER BY query_id
+"""
+
 EXT_ORACLE_SQL["ann_ivf"] = f"""
 WITH {_VEC},
 cent AS (SELECT vec_id AS cid, eq AS c_eq, n2 AS c_n2 FROM vn

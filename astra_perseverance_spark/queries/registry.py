@@ -73,6 +73,7 @@ QUERY_REGISTRY: dict[str, QueryFn] = {
     "embedding_topk": similarity.q_embedding_topk,
     "ann_lsh_bucket": similarity.q_ann_lsh_bucket,
     "ann_ivf": similarity.q_ann_ivf,
+    "ann_recall_audit": similarity.q_ann_recall_audit,
     "embedding_cosine_dups": similarity.q_embedding_cosine_dups,
     "embedding_dup_clusters": similarity.q_embedding_dup_clusters,
     # Extensions — text analysis family (documents)

@@ -302,3 +302,10 @@ class TestGraphAndPipeline:
         got = Counter(r["lang"] for r in q("corpus_sample_fixed").collect())
         for lang, total in stratum_sizes.items():
             assert got[lang] == min(SAMPLE_PER_STRATUM, total)
+
+    def test_ann_recall_bounded_and_consistent(self, q):
+        rows = q("ann_recall_audit").collect()
+        assert rows
+        for r in rows:
+            assert 0 <= r["n_hit"] <= r["n_exact"]
+            assert r["recall"] == pytest.approx(r["n_hit"] / r["n_exact"])
