@@ -226,29 +226,36 @@ def q_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall = |exact top-k ∩ bucketed top-k| / |exact top-k| — both
     sides are deterministic (exact integer cosine, total tie order),
     so the audit itself is oracle-checkable, not just a diagnostic.
-    Composes the two registered queries' frames; the join is
-    (query_id, neighbor_id)-keyed on k-bounded result sets, so the
-    audit's cost is the two searches, not the join."""
-    exact = q_embedding_topk(spark, sf_dir).select(
-        "query_id", "neighbor_id"
+
+    The intersection is a tagged union + one (query, neighbor)-keyed
+    aggregate — no join: both result sets scale with |queries| (not a
+    broadcastable dim), and a membership test over two same-keyed
+    sets is exactly what a shuffle aggregate computes.  Keeps the
+    engine's no-SortMergeJoin plan invariant (docs/PLAN_AUDIT.md)."""
+    exact = (
+        q_embedding_topk(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .withColumn("src", F.lit(1))
     )
-    ann = q_ann_lsh_bucket(spark, sf_dir).select(
-        "query_id", F.col("neighbor_id").alias("ann_neighbor")
+    ann = (
+        q_ann_lsh_bucket(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .withColumn("src", F.lit(2))
     )
-    hits = exact.join(
-        ann,
-        (exact["query_id"] == ann["query_id"])
-        & (exact["neighbor_id"] == ann["ann_neighbor"]),
-        "left",
-    ).select(
-        exact["query_id"],
-        F.when(F.col("ann_neighbor").isNotNull(), 1).otherwise(0).alias("hit"),
+    membership = (
+        exact.unionByName(ann)
+        .groupBy("query_id", "neighbor_id")
+        .agg(
+            F.max(F.when(F.col("src") == 1, 1).otherwise(0)).alias("in_exact"),
+            F.max(F.when(F.col("src") == 2, 1).otherwise(0)).alias("in_ann"),
+        )
     )
     return (
-        hits.groupBy("query_id")
+        membership.filter(F.col("in_exact") == 1)
+        .groupBy("query_id")
         .agg(
             F.count("*").cast("long").alias("n_exact"),
-            F.sum("hit").cast("long").alias("n_hit"),
+            F.sum("in_ann").cast("long").alias("n_hit"),
         )
         .select(
             "query_id", "n_exact", "n_hit",
