@@ -86,6 +86,48 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (snapshot-delta) exact dedup: which *new* documents
+    duplicate the *existing* corpus — the shape every continuously
+    ingesting pipeline runs, where re-deduping the full corpus per
+    batch would be quadratic over time.
+
+    The fixture split is by doc_id parity (even = existing corpus,
+    odd = new batch); in production the split is the ingestion
+    boundary.  Two probes against persisted corpus artifacts:
+    exact — a digest-keyed equi-join of the new batch against the
+    existing digest dim (uniform md5 shuffle key); near — the
+    cross-boundary restriction of the shingle-Jaccard pairs (the
+    inverted index is the persisted artifact; only postings touching
+    a new doc produce work, so a batch costs batch-sized work, not a
+    corpus re-dedup).
+
+    Output: one row per (new doc, matching existing doc):
+    (doc_id, dup_of, kind ∈ exact|near).  ORDER BY doc_id, dup_of."""
+    d = content_digest_frame(spark, sf_dir)
+    old = (
+        d.filter(F.col("doc_id") % 2 == 0)
+        .groupBy("content_md5")
+        .agg(F.min("doc_id").alias("dup_of"))
+    )
+    exact = (
+        d.filter(F.col("doc_id") % 2 == 1)
+        .join(old, "content_md5")
+        .select("doc_id", "dup_of", F.lit("exact").alias("kind"))
+    )
+    pairs = ngram_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    near = (
+        pairs.filter((F.col("doc_a") % 2 == 0) & (F.col("doc_b") % 2 == 1))
+        .select(F.col("doc_b").alias("doc_id"), F.col("doc_a").alias("dup_of"))
+        .union(
+            pairs.filter((F.col("doc_a") % 2 == 1) & (F.col("doc_b") % 2 == 0))
+            .select(F.col("doc_a").alias("doc_id"), F.col("doc_b").alias("dup_of"))
+        )
+        .withColumn("kind", F.lit("near"))
+    )
+    return exact.unionByName(near).orderBy("doc_id", "dup_of")
+
+
 def q_dedup_tokenset(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bag-of-words dedup: documents with the same *distinct token
     set* are duplicates regardless of word order/repetition.  Emits

@@ -66,6 +66,45 @@ SELECT content_md5, MIN(doc_id) AS rep_doc, CAST(COUNT(*) AS BIGINT) AS n_docs
 FROM d GROUP BY content_md5 ORDER BY rep_doc
 """
 
+EXT_ORACLE_SQL["dedup_incremental"] = f"""
+WITH d AS (
+  SELECT doc_id,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS content_md5
+  FROM documents
+),
+old AS (
+  SELECT content_md5, MIN(doc_id) AS dup_of
+  FROM d WHERE doc_id % 2 = 0 GROUP BY content_md5
+),
+exact AS (
+  SELECT d.doc_id, old.dup_of, 'exact' AS kind
+  FROM d JOIN old USING (content_md5)
+  WHERE d.doc_id % 2 = 1
+),
+sh AS (
+  SELECT doc_id, lang, {word_shingles_sql(_TOKS)} AS sh
+  FROM documents
+  WHERE len({word_shingles_sql(_TOKS)}) > 0
+),
+np AS (
+  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM sh x JOIN sh y ON x.lang = y.lang AND x.doc_id < y.doc_id
+  WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+          / len(list_distinct(list_concat(x.sh, y.sh))) >= {MINHASH_JACCARD_MIN}
+),
+near AS (
+  SELECT doc_b AS doc_id, doc_a AS dup_of, 'near' AS kind
+  FROM np WHERE doc_a % 2 = 0 AND doc_b % 2 = 1
+  UNION ALL
+  SELECT doc_a AS doc_id, doc_b AS dup_of, 'near' AS kind
+  FROM np WHERE doc_a % 2 = 1 AND doc_b % 2 = 0
+)
+SELECT doc_id, dup_of, kind FROM exact
+UNION ALL
+SELECT doc_id, dup_of, kind FROM near
+ORDER BY doc_id, dup_of
+"""
+
 EXT_ORACLE_SQL["dedup_tokenset"] = f"""
 WITH d AS (
   SELECT doc_id,

@@ -64,6 +64,7 @@ QUERY_REGISTRY: dict[str, QueryFn] = {
     "gc_sessions": gc_stream.q_gc_sessions,
     # Extensions — dedup family (documents)
     "dedup_exact": dedup.q_dedup_exact,
+    "dedup_incremental": dedup.q_dedup_incremental,
     "dedup_tokenset": dedup.q_dedup_tokenset,
     "dedup_minhash_lsh": dedup.q_dedup_minhash_lsh,
     "dedup_simhash": dedup.q_dedup_simhash,

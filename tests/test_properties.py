@@ -309,3 +309,19 @@ class TestGraphAndPipeline:
         for r in rows:
             assert 0 <= r["n_hit"] <= r["n_exact"]
             assert r["recall"] == pytest.approx(r["n_hit"] / r["n_exact"])
+
+    def test_incremental_dedup_consistent_with_pair_queries(self, q):
+        """Every cross-parity ngram pair must appear as a 'near' row
+        (new=odd side, existing=even side) and vice versa."""
+        want = set()
+        for r in q("ngram_jaccard").collect():
+            a, b = r["doc_a"], r["doc_b"]
+            if a % 2 == 0 and b % 2 == 1:
+                want.add((b, a, "near"))
+            elif a % 2 == 1 and b % 2 == 0:
+                want.add((a, b, "near"))
+        got = {(r["doc_id"], r["dup_of"], r["kind"])
+               for r in q("dedup_incremental").collect()}
+        assert {g for g in got if g[2] == "near"} == want
+        for doc_id, dup_of, _ in got:
+            assert doc_id % 2 == 1 or dup_of % 2 == 0
