@@ -1,4 +1,6 @@
-"""Document deduplication: exact, bag-of-words, MinHash-LSH, SimHash.
+"""Document deduplication: exact, bag-of-words, MinHash-LSH, SimHash,
+n-gram Jaccard, connected-components clustering, and snapshot-delta
+incremental dedup.
 
 Scale design (the point of these operators at 100 TB):
 
