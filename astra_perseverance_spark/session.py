@@ -55,6 +55,22 @@ def get_spark(app_name: str = "astra-perseverance-spark",
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+    )
+    # AQE coalesces DOWN from the initial partition count but never
+    # splits up past it, so at real data scale the ceiling must be
+    # high (rule of thumb: ~2-3× total executor cores, or input-size /
+    # target-partition-size).  Locally the default (= shuffle
+    # partitions) keeps tiny-query planning cheap; a cluster deploy
+    # sets SPARK_GRAFT_INITIAL_PARTITIONS to e.g. 4000 and lets AQE
+    # right-size every exchange at runtime.
+    initial = os.environ.get("SPARK_GRAFT_INITIAL_PARTITIONS")
+    if initial:
+        builder = builder.config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            initial,
+        )
+    builder = (
+        builder
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         .config("spark.sql.files.maxPartitionBytes", "128m")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
