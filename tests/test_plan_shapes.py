@@ -1,0 +1,63 @@
+"""Physical-plan shape gate: the 100 TB plan guarantees
+(docs/PLAN_AUDIT.md) asserted under pytest, not just the standalone
+audit tool — a regression that introduces a SortMergeJoin where a dim
+should broadcast, or a CartesianProduct anywhere, fails CI before it
+ships.
+
+Only `.explain` runs (plan compilation, no execution), so the whole
+registry is cheap to audit per test run.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from tests.conftest import SF_SMALL
+
+
+def _plan(fn, spark):
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        fn(spark, SF_SMALL).explain("formatted")
+    return buf.getvalue()
+
+
+def _registry():
+    from astra_perseverance_spark.queries import QUERY_REGISTRY
+
+    return sorted(QUERY_REGISTRY.items())
+
+
+@pytest.mark.parametrize("name,fn", _registry(), ids=[n for n, _ in _registry()])
+def test_no_smj_or_cartesian(name, fn, spark):
+    p = _plan(fn, spark)
+    assert "SortMergeJoin" not in p, f"{name}: SortMergeJoin in plan"
+    assert "CartesianProduct" not in p, f"{name}: CartesianProduct in plan"
+
+
+def test_bnlj_only_for_declared_baselines(spark):
+    """BroadcastNestedLoopJoin is allowed only where it is the
+    documented design: 1-row totals crossJoins and the brute-force
+    ANN recall baselines."""
+    allowed = {
+        # 1-row totals crossJoin (ratio-to-total / grand-total rows)
+        "workload_reads", "workload_writes", "workload_summary",
+        "workload_rw_outer", "summary_long", "summary_json", "warnings",
+        "data_size", "proxyhistograms_ms",
+        # brute-force |queries|-wide baseline / its consumers
+        "embedding_topk", "ann_recall_audit", "ann_ivf",
+        # 1-row n_docs crossJoin
+        "tfidf_top_terms",
+    }
+    from astra_perseverance_spark.queries import QUERY_REGISTRY
+
+    offenders = []
+    for name, fn in QUERY_REGISTRY.items():
+        if name in allowed:
+            continue
+        if "BroadcastNestedLoopJoin" in _plan(fn, spark):
+            offenders.append(name)
+    assert not offenders, f"undeclared BNLJ in: {offenders}"
