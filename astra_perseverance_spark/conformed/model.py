@@ -130,6 +130,7 @@ def memo_frame(spark: SparkSession, sf_dir: str, tag: tuple, build) -> DataFrame
     """Session-scoped memo: ``build()`` once, ``.cache()``, reuse."""
     key = (_session_key(spark, sf_dir), tag)
     if key not in _FRAME_MEMO:
+        _tune_session(spark)  # extension queries enter here, not load_model
         _FRAME_MEMO[key] = build().cache()
     return _FRAME_MEMO[key]
 
@@ -490,6 +491,28 @@ def build_schema_object(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tables.unionByName(deps).unionByName(funcs)
 
 
+def _tune_session(spark: SparkSession) -> None:
+    """Apply the engine's runtime-mutable tuning to a caller-provided
+    session — but only knobs still at their Spark defaults, so a
+    deliberately configured session is never overridden.
+
+    The engine's own factory (``session.get_spark``) sets these at
+    build time; this covers harness/driver sessions that call the
+    query surface directly: 200 static shuffle partitions on a
+    local[8-32] box wastes a scheduler round per tiny exchange (AQE
+    coalesces the data, not the task-launch overhead of the first
+    attempt's partition count)."""
+    conf = spark.conf
+    try:
+        if conf.get("spark.sql.shuffle.partitions") == "200":
+            par = spark.sparkContext.defaultParallelism
+            conf.set("spark.sql.shuffle.partitions", str(max(par, 8)))
+        conf.set("spark.sql.adaptive.enabled", "true")
+        conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    except Exception:  # noqa: BLE001 — read-only/locked conf: keep going
+        pass
+
+
 def load_model(spark: SparkSession, sf_dir: str) -> ConformedModel:
     """Build (memoized) the conformed model for a scale-factor dir.
 
@@ -503,6 +526,7 @@ def load_model(spark: SparkSession, sf_dir: str) -> ConformedModel:
     if key not in _MODEL_CACHE:
         import os
 
+        _tune_session(spark)
         if os.path.isdir(os.path.join(sf_dir, "nodes")):
             # A real diagnostic tree (the reference's input layout) —
             # route to the ingestion layer; same conformed contract.
