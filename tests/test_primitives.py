@@ -165,3 +165,34 @@ class TestConnectedComponentsRandom:
         got = {r["node"]: r["component"]
                for r in connected_components(df).collect()}
         assert got == want
+
+
+class TestTimezoneProofing:
+    def test_gc_ts_min_invariant_under_session_tz(self, spark):
+        """The ADVICE scenario: a non-UTC caller session must produce
+        identical minute buckets — the instant-timestamp path goes
+        through unix_micros, never a tz-dependent NTZ cast."""
+        from pyspark.sql import functions as F
+
+        from astra_perseverance_spark.conformed.model import build_gc_event
+
+        def epochs(sess):
+            # compare raw epoch seconds, not collected datetimes —
+            # collect() localizes to the session tz, which could
+            # cancel an NTZ-cast bug and hide the shift
+            df = build_gc_event(sess, "/root/testdata/sf0.001")
+            return {
+                (r["node"], r["ep"], r["pause_ms"])
+                for r in df.select(
+                    "node", F.unix_seconds("ts").alias("ep"), "pause_ms"
+                ).collect()
+            }
+
+        utc = epochs(spark)
+        other = spark.newSession()
+        other.conf.set("spark.sql.session.timeZone", "America/New_York")
+        try:
+            got = epochs(other)
+        finally:
+            other.conf.set("spark.sql.session.timeZone", "UTC")
+        assert got == utc
