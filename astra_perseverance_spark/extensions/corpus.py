@@ -23,6 +23,7 @@ from astra_perseverance_spark.conformed.model import memo_frame
 from astra_perseverance_spark.functions.vectors import (
     hyperplane_bucket,
     norm2_q,
+    plane_count,
     quantize,
 )
 
@@ -36,9 +37,27 @@ def docs_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# (applicationId, sf_dir) -> embeddings row count: a driver-side scalar
+# (parquet-metadata count) that sizes the LSH plane count; memoized so
+# consumers don't re-run the count job.
+_VEC_COUNT: dict[tuple, int] = {}
+
+
+def n_vectors(spark: SparkSession, sf_dir: str) -> int:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _VEC_COUNT:
+        _VEC_COUNT[key] = (
+            spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+        )
+    return _VEC_COUNT[key]
+
+
 def vectors_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, label, eq, n2, bucket): quantized embeddings, exact
-    sq-norms, and the 12-plane LSH bucket id — cached per session.
+    sq-norms, and the LSH bucket id — cached per session.  The plane
+    count scales with the corpus (``vectors.plane_count``), keeping the
+    expected bucket size constant as n grows; at a production scale the
+    count would be a pipeline config rather than a per-run count job.
 
     The quantize / norm / bucket pass is 13 interpreted zip_with +
     aggregate reductions over 64 dims per row (HOF lambdas never enter
@@ -53,5 +72,10 @@ def vectors_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(spark.sparkContext.defaultParallelism, "vec_id")
         .select("vec_id", "label", quantize(F.col("embedding")).alias("eq"))
         .withColumn("n2", norm2_q(F.col("eq")))
-        .withColumn("bucket", hyperplane_bucket(F.col("eq"))),
+        .withColumn(
+            "bucket",
+            hyperplane_bucket(
+                F.col("eq"), plane_count(n_vectors(spark, sf_dir))
+            ),
+        ),
     )

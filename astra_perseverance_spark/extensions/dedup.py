@@ -37,6 +37,7 @@ from astra_perseverance_spark.functions.texthash import (
     MINHASH_JACCARD_MIN,
     MINHASH_P,
     MINHASH_ROWS,
+    NGRAM_DF_CAP,
     SIMHASH_BITS,
     SIMHASH_BLOCK_BITS,
     SIMHASH_BLOCKS,
@@ -369,49 +370,105 @@ def _build_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact within-language 3-gram Jaccard join (pairs with j ≥ 0.5)
-    via an inverted-index count join — the classic distributed
-    set-similarity join:
+    over the stop-shingle-capped universe, via prefix-filtered
+    inverted-index candidates — the classic distributed set-similarity
+    join (AllPairs/PPJoin shape):
 
-    1. explode (doc, shingle) postings;
-    2. self-join postings on (lang, shingle) — each shingle's posting
-       list produces its own candidate pairs, so the shuffle key is
-       the shingle, never an all-pairs product;
-    3. ``groupBy(pair).count()`` — the *shuffle* computes every
-       intersection size; no per-pair array ops exist anywhere;
-    4. j = o / (|A| + |B| − o) and a lossless length filter
-       (j ≥ τ ⇒ τ·|B| ≤ |A| ≤ |B|/τ) pre-prunes the join.
+    1. universe: (doc, shingle) postings with shingles of per-language
+       document frequency > ``NGRAM_DF_CAP`` dropped (declared
+       stop-shingle semantics, mirrored in the DuckDB twin — work is
+       Σ df², so the cap bounds the worst posting list the way
+       ``MINHASH_BUCKET_CAP`` bounds the worst LSH bucket);
+    2. candidates: self-join on (lang, shingle) restricted to each
+       doc's *prefix* — its |A| − ⌈τ·|A|⌉ + 1 rarest shingles in the
+       global (df, shingle) order.  Lossless: j(A,B) ≥ τ ⇒
+       |A∩B| ≥ ⌈τ·max(|A|,|B|)⌉, so the canonically-smallest common
+       shingle sits within both prefixes.  Rarest-first means the
+       candidate join runs over the *smallest* posting lists — the
+       Σ df² term collapses to the rare tail;
+    3. a lossless length filter (j ≥ τ ⇒ τ·|B| ≤ |A| ≤ |B|/τ)
+       further prunes candidates;
+    4. verify: intersection sizes as join-group counts over the full
+       capped postings, restricted to the candidate set — the same
+       shape as the MinHash verify, cost Σ_cand (|A| + |B|).
 
-    Exact-equivalent to the naive all-pairs scan (a pair with j ≥ 0.5
-    shares ≥ 1 shingle, so no candidate is missed) — the DuckDB
-    oracle deliberately keeps the naive formulation as an independent
-    implementation.  At 100 TB this is the standard shape: work is
-    Σ freq(shingle)², bounded by dropping ubiquitous shingles in the
-    LSH path (``q_dedup_minhash_lsh``'s bucket cap)."""
+    The DuckDB oracle keeps the naive all-pairs array formulation
+    (over the same capped universe) as an independent implementation —
+    the prefix filter is a plan-level optimization, invisible in the
+    result."""
     return ngram_pairs(spark, sf_dir).orderBy("doc_a", "doc_b")
+
+
+def capped_shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang, g, df, n): the stop-shingle-capped similarity
+    universe — shingle postings with per-language document frequency
+    ``df`` ≤ ``NGRAM_DF_CAP`` and ``n`` = the doc's *surviving*
+    distinct-shingle count (Jaccard on this path is declared over the
+    capped sets).  Memoized: candidate generation, verification, and
+    every ``ngram_pairs`` consumer read it."""
+    def build() -> DataFrame:
+        sh = shingle_rows(spark, sf_dir).select("doc_id", "lang", "g")
+        return (
+            sh.withColumn(
+                "df", F.count("*").over(Window.partitionBy("lang", "g"))
+            )
+            .filter(F.col("df") <= NGRAM_DF_CAP)
+            .withColumn("n", F.count("*").over(Window.partitionBy("doc_id")))
+        )
+
+    return memo_frame(spark, sf_dir, ("ngram_universe",), build)
 
 
 def ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(lang, doc_a, doc_b, jaccard) near-dup pairs, unordered — the
     shared edge source for ``q_ngram_jaccard`` and
-    ``q_dedup_clusters`` (see the former for the plan-shape notes)."""
-    post = shingle_rows(spark, sf_dir)
+    ``q_dedup_clusters`` (see the former for the plan-shape and
+    stop-shingle notes)."""
+    univ = capped_shingle_rows(spark, sf_dir)
     tau = MINHASH_JACCARD_MIN
-    overlaps = (
-        post.alias("x")
-        .join(post.alias("y"), ["lang", "g"])
+    # Prefix postings: each doc's n − ⌈τ·n⌉ + 1 rarest shingles in the
+    # global (df, g) order.  τ = 0.5 is dyadic, so ceil(τ·n) over a
+    # double is exact for every integer n.
+    pre = (
+        univ.withColumn(
+            "r",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("df", "g")
+            ),
+        )
+        .filter(F.col("r") <= F.col("n") - F.ceil(F.lit(tau) * F.col("n")) + 1)
+        .select("lang", "g", "doc_id", "n")
+    )
+    cand = (
+        pre.alias("x")
+        .join(pre.alias("y"), ["lang", "g"])
         .filter(
             (F.col("x.doc_id") < F.col("y.doc_id"))
             # lossless length filter for j >= tau
             & (F.col("x.n") >= tau * F.col("y.n"))
             & (F.col("y.n") >= tau * F.col("x.n"))
         )
-        .groupBy(
-            F.col("lang"),
+        .select(
+            "lang",
             F.col("x.doc_id").alias("doc_a"),
             F.col("y.doc_id").alias("doc_b"),
-            F.col("x.n").alias("na"),
-            F.col("y.n").alias("nb"),
         )
+        .distinct()
+    )
+    post = univ.select("doc_id", "n", "g")
+    overlaps = (
+        cand
+        .join(
+            post.select(F.col("doc_id").alias("doc_a"),
+                        F.col("n").alias("na"), F.col("g")),
+            "doc_a",
+        )
+        .join(
+            post.select(F.col("doc_id").alias("doc_b"),
+                        F.col("n").alias("nb"), F.col("g")),
+            ["doc_b", "g"],
+        )
+        .groupBy("lang", "doc_a", "doc_b", "na", "nb")
         .agg(F.count("*").alias("o"))
     )
     return (

@@ -2,18 +2,21 @@
 
 Three paths, same exact-integer cosine (``functions.vectors``):
 
-- ``q_embedding_topk`` — brute-force exact top-k for a query subset.
-  The query side is tiny (2% of vectors) and explicitly broadcast, so
-  the plan is one scan of the corpus with a broadcast nested-loop of
-  width |queries| — the right baseline, and the recall oracle for the
-  bucketed path.  At 100 TB the corpus side stays partition-parallel;
-  cost is O(|corpus| · |queries|), so this is only for small query
-  batches — exactly how a recall-audit runs in production.
+- ``q_embedding_topk`` — brute-force exact top-k for a FIXED-SIZE
+  query panel (the ``ANN_QUERY_COUNT`` vectors with the smallest
+  (h15(vec_id), vec_id) — deterministic and corpus-size-free, the same
+  hash-selection trick as ``corpus_sample``).  The query side is a
+  constant-size broadcast, so the plan is one scan of the corpus with
+  a broadcast nested-loop of width |panel| — cost O(|corpus| · K),
+  linear in the corpus — the right recall baseline: an audit needs a
+  bounded query sample, never a constant *fraction* (a stride grows
+  with n and makes the audit quadratic).
 - ``q_ann_lsh_bucket`` — random-hyperplane LSH: corpus and queries
-  hash to 4096 sign-buckets; candidates are bucket-local (equi-join on
-  the bucket id, shuffle-partitioned by bucket), then exact cosine
-  top-k within the candidate set.  Sub-linear work per query at scale;
-  recall is tunable via ``ANN_PLANES``.
+  hash to 2^planes sign-buckets; candidates are bucket-local
+  (equi-join on the bucket id, shuffle-partitioned by bucket), then
+  exact cosine top-k within the candidate set.  The plane count scales
+  with the corpus (``vectors.plane_count``) so expected bucket size —
+  and with it work per query — stays constant as n grows.
 - ``q_ann_ivf`` — inverted-file coarse quantizer: vectors join their
   nearest centroid's list, queries probe ``IVF_NPROBE`` lists.  The
   IVF/LSH pair covers both standard ANN index families; recall knobs
@@ -29,11 +32,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from astra_perseverance_spark.conformed.model import memo_frame
 from astra_perseverance_spark.extensions.corpus import vectors_frame as _vectors
+from astra_perseverance_spark.functions.ordering import salted_topk
+from astra_perseverance_spark.functions.texthash import h15
 from astra_perseverance_spark.functions.vectors import ANN_TOPK, cosine, dot_q
 
-# Every 50th vector is a query probe (deterministic, scale-free).
-QUERY_STRIDE = 50
+# Fixed-size query panel: the K vectors with the smallest
+# (h15(vec_id), vec_id).  A constant, not a fraction — the brute-force
+# baseline and the recall audit stay O(n·K) at any corpus size.
+ANN_QUERY_COUNT = 16
 
 # Embedding near-dup cosine threshold.  Production pipelines use
 # ~0.95; the driver's synthetic embeddings are near-orthogonal random
@@ -48,6 +56,23 @@ IVF_CENTROID_STRIDE = 31
 IVF_NPROBE = 2
 
 
+def query_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id): the deterministic fixed-size query panel — exact
+    global top-K by (h15(vec_id), vec_id) via the two-phase salted
+    top-k (no single-reducer sort over the corpus; vec_id is the
+    unique tie-breaker ``salted_topk`` requires).  Memoized: all three
+    ANN paths and the recall audit probe the same panel."""
+    def build() -> DataFrame:
+        v = _vectors(spark, sf_dir).select("vec_id").withColumn(
+            "qh", h15(F.col("vec_id").cast("string"))
+        )
+        return salted_topk(
+            v, [], ["qh", "vec_id"], ANN_QUERY_COUNT, "vec_id"
+        ).select("vec_id")
+
+    return memo_frame(spark, sf_dir, ("ann_query_panel",), build)
+
+
 def _topk(pairs: DataFrame) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
     return (
@@ -59,13 +84,16 @@ def _topk(pairs: DataFrame) -> DataFrame:
 
 
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact cosine top-10 neighbors for each query vector
-    (vec_id % 50 == 0), self excluded."""
+    """Exact cosine top-10 neighbors for each panel query vector
+    (``query_ids``), self excluded."""
     v = _vectors(spark, sf_dir)
-    q = v.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("eq").alias("q_eq"),
-        F.col("n2").alias("q_n2"),
+    q = (
+        v.join(F.broadcast(query_ids(spark, sf_dir)), "vec_id", "semi")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("eq").alias("q_eq"),
+            F.col("n2").alias("q_n2"),
+        )
     )
     v = v.drop("bucket")
     pairs = (
@@ -88,11 +116,14 @@ def q_ann_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     The join key is the 12-bit bucket id — bucket-local shuffles, no
     broadcast of the corpus, no all-pairs product."""
     v = _vectors(spark, sf_dir)
-    q = v.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("eq").alias("q_eq"),
-        F.col("n2").alias("q_n2"),
-        F.col("bucket"),
+    q = (
+        v.join(F.broadcast(query_ids(spark, sf_dir)), "vec_id", "semi")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("eq").alias("q_eq"),
+            F.col("n2").alias("q_n2"),
+            F.col("bucket"),
+        )
     )
     pairs = (
         v.join(q, "bucket")
@@ -134,15 +165,13 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cache the n×k centroid-affinity pass runs once per branch.  This
     # is the IVF index build — the artifact a production system
     # persists.
-    from astra_perseverance_spark.conformed.model import memo_frame
-
     ranked = memo_frame(spark, sf_dir, ("ivf_lists",),
                         lambda: _build_ivf_lists(spark, sf_dir))
     assign = ranked.filter(F.col("crank") == 1).select(
         "vec_id", "eq", "n2", "cid"
     )
     probes = (
-        ranked.filter(F.col("vec_id") % QUERY_STRIDE == 0)
+        ranked.join(F.broadcast(query_ids(spark, sf_dir)), "vec_id", "semi")
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("eq").alias("q_eq"),
@@ -220,8 +249,10 @@ def _cosine_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@k of the LSH-bucketed ANN path against the exact
-    brute-force baseline, per query — the audit every production ANN
-    deployment runs to tune its index knobs (here: ``ANN_PLANES``).
+    brute-force baseline, per panel query — the audit every production
+    ANN deployment runs to tune its index knobs (here: the
+    ``plane_count`` schedule).  The panel is fixed-size, so the audit
+    costs O(n·K) — bounded at any corpus scale.
 
     recall = |exact top-k ∩ bucketed top-k| / |exact top-k| — both
     sides are deterministic (exact integer cosine, total tie order),
@@ -275,7 +306,6 @@ def q_embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output: (cluster_id, vec_id, cluster_size), size ≥ 2 by
     construction (singletons have no edges)."""
-    from astra_perseverance_spark.conformed.model import memo_frame
     from astra_perseverance_spark.functions.graph import (
         connected_components,
     )

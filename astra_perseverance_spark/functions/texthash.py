@@ -39,6 +39,17 @@ MINHASH_BUCKET_CAP = 100
 # Pairs below this exact-Jaccard threshold are filtered after LSH.
 MINHASH_JACCARD_MIN = 0.5
 
+# Stop-shingle cap for the exact-Jaccard path: shingles whose
+# per-language document frequency exceeds this are boilerplate, not
+# signal, and are excluded from the similarity universe (declared
+# semantics, mirrored in the DuckDB twins).  This is the posting-list
+# analog of MINHASH_BUCKET_CAP: the inverted-index join's work is
+# Σ df(shingle)², so one shingle shared by 10⁶ docs would otherwise
+# make a single 10¹²-pair bucket at corpus scale.  At the test scale
+# factors no shingle reaches the cap (max df: 5 at sf0.01, 14 at
+# sf0.1), so results there are unchanged.
+NGRAM_DF_CAP = 50
+
 # SimHash: 48 bits (keeps every shifted value far from BIGINT sign).
 SIMHASH_BITS = 48
 SIMHASH_BLOCKS = 4          # 4 blocks × 12 bits for candidate blocking

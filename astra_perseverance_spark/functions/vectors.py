@@ -24,10 +24,38 @@ from pyspark.sql import functions as F
 
 QUANT = 1_000_000  # fixed-point scale
 
-# Random-hyperplane LSH: 12 planes over 64 dims → 4096 buckets.
-ANN_PLANES = 12
+# Random-hyperplane LSH over 64 dims.  The plane count SCALES WITH THE
+# CORPUS (``plane_count``): with a fixed plane count, Σ bucket² — the
+# bucket-local join's work — grows quadratically in n; scaling planes
+# ≈ log2(n / target) keeps the expected bucket size (and so the work
+# per vector) constant as the corpus grows, the same way shuffle
+# partitions scale with input volume.
+ANN_BUCKET_TARGET = 4   # expected vectors per bucket
+ANN_PLANES_MIN = 6
+ANN_PLANES_MAX = 24
 ANN_DIM = 64
 ANN_TOPK = 10
+
+
+def plane_count(n_vectors: int) -> int:
+    """Smallest plane count giving ≥ n/ANN_BUCKET_TARGET buckets,
+    clamped to [MIN, MAX] — integer-exact via bit_length (a libm
+    ``log2`` could flip the count near powers of two where Java and C
+    differ in the last ulp; the DuckDB twin ``plane_count_sql`` uses
+    the binary-string length, which is the same integer)."""
+    m = max(1, -(-n_vectors // ANN_BUCKET_TARGET))
+    return min(ANN_PLANES_MAX, max(ANN_PLANES_MIN, (m - 1).bit_length()))
+
+
+def plane_count_sql(count_expr: str) -> str:
+    """DuckDB twin of :func:`plane_count` (bin-string length =
+    bit_length for positive ints; bin(0) = '0' has length 1, but both
+    engines clamp to ANN_PLANES_MIN there)."""
+    m = f"greatest(({count_expr} + {ANN_BUCKET_TARGET - 1}) // {ANN_BUCKET_TARGET}, 1)"
+    return (
+        f"least(greatest(length(bin({m} - 1)), {ANN_PLANES_MIN}), "
+        f"{ANN_PLANES_MAX})"
+    )
 
 # Hyperplane component v(j, d) ∈ [-999, 999], from deterministic
 # modular arithmetic (mirrored literally in the DuckDB twin).
@@ -78,8 +106,10 @@ def cosine(dot: Column, n2a: Column, n2b: Column) -> Column:
     )
 
 
-def hyperplane_bucket(eq: Column) -> Column:
-    """LSH bucket id: sign bits of 12 integer hyperplane projections.
+def hyperplane_bucket(eq: Column, planes: int) -> Column:
+    """LSH bucket id: sign bits of ``planes`` integer hyperplane
+    projections (``planes`` from :func:`plane_count` at the corpus'
+    cardinality — a driver-side scalar folded into the plan).
 
     Exact integer arithmetic throughout: bucket =
     Σ_j [Σ_d eq[d]·v(j,d) ≥ 0] << j with
@@ -96,18 +126,26 @@ def hyperplane_bucket(eq: Column) -> Column:
         )
 
     out = F.lit(0).cast("long")
-    for j in range(ANN_PLANES):
+    for j in range(planes):
         out = out + F.when(proj(j) >= 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0))
     return out
 
 
-def hyperplane_bucket_sql(eq: str, dim: int = ANN_DIM) -> str:
+def hyperplane_bucket_sql(eq: str, dim: int = ANN_DIM,
+                          planes_col: str = "pl.p") -> str:
+    """DuckDB twin: all ANN_PLANES_MAX projections unrolled, each
+    masked by ``j < planes_col`` (the plane count is data-dependent in
+    SQL, so the term count cannot be fixed at build time the way the
+    Spark side's driver-scalar loop can)."""
     terms = []
-    for j in range(ANN_PLANES):
+    for j in range(ANN_PLANES_MAX):
         proj = (
             f"CAST(list_sum(list_transform(range({dim}), d -> "
             f"({eq})[CAST(d+1 AS INT)] * "
             f"(({_HP_A * (j + 1)} + {_HP_B}::BIGINT * (d+1)) % {_HP_M} - 999))) AS BIGINT)"
         )
-        terms.append(f"(CASE WHEN {proj} >= 0 THEN {1 << j} ELSE 0 END)")
+        terms.append(
+            f"(CASE WHEN {j} < {planes_col} AND {proj} >= 0 "
+            f"THEN {1 << j} ELSE 0 END)"
+        )
     return "(" + " + ".join(terms) + ")::BIGINT"

@@ -11,10 +11,10 @@ re-parses nibbles with shifts).
 from __future__ import annotations
 
 from astra_perseverance_spark.extensions.similarity import (
+    ANN_QUERY_COUNT,
     DUP_COSINE_MIN,
     IVF_CENTROID_STRIDE,
     IVF_NPROBE,
-    QUERY_STRIDE,
 )
 from astra_perseverance_spark.extensions.pipeline import (
     NGRAM_TOP_K,
@@ -36,6 +36,7 @@ from astra_perseverance_spark.functions.texthash import (
     MINHASH_JACCARD_MIN,
     MINHASH_P,
     MINHASH_ROWS,
+    NGRAM_DF_CAP,
     SIMHASH_BITS,
     SIMHASH_BLOCK_BITS,
     SIMHASH_BLOCKS,
@@ -49,10 +50,31 @@ from astra_perseverance_spark.functions.vectors import (
     ANN_TOPK,
     dot_q_sql,
     hyperplane_bucket_sql,
+    plane_count_sql,
     quantize_sql,
 )
 
 _TOKS = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+
+# Stop-shingle-capped similarity universe (the exact-Jaccard path's
+# declared semantics — see ``texthash.NGRAM_DF_CAP``): shingles with
+# per-language document frequency above the cap are excluded, and each
+# doc's set is the surviving shingles.  Row-based df + re-aggregated
+# lists here vs the Spark side's windowed postings — independent
+# formulations of the same sets.
+_CAPPED_SH = f"""
+sh0 AS (
+  SELECT doc_id, lang, unnest({word_shingles_sql(_TOKS)}) AS g FROM documents
+),
+shdf AS (
+  SELECT lang, g, COUNT(*) AS df FROM sh0 GROUP BY lang, g
+),
+sh AS (
+  SELECT sh0.doc_id, sh0.lang, list(sh0.g) AS sh
+  FROM sh0 JOIN shdf ON shdf.lang = sh0.lang AND shdf.g = sh0.g
+  WHERE shdf.df <= {NGRAM_DF_CAP}
+  GROUP BY sh0.doc_id, sh0.lang
+)"""
 
 EXT_ORACLE_SQL: dict[str, str] = {}
 
@@ -81,11 +103,7 @@ exact AS (
   FROM d JOIN old USING (content_md5)
   WHERE d.doc_id % 2 = 1
 ),
-sh AS (
-  SELECT doc_id, lang, {word_shingles_sql(_TOKS)} AS sh
-  FROM documents
-  WHERE len({word_shingles_sql(_TOKS)}) > 0
-),
+{_CAPPED_SH.lstrip()},
 np AS (
   SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
   FROM sh x JOIN sh y ON x.lang = y.lang AND x.doc_id < y.doc_id
@@ -215,11 +233,7 @@ ORDER BY doc_a, doc_b
 """
 
 EXT_ORACLE_SQL["ngram_jaccard"] = f"""
-WITH sh AS (
-  SELECT doc_id, lang, {word_shingles_sql(_TOKS)} AS sh
-  FROM documents
-  WHERE len({word_shingles_sql(_TOKS)}) > 0
-)
+WITH {_CAPPED_SH}
 SELECT x.lang, x.doc_id AS doc_a, y.doc_id AS doc_b,
        CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
          / len(list_distinct(list_concat(x.sh, y.sh))) AS jaccard
@@ -351,11 +365,7 @@ exact_e AS (
   FROM d JOIN grp USING (h)
   WHERE grp.c >= 2 AND d.doc_id > grp.m
 ),
-sh AS (
-  SELECT doc_id, lang, {word_shingles_sql(_TOKS)} AS sh
-  FROM documents
-  WHERE len({word_shingles_sql(_TOKS)}) > 0
-),
+{_CAPPED_SH.lstrip()},
 near_e AS (
   SELECT x.doc_id AS a, y.doc_id AS b
   FROM sh x JOIN sh y ON x.lang = y.lang AND x.doc_id < y.doc_id
@@ -383,6 +393,14 @@ v AS (
 ),
 vn AS (
   SELECT vec_id, label, eq, {dot_q_sql('eq', 'eq', ANN_DIM)} AS n2 FROM v
+),
+pl AS (
+  SELECT {plane_count_sql('(SELECT COUNT(*) FROM embeddings)')} AS p
+),
+qsel AS (
+  SELECT vec_id FROM embeddings
+  ORDER BY {h15_sql('CAST(vec_id AS VARCHAR)')}, vec_id
+  LIMIT {ANN_QUERY_COUNT}
 )
 """
 
@@ -393,7 +411,7 @@ _COS = (
 
 EXT_ORACLE_SQL["embedding_topk"] = f"""
 WITH {_VEC},
-q AS (SELECT * FROM vn WHERE vec_id % {QUERY_STRIDE} = 0),
+q AS (SELECT * FROM vn WHERE vec_id IN (SELECT vec_id FROM qsel)),
 pairs AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {_COS} AS cosine
   FROM q JOIN vn c ON c.vec_id <> q.vec_id
@@ -410,8 +428,9 @@ FROM ranked WHERE rank <= {ANN_TOPK} ORDER BY query_id, rank
 
 EXT_ORACLE_SQL["ann_lsh_bucket"] = f"""
 WITH {_VEC},
-vb AS (SELECT vec_id, label, eq, n2, {hyperplane_bucket_sql('eq')} AS bucket FROM vn),
-q AS (SELECT * FROM vb WHERE vec_id % {QUERY_STRIDE} = 0),
+vb AS (SELECT vec_id, label, eq, n2, {hyperplane_bucket_sql('eq')} AS bucket
+       FROM vn CROSS JOIN pl),
+q AS (SELECT * FROM vb WHERE vec_id IN (SELECT vec_id FROM qsel)),
 pairs AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {_COS} AS cosine
   FROM q JOIN vb c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
@@ -428,8 +447,9 @@ FROM ranked WHERE rank <= {ANN_TOPK} ORDER BY query_id, rank
 
 EXT_ORACLE_SQL["ann_recall_audit"] = f"""
 WITH {_VEC},
-vb AS (SELECT vec_id, label, eq, n2, {hyperplane_bucket_sql('eq')} AS bucket FROM vn),
-q AS (SELECT * FROM vb WHERE vec_id % {QUERY_STRIDE} = 0),
+vb AS (SELECT vec_id, label, eq, n2, {hyperplane_bucket_sql('eq')} AS bucket
+       FROM vn CROSS JOIN pl),
+q AS (SELECT * FROM vb WHERE vec_id IN (SELECT vec_id FROM qsel)),
 exact_pairs AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {_COS} AS cosine
   FROM q JOIN vn c ON c.vec_id <> q.vec_id
@@ -484,7 +504,7 @@ assign AS (SELECT vec_id, eq, n2, cid FROM ranked_aff WHERE crank = 1),
 probes AS (
   SELECT vec_id AS query_id, eq AS q_eq, n2 AS q_n2, cid
   FROM ranked_aff
-  WHERE vec_id % {QUERY_STRIDE} = 0 AND crank <= {IVF_NPROBE}
+  WHERE vec_id IN (SELECT vec_id FROM qsel) AND crank <= {IVF_NPROBE}
 ),
 pairs AS (
   SELECT p.query_id, a.vec_id AS neighbor_id,
@@ -505,7 +525,8 @@ FROM ranked WHERE rank <= {ANN_TOPK} ORDER BY query_id, rank
 
 EXT_ORACLE_SQL["embedding_cosine_dups"] = f"""
 WITH {_VEC},
-vb AS (SELECT vec_id, eq, n2, {hyperplane_bucket_sql('eq')} AS bucket FROM vn)
+vb AS (SELECT vec_id, eq, n2, {hyperplane_bucket_sql('eq')} AS bucket
+       FROM vn CROSS JOIN pl)
 SELECT q.vec_id AS vec_a, c.vec_id AS vec_b, {_COS} AS cosine
 FROM vb q JOIN vb c ON c.bucket = q.bucket AND q.vec_id < c.vec_id
 WHERE {_COS} >= {DUP_COSINE_MIN}
@@ -517,7 +538,8 @@ _STOP_EN = ", ".join(f"'{s}'" for s in LANG_PROFILES[0][1])
 EXT_ORACLE_SQL["embedding_dup_clusters"] = f"""
 WITH RECURSIVE
 {_VEC},
-vb AS (SELECT vec_id, eq, n2, {hyperplane_bucket_sql('eq')} AS bucket FROM vn),
+vb AS (SELECT vec_id, eq, n2, {hyperplane_bucket_sql('eq')} AS bucket
+       FROM vn CROSS JOIN pl),
 e AS (
   SELECT q.vec_id AS a, c.vec_id AS b
   FROM vb q JOIN vb c ON c.bucket = q.bucket AND q.vec_id < c.vec_id

@@ -18,14 +18,20 @@ Expected shapes (the honest part):
 - map-parallel ops (text stats, lang id, token count, fingerprint,
   exact/tokenset dedup, minhash signatures): O(n) — ratio ≈ REP, and
   well under REP while per-task constants still dominate.
-- LSH-blocked joins (simhash, minhash buckets, ann buckets): work is
-  Σ bucket² over a FIXED key space (4096 12-bit chunks / 4096
-  hyperplane buckets), so density grows REP× and candidate pairs grow
-  up to REP²×.  That is the textbook LSH trade-off: at a larger corpus
-  you add blocking bits / planes, exactly like you add shuffle
-  partitions.  The probe surfaces this rather than hiding it.
-- brute-force topk: O(|corpus|·|queries|) = REP² by design (the
-  documented recall-audit baseline, not the scale path).
+- LSH-blocked joins (simhash, minhash buckets): work is Σ bucket² over
+  a FIXED key space (4096 12-bit chunks), so density grows REP× and
+  candidate pairs grow up to REP²×.  That is the textbook LSH
+  trade-off the pigeonhole bound forces for simhash; the HYPERPLANE
+  buckets no longer share it — the plane count scales with the corpus
+  (``vectors.plane_count``), holding expected bucket size constant.
+- exact-Jaccard: stop-shingle df cap (``NGRAM_DF_CAP``) bounds every
+  posting list, and candidate generation runs over each doc's rarest
+  prefix shingles only (AllPairs prefix filter, lossless), so the
+  remaining cost is the per-candidate verify — proportional to the
+  true-pair density of the corpus, which the REP-replicated probe
+  corpus deliberately makes ~REP× per doc.
+- brute-force topk: O(|corpus|·K) with the fixed query panel — linear
+  in the corpus now, REP× in the probe.
 
 Usage: python tools/scale_probe.py [REP] [sf_dir]
 Scratch parquet goes under .scratch/ (gitignored).
@@ -49,15 +55,15 @@ OPS = [
     ("dedup_tokenset", "O(n)"),
     ("dedup_minhash_lsh", "O(n) sigs + bucket-local pairs"),
     ("dedup_simhash", "O(n) sigs + Σ bucket² (fixed 4096-key space)"),
-    ("ngram_jaccard", "Σ posting² per shingle"),
+    ("ngram_jaccard", "df-capped prefix postings + per-candidate verify"),
     ("text_stats", "O(n)"),
     ("lang_id", "O(n)"),
     ("token_count", "O(n)"),
     ("doc_fingerprint", "O(n)"),
-    ("embedding_topk", "O(n·q) — q grows with n ⇒ ~REP²"),
-    ("ann_lsh_bucket", "Σ bucket·q_bucket (fixed 4096 buckets)"),
-    ("ann_ivf", "O(n·k) assign + O(q·n/lists·nprobe) probe"),
-    ("embedding_cosine_dups", "Σ bucket² (fixed 4096 buckets)"),
+    ("embedding_topk", "O(n·K) — fixed-size query panel"),
+    ("ann_lsh_bucket", "Σ bucket·q_bucket (planes scale with n)"),
+    ("ann_ivf", "O(n·k) assign + O(K·n/lists·nprobe) probe"),
+    ("embedding_cosine_dups", "Σ bucket² (planes scale with n)"),
     ("dedup_clusters", "O(E) per round × O(log d) rounds"),
     ("vocab_top_terms", "O(n) tokens + vocab-grain agg"),
     ("tfidf_top_terms", "O(n) tokens + term-keyed join"),
