@@ -135,6 +135,30 @@ def memo_frame(spark: SparkSession, sf_dir: str, tag: tuple, build) -> DataFrame
     return _FRAME_MEMO[key]
 
 
+def release_memos(spark: SparkSession) -> int:
+    """Unpersist and forget every ``memo_frame``/``memo_plan`` entry for
+    this session (the conformed model cache is NOT touched).
+
+    Benchmark isolation hook: the memo pool deliberately shares cached
+    subtrees across queries, which is right for a report run but makes
+    per-query timings non-attributable — query B's number includes
+    memory pressure from query A's pinned frames.  ``bench.py`` calls
+    this between queries so each measurement sees only the model cache
+    plus the frames the query itself (re)builds.  Returns the number of
+    entries dropped."""
+    app_id = spark.sparkContext.applicationId
+    dropped = 0
+    for key in [k for k in _FRAME_MEMO if k[0][0] == app_id]:
+        df = _FRAME_MEMO.pop(key)
+        try:
+            if df.is_cached:
+                df.unpersist(blocking=False)
+        except Exception:  # noqa: BLE001 — context already stopped
+            pass
+        dropped += 1
+    return dropped
+
+
 def memo_plan(spark: SparkSession, sf_dir: str, tag: tuple, build) -> DataFrame:
     """Like ``memo_frame`` but WITHOUT ``.cache()`` — reuses only the
     constructed DataFrame (logical plan).  For wide assembly queries
@@ -491,10 +515,21 @@ def build_schema_object(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tables.unionByName(deps).unionByName(funcs)
 
 
+# Runtime knobs _tune_session may adjust, each with the Spark default it
+# must observe before touching the knob (a non-default value means the
+# caller configured the session deliberately — leave it alone).
+_TUNABLE_DEFAULTS = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+}
+_TUNED_SESSIONS: set[str] = set()
+
+
 def _tune_session(spark: SparkSession) -> None:
     """Apply the engine's runtime-mutable tuning to a caller-provided
     session — but only knobs still at their Spark defaults, so a
-    deliberately configured session is never overridden.
+    deliberately configured session (e.g. a harness that disabled AQE
+    to test static plans) is never overridden.
 
     The engine's own factory (``session.get_spark``) sets these at
     build time; this covers harness/driver sessions that call the
@@ -502,15 +537,39 @@ def _tune_session(spark: SparkSession) -> None:
     local[8-32] box wastes a scheduler round per tiny exchange (AQE
     coalesces the data, not the task-launch overhead of the first
     attempt's partition count)."""
+    import logging
+
+    from pyspark.errors import AnalysisException
+
     conf = spark.conf
+    applied: list[str] = []
     try:
         if conf.get("spark.sql.shuffle.partitions") == "200":
             par = spark.sparkContext.defaultParallelism
-            conf.set("spark.sql.shuffle.partitions", str(max(par, 8)))
-        conf.set("spark.sql.adaptive.enabled", "true")
-        conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
-    except Exception:  # noqa: BLE001 — read-only/locked conf: keep going
-        pass
+            val = str(max(par, 8))
+            conf.set("spark.sql.shuffle.partitions", val)
+            applied.append(f"spark.sql.shuffle.partitions={val}")
+        for knob, default in _TUNABLE_DEFAULTS.items():
+            if conf.get(knob) == default:
+                conf.set(knob, default)
+                applied.append(f"{knob}={default}")
+    except AnalysisException as exc:
+        # CANNOT_MODIFY_CONFIG: the conf is static/locked for this
+        # session.  That is a legitimate caller choice — record it and
+        # keep going with the session as-is.  Any other failure mode
+        # (typo'd knob, driver gone) should surface, not be swallowed.
+        getter = getattr(exc, "getCondition", None)  # 4.x name
+        klass = getter() if getter is not None else None
+        if klass != "CANNOT_MODIFY_CONFIG" and "Cannot modify" not in str(exc):
+            raise
+        logging.getLogger(__name__).info(
+            "session conf locked; tuning skipped: %s", exc)
+        return
+    sid = spark.sparkContext.applicationId
+    if applied and sid not in _TUNED_SESSIONS:
+        _TUNED_SESSIONS.add(sid)
+        logging.getLogger(__name__).info(
+            "tuned session %s: %s", sid, ", ".join(applied))
 
 
 def load_model(spark: SparkSession, sf_dir: str) -> ConformedModel:

@@ -196,3 +196,64 @@ class TestTimezoneProofing:
         finally:
             other.conf.set("spark.sql.session.timeZone", "UTC")
         assert got == utc
+
+
+class TestTuneSession:
+    def test_disabled_aqe_is_respected(self, spark):
+        """The ADVICE scenario: a harness that deliberately disabled AQE
+        must not have it silently re-enabled by the first query call."""
+        from astra_perseverance_spark.conformed.model import _tune_session
+
+        sess = spark.newSession()
+        sess.conf.set("spark.sql.adaptive.enabled", "false")
+        sess.conf.set(
+            "spark.sql.adaptive.coalescePartitions.enabled", "false")
+        try:
+            _tune_session(sess)
+            assert sess.conf.get("spark.sql.adaptive.enabled") == "false"
+            assert sess.conf.get(
+                "spark.sql.adaptive.coalescePartitions.enabled") == "false"
+        finally:
+            sess.conf.set("spark.sql.adaptive.enabled", "true")
+            sess.conf.set(
+                "spark.sql.adaptive.coalescePartitions.enabled", "true")
+
+    def test_nondefault_shuffle_partitions_untouched(self, spark):
+        from astra_perseverance_spark.conformed.model import _tune_session
+
+        sess = spark.newSession()
+        sess.conf.set("spark.sql.shuffle.partitions", "7")
+        _tune_session(sess)
+        assert sess.conf.get("spark.sql.shuffle.partitions") == "7"
+
+    def test_default_session_gets_tuned(self, spark):
+        from astra_perseverance_spark.conformed.model import _tune_session
+
+        sess = spark.newSession()
+        sess.conf.set("spark.sql.shuffle.partitions", "200")  # Spark default
+        _tune_session(sess)
+        assert sess.conf.get("spark.sql.shuffle.partitions") != "200"
+        assert sess.conf.get("spark.sql.adaptive.enabled") == "true"
+
+    def test_locked_static_conf_does_not_raise(self, spark):
+        """A CANNOT_MODIFY_CONFIG AnalysisException from a locked knob is
+        a caller choice — tuning must skip quietly, not crash or mask
+        unrelated errors."""
+        from astra_perseverance_spark.conformed import model as m
+
+        class LockedConf:
+            def get(self, k):
+                return "200" if k.endswith("shuffle.partitions") else "true"
+
+            def set(self, k, v):
+                from pyspark.errors import AnalysisException
+
+                raise AnalysisException(
+                    f"[CANNOT_MODIFY_CONFIG] Cannot modify the value of "
+                    f"the Spark config: {k}")
+
+        class FakeSession:
+            conf = LockedConf()
+            sparkContext = spark.sparkContext
+
+        m._tune_session(FakeSession())  # must not raise

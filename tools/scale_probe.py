@@ -133,18 +133,29 @@ def main() -> int:
     print(f"replicating {sf_dir} x{rep} -> {scratch}", file=sys.stderr)
     replicate(spark, sf_dir, rep, scratch)
 
+    from astra_perseverance_spark.conformed.model import release_memos
+
     rows = []
     for name, shape in OPS:
         fn = QUERY_REGISTRY[name]
-        # warm both plans once (codegen/caches), then measure
+        # Isolate each op at each scale: drop every shared memo frame,
+        # one untimed warm run (rebuilds the op's own memos + codegen),
+        # then measure.  Without this, an op's 8x number silently
+        # includes cache pressure from every op before it (round-3:
+        # doc_fingerprint "went quadratic" purely from pool pressure).
+        release_memos(spark)
         time_op(fn, spark, sf_dir)
         t1 = time_op(fn, spark, sf_dir)
+        r1 = fn(spark, sf_dir).count()
+        release_memos(spark)
         time_op(fn, spark, scratch)
         tn = time_op(fn, spark, scratch)
+        rn = fn(spark, scratch).count()
+        release_memos(spark)
         ratio = tn / t1 if t1 > 0 else float("inf")
-        rows.append((name, shape, t1, tn, ratio))
-        print(f"{name}: 1x={t1:.2f}s {rep}x={tn:.2f}s ratio={ratio:.1f}",
-              file=sys.stderr)
+        rows.append((name, shape, t1, tn, ratio, r1, rn))
+        print(f"{name}: 1x={t1:.2f}s {rep}x={tn:.2f}s ratio={ratio:.1f} "
+              f"rows {r1}->{rn}", file=sys.stderr)
 
     lines = [
         "# Scale probe — extension operators at 1× vs "
@@ -158,20 +169,27 @@ def main() -> int:
         "expected complexity of each family.",
         "",
         f"| operator | expected shape | t(1×) s | t({rep}×) s | ratio "
-        f"(ideal ≤ {rep}) |",
-        "|---|---|---|---|---|",
+        f"(ideal ≤ {rep}) | rows 1×→{rep}× |",
+        "|---|---|---|---|---|---|",
     ]
-    for name, shape, t1, tn, ratio in rows:
+    for name, shape, t1, tn, ratio, r1, rn in rows:
         lines.append(
-            f"| {name} | {shape} | {t1:.2f} | {tn:.2f} | {ratio:.1f} |"
+            f"| {name} | {shape} | {t1:.2f} | {tn:.2f} | {ratio:.1f} "
+            f"| {r1}→{rn} |"
         )
     lines += [
         "",
-        "Ratios at or under the replication factor mean the operator is",
-        "partition-parallel with no hidden quadratic stage; ratios above",
-        "it are the documented fixed-key-space LSH densities (the knob at",
-        "real scale is more blocking bits/planes, like shuffle partitions)",
-        "or the deliberately-quadratic brute-force baseline.",
+        "Each op is measured in isolation (shared memo frames released,",
+        "own warm run first) at each scale.  Ratios at or under the",
+        "replication factor mean the operator is partition-parallel with",
+        "no hidden quadratic stage.  For the near-dup ops, compare the",
+        "time ratio against the OUTPUT row growth: the probe corpus",
+        "plants REP−1 near-duplicates per document, so a verify-bound",
+        "operator's work is proportional to true pairs found, which grow",
+        "~C(REP,2)× per original document here — time growing with",
+        "output is linear-in-work, not a scaling cliff.  Remaining",
+        "above-output ratios are the documented fixed-key-space simhash",
+        "pigeonhole density (knob: more blocking bits at real scale).",
     ]
     with open(OUT_MD, "w") as f:
         f.write("\n".join(lines) + "\n")
