@@ -9,9 +9,10 @@ per-table/per-node grains — bounded by schema size, explore.py renders
 the same rows) and rendered through ``sinks.xlsx``.
 
 The reference's Excel *formula* cells (totals via ``=SUM(...)``,
-explore.py:1724, 1758-1760, 1811-1826) are written as computed values:
-the engine computes totals in Spark; formulas were presentation only
-(SURVEY.md §7 'What's hard' (e)).
+explore.py:1724, 1758-1760, 1811-1826) are written as live formulas
+with the Spark-computed value as the cached fallback: a user who edits
+the sheet sees totals recompute, a reader that never recalculates sees
+the engine's numbers.
 """
 
 from __future__ import annotations
@@ -21,7 +22,12 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
-from astra_perseverance_spark.sinks.xlsx import HEADER_STYLE, Workbook
+from astra_perseverance_spark.sinks.xlsx import (
+    HEADER_STYLE,
+    Formula,
+    Workbook,
+    _col_letter,
+)
 
 # tab name → (query name, ordered [(header, column)] mapping)
 TAB_REGISTRY: list[tuple[str, str, list[tuple[str, str]]]] = [
@@ -86,21 +92,34 @@ TAB_REGISTRY: list[tuple[str, str, list[tuple[str, str]]]] = [
 ]
 
 
-def _metrics_sheet(wb: Workbook, spark: SparkSession, sf_dir: str,
-                   cfg) -> None:
+def _metrics_sheet(sh, spark: SparkSession, sf_dir: str,
+                   cfg, anchors: dict[str, int]) -> None:
     """The 'Astra Metrics' tab: workload scalars + the warnings list
-    (explore.py:1806-1846)."""
+    (explore.py:1806-1846).
+
+    The six summary scalars are live formulas against the other tabs'
+    total rows (explore.py:1811-1826: ``=Workload!D..``,
+    ``='Data Size'!C../1000000000``), with the Spark-computed value as
+    the cached fallback; ``anchors`` maps query name → the Excel row of
+    that tab's total row."""
     from astra_perseverance_spark.queries import QUERY_REGISTRY
 
-    sh = wb.add_sheet("Astra Metrics", freeze_rows=1, col_widths=[30, 60])
     sh.add_row(["Workload Summary", None], style=HEADER_STYLE)
     s = QUERY_REGISTRY["workload_summary"](spark, sf_dir, cfg).collect()[0]
-    for label, key in (
-        ("Read TPS", "total_read_tps"), ("Read TPMo", "read_tpmo"),
-        ("Write TPS", "total_write_tps"), ("Write TPMo", "write_tpmo"),
-        ("Data Size (GB)", "data_size_gb"), ("Average Uptime", "avg_uptime_sec"),
+    wl, ds, nd = (anchors.get("workload_rw_outer"), anchors.get("data_size"),
+                  anchors.get("node_data"))
+    tpmo = "*60*60*24*365.25/12"  # TPS → transactions per mean month
+    for label, key, expr in (
+        ("Read TPS", "total_read_tps", f"Workload!D{wl}" if wl else None),
+        ("Read TPMo", "read_tpmo", f"Workload!D{wl}{tpmo}" if wl else None),
+        ("Write TPS", "total_write_tps", f"Workload!F{wl}" if wl else None),
+        ("Write TPMo", "write_tpmo", f"Workload!F{wl}{tpmo}" if wl else None),
+        ("Data Size (GB)", "data_size_gb",
+         f"'Data Size'!C{ds}/1000000000" if ds else None),
+        ("Average Uptime", "avg_uptime_sec",
+         f"'Node Data'!F{nd}" if nd else None),
     ):
-        sh.add_row([label, s[key]])
+        sh.add_row([label, Formula(expr, s[key]) if expr else s[key]])
     warn = QUERY_REGISTRY["warnings"](spark, sf_dir, cfg).collect()
     if warn:
         cur = None
@@ -134,9 +153,8 @@ def _metrics_sheet(wb: Workbook, spark: SparkSession, sf_dir: str,
 
 
 def _fmt_uptime(sec) -> str | None:
-    """Seconds → 'D days hh:mm:ss' — the reference renders this as an
-    Excel formula column (explore.py:1554); the engine formats the
-    already-computed value instead (render concern, like B7)."""
+    """Seconds → 'D days hh:mm:ss': the cached fallback value for the
+    uptime formula cells."""
     if sec is None:
         return None
     d, rem = divmod(int(sec), 86400)
@@ -145,7 +163,35 @@ def _fmt_uptime(sec) -> str | None:
     return f"{d} days {h:02d}:{m:02d}:{s:02d}"
 
 
-_RENDERERS = {"uptime": _fmt_uptime}
+def _uptime_formula(cell: str) -> str:
+    """The reference's uptime-format expression (explore.py:1554),
+    parameterized on the seconds cell it reads."""
+    return (f'INT({cell}/86400) & " days " & '
+            f'TEXT(({cell}/86400)-INT({cell}/86400),"hh:mm:ss")')
+
+
+def _uptime_cell(sec, excel_row: int) -> Formula | None:
+    # column F is the numeric uptime_sec column on the Node Data tab —
+    # the same fixed layout the reference's G-column formula assumes
+    if sec is None:
+        return None
+    return Formula(_uptime_formula(f"F{excel_row}"), _fmt_uptime(sec))
+
+
+# renderer key → fn(value, excel_row) -> cell value
+_RENDERERS = {"uptime": _uptime_cell}
+
+# qname → (label, label column idx, [(column idx, agg kind)]): the
+# trailing total rows the reference writes as live formulas
+# (explore.py:1556-1559 Avg Uptime, 1724 Data Size total, 1758-1760
+# Workload totals).  "UPTIME_FMT" renders the same row's numeric
+# average through the uptime formula.
+TAB_TOTALS: dict[str, tuple[str, int, list[tuple[int, str]]]] = {
+    "workload_rw_outer": ("Total", 0,
+                          [(2, "SUM"), (3, "SUM"), (4, "SUM"), (5, "SUM")]),
+    "data_size": ("Total", 0, [(2, "SUM")]),
+    "node_data": ("Avg Uptime", 4, [(5, "AVERAGE"), (6, "UPTIME_FMT")]),
+}
 
 # Per-tab comment textbox texts (explore.py:443-450 sheet comments,
 # 1663 gc_comment), rendered as a trailing row by the OOXML writer.
@@ -168,18 +214,47 @@ TAB_COMMENTS = {
 
 
 def _df_sheet(wb: Workbook, name: str, df: DataFrame,
-              cols: list[tuple], comment: str | None = None) -> None:
+              cols: list[tuple], comment: str | None = None,
+              totals: tuple[str, int, list[tuple[int, str]]] | None = None,
+              ) -> int | None:
+    """Render one collected query as a tab; returns the Excel row
+    number of the trailing total row (or None if no totals spec)."""
     sh = wb.add_sheet(name, freeze_rows=1,
                       col_widths=[18] * len(cols))
     sh.add_row([spec[0] for spec in cols], style=HEADER_STYLE)
-    for row in df.collect():
+    rows = df.collect()
+    for i, row in enumerate(rows):
         sh.add_row([
-            _RENDERERS[spec[2]](row[spec[1]]) if len(spec) > 2
+            _RENDERERS[spec[2]](row[spec[1]], i + 2) if len(spec) > 2
             else row[spec[1]]
             for spec in cols
         ])
+    total_row = None
+    if totals and rows:
+        label, label_idx, aggs = totals
+        n = len(rows)
+        total_row = n + 2  # header is Excel row 1, data rows 2..n+1
+        vals: list[object] = [None] * len(cols)
+        vals[label_idx] = label
+        for col_idx, kind in aggs:
+            letter = _col_letter(col_idx)
+            rng = f"{letter}2:{letter}{n + 1}"
+            data = [row[cols[col_idx][1]] for row in rows]
+            nn = [v for v in data if v is not None]
+            if kind == "SUM":
+                vals[col_idx] = Formula(f"SUM({rng})", sum(nn) if nn else 0)
+            elif kind == "AVERAGE":
+                vals[col_idx] = Formula(
+                    f"AVERAGE({rng})", sum(nn) / len(nn) if nn else 0)
+            elif kind == "UPTIME_FMT":
+                cell = f"{_col_letter(col_idx - 1)}{total_row}"
+                vals[col_idx] = Formula(
+                    _uptime_formula(cell),
+                    _fmt_uptime(sum(nn) / len(nn)) if nn else None)
+        sh.add_row(vals, style=HEADER_STYLE)
     if comment:
         sh.add_row([comment])
+    return total_row
 
 
 def write_workbook(spark: SparkSession, sf_dir: str, out_path: str,
@@ -194,11 +269,20 @@ def write_workbook(spark: SparkSession, sf_dir: str, out_path: str,
 
     cfg = cfg or DEFAULT_CONFIG
     wb = Workbook()
-    _metrics_sheet(wb, spark, sf_dir, cfg)
+    # metrics tab holds workbook position 1 but is filled last — its
+    # summary formulas reference the other tabs' total-row anchors
+    metrics = wb.add_sheet("Astra Metrics", freeze_rows=1,
+                           col_widths=[30, 60])
+    anchors: dict[str, int] = {}
     for tab, qname, cols in TAB_REGISTRY:
         comment = TAB_COMMENTS.get(qname)
-        _df_sheet(wb, tab, QUERY_REGISTRY[qname](spark, sf_dir, cfg), cols,
-                  comment(cfg.thresholds) if comment else None)
+        total_row = _df_sheet(
+            wb, tab, QUERY_REGISTRY[qname](spark, sf_dir, cfg), cols,
+            comment(cfg.thresholds) if comment else None,
+            TAB_TOTALS.get(qname))
+        if total_row:
+            anchors[qname] = total_row
+    _metrics_sheet(metrics, spark, sf_dir, cfg, anchors)
     os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
     wb.save(out_path)
     return out_path

@@ -21,6 +21,19 @@ import zipfile
 from xml.sax.saxutils import escape
 
 
+class Formula:
+    """A live formula cell: ``expr`` (without the leading ``=``) plus a
+    cached result value so non-recalculating readers still see data.
+
+    Mirrors the reference's ``write_formula`` cells (explore.py:1554,
+    1724, 1758-1760, 1811-1826): totals recompute when a user edits the
+    sheet, instead of being frozen Spark-side literals."""
+
+    def __init__(self, expr: str, value: object = None):
+        self.expr = expr
+        self.value = value
+
+
 def _col_letter(idx: int) -> str:
     """0-based column index → A1-style letters."""
     out = ""
@@ -47,6 +60,17 @@ class Sheet:
         s = f' s="{style}"' if style else ""
         if value is None:
             return ""
+        if isinstance(value, Formula):
+            f = f"<f>{escape(value.expr)}</f>"
+            v = value.value
+            if v is None:
+                return f'<c r="{ref}"{s}>{f}</c>'
+            if isinstance(v, (int, float)) and not isinstance(v, bool):
+                if isinstance(v, float) and v != v:  # NaN cache: omit
+                    return f'<c r="{ref}"{s}>{f}</c>'
+                return f'<c r="{ref}"{s}>{f}<v>{v!r}</v></c>'
+            return (f'<c r="{ref}"{s} t="str">{f}'
+                    f"<v>{escape(str(v))}</v></c>")
         if isinstance(value, bool):
             return f'<c r="{ref}"{s} t="b"><v>{int(value)}</v></c>'
         if isinstance(value, (int, float)):

@@ -73,7 +73,48 @@ class TestWorkbook:
 
     def test_node_data_tab_rows(self, report):
         rows = _sheet_rows(report["xlsx"], EXPECTED_TABS.index("Node Data") + 1)
-        assert len(rows) == 1 + 4  # header + 4 nodes
+        assert len(rows) == 1 + 4 + 1  # header + 4 nodes + Avg Uptime row
+
+    def test_total_rows_are_live_formulas_with_cached_values(self, report):
+        """The reference writes totals as recomputing formulas
+        (explore.py:1556-1559, 1724, 1758-1760); each formula cell must
+        also carry the Spark-computed cached value as fallback."""
+        def cells(tab):
+            with zipfile.ZipFile(report["xlsx"]) as zf:
+                ws = ET.fromstring(zf.read(
+                    f"xl/worksheets/sheet{EXPECTED_TABS.index(tab) + 1}.xml"))
+            out = {}
+            for c in ws.findall(".//m:c", NS):
+                f = c.find("m:f", NS)
+                v = c.find("m:v", NS)
+                if f is not None:
+                    out[c.attrib["r"]] = (f.text, v.text if v is not None else None)
+            return out
+
+        nd = cells("Node Data")
+        assert nd["F6"][0] == "AVERAGE(F2:F5)"
+        assert float(nd["F6"][1]) > 0  # cached literal fallback
+        assert "86400" in nd["G6"][0] and "days" in nd["G6"][0]
+        assert "days" in nd["G6"][1]
+        # per-row uptime format column is a formula too (explore.py:1554)
+        assert nd["G2"][0].startswith("INT(F2/86400)")
+
+        ds = cells("Data Size")
+        (expr, cached), = [ds[k] for k in ds if k.startswith("C")]
+        assert expr.startswith("SUM(C2:C")
+        assert float(cached) > 0
+
+        wl = cells("Workload")
+        exprs = {e for e, _ in wl.values()}
+        assert any(e.startswith("SUM(C2:C") for e in exprs)
+        assert any(e.startswith("SUM(F2:F") for e in exprs)
+
+        mx = cells("Astra Metrics")
+        metric_exprs = [e for e, _ in mx.values()]
+        assert any(e.startswith("Workload!D") for e in metric_exprs)
+        assert any(e.startswith("'Data Size'!C") and e.endswith("/1000000000")
+                   for e in metric_exprs)
+        assert all(v is not None for _, v in mx.values())
 
     def test_metrics_tab_has_warnings(self, report):
         rows = _sheet_rows(report["xlsx"], 1)
