@@ -106,7 +106,11 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus re-dedup).
 
     Output: one row per (new doc, matching existing doc):
-    (doc_id, dup_of, kind ∈ exact|near).  ORDER BY doc_id, dup_of."""
+    (doc_id, dup_of, kind ∈ exact|near).  A pair reported exact is
+    anti-joined out of the near branch (an exact duplicate with ≥3
+    tokens always also passes shingle Jaccard at 1.0 — without the
+    anti-join the same pair would appear under both kinds).
+    ORDER BY doc_id, dup_of."""
     d = content_digest_frame(spark, sf_dir)
     old = (
         d.filter(F.col("doc_id") % 2 == 0)
@@ -127,6 +131,8 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("doc_a").alias("doc_id"), F.col("doc_b").alias("dup_of"))
         )
         .withColumn("kind", F.lit("near"))
+        .join(exact.select("doc_id", "dup_of"), ["doc_id", "dup_of"],
+              "left_anti")
     )
     return exact.unionByName(near).orderBy("doc_id", "dup_of")
 

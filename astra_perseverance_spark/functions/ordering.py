@@ -55,6 +55,14 @@ def salted_topk(df: DataFrame, group_cols: list[str], order_cols: list,
     column must be a deterministic function of the row (``salt_on``),
     never ``rand()``, so re-runs and AQE retries see the same
     partitioning.
+
+    PRECONDITION: ``order_cols`` must form a deterministic TOTAL order
+    within each group (append a unique tie-breaker column if the sort
+    keys can tie).  With ties, which tied rows survive the per-salt
+    partial stage depends on how rows landed in salt buckets, so the
+    k-th result row could differ nondeterministically from a
+    single-window run.  Every caller in this repo passes a unique
+    trailing key (term, doc_id, …) for exactly this reason.
     """
     from pyspark.sql import Window, functions as F
 

@@ -119,7 +119,13 @@ near AS (
 )
 SELECT doc_id, dup_of, kind FROM exact
 UNION ALL
-SELECT doc_id, dup_of, kind FROM near
+-- a pair reported exact never repeats under near (mirrors the
+-- Spark side's left_anti)
+SELECT n.doc_id, n.dup_of, n.kind FROM near n
+WHERE NOT EXISTS (
+  SELECT 1 FROM exact e
+  WHERE e.doc_id = n.doc_id AND e.dup_of = n.dup_of
+)
 ORDER BY doc_id, dup_of
 """
 

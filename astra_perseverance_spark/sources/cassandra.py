@@ -29,8 +29,13 @@ from pyspark.sql import functions as F
 
 CASSANDRA_FORMAT = "org.apache.spark.sql.cassandra"
 
-# system keyspaces whose replication must not enter RF normalization —
-# same config-driven anti-filter (P3) the parsed path applies.
+# The metadata keyspace these readers scan.  NOTE: like the parsed
+# snapshot dims (sources.diag), the live dims are deliberately
+# UNFILTERED — system keyspaces included.  The config-driven
+# anti-filter (P3) is applied downstream by the consuming guardrail
+# queries (queries/schema_checks.py filters on cfg.excluded_keyspaces
+# for BOTH ingestion paths), keeping live and parsed dims
+# row-for-row symmetric at this layer.
 _SCHEMA_KS = "system_schema"
 
 
