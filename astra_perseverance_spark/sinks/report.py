@@ -45,17 +45,10 @@ TAB_REGISTRY: list[tuple[str, str, list[tuple[str, str]]]] = [
         ("Uptime", "uptime_sec", "uptime"),
         ("Workload", "workload"), ("Version", "version"),
     ]),
-    ("Proxihistogram", "proxyhistograms_ms", [
-        ("Datacenter", "dc"), ("Node", "node"),
-        ("R Max", "read_max_ms"), ("R P99", "read_p99_ms"),
-        ("R P98", "read_p98_ms"), ("R P95", "read_p95_ms"),
-        ("R P75", "read_p75_ms"), ("R P50", "read_p50_ms"),
-        ("R Min", "read_min_ms"),
-        ("W Max", "write_max_ms"), ("W P99", "write_p99_ms"),
-        ("W P98", "write_p98_ms"), ("W P95", "write_p95_ms"),
-        ("W P75", "write_p75_ms"), ("W P50", "write_p50_ms"),
-        ("W Min", "write_min_ms"),
-    ]),
+    # Proxihistogram renders through _proxyhist_sheet (two-column
+    # side-by-side layout, explore.py:444); the registry entry keeps
+    # the tab's workbook position and query binding.
+    ("Proxihistogram", "proxyhistograms_ms", None),
     ("Dropped Mutation", "dropped_mutations", [
         ("Node", "node"), ("DC", "dc"), ("Keyspace", "ks"), ("Table", "tbl"),
         ("Dropped Mutations", "value"),
@@ -213,6 +206,30 @@ TAB_COMMENTS = {
 }
 
 
+def _proxyhist_sheet(wb: Workbook, name: str, df: DataFrame) -> None:
+    """The reference's two-column Proxihistogram layout (explore.py:444
+    headers, 1395-1396 merged titles): reads in columns A-I, a spacer
+    column J, writes in K-S, one merged latency title over each block,
+    panes frozen under the dual header row."""
+    half = ["Datacenter", "Node", "Max", "P99", "P98", "P95", "P75",
+            "P50", "Min"]
+    sh = wb.add_sheet(name, freeze_rows=2,
+                      col_widths=[20, 20] + [10] * 7 + [3] + [20, 20] + [10] * 7)
+    sh.add_row(["Coordinating Node Read Latency (ms)"] + [None] * 9
+               + ["Coordinating Node Write Latency (ms)"],
+               style=HEADER_STYLE)
+    sh.add_merge("A1:I1")
+    sh.add_merge("K1:S1")
+    sh.add_row(half + [None] + half, style=HEADER_STYLE)
+    r_cols = ["read_max_ms", "read_p99_ms", "read_p98_ms", "read_p95_ms",
+              "read_p75_ms", "read_p50_ms", "read_min_ms"]
+    w_cols = [c.replace("read", "write") for c in r_cols]
+    for row in df.collect():
+        sh.add_row(
+            [row["dc"], row["node"]] + [row[c] for c in r_cols]
+            + [None, row["dc"], row["node"]] + [row[c] for c in w_cols])
+
+
 def _df_sheet(wb: Workbook, name: str, df: DataFrame,
               cols: list[tuple], comment: str | None = None,
               totals: tuple[str, int, list[tuple[int, str]]] | None = None,
@@ -275,9 +292,13 @@ def write_workbook(spark: SparkSession, sf_dir: str, out_path: str,
                            col_widths=[30, 60])
     anchors: dict[str, int] = {}
     for tab, qname, cols in TAB_REGISTRY:
+        df = QUERY_REGISTRY[qname](spark, sf_dir, cfg)
+        if qname == "proxyhistograms_ms":
+            _proxyhist_sheet(wb, tab, df)
+            continue
         comment = TAB_COMMENTS.get(qname)
         total_row = _df_sheet(
-            wb, tab, QUERY_REGISTRY[qname](spark, sf_dir, cfg), cols,
+            wb, tab, df, cols,
             comment(cfg.thresholds) if comment else None,
             TAB_TOTALS.get(qname))
         if total_row:

@@ -51,9 +51,14 @@ class Sheet:
         self.freeze_rows = freeze_rows
         self.col_widths = col_widths or []
         self.rows: list[list[tuple[object, int]]] = []
+        self.merges: list[str] = []
 
     def add_row(self, values: list[object], style: int = 0) -> None:
         self.rows.append([(v, style) for v in values])
+
+    def add_merge(self, ref: str) -> None:
+        """Merge an A1-style range (content goes in the top-left cell)."""
+        self.merges.append(ref)
 
     def _cell_xml(self, r: int, c: int, value: object, style: int) -> str:
         ref = f"{_col_letter(c)}{r + 1}"
@@ -103,7 +108,12 @@ class Sheet:
             cells = "".join(self._cell_xml(r, c, v, st)
                             for c, (v, st) in enumerate(row))
             parts.append(f'<row r="{r + 1}">{cells}</row>')
-        parts.append("</sheetData></worksheet>")
+        parts.append("</sheetData>")
+        if self.merges:
+            cells = "".join(f'<mergeCell ref="{m}"/>' for m in self.merges)
+            parts.append(
+                f'<mergeCells count="{len(self.merges)}">{cells}</mergeCells>')
+        parts.append("</worksheet>")
         return "".join(parts)
 
 

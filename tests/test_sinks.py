@@ -36,16 +36,31 @@ def _sheet_names(path: str) -> list[str]:
     return [s.attrib["name"] for s in wb.findall(".//m:sheet", NS)]
 
 
+def _col_idx(ref: str) -> int:
+    """'J1' → 9: 0-based column index from an A1-style cell ref."""
+    n = 0
+    for ch in ref:
+        if not ch.isalpha():
+            break
+        n = n * 26 + (ord(ch.upper()) - ord("A") + 1)
+    return n - 1
+
+
 def _sheet_rows(path: str, idx: int) -> list[list[str]]:
+    """Cell values positioned by their r= refs (blank cells are omitted
+    from the XML, so naive element order would shift columns)."""
     with zipfile.ZipFile(path) as zf:
         ws = ET.fromstring(zf.read(f"xl/worksheets/sheet{idx}.xml"))
     rows = []
     for row in ws.findall(".//m:row", NS):
-        vals = []
+        vals: list = []
         for c in row.findall("m:c", NS):
             t = c.find("m:is/m:t", NS)
             v = c.find("m:v", NS)
-            vals.append(t.text if t is not None else (v.text if v is not None else None))
+            val = t.text if t is not None else (v.text if v is not None else None)
+            pos = _col_idx(c.attrib["r"])
+            vals.extend([None] * (pos + 1 - len(vals)))
+            vals[pos] = val
         rows.append(vals)
     return rows
 
@@ -115,6 +130,27 @@ class TestWorkbook:
         assert any(e.startswith("'Data Size'!C") and e.endswith("/1000000000")
                    for e in metric_exprs)
         assert all(v is not None for _, v in mx.values())
+
+    def test_proxyhistogram_two_column_layout(self, report):
+        """Reference parity (explore.py:444, 1395-1396): merged
+        read/write latency titles over side-by-side column runs with a
+        spacer at J, dual header row frozen."""
+        idx = EXPECTED_TABS.index("Proxihistogram") + 1
+        rows = _sheet_rows(report["xlsx"], idx)
+        assert rows[0][0] == "Coordinating Node Read Latency (ms)"
+        assert "Coordinating Node Write Latency (ms)" in rows[0]
+        half = ["Datacenter", "Node", "Max", "P99", "P98", "P95", "P75",
+                "P50", "Min"]
+        assert rows[1] == half + [None] + half
+        with zipfile.ZipFile(report["xlsx"]) as zf:
+            ws = ET.fromstring(zf.read(f"xl/worksheets/sheet{idx}.xml"))
+        merges = {m.attrib["ref"] for m in ws.findall(".//m:mergeCell", NS)}
+        assert merges == {"A1:I1", "K1:S1"}
+        pane = ws.find(".//m:pane", NS)
+        assert pane.attrib["ySplit"] == "2"
+        # data rows repeat dc/node on both halves
+        for r in rows[2:]:
+            assert r[0] == r[10] and r[1] == r[11]
 
     def test_metrics_tab_has_warnings(self, report):
         rows = _sheet_rows(report["xlsx"], 1)
