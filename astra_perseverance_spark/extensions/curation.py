@@ -1,0 +1,244 @@
+"""Corpus-curation operators: published quality heuristics, PII
+scanning/redaction, benchmark decontamination, and temperature-based
+source mixing — the filtering/curation passes a training-data pipeline
+runs between raw ingestion and the final mix.
+
+Scale shape (the 100 TB contract):
+
+- ``quality_signals`` and ``pii_scan`` are pure per-row projections
+  (JVM regex + higher-order array functions; no UDFs, no shuffle
+  beyond the report ordering) — embarrassingly parallel.
+- ``decontaminate`` joins the corpus' capped shingle postings against
+  a FIXED-SIZE benchmark panel's shingles.  The panel side is bounded
+  (panel_k docs × capped shingles/doc), so it broadcasts: the corpus
+  scan never shuffles, and per-(doc, bench) overlap counting
+  aggregates map-side.  Work is O(|corpus postings|) regardless of
+  corpus size — the published decontamination shape (exact n-gram
+  collision against held-out eval sets).
+- ``source_mix`` computes per-source quotas from an aggregate
+  (source-grain, tiny, broadcast back) and picks documents by hash
+  order via the exact two-phase salted top-k — no per-source
+  single-reducer sort, reproducible across runs/engines.
+
+Cross-engine determinism: counts are exact integers; each ratio is a
+single IEEE division; source-mix weights use floor(sqrt(n)) —
+correctly-rounded sqrt is engine-identical — and integer division for
+quotas, so the DuckDB twins (``oracle.ext_sqls``) match bitwise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from astra_perseverance_spark.extensions.corpus import docs_frame as _docs
+from astra_perseverance_spark.extensions.dedup import capped_shingle_rows
+from astra_perseverance_spark.functions.ordering import salted_topk
+from astra_perseverance_spark.functions.texthash import h15
+
+# Gopher-style repetition/format bounds (Rae et al. 2021, table A1 —
+# the public heuristics, not any proprietary variant).
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.10     # '#' or '...' per word
+GOPHER_MAX_BULLET_FRAC = 0.90      # lines starting with a bullet
+GOPHER_MAX_ELLIPSIS_FRAC = 0.30    # lines ending with '...'
+GOPHER_MIN_ALPHA_FRAC = 0.80       # words containing a letter
+GOPHER_MAX_DUP_LINE_FRAC = 0.30    # 1 - distinct/total lines
+
+# PII patterns — deliberately RE2-safe (no backrefs/lookarounds) so the
+# identical literal runs in Java regex (Spark) and RE2 (DuckDB).
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\+\d{8,15}"
+
+# Decontamination: benchmark panel size (hash-selected, FIXED — the
+# audit must not grow with the corpus) and the minimum number of
+# shared 3-word shingles that flags a training doc.
+DECON_PANEL_K = 16
+DECON_MIN_SHARED = 3
+
+# Source mixing: total document budget distributed over sources by
+# temperature weights w = floor(sqrt(n_source)) (alpha = 0.5 —
+# up-weights small sources relative to proportional sampling, the
+# standard multilingual-LM mixing temperature).
+MIX_BUDGET = 200
+
+_WS = r"\s+"
+_BULLET_RE = "^[-*•]"
+_ELLIPSIS_RE = r"\.\.\.$"
+
+
+def q_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Gopher-style quality signals + the composite pass
+    flag.  All counts are exact integers over whitespace words and
+    newline-split lines; each ratio is one double division, mirrored
+    verbatim in the DuckDB twin."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.split(F.trim("text"), _WS).alias("words"),
+        F.split("text", "\n").alias("lines"),
+        F.size(F.regexp_extract_all("text", F.lit("#"), F.lit(0)))
+        .cast("long").alias("n_hash"),
+        F.size(F.regexp_extract_all("text", F.lit(r"\.\.\."), F.lit(0)))
+        .cast("long").alias("n_ell"),
+    )
+    n_words = F.size("words").cast("long")
+    n_lines = F.size("lines").cast("long")
+    d = d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        (F.aggregate("words", F.lit(0).cast("long"),
+                     lambda a, w: a + F.length(w)).cast("double")
+         / n_words).alias("mean_word_len"),
+        ((F.col("n_hash") + F.col("n_ell")).cast("double")
+         / n_words).alias("symbol_word_ratio"),
+        (F.size(F.filter("words", lambda w: w.rlike("[A-Za-z]")))
+         .cast("double") / n_words).alias("alpha_word_frac"),
+        (F.size(F.filter("lines", lambda ln: F.ltrim(ln).rlike(_BULLET_RE)))
+         .cast("double") / n_lines).alias("bullet_line_frac"),
+        (F.size(F.filter("lines", lambda ln: F.rtrim(ln).rlike(_ELLIPSIS_RE)))
+         .cast("double") / n_lines).alias("ellipsis_line_frac"),
+        ((n_lines - F.size(F.array_distinct("lines"))).cast("double")
+         / n_lines).alias("dup_line_frac"),
+    )
+    gopher_pass = (
+        F.col("n_words").between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+        & F.col("mean_word_len").between(
+            GOPHER_MIN_MEAN_WORD_LEN, GOPHER_MAX_MEAN_WORD_LEN)
+        & (F.col("symbol_word_ratio") < GOPHER_MAX_SYMBOL_RATIO)
+        & (F.col("bullet_line_frac") < GOPHER_MAX_BULLET_FRAC)
+        & (F.col("ellipsis_line_frac") < GOPHER_MAX_ELLIPSIS_FRAC)
+        & (F.col("alpha_word_frac") > GOPHER_MIN_ALPHA_FRAC)
+        & (F.col("dup_line_frac") < GOPHER_MAX_DUP_LINE_FRAC)
+    )
+    return d.withColumn("gopher_pass", gopher_pass).orderBy("doc_id")
+
+
+def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document PII inventory and redaction digest: pattern match
+    counts (email / IPv4 / international-phone), the total, and the
+    md5 of the text after replacing every match with a typed
+    placeholder.  The digest proves the redaction chain end-to-end —
+    it differs per document and flips if any replacement drifts.
+
+    Redaction order is fixed (email, ipv4, phone) so overlapping
+    matches resolve identically on both engines."""
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace("text", PII_EMAIL, "<EMAIL>"),
+            PII_IPV4, "<IP>"),
+        PII_PHONE, "<PHONE>")
+    return (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.size(F.regexp_extract_all("text", F.lit(PII_EMAIL), F.lit(0)))
+            .cast("long").alias("n_email"),
+            F.size(F.regexp_extract_all("text", F.lit(PII_IPV4), F.lit(0)))
+            .cast("long").alias("n_ipv4"),
+            F.size(F.regexp_extract_all("text", F.lit(PII_PHONE), F.lit(0)))
+            .cast("long").alias("n_phone"),
+            F.md5(redacted).alias("redacted_md5"),
+        )
+        .withColumn(
+            "pii_total",
+            (F.col("n_email") + F.col("n_ipv4") + F.col("n_phone"))
+            .cast("long"))
+        .orderBy("doc_id")
+    )
+
+
+def decon_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fixed benchmark panel: the ``DECON_PANEL_K`` documents with
+    the smallest (h15(doc_id), doc_id) — a deterministic uniform
+    sample whose size does NOT grow with the corpus (same rationale as
+    the ANN recall panel).  Selected via the exact two-phase salted
+    top-k; the (h15, doc_id) key is a total order, so the result is
+    engine-identical."""
+    return (
+        salted_topk(
+            _docs(spark, sf_dir).select("doc_id"),
+            [],
+            [h15(F.col("doc_id").cast("string")), "doc_id"],
+            DECON_PANEL_K,
+            salt_on="doc_id",
+        )
+        .select(F.col("doc_id").alias("bench_doc"))
+    )
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training documents sharing ≥
+    ``DECON_MIN_SHARED`` capped 3-word shingles with any panel
+    document — the exact-n-gram-collision audit run before training to
+    keep eval data out of the corpus.
+
+    Plan: the panel's shingle postings are bounded (panel_k docs), so
+    both the panel membership probe and the shingle join broadcast —
+    the corpus posting scan is shuffle-free, and the per-(doc, bench)
+    overlap count aggregates map-side.  Uses the stop-shingle-capped
+    universe (``dedup.capped_shingle_rows``): boilerplate shingles are
+    not contamination evidence, and the cap keeps posting lists
+    bounded at any corpus size."""
+    sh = capped_shingle_rows(spark, sf_dir).select("doc_id", "lang", "g")
+    panel = decon_panel(spark, sf_dir)
+    bench_sh = (
+        sh.join(F.broadcast(panel),
+                sh["doc_id"] == panel["bench_doc"])
+        .select("bench_doc", "lang", "g")
+    )
+    train = sh.join(
+        F.broadcast(panel), sh["doc_id"] == panel["bench_doc"], "left_anti")
+    return (
+        train.join(F.broadcast(bench_sh), ["lang", "g"])
+        .groupBy("doc_id", "bench_doc")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= DECON_MIN_SHARED)
+        .orderBy("doc_id", "bench_doc")
+    )
+
+
+def q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source mixing: distribute a ``MIX_BUDGET``
+    document budget over sources with weights w = floor(sqrt(n)) —
+    alpha = 0.5 temperature sampling (up-weights small sources vs
+    proportional) — then pick each source's quota deterministically by
+    hash order.
+
+    quota_s = (MIX_BUDGET · w_s) div Σw: floor(sqrt) over a BIGINT is
+    engine-identical (IEEE sqrt is correctly rounded), the total is an
+    integer sum, and the division is integer — no float accumulation
+    anywhere, so the mix is bitwise-reproducible.  Picks use the exact
+    two-phase salted top-k over the (h15(doc_id), doc_id) total
+    order."""
+    d = _docs(spark, sf_dir).select("doc_id", "source")
+    counts = (
+        d.groupBy("source")
+        .agg(F.count("*").cast("long").alias("n_src"))
+        .withColumn(
+            "w",
+            F.floor(F.sqrt(F.col("n_src").cast("double"))).cast("long"))
+    )
+    tot = counts.agg(F.sum("w").cast("long").alias("tot"))
+    quota = (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "source", "n_src",
+            F.expr(f"CAST(({MIX_BUDGET} * w) DIV tot AS BIGINT)")
+            .alias("quota"))
+    )
+    ranked = salted_topk(
+        d, ["source"],
+        [h15(F.col("doc_id").cast("string")), "doc_id"],
+        MIX_BUDGET,  # upper bound; the real cut is the per-source quota
+        salt_on="doc_id",
+    ).withColumnRenamed("rank", "pick")
+    return (
+        ranked.join(F.broadcast(quota), "source")
+        .filter(F.col("pick") <= F.col("quota"))
+        .select("source", "pick", "doc_id", "quota")
+        .orderBy("source", "pick")
+    )

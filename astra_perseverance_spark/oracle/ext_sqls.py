@@ -675,3 +675,140 @@ SELECT doc_id, CAST(unnest(range(0, n_frames, 2)) AS INT) AS frame_no,
        CAST(n_frames AS INT) AS n_frames, byte_len // n_frames AS est_bytes
 FROM video ORDER BY doc_id, frame_no
 """
+
+# ---------------------------------------------------------------------------
+# Curation family (extensions/curation.py)
+
+from astra_perseverance_spark.extensions.curation import (  # noqa: E402
+    DECON_MIN_SHARED,
+    DECON_PANEL_K,
+    GOPHER_MAX_BULLET_FRAC,
+    GOPHER_MAX_DUP_LINE_FRAC,
+    GOPHER_MAX_ELLIPSIS_FRAC,
+    GOPHER_MAX_MEAN_WORD_LEN,
+    GOPHER_MAX_SYMBOL_RATIO,
+    GOPHER_MAX_WORDS,
+    GOPHER_MIN_ALPHA_FRAC,
+    GOPHER_MIN_MEAN_WORD_LEN,
+    GOPHER_MIN_WORDS,
+    MIX_BUDGET,
+    PII_EMAIL,
+    PII_IPV4,
+    PII_PHONE,
+)
+
+EXT_ORACLE_SQL["quality_signals"] = f"""
+WITH d AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(text), '\\s+') AS words,
+         string_split(text, chr(10)) AS lines,
+         CAST(len(regexp_extract_all(text, '#')) AS BIGINT) AS n_hash,
+         CAST(len(regexp_extract_all(text, '\\.\\.\\.')) AS BIGINT) AS n_ell
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         CAST(len(words) AS BIGINT) AS n_words,
+         CAST(list_sum(list_transform(words, w -> length(w))) AS DOUBLE)
+           / len(words) AS mean_word_len,
+         CAST(n_hash + n_ell AS DOUBLE) / len(words) AS symbol_word_ratio,
+         CAST(len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]')))
+              AS DOUBLE) / len(words) AS alpha_word_frac,
+         CAST(len(list_filter(lines,
+                l -> regexp_matches(ltrim(l), '^[-*•]'))) AS DOUBLE)
+           / len(lines) AS bullet_line_frac,
+         CAST(len(list_filter(lines,
+                l -> regexp_matches(rtrim(l), '\\.\\.\\.$'))) AS DOUBLE)
+           / len(lines) AS ellipsis_line_frac,
+         CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE)
+           / len(lines) AS dup_line_frac
+  FROM d
+)
+SELECT *,
+       (n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+        AND mean_word_len BETWEEN {GOPHER_MIN_MEAN_WORD_LEN}
+                              AND {GOPHER_MAX_MEAN_WORD_LEN}
+        AND symbol_word_ratio < {GOPHER_MAX_SYMBOL_RATIO}
+        AND bullet_line_frac < {GOPHER_MAX_BULLET_FRAC}
+        AND ellipsis_line_frac < {GOPHER_MAX_ELLIPSIS_FRAC}
+        AND alpha_word_frac > {GOPHER_MIN_ALPHA_FRAC}
+        AND dup_line_frac < {GOPHER_MAX_DUP_LINE_FRAC}) AS gopher_pass
+FROM m ORDER BY doc_id
+"""
+
+EXT_ORACLE_SQL["pii_scan"] = f"""
+WITH d AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '{PII_EMAIL}')) AS BIGINT)
+           AS n_email,
+         CAST(len(regexp_extract_all(text, '{PII_IPV4}')) AS BIGINT)
+           AS n_ipv4,
+         CAST(len(regexp_extract_all(text, '{PII_PHONE}')) AS BIGINT)
+           AS n_phone,
+         md5(regexp_replace(regexp_replace(regexp_replace(text,
+               '{PII_EMAIL}', '<EMAIL>', 'g'),
+               '{PII_IPV4}', '<IP>', 'g'),
+               '{PII_PHONE}', '<PHONE>', 'g')) AS redacted_md5
+  FROM documents
+)
+SELECT doc_id, n_email, n_ipv4, n_phone, redacted_md5,
+       CAST(n_email + n_ipv4 + n_phone AS BIGINT) AS pii_total
+FROM d ORDER BY doc_id
+"""
+
+EXT_ORACLE_SQL["decontaminate"] = f"""
+WITH {_CAPPED_SH.lstrip()},
+cap AS (
+  SELECT sh0.doc_id, sh0.lang, sh0.g
+  FROM sh0 JOIN shdf ON shdf.lang = sh0.lang AND shdf.g = sh0.g
+  WHERE shdf.df <= {NGRAM_DF_CAP}
+),
+panel AS (
+  SELECT doc_id AS bench_doc FROM documents
+  ORDER BY {h15_sql("CAST(doc_id AS VARCHAR)")}, doc_id
+  LIMIT {DECON_PANEL_K}
+),
+bsh AS (
+  SELECT p.bench_doc, c.lang, c.g
+  FROM cap c JOIN panel p ON c.doc_id = p.bench_doc
+),
+tr AS (
+  SELECT c.* FROM cap c
+  WHERE c.doc_id NOT IN (SELECT bench_doc FROM panel)
+)
+SELECT tr.doc_id, bsh.bench_doc, CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM tr JOIN bsh ON tr.lang = bsh.lang AND tr.g = bsh.g
+GROUP BY tr.doc_id, bsh.bench_doc
+HAVING COUNT(*) >= {DECON_MIN_SHARED}
+ORDER BY doc_id, bench_doc
+"""
+
+EXT_ORACLE_SQL["source_mix"] = f"""
+WITH c AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_src FROM documents
+  GROUP BY source
+),
+w AS (
+  SELECT source, n_src,
+         CAST(FLOOR(SQRT(CAST(n_src AS DOUBLE))) AS BIGINT) AS w
+  FROM c
+),
+t AS (SELECT CAST(SUM(w) AS BIGINT) AS tot FROM w),
+q AS (
+  SELECT source, n_src,
+         CAST(({MIX_BUDGET} * w) // tot AS BIGINT) AS quota
+  FROM w, t
+),
+r AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY {h15_sql("CAST(doc_id AS VARCHAR)")}, doc_id
+         ) AS pick
+  FROM documents
+)
+SELECT r.source, r.pick, r.doc_id, q.quota
+FROM r JOIN q USING (source)
+WHERE r.pick <= q.quota
+ORDER BY source, pick
+"""

@@ -12,6 +12,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from astra_perseverance_spark.extensions import (
+    curation,
     dedup,
     multimodal,
     pipeline,
@@ -92,6 +93,11 @@ QUERY_REGISTRY: dict[str, QueryFn] = {
     # Extensions — multimodal plumbing (documents → binary payloads)
     "multimodal_features": multimodal.q_multimodal_features,
     "multimodal_frame_sample": multimodal.q_multimodal_frame_sample,
+    # Extensions — curation family (documents)
+    "quality_signals": curation.q_quality_signals,
+    "pii_scan": curation.q_pii_scan,
+    "decontaminate": curation.q_decontaminate,
+    "source_mix": curation.q_source_mix,
 }
 
 # Queries with no SQL-expressible oracle (driver runs rows-only check).

@@ -49,8 +49,8 @@ def test_bnlj_only_for_declared_baselines(spark):
         "data_size", "proxyhistograms_ms",
         # brute-force |queries|-wide baseline / its consumers
         "embedding_topk", "ann_recall_audit", "ann_ivf",
-        # 1-row n_docs crossJoin
-        "tfidf_top_terms",
+        # 1-row n_docs / Σweights crossJoin
+        "tfidf_top_terms", "source_mix",
     }
     from astra_perseverance_spark.queries import QUERY_REGISTRY
 

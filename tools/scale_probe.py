@@ -69,6 +69,10 @@ OPS = [
     ("tfidf_top_terms", "O(n) tokens + term-keyed join"),
     ("corpus_sample", "O(n) narrow filter"),
     ("quality_filter", "O(n) + digest-keyed join"),
+    ("quality_signals", "O(n) per-row projections"),
+    ("pii_scan", "O(n) per-row regex"),
+    ("decontaminate", "O(postings) vs fixed broadcast panel"),
+    ("source_mix", "O(n) + source-grain agg"),
 ]
 
 
