@@ -166,3 +166,54 @@ class TestSummaryJsonSink:
             doc = json.load(fh)
         assert doc["missing_data"] == 1
         assert "workload" in doc
+
+
+class TestViewExport:
+    def test_parquet_roundtrip(self, spark, tmp_path):
+        from astra_perseverance_spark.sinks import export_views
+        from astra_perseverance_spark.queries import QUERY_REGISTRY
+        from tests.conftest import SF_SMALL
+
+        names = ["dedup_exact", "source_mix"]
+        paths = export_views(spark, SF_SMALL, str(tmp_path), "parquet", names)
+        for n in names:
+            want = QUERY_REGISTRY[n](spark, SF_SMALL)
+            got = spark.read.parquet(paths[n])
+            assert got.count() == want.count()
+            assert set(got.columns) == set(want.columns)
+
+    def test_csv_export_roundtrip(self, spark, tmp_path):
+        from astra_perseverance_spark.queries import QUERY_REGISTRY
+        from astra_perseverance_spark.sinks import export_views
+        from tests.conftest import SF_SMALL
+
+        paths = export_views(spark, SF_SMALL, str(tmp_path), "csv",
+                             ["quality_signals"])
+        got = spark.read.option("header", "true").csv(
+            paths["quality_signals"])
+        want = QUERY_REGISTRY["quality_signals"](spark, SF_SMALL)
+        assert got.count() == want.count()
+        assert set(got.columns) == set(want.columns)
+
+    def test_csv_serializes_array_columns(self, spark):
+        """Non-atomic columns go through the to_json fallback (no
+        registered view emits arrays today; the sink must still handle
+        one that does)."""
+        import json
+
+        from astra_perseverance_spark.sinks.export import _csv_safe
+
+        df = spark.createDataFrame(
+            [(1, ["a", "b"], {"k": 2})],
+            "id long, arr array<string>, m map<string,int>")
+        [r] = _csv_safe(df).collect()
+        assert r["id"] == 1
+        assert json.loads(r["arr"]) == ["a", "b"]
+        assert json.loads(r["m"]) == {"k": 2}
+
+    def test_unknown_query_rejected(self, spark, tmp_path):
+        from astra_perseverance_spark.sinks import export_views
+        from tests.conftest import SF_SMALL
+
+        with pytest.raises(KeyError):
+            export_views(spark, SF_SMALL, str(tmp_path), "parquet", ["nope"])

@@ -69,6 +69,12 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--incl-sys", action="store_true",
                     help="include system keyspaces (reference -incl_sys; "
                          "OpsCenter stays excluded)")
+    ap.add_argument("--export", choices=("parquet", "csv"), default=None,
+                    help="also write every registered view as "
+                         "parquet/csv datasets under OUT/views/")
+    ap.add_argument("--export-views", default=None, metavar="Q1,Q2",
+                    help="restrict --export to a comma-separated "
+                         "query list")
     args = ap.parse_args(argv)
 
     from astra_perseverance_spark import get_spark
@@ -108,6 +114,15 @@ def main(argv: list[str] | None = None) -> int:
                 name = os.path.basename(os.path.normpath(data_dir)) or "cluster"
         out = write_report(spark, data_dir, args.out, name, cfg)
         print(f"{path}: wrote {out['xlsx']} and {out['summary_json']}")
+        if args.export:
+            from astra_perseverance_spark.sinks.export import export_views
+
+            wanted = (args.export_views.split(",")
+                      if args.export_views else None)
+            paths = export_views(
+                spark, data_dir, os.path.join(args.out, "views"),
+                args.export, wanted, cfg)
+            print(f"{path}: exported {len(paths)} views as {args.export}")
     return 0
 
 
