@@ -71,13 +71,14 @@ _BULLET_RE = "^[-*•]"
 _ELLIPSIS_RE = r"\.\.\.$"
 
 
-def q_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document Gopher-style quality signals + the composite pass
-    flag.  All counts are exact integers over whitespace words and
-    newline-split lines; each ratio is one double division, mirrored
-    verbatim in the DuckDB twin."""
-    d = _docs(spark, sf_dir).select(
-        "doc_id",
+def quality_signals_frame(d: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
+    """Gopher-style quality signals over ANY frame with (doc_id, text)
+    — the shared expression set for the batch query and the streaming
+    gate (``streaming.curation_stream``), so the two modes can never
+    drift.  ``keep`` carries extra columns (e.g. a stream's event
+    time) through unchanged."""
+    d = d.select(
+        *keep, "doc_id",
         F.split(F.trim("text"), _WS).alias("words"),
         F.split("text", "\n").alias("lines"),
         F.size(F.regexp_extract_all("text", F.lit("#"), F.lit(0)))
@@ -88,7 +89,7 @@ def q_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_words = F.size("words").cast("long")
     n_lines = F.size("lines").cast("long")
     d = d.select(
-        "doc_id",
+        *keep, "doc_id",
         n_words.alias("n_words"),
         (F.aggregate("words", F.lit(0).cast("long"),
                      lambda a, w: a + F.length(w)).cast("double")
@@ -114,7 +115,37 @@ def q_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("alpha_word_frac") > GOPHER_MIN_ALPHA_FRAC)
         & (F.col("dup_line_frac") < GOPHER_MAX_DUP_LINE_FRAC)
     )
-    return d.withColumn("gopher_pass", gopher_pass).orderBy("doc_id")
+    return d.withColumn("gopher_pass", gopher_pass)
+
+
+def q_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Gopher-style quality signals + the composite pass
+    flag.  All counts are exact integers over whitespace words and
+    newline-split lines; each ratio is one double division, mirrored
+    verbatim in the DuckDB twin."""
+    return quality_signals_frame(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def pii_redacted() -> F.Column:
+    """The ``text`` column with every PII match replaced by a typed
+    placeholder — shared by the batch digest query and the streaming
+    gate.  Replacement order is fixed (email, ipv4, phone) so
+    overlapping matches resolve identically everywhere."""
+    return F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace("text", PII_EMAIL, "<EMAIL>"),
+            PII_IPV4, "<IP>"),
+        PII_PHONE, "<PHONE>")
+
+
+def pii_count_columns() -> list[F.Column]:
+    """Match-count columns (n_email, n_ipv4, n_phone) over ``text``."""
+    return [
+        F.size(F.regexp_extract_all("text", F.lit(pat), F.lit(0)))
+        .cast("long").alias(name)
+        for name, pat in (("n_email", PII_EMAIL), ("n_ipv4", PII_IPV4),
+                          ("n_phone", PII_PHONE))
+    ]
 
 
 def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -126,22 +157,12 @@ def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Redaction order is fixed (email, ipv4, phone) so overlapping
     matches resolve identically on both engines."""
-    redacted = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace("text", PII_EMAIL, "<EMAIL>"),
-            PII_IPV4, "<IP>"),
-        PII_PHONE, "<PHONE>")
     return (
         _docs(spark, sf_dir)
         .select(
             "doc_id",
-            F.size(F.regexp_extract_all("text", F.lit(PII_EMAIL), F.lit(0)))
-            .cast("long").alias("n_email"),
-            F.size(F.regexp_extract_all("text", F.lit(PII_IPV4), F.lit(0)))
-            .cast("long").alias("n_ipv4"),
-            F.size(F.regexp_extract_all("text", F.lit(PII_PHONE), F.lit(0)))
-            .cast("long").alias("n_phone"),
-            F.md5(redacted).alias("redacted_md5"),
+            *pii_count_columns(),
+            F.md5(pii_redacted()).alias("redacted_md5"),
         )
         .withColumn(
             "pii_total",

@@ -6,6 +6,10 @@ stream, sharing column logic with the batch queries so parity holds
 between the two execution modes.
 """
 
+from astra_perseverance_spark.streaming.curation_stream import (
+    curation_gate,
+    stream_curation_gate,
+)
 from astra_perseverance_spark.streaming.doc_stream import stream_dedup_exact
 from astra_perseverance_spark.streaming.gc_stream import (
     gc_minute_window_agg,
@@ -14,7 +18,9 @@ from astra_perseverance_spark.streaming.gc_stream import (
 )
 
 __all__ = [
+    "curation_gate",
     "gc_minute_window_agg",
+    "stream_curation_gate",
     "stream_dedup_exact",
     "stream_gc_minute_windows",
     "stream_gc_sessions",

@@ -1,0 +1,64 @@
+"""Streaming curation gate: quality-filter + PII-redact an unbounded
+``documents`` stream.
+
+The streaming side of the curation family (``extensions.curation``):
+documents arrive continuously; each is scored with the SAME Gopher
+signal expressions and PII patterns as the batch queries (imported,
+not copied — the two modes cannot drift), failing documents are
+dropped, and passing documents are emitted with their PII redacted
+and the signal columns attached.
+
+Scale design: the gate is STATELESS — per-row projections and a
+filter, no watermark state, no shuffle — so it runs at source
+parallelism on any executor count and composes in front of the
+stateful stages (``doc_stream.stream_dedup_exact``) that do need
+state.  Ordering curation before dedup keeps junk out of the dedup
+operator's keyed state.
+
+Batch equivalence is exact (stateless ⇒ no watermark caveats): the
+pass-through set equals the batch filter on the same rows, which
+``tests/test_streaming.py`` asserts via an availableNow replay.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from astra_perseverance_spark.extensions.curation import (
+    pii_count_columns,
+    pii_redacted,
+    quality_signals_frame,
+)
+from astra_perseverance_spark.streaming.doc_stream import (
+    BASE_EPOCH,
+    DOC_SCHEMA,
+)
+
+
+def curation_gate(docs: DataFrame) -> DataFrame:
+    """(ts, pii_total, redacted, doc_id, signals…) for documents
+    passing the Gopher rules — one stateless projection chain (no
+    join: a self-join of a streaming frame would be a stateful
+    stream-stream join), so it works identically on a batch or
+    streaming frame."""
+    pii_total = pii_count_columns()[0]
+    for c in pii_count_columns()[1:]:
+        pii_total = pii_total + c
+    enriched = docs.select(
+        F.timestamp_seconds(F.col("doc_id") + F.lit(BASE_EPOCH)).alias("ts"),
+        pii_total.cast("long").alias("pii_total"),
+        pii_redacted().alias("redacted"),
+        "doc_id", "text",
+    )
+    return (
+        quality_signals_frame(enriched, keep=("ts", "pii_total", "redacted"))
+        .filter(F.col("gopher_pass"))
+    )
+
+
+def stream_curation_gate(spark: SparkSession, source_dir: str) -> DataFrame:
+    """The gate over a file-source stream; returns the unstarted
+    streaming DataFrame (caller picks sink/trigger)."""
+    stream = spark.readStream.schema(DOC_SCHEMA).parquet(source_dir)
+    return curation_gate(stream)

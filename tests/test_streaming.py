@@ -206,3 +206,52 @@ def test_stream_dedup_multibatch_within_horizon(spark, tmp_path):
     want = {r["content_md5"] for r in doc_digest_frame(docs).collect()}
     assert {r["content_md5"] for r in got} == want
     assert len(got) == len(want)
+
+
+def test_stream_curation_gate_matches_batch(spark, doc_source, tmp_path):
+    """The stateless curation gate's streaming pass-through set must
+    equal the batch filter on the same rows — exactly (no watermark
+    caveats for a stateless operator)."""
+    from astra_perseverance_spark.streaming.curation_stream import (
+        curation_gate,
+        stream_curation_gate,
+    )
+
+    sdf = stream_curation_gate(spark, doc_source)
+    q = (
+        sdf.writeStream.format("memory").queryName("curation_gate_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_cur"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM curation_gate_test").collect()
+
+    want = curation_gate(spark.read.parquet(doc_source)).collect()
+    key = lambda r: r["doc_id"]  # noqa: E731
+    assert sorted(map(key, got)) == sorted(map(key, want))
+    gm = {r["doc_id"]: r for r in got}
+    for w in want:
+        g = gm[w["doc_id"]]
+        assert g["pii_total"] == w["pii_total"]
+        assert g["mean_word_len"] == w["mean_word_len"]
+        assert g["gopher_pass"] and w["gopher_pass"]
+
+
+def test_stream_curation_gate_is_stateless(spark, doc_source):
+    """The gate must compile to a stateless streaming plan — no state
+    store operators (a self-join regression would show up here)."""
+    import contextlib
+    import io
+
+    from astra_perseverance_spark.streaming.curation_stream import (
+        stream_curation_gate,
+    )
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        stream_curation_gate(spark, doc_source).explain(True)
+    plan = buf.getvalue()
+    for marker in ("StateStore", "streamingSymmetricHashJoin",
+                   "dropDuplicates"):
+        assert marker not in plan, f"stateful operator in gate plan: {marker}"
