@@ -325,3 +325,78 @@ class TestGraphAndPipeline:
         assert {g for g in got if g[2] == "near"} == want
         for doc_id, dup_of, _ in got:
             assert doc_id % 2 == 1 or dup_of % 2 == 0
+
+
+class TestSaltedTopkExactness:
+    def test_matches_single_window_on_random_data(self, spark):
+        """salted_topk's documented contract: with a total order per
+        group (unique tie-breaker), its result equals the plain
+        single-window top-k exactly, on a frame with heavy per-group
+        skew and k larger than some groups."""
+        import random
+
+        from pyspark.sql import Window
+
+        from astra_perseverance_spark.functions.ordering import salted_topk
+
+        rng = random.Random(20260814)
+        rows = [
+            (i, f"g{rng.randint(0, 3)}", rng.randint(0, 50))
+            for i in range(2000)
+        ] + [(2000 + i, "tiny", i) for i in range(2)]  # group smaller than k
+        df = spark.createDataFrame(rows, "id long, grp string, score long")
+
+        order = [F.desc("score"), "id"]  # id = unique tie-breaker
+        got = {
+            (r["grp"], r["rank"], r["id"])
+            for r in salted_topk(df, ["grp"], order, 7, salt_on="id").collect()
+        }
+        w = Window.partitionBy("grp").orderBy(*order)
+        want = {
+            (r["grp"], r["rank"], r["id"])
+            for r in df.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 7).collect()
+        }
+        assert got == want
+
+
+class TestCurationInvariants:
+    def test_quality_ratios_bounded(self, q):
+        rows = q("quality_signals").collect()
+        for r in rows:
+            assert r["n_words"] >= 1
+            assert 0.0 <= r["alpha_word_frac"] <= 1.0
+            assert 0.0 <= r["bullet_line_frac"] <= 1.0
+            assert 0.0 <= r["ellipsis_line_frac"] <= 1.0
+            assert 0.0 <= r["dup_line_frac"] < 1.0
+            assert r["mean_word_len"] > 0
+
+    def test_pii_totals_consistent(self, q):
+        for r in q("pii_scan").collect():
+            assert r["pii_total"] == r["n_email"] + r["n_ipv4"] + r["n_phone"]
+            assert len(r["redacted_md5"]) == 32
+
+    def test_source_mix_respects_budget_and_quotas(self, q):
+        from astra_perseverance_spark.extensions.curation import MIX_BUDGET
+
+        rows = q("source_mix").collect()
+        assert len(rows) <= MIX_BUDGET
+        by_src: dict = {}
+        for r in rows:
+            by_src.setdefault(r["source"], []).append(r)
+        for src, picked in by_src.items():
+            quota = picked[0]["quota"]
+            assert len(picked) <= quota
+            picks = sorted(p["pick"] for p in picked)
+            assert picks == list(range(1, len(picks) + 1))  # contiguous
+
+    def test_decontaminate_never_flags_panel_docs(self, spark, q):
+        from astra_perseverance_spark.extensions.curation import decon_panel
+
+        panel = {r["bench_doc"]
+                 for r in decon_panel(spark, SF_SMALL).collect()}
+        rows = q("decontaminate").collect()
+        for r in rows:
+            assert r["doc_id"] not in panel
+            assert r["bench_doc"] in panel
+            assert r["n_shared"] >= 3
