@@ -427,9 +427,17 @@ def capped_shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(lang, doc_a, doc_b, jaccard) near-dup pairs, unordered — the
-    shared edge source for ``q_ngram_jaccard`` and
-    ``q_dedup_clusters`` (see the former for the plan-shape and
-    stop-shingle notes)."""
+    shared edge source for ``q_ngram_jaccard``, ``q_dedup_clusters``
+    (via ``_dup_edges``) and ``q_dedup_incremental`` (see the first
+    for the plan-shape and stop-shingle notes).  Memoized: the
+    candidate join + verify is the dedup path's most expensive stage
+    and three queries consume its output; the frame is true-pair
+    grain (MEMORY_AND_DISK, spills rather than OOMs at scale)."""
+    return memo_frame(spark, sf_dir, ("ngram_pairs",),
+                      lambda: _build_ngram_pairs(spark, sf_dir))
+
+
+def _build_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     univ = capped_shingle_rows(spark, sf_dir)
     tau = MINHASH_JACCARD_MIN
     # Prefix postings: each doc's n − ⌈τ·n⌉ + 1 rarest shingles in the
@@ -543,4 +551,25 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").over(Window.partitionBy("cluster_id")),
         )
         .orderBy("cluster_id", "doc_id")
+    )
+
+
+def q_dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup family's actionable artifact: for every document in
+    the duplicate graph, keep-or-drop plus the representative kept in
+    its place.  The representative is the cluster's minimum doc_id
+    (the cluster label itself), so the decision is a pure projection
+    over the memoized component frame — no extra joins or shuffles
+    beyond ``q_dedup_clusters``.  Documents outside the graph
+    (singletons) are implicitly kept and omitted, as in the cluster
+    view."""
+    return (
+        q_dedup_clusters(spark, sf_dir)
+        .select(
+            "doc_id",
+            (F.col("doc_id") == F.col("cluster_id")).alias("keep"),
+            F.col("cluster_id").alias("rep_doc"),
+            "cluster_size",
+        )
+        .orderBy("doc_id")
     )

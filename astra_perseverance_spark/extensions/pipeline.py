@@ -222,3 +222,39 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         flagged.filter(F.col("reasons") != "")
         .orderBy("doc_id")
     )
+
+
+def q_corpus_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition rollup: document counts, character volume,
+    and whitespace-token volume at every (lang × source) grouping
+    level — the A9 GROUPING SETS shape (reference gc rollup) applied
+    to the corpus, i.e. the table a mixing/reporting stage reads.
+
+    ``cube(lang, source)`` gives the four levels in ONE fact scan
+    with map-side partial aggregation; the level tag is derived from
+    the NULL pattern (not engine-specific GROUPING_ID bit orders) and
+    rolled-up keys render as 'ALL', so the output is unambiguous and
+    engine-portable.  Sums are exact integers."""
+    d = _docs(spark, sf_dir).select(
+        "lang", "source",
+        F.col("n_chars").cast("long").alias("nc"),
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("nw"),
+    )
+    agg = d.cube("lang", "source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("nc").cast("long").alias("total_chars"),
+        F.sum("nw").cast("long").alias("total_ws_tokens"),
+    )
+    lvl = (
+        F.when(F.col("lang").isNull(), 2).otherwise(0)
+        + F.when(F.col("source").isNull(), 1).otherwise(0)
+    ).cast("int")
+    return (
+        agg.select(
+            lvl.alias("lvl"),
+            F.coalesce("lang", F.lit("ALL")).alias("lang"),
+            F.coalesce("source", F.lit("ALL")).alias("source"),
+            "n_docs", "total_chars", "total_ws_tokens",
+        )
+        .orderBy("lvl", "lang", "source")
+    )

@@ -812,3 +812,33 @@ FROM r JOIN q USING (source)
 WHERE r.pick <= q.quota
 ORDER BY source, pick
 """
+
+# dedup_keep_list reuses the clusters oracle's independent recursive
+# transitive-closure formulation; only the final projection differs.
+EXT_ORACLE_SQL["dedup_keep_list"] = (
+    "SELECT doc_id, doc_id = cluster_id AS keep, "
+    "cluster_id AS rep_doc, cluster_size FROM ("
+    + EXT_ORACLE_SQL["dedup_clusters"].replace(
+        "ORDER BY cluster_id, doc_id", "")
+    + ") ORDER BY doc_id"
+)
+
+EXT_ORACLE_SQL["corpus_rollup"] = """
+WITH d AS (
+  SELECT lang, source, CAST(n_chars AS BIGINT) AS nc,
+         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS nw
+  FROM documents
+),
+a AS (
+  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(nc) AS BIGINT) AS total_chars,
+         CAST(SUM(nw) AS BIGINT) AS total_ws_tokens
+  FROM d GROUP BY CUBE (lang, source)
+)
+SELECT CAST(CASE WHEN lang IS NULL THEN 2 ELSE 0 END
+          + CASE WHEN source IS NULL THEN 1 ELSE 0 END AS INT) AS lvl,
+       COALESCE(lang, 'ALL') AS lang,
+       COALESCE(source, 'ALL') AS source,
+       n_docs, total_chars, total_ws_tokens
+FROM a ORDER BY lvl, lang, source
+"""

@@ -71,6 +71,7 @@ QUERY_REGISTRY: dict[str, QueryFn] = {
     "dedup_simhash": dedup.q_dedup_simhash,
     "ngram_jaccard": dedup.q_ngram_jaccard,
     "dedup_clusters": dedup.q_dedup_clusters,
+    "dedup_keep_list": dedup.q_dedup_keep_list,
     # Extensions — similarity family (embeddings)
     "embedding_topk": similarity.q_embedding_topk,
     "ann_lsh_bucket": similarity.q_ann_lsh_bucket,
@@ -89,6 +90,7 @@ QUERY_REGISTRY: dict[str, QueryFn] = {
     "corpus_sample": pipeline.q_corpus_sample,
     "corpus_sample_fixed": pipeline.q_corpus_sample_fixed,
     "ngram_counts": pipeline.q_ngram_counts,
+    "corpus_rollup": pipeline.q_corpus_rollup,
     "quality_filter": pipeline.q_quality_filter,
     # Extensions — multimodal plumbing (documents → binary payloads)
     "multimodal_features": multimodal.q_multimodal_features,
