@@ -842,3 +842,18 @@ SELECT CAST(CASE WHEN lang IS NULL THEN 2 ELSE 0 END
        n_docs, total_chars, total_ws_tokens
 FROM a ORDER BY lvl, lang, source
 """
+
+from astra_perseverance_spark.streaming.doc_stream import (  # noqa: E402
+    BASE_EPOCH as _DOC_BASE_EPOCH,
+)
+
+EXT_ORACLE_SQL["doc_minute_tokens"] = f"""
+SELECT make_timestamp(((doc_id + {_DOC_BASE_EPOCH}) // 60) * 60 * 1000000)
+         AS window_start,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT)
+         AS total_ws_tokens
+FROM documents
+GROUP BY 1 ORDER BY window_start
+"""

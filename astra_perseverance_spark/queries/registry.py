@@ -27,7 +27,7 @@ from astra_perseverance_spark.queries import (
     warnings,
     workload,
 )
-from astra_perseverance_spark.streaming import gc_stream
+from astra_perseverance_spark.streaming import doc_stream, gc_stream
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -63,6 +63,7 @@ QUERY_REGISTRY: dict[str, QueryFn] = {
     # readStream path shares the same column logic — streaming/)
     "gc_minute_windows": gc_stream.q_gc_minute_windows,
     "gc_sessions": gc_stream.q_gc_sessions,
+    "doc_minute_tokens": doc_stream.q_doc_minute_tokens,
     # Extensions — dedup family (documents)
     "dedup_exact": dedup.q_dedup_exact,
     "dedup_incremental": dedup.q_dedup_incremental,

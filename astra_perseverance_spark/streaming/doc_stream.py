@@ -70,3 +70,59 @@ def stream_dedup_exact(spark: SparkSession, source_dir: str) -> DataFrame:
         .withWatermark("ts", DEDUP_HORIZON)
         .dropDuplicatesWithinWatermark(["content_md5"])
     )
+
+
+# Ingestion-rate window width.
+RATE_WINDOW = "1 minute"
+
+
+def with_event_time(docs: DataFrame) -> DataFrame:
+    """Attach the doc_id-derived event time as ``ts`` (the watermark
+    column for streams; see ``doc_digest_frame`` for the derivation
+    rationale)."""
+    return docs.select(
+        "*",
+        F.timestamp_seconds(F.col("doc_id") + F.lit(BASE_EPOCH)).alias("ts"),
+    )
+
+
+def doc_minute_token_agg(docs_ts: DataFrame) -> DataFrame:
+    """Per-minute ingestion throughput (docs, chars, whitespace
+    tokens) — the monitoring aggregation a corpus-ingest pipeline
+    watches.  Input must carry ``ts`` (use ``with_event_time``; a
+    stream declares its watermark on that same column so windows are
+    expirable).  Shared by the batch twin and the stream; exact
+    integer sums, map-side partial aggregation."""
+    return (
+        docs_ts.select(
+            "ts",
+            F.col("n_chars").cast("long").alias("nc"),
+            F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("nw"),
+        )
+        .groupBy(F.window("ts", RATE_WINDOW).alias("w"))
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("nc").cast("long").alias("total_chars"),
+            F.sum("nw").cast("long").alias("total_ws_tokens"),
+        )
+        .select(F.col("w.start").alias("window_start"),
+                "n_docs", "total_chars", "total_ws_tokens")
+    )
+
+
+def q_doc_minute_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming throughput windows (oracle-checked;
+    event time derives from doc_id as in ``doc_digest_frame``)."""
+    from astra_perseverance_spark.extensions.corpus import docs_frame
+
+    return doc_minute_token_agg(
+        with_event_time(docs_frame(spark, sf_dir))
+    ).orderBy("window_start")
+
+
+def stream_doc_minute_tokens(spark: SparkSession, source_dir: str) -> DataFrame:
+    """The same aggregation over a file-source stream with a
+    watermark; returns the unstarted streaming DataFrame."""
+    stream = spark.readStream.schema(DOC_SCHEMA).parquet(source_dir)
+    return doc_minute_token_agg(
+        with_event_time(stream).withWatermark("ts", DEDUP_HORIZON))

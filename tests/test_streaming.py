@@ -255,3 +255,37 @@ def test_stream_curation_gate_is_stateless(spark, doc_source):
     for marker in ("StateStore", "streamingSymmetricHashJoin",
                    "dropDuplicates"):
         assert marker not in plan, f"stateful operator in gate plan: {marker}"
+
+
+def test_stream_doc_minute_tokens_matches_batch(spark, doc_source, tmp_path):
+    """The throughput windows over an availableNow replay must equal
+    the batch twin exactly (all rows arrive before the watermark
+    closes any window)."""
+    from astra_perseverance_spark.streaming.doc_stream import (
+        doc_minute_token_agg,
+        stream_doc_minute_tokens,
+        with_event_time,
+    )
+
+    sdf = stream_doc_minute_tokens(spark, doc_source)
+    # complete mode: append would hold back windows the watermark has
+    # not closed (the replay spans minutes, the horizon is 1 hour)
+    q = (
+        sdf.writeStream.format("memory").queryName("doc_rate_test")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_rate"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["window_start"], r["n_docs"], r["total_chars"],
+         r["total_ws_tokens"])
+        for r in spark.sql("SELECT * FROM doc_rate_test").collect()
+    }
+    want = {
+        (r["window_start"], r["n_docs"], r["total_chars"],
+         r["total_ws_tokens"])
+        for r in doc_minute_token_agg(
+            with_event_time(spark.read.parquet(doc_source))).collect()
+    }
+    assert got == want and got
