@@ -36,7 +36,12 @@ from astra_perseverance_spark.conformed.model import memo_frame
 from astra_perseverance_spark.extensions.corpus import vectors_frame as _vectors
 from astra_perseverance_spark.functions.ordering import salted_topk
 from astra_perseverance_spark.functions.texthash import h15
-from astra_perseverance_spark.functions.vectors import ANN_TOPK, cosine, dot_q
+from astra_perseverance_spark.functions.vectors import (
+    ANN_TOPK,
+    cosine,
+    dot_q,
+    norm2_q,
+)
 
 # Fixed-size query panel: the K vectors with the smallest
 # (h15(vec_id), vec_id).  A constant, not a fraction — the brute-force
@@ -263,13 +268,21 @@ def q_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcastable dim), and a membership test over two same-keyed
     sets is exactly what a shuffle aggregate computes.  Keeps the
     engine's no-SortMergeJoin plan invariant (docs/PLAN_AUDIT.md)."""
+    return _recall_vs_exact(
+        q_embedding_topk(spark, sf_dir), q_ann_lsh_bucket(spark, sf_dir))
+
+
+def _recall_vs_exact(exact_topk: DataFrame, ann_topk: DataFrame) -> DataFrame:
+    """recall@k rows (query_id, n_exact, n_hit, recall) for any ANN
+    result frame against the exact baseline — the tagged-union
+    membership aggregate shared by every audit variant."""
     exact = (
-        q_embedding_topk(spark, sf_dir)
+        exact_topk
         .select("query_id", "neighbor_id")
         .withColumn("src", F.lit(1))
     )
     ann = (
-        q_ann_lsh_bucket(spark, sf_dir)
+        ann_topk
         .select("query_id", "neighbor_id")
         .withColumn("src", F.lit(2))
     )
@@ -327,3 +340,128 @@ def q_embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id", "vec_id")
     )
+
+
+# Lloyd iterations for the trained IVF variant.  Two rounds moves
+# every centroid to a data-adaptive position (empirically the recall
+# jump is in the first rounds); each extra round is one more
+# broadcast-assign + one tiny per-list aggregation.
+KMEANS_ITERS = 2
+
+
+def _kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(cid, c_eq, c_n2): coarse-quantizer centroids after
+    ``KMEANS_ITERS`` distributed Lloyd iterations — INTEGER-EXACT, so
+    the DuckDB twin converges to bit-identical centroids:
+
+    - assignment metric is squared euclidean distance in quantized
+      space, d² = |v|² + |c|² − 2·v·c — all BIGINT, no float order
+      dependence; ties break toward the smaller centroid id;
+    - the update step is a per-dimension truncating integer mean
+      (``Σ v_d DIV count`` — Spark DIV and DuckDB // both truncate
+      toward zero, verified) — centroids stay lattice points, so the
+      next assignment is again exact;
+    - seeds are the stride-selected vectors (same as the untrained
+      variant), list ids stay the seed ids, and a list that loses all
+      members simply disappears (deterministic on both engines).
+
+    Scale shape: each iteration is one broadcast of the ~n/stride
+    centroids against the corpus (map-side, no shuffle) plus one
+    centroid-grain aggregation (64 integer sums per list — map-side
+    partial agg; the shuffle carries |lists|·partitions rows).  The
+    driver holds nothing; iterations extend the lineage by two narrow
+    stages each."""
+    from astra_perseverance_spark.functions.vectors import ANN_DIM
+
+    v = _vectors(spark, sf_dir).select("vec_id", "eq", "n2")
+    cent = v.filter(F.col("vec_id") % IVF_CENTROID_STRIDE == 0).select(
+        F.col("vec_id").alias("cid"),
+        F.col("eq").alias("c_eq"),
+        F.col("n2").alias("c_n2"),
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "cid")
+    for _ in range(KMEANS_ITERS):
+        members = (
+            v.join(F.broadcast(cent))
+            .select(
+                "vec_id", "eq", "cid",
+                (F.col("n2") + F.col("c_n2")
+                 - 2 * dot_q(F.col("eq"), F.col("c_eq"))).alias("d2"),
+            )
+            .withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") == 1)
+        )
+        sums = members.groupBy("cid").agg(
+            F.count("*").alias("cnt"),
+            *[F.sum(F.col("eq")[d]).alias(f"s{d}") for d in range(ANN_DIM)],
+        )
+        cent = sums.select(
+            "cid",
+            F.array(
+                *[F.expr(f"s{d} DIV cnt").cast("long")
+                  for d in range(ANN_DIM)]
+            ).alias("c_eq"),
+        ).withColumn("c_n2", norm2_q(F.col("c_eq")))
+    return cent
+
+
+def _build_ivf_kmeans_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained IVF index: every vector's ``IVF_NPROBE`` nearest
+    trained centroids by integer d² (crank 1 = its list)."""
+    v = _vectors(spark, sf_dir).select("vec_id", "eq", "n2")
+    cent = _kmeans_centroids(spark, sf_dir)
+    aff = v.join(F.broadcast(cent)).select(
+        "vec_id", "eq", "n2", "cid",
+        (F.col("n2") + F.col("c_n2")
+         - 2 * dot_q(F.col("eq"), F.col("c_eq"))).alias("d2"),
+    )
+    w_aff = Window.partitionBy("vec_id").orderBy("d2", "cid")
+    return (
+        aff.withColumn("crank", F.row_number().over(w_aff))
+        .filter(F.col("crank") <= IVF_NPROBE)
+        .select("vec_id", "eq", "n2", "cid", "crank")
+    )
+
+
+def q_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN over a TRAINED coarse quantizer: the ``ann_ivf``
+    pipeline with the stride seeds replaced by ``KMEANS_ITERS``
+    integer-exact distributed Lloyd iterations (``_kmeans_centroids``)
+    — the production IVF shape, upgraded from the untrained
+    stand-in while keeping bitwise oracle parity.  Probe/assign
+    ranking uses the same integer d² metric as training; final
+    candidate ranking is the exact cosine."""
+    ranked = memo_frame(spark, sf_dir, ("ivf_kmeans_lists",),
+                        lambda: _build_ivf_kmeans_lists(spark, sf_dir))
+    assign = ranked.filter(F.col("crank") == 1).select(
+        "vec_id", "eq", "n2", "cid"
+    )
+    probes = (
+        ranked.join(F.broadcast(query_ids(spark, sf_dir)), "vec_id", "semi")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("eq").alias("q_eq"),
+            F.col("n2").alias("q_n2"),
+            "cid",
+        )
+    )
+    pairs = (
+        probes.join(assign.hint("shuffle_hash"), "cid")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(dot_q(F.col("q_eq"), F.col("eq")), F.col("q_n2"), F.col("n2"))
+            .alias("cosine"),
+        )
+    )
+    return _topk(pairs)
+
+
+def q_ann_recall_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the TRAINED IVF path (``q_ann_ivf_kmeans``) against
+    the exact baseline — same audit shape as ``q_ann_recall_audit``,
+    so the two ANN families' recall is directly comparable per panel
+    query (the number that justifies spending Lloyd iterations)."""
+    return _recall_vs_exact(
+        q_embedding_topk(spark, sf_dir), q_ann_ivf_kmeans(spark, sf_dir))

@@ -857,3 +857,140 @@ SELECT make_timestamp(((doc_id + {_DOC_BASE_EPOCH}) // 60) * 60 * 1000000)
 FROM documents
 GROUP BY 1 ORDER BY window_start
 """
+
+# ---------------------------------------------------------------------------
+# Trained IVF (extensions/similarity.py::q_ann_ivf_kmeans): the Lloyd
+# iterations are integer-exact (BIGINT d² assignment metric, truncating
+# integer mean — DuckDB // and Spark DIV both truncate toward zero), so
+# the unrolled iterations below converge to bit-identical centroids.
+
+from astra_perseverance_spark.extensions.similarity import (  # noqa: E402
+    KMEANS_ITERS,
+)
+
+
+def _kmeans_iter_sql(cin: str, tag: str) -> tuple[str, str]:
+    """One Lloyd iteration as CTE text: assign vn to ``cin``, emit
+    updated centroids ``k<tag>``.  Returns (sql, out_name)."""
+    a, s, ce, co = f"a{tag}", f"s{tag}", f"ke{tag}", f"k{tag}"
+    sql = f"""
+{a} AS (
+  SELECT v.vec_id, v.eq, c.cid,
+         ROW_NUMBER() OVER (PARTITION BY v.vec_id
+           ORDER BY v.n2 + c.c_n2 - 2*{dot_q_sql('v.eq', 'c.c_eq', ANN_DIM)},
+                    c.cid) AS r
+  FROM vn v CROSS JOIN {cin} c
+),
+{s} AS (
+  SELECT x.cid, t.i,
+         CAST(SUM(x.eq[CAST(t.i+1 AS INT)]) AS BIGINT) AS s,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM {a} x CROSS JOIN (SELECT unnest(range({ANN_DIM})) AS i) t
+  WHERE x.r = 1
+  GROUP BY x.cid, t.i
+),
+{ce} AS (
+  SELECT cid, list(s // cnt ORDER BY i) AS c_eq FROM {s} GROUP BY cid
+),
+{co} AS (
+  SELECT cid, c_eq, {dot_q_sql('c_eq', 'c_eq', ANN_DIM)} AS c_n2 FROM {ce}
+)"""
+    return sql, co
+
+
+_KM_CTES = []
+_km_prev = "c0"
+for _it in range(KMEANS_ITERS):
+    _sql, _km_prev = _kmeans_iter_sql(_km_prev, str(_it + 1))
+    _KM_CTES.append(_sql)
+
+EXT_ORACLE_SQL["ann_ivf_kmeans"] = f"""
+WITH {_VEC},
+c0 AS (SELECT vec_id AS cid, eq AS c_eq, n2 AS c_n2 FROM vn
+       WHERE vec_id % {IVF_CENTROID_STRIDE} = 0),
+{",".join(_KM_CTES)},
+af AS (
+  SELECT v.vec_id, v.eq, v.n2, c.cid,
+         ROW_NUMBER() OVER (PARTITION BY v.vec_id
+           ORDER BY v.n2 + c.c_n2 - 2*{dot_q_sql('v.eq', 'c.c_eq', ANN_DIM)},
+                    c.cid) AS crank
+  FROM vn v CROSS JOIN {_km_prev} c
+),
+assign AS (SELECT vec_id, eq, n2, cid FROM af WHERE crank = 1),
+probes AS (
+  SELECT vec_id AS query_id, eq AS q_eq, n2 AS q_n2, cid
+  FROM af
+  WHERE vec_id IN (SELECT vec_id FROM qsel) AND crank <= {IVF_NPROBE}
+),
+pairs AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         CAST({dot_q_sql('p.q_eq', 'a.eq', ANN_DIM)} AS DOUBLE)
+           / (sqrt(CAST(p.q_n2 AS DOUBLE)) * sqrt(CAST(a.n2 AS DOUBLE)))
+           AS cosine
+  FROM probes p JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM pairs
+)
+SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cosine
+FROM ranked WHERE rank <= {ANN_TOPK} ORDER BY query_id, rank
+"""
+
+EXT_ORACLE_SQL["ann_recall_ivf_kmeans"] = f"""
+WITH {_VEC},
+c0 AS (SELECT vec_id AS cid, eq AS c_eq, n2 AS c_n2 FROM vn
+       WHERE vec_id % {IVF_CENTROID_STRIDE} = 0),
+{",".join(_KM_CTES)},
+af AS (
+  SELECT v.vec_id, v.eq, v.n2, c.cid,
+         ROW_NUMBER() OVER (PARTITION BY v.vec_id
+           ORDER BY v.n2 + c.c_n2 - 2*{dot_q_sql('v.eq', 'c.c_eq', ANN_DIM)},
+                    c.cid) AS crank
+  FROM vn v CROSS JOIN {_km_prev} c
+),
+assign AS (SELECT vec_id, eq, n2, cid FROM af WHERE crank = 1),
+probes AS (
+  SELECT vec_id AS query_id, eq AS q_eq, n2 AS q_n2, cid
+  FROM af
+  WHERE vec_id IN (SELECT vec_id FROM qsel) AND crank <= {IVF_NPROBE}
+),
+ann_pairs AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         CAST({dot_q_sql('p.q_eq', 'a.eq', ANN_DIM)} AS DOUBLE)
+           / (sqrt(CAST(p.q_n2 AS DOUBLE)) * sqrt(CAST(a.n2 AS DOUBLE)))
+           AS cosine
+  FROM probes p JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.query_id
+),
+ann_ranked AS (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM ann_pairs
+),
+ann_k AS (SELECT query_id, neighbor_id FROM ann_ranked WHERE rank <= {ANN_TOPK}),
+q AS (SELECT * FROM vn WHERE vec_id IN (SELECT vec_id FROM qsel)),
+exact_pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {_COS} AS cosine
+  FROM q JOIN vn c ON c.vec_id <> q.vec_id
+),
+exact_ranked AS (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM exact_pairs
+),
+exact_k AS (SELECT query_id, neighbor_id FROM exact_ranked WHERE rank <= {ANN_TOPK}),
+hits AS (
+  SELECT e.query_id,
+         CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+  FROM exact_k e LEFT JOIN ann_k a
+    ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+)
+SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_exact,
+       CAST(SUM(hit) AS BIGINT) AS n_hit,
+       CAST(SUM(hit) AS DOUBLE) / COUNT(*) AS recall
+FROM hits GROUP BY query_id ORDER BY query_id
+"""

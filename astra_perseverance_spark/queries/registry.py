@@ -77,7 +77,9 @@ QUERY_REGISTRY: dict[str, QueryFn] = {
     "embedding_topk": similarity.q_embedding_topk,
     "ann_lsh_bucket": similarity.q_ann_lsh_bucket,
     "ann_ivf": similarity.q_ann_ivf,
+    "ann_ivf_kmeans": similarity.q_ann_ivf_kmeans,
     "ann_recall_audit": similarity.q_ann_recall_audit,
+    "ann_recall_ivf_kmeans": similarity.q_ann_recall_ivf_kmeans,
     "embedding_cosine_dups": similarity.q_embedding_cosine_dups,
     "embedding_dup_clusters": similarity.q_embedding_dup_clusters,
     # Extensions — text analysis family (documents)

@@ -47,8 +47,10 @@ def test_bnlj_only_for_declared_baselines(spark):
         "workload_reads", "workload_writes", "workload_summary",
         "workload_rw_outer", "summary_long", "summary_json", "warnings",
         "data_size", "proxyhistograms_ms",
-        # brute-force |queries|-wide baseline / its consumers
+        # brute-force |queries|-wide baseline / its consumers, and the
+        # bounded centroid-broadcast crossJoins of the IVF builds
         "embedding_topk", "ann_recall_audit", "ann_ivf",
+        "ann_ivf_kmeans", "ann_recall_ivf_kmeans",
         # 1-row n_docs / Σweights crossJoin
         "tfidf_top_terms", "source_mix",
     }

@@ -63,8 +63,12 @@ OPS = [
     ("embedding_topk", "O(n·K) — fixed-size query panel"),
     ("ann_lsh_bucket", "Σ bucket·q_bucket (planes scale with n)"),
     ("ann_ivf", "O(n·k) assign + O(K·n/lists·nprobe) probe"),
+    ("ann_ivf_kmeans", "ann_ivf + ITERS·O(n·k) integer Lloyd rounds"),
     ("embedding_cosine_dups", "Σ bucket² (planes scale with n)"),
     ("dedup_clusters", "O(E) per round × O(log d) rounds"),
+    ("dedup_keep_list", "projection over memoized components"),
+    ("corpus_rollup", "O(n) + 4-level cube agg"),
+    ("doc_minute_tokens", "O(n) + window-keyed agg"),
     ("vocab_top_terms", "O(n) tokens + vocab-grain agg"),
     ("tfidf_top_terms", "O(n) tokens + term-keyed join"),
     ("corpus_sample", "O(n) narrow filter"),
@@ -148,18 +152,19 @@ def main() -> int:
         # includes cache pressure from every op before it (round-3:
         # doc_fingerprint "went quadratic" purely from pool pressure).
         release_memos(spark)
-        time_op(fn, spark, sf_dir)
-        t1 = time_op(fn, spark, sf_dir)
+        b1 = time_op(fn, spark, sf_dir)   # build: own memos + codegen
+        t1 = time_op(fn, spark, sf_dir)   # warm: memoized inputs hot
         r1 = fn(spark, sf_dir).count()
         release_memos(spark)
-        time_op(fn, spark, scratch)
+        bn = time_op(fn, spark, scratch)
         tn = time_op(fn, spark, scratch)
         rn = fn(spark, scratch).count()
         release_memos(spark)
         ratio = tn / t1 if t1 > 0 else float("inf")
-        rows.append((name, shape, t1, tn, ratio, r1, rn))
+        bratio = bn / b1 if b1 > 0 else float("inf")
+        rows.append((name, shape, t1, tn, ratio, r1, rn, bratio))
         print(f"{name}: 1x={t1:.2f}s {rep}x={tn:.2f}s ratio={ratio:.1f} "
-              f"rows {r1}->{rn}", file=sys.stderr)
+              f"build-ratio={bratio:.1f} rows {r1}->{rn}", file=sys.stderr)
 
     lines = [
         "# Scale probe — extension operators at 1× vs "
@@ -173,18 +178,21 @@ def main() -> int:
         "expected complexity of each family.",
         "",
         f"| operator | expected shape | t(1×) s | t({rep}×) s | ratio "
-        f"(ideal ≤ {rep}) | rows 1×→{rep}× |",
-        "|---|---|---|---|---|---|",
+        f"(ideal ≤ {rep}) | build ratio | rows 1×→{rep}× |",
+        "|---|---|---|---|---|---|---|",
     ]
-    for name, shape, t1, tn, ratio, r1, rn in rows:
+    for name, shape, t1, tn, ratio, r1, rn, bratio in rows:
         lines.append(
             f"| {name} | {shape} | {t1:.2f} | {tn:.2f} | {ratio:.1f} "
-            f"| {r1}→{rn} |"
+            f"| {bratio:.1f} | {r1}→{rn} |"
         )
     lines += [
         "",
         "Each op is measured in isolation (shared memo frames released,",
-        "own warm run first) at each scale.  Ratios at or under the",
+        "own warm 'build' run first — timed separately as the build",
+        "ratio, since for memoized operators (ngram pairs, IVF lists)",
+        "the warm number reads a cached artifact and the build number",
+        "is where the join/train cost lives).  Ratios at or under the",
         "replication factor mean the operator is partition-parallel with",
         "no hidden quadratic stage.  For the near-dup ops, compare the",
         "time ratio against the OUTPUT row growth: the probe corpus",
