@@ -2,11 +2,15 @@
 columnar view export (parquet/CSV per registered query)."""
 
 from astra_perseverance_spark.sinks.export import export_views
+from astra_perseverance_spark.sinks.warehouse import (
+    colocated_doc_join,
+    write_bucketed_corpus,
+)
 from astra_perseverance_spark.sinks.report import (
     write_report,
     write_summary_json,
     write_workbook,
 )
 
-__all__ = ["export_views", "write_report", "write_summary_json",
-           "write_workbook"]
+__all__ = ["colocated_doc_join", "export_views", "write_bucketed_corpus",
+           "write_report", "write_summary_json", "write_workbook"]

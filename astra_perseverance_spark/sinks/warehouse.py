@@ -1,0 +1,71 @@
+"""Bucketed warehouse layout: co-located joins without a shuffle.
+
+At 100 TB the dominant cost of every doc_id-keyed join (stats ⋈ docs,
+digests ⋈ docs, labels ⋈ embeddings) is the exchange.  Writing the
+corpus ONCE as bucketed+sorted tables moves that cost to ingest time:
+two tables bucketed by the same key into the same bucket count join
+with NO Exchange (and, with ``sortBy``, no per-task Sort) — Spark
+plans a bucket-local sort-merge join where bucket i of A streams
+against bucket i of B.
+
+This is the persisted-table analog of the session-scoped
+``repartition`` the memo frames use; a production deployment with a
+metastore keeps the bucketing metadata across jobs, so every
+downstream pipeline inherits shuffle-free joins.  (With Spark's
+default in-memory catalog the metadata lives for the session — the
+layout on disk is identical either way.)
+
+Bucket count: fixed at write time; choose ≈ corpus_bytes /
+(256 MB · compression) and re-bucket when the corpus outgrows it —
+the same sizing rule as shuffle partitions, but durable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DEFAULT_BUCKETS = 16
+
+
+def write_bucketed_corpus(spark: SparkSession, sf_dir: str, database: str,
+                          location: str,
+                          n_buckets: int = DEFAULT_BUCKETS) -> dict[str, str]:
+    """Write ``documents`` (raw) and its per-doc digest/stats side
+    tables bucketed+sorted by doc_id, plus ``embeddings`` bucketed by
+    vec_id, under ``database`` (created at ``location``).  Returns
+    table name → qualified name."""
+    from astra_perseverance_spark.extensions.dedup import normalized_text
+
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {database} "
+              f"LOCATION '{location}'")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    digests = docs.select(
+        "doc_id", F.md5(normalized_text()).alias("content_md5"),
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long")
+        .alias("n_ws_tokens"),
+    )
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = {}
+    for name, df, key in (("documents", docs, "doc_id"),
+                          ("doc_digests", digests, "doc_id"),
+                          ("embeddings", emb, "vec_id")):
+        qualified = f"{database}.{name}"
+        (
+            df.write.mode("overwrite")
+            .bucketBy(n_buckets, key).sortBy(key)
+            .format("parquet")
+            .saveAsTable(qualified)
+        )
+        out[name] = qualified
+    return out
+
+
+def colocated_doc_join(spark: SparkSession, database: str) -> DataFrame:
+    """documents ⋈ doc_digests on doc_id — both sides bucketed on the
+    key, so the physical plan has NO Exchange (assert it with
+    ``.explain``; ``tests/test_warehouse.py`` gates exactly that)."""
+    docs = spark.table(f"{database}.documents").select(
+        "doc_id", "lang", "source")
+    dig = spark.table(f"{database}.doc_digests")
+    return docs.join(dig, "doc_id")

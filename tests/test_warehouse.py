@@ -1,0 +1,77 @@
+"""Bucketed-warehouse co-location: the join the layout exists for must
+compile WITHOUT an Exchange (and without a per-task Sort, since the
+buckets are written sorted)."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def warehouse(spark, tmp_path_factory):
+    from astra_perseverance_spark.sinks.warehouse import write_bucketed_corpus
+
+    loc = tmp_path_factory.mktemp("bucketed_wh")
+    tables = write_bucketed_corpus(spark, SF_SMALL, "bucketdemo", str(loc))
+    yield tables
+    for t in tables.values():
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    spark.sql("DROP DATABASE IF EXISTS bucketdemo")
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_colocated_join_has_no_exchange(spark, warehouse):
+    from astra_perseverance_spark.sinks.warehouse import colocated_doc_join
+
+    # force the join strategy to depend on the layout, not on the
+    # small fixture size (a broadcast would hide the bucketing)
+    sess = spark.newSession()
+    sess.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(colocated_doc_join(sess, "bucketdemo"))
+    finally:
+        sess.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    assert "Exchange" not in plan, plan
+    assert "SelectedBucketsCount" in plan  # scans are bucket-pruned reads
+
+
+def test_colocated_join_values_match_plain_join(spark, warehouse):
+    from pyspark.sql import functions as F
+
+    from astra_perseverance_spark.sinks.warehouse import colocated_doc_join
+
+    got = colocated_doc_join(spark, "bucketdemo")
+    n = got.count()
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    assert n == docs.count()  # digest side is 1:1 with documents
+    s = got.agg(F.sum("n_ws_tokens")).collect()[0][0]
+    want = docs.select(
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("w")
+    ).agg(F.sum("w")).collect()[0][0]
+    assert s == want
+
+
+def test_bucket_files_on_disk(spark, warehouse):
+    """The layout is real: each table directory holds bucketed part
+    files (bucket id encoded in the filename)."""
+    import glob
+    import os
+
+    loc = spark.sql(
+        "DESCRIBE TABLE EXTENDED bucketdemo.documents"
+    ).filter("col_name = 'Location'").collect()[0]["data_type"]
+    files = glob.glob(os.path.join(loc.replace("file:", ""), "*.parquet"))
+    assert files
+    assert all("_0000" in os.path.basename(f) or "bucket" in f
+               for f in files)
