@@ -61,3 +61,16 @@ def test_cli_threshold_overrides_change_report(spark, tmp_path):
     assert clamped.tp_lpar_mb == Thresholds().gr_lpar_mb  # 200 cap
     with pytest.raises(KeyError):
         Thresholds().clamped(nonsense=1)
+
+
+def test_cli_export_views(spark, tmp_path):
+    """--export writes the requested views as parquet datasets next to
+    the report artifacts."""
+    out = tmp_path / "exp"
+    assert run_report.main(
+        ["-p", FIXTURE_DIAG, "-o", str(out), "--name", "c",
+         "--export", "parquet", "--export-views", "node_data,data_size"],
+    ) == 0
+    got = spark.read.parquet(str(out / "views" / "node_data"))
+    assert got.count() > 0 and "uptime_sec" in got.columns
+    assert (out / "views" / "data_size").exists()
