@@ -1,6 +1,6 @@
 """Similarity search over the ``embeddings`` table.
 
-Three paths, same exact-integer cosine (``functions.vectors``):
+Four paths, same exact-integer cosine (``functions.vectors``):
 
 - ``q_embedding_topk`` — brute-force exact top-k for a FIXED-SIZE
   query panel (the ``ANN_QUERY_COUNT`` vectors with the smallest
@@ -21,6 +21,11 @@ Three paths, same exact-integer cosine (``functions.vectors``):
   nearest centroid's list, queries probe ``IVF_NPROBE`` lists.  The
   IVF/LSH pair covers both standard ANN index families; recall knobs
   are list count and nprobe.
+- ``q_ann_ivf_kmeans`` — the same IVF pipeline over centroids trained
+  with ``KMEANS_ITERS`` integer-exact distributed Lloyd iterations
+  (bitwise-reproducible on both engines); ``q_ann_recall_audit`` /
+  ``q_ann_recall_ivf_kmeans`` report recall@k for the LSH and trained
+  paths against the brute-force baseline.
 
 Ranking ties are impossible to mis-order: cosine values are
 bit-identical across engines (exact integer dot/norms, one float
@@ -54,11 +59,26 @@ ANN_QUERY_COUNT = 16
 # uses 0.35 to keep the operator path exercised end to end.
 DUP_COSINE_MIN = 0.35
 
-# IVF coarse quantizer: every 31st vector is a centroid (≈ n/31 lists;
-# at real scale centroids come from k-means and stride keeps parity
-# deterministic), queries probe their 2 nearest lists.
-IVF_CENTROID_STRIDE = 31
+# IVF coarse quantizer sizing: ~min(IVF_MAX_LISTS, √n) lists — the
+# standard IVF rule.  A FIXED stride would make the list count grow
+# linearly in n and the n×k assignment pass quadratic (the scale probe
+# caught exactly that as an ~11× build ratio at 8× corpus); √n keeps
+# assignment at n^1.5 until the 4096-list cap makes it linear.
+# Queries probe their 2 nearest lists.
+IVF_MAX_LISTS = 4096
 IVF_NPROBE = 2
+
+
+def ivf_stride(n: int) -> int:
+    """Centroid-selection stride giving ≈ min(IVF_MAX_LISTS, ⌊√n⌋)
+    lists.  ``math.isqrt`` is exact; the DuckDB twin's
+    ``floor(sqrt(n))`` matches it for every n below 2^52 (doubles
+    represent those integers exactly and IEEE sqrt is correctly
+    rounded — documented bound, far above any vector count here)."""
+    import math
+
+    k = max(1, min(IVF_MAX_LISTS, math.isqrt(max(n, 1))))
+    return max(1, n // k)
 
 
 def query_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -147,13 +167,14 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: an inverted-file coarse quantizer as the second
     scale path next to LSH bucketing.
 
-    1. coarse centroids = every ``IVF_CENTROID_STRIDE``-th vector
-       (deterministic stand-in for k-means centroids — the list
-       *structure* is what's under test, and parity must not depend on
-       an iterative trainer);
+    1. coarse centroids = every ``ivf_stride(n)``-th vector, giving
+       ≈ min(IVF_MAX_LISTS, √n) lists (deterministic stand-in for
+       k-means centroids — the list *structure* is what's under
+       test; ``q_ann_ivf_kmeans`` adds the trainer);
     2. every vector joins the list of its nearest centroid by exact
-       cosine (a broadcast of the ~n/31 centroids against the corpus —
-       one partition-parallel pass, ties broken by centroid id);
+       cosine (a broadcast of the ≈ min(√n, 4096) centroids against
+       the corpus — one partition-parallel pass, ties broken by
+       centroid id);
     3. each query probes its ``IVF_NPROBE`` nearest lists; candidates
        are list-local (equi-join on centroid id), then exact cosine
        top-k.
@@ -204,7 +225,10 @@ def _build_ivf_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The IVF index: every vector's ``IVF_NPROBE`` nearest coarse
     centroids by exact cosine (crank 1 is its list assignment)."""
     v = _vectors(spark, sf_dir).drop("bucket")
-    cent = v.filter(F.col("vec_id") % IVF_CENTROID_STRIDE == 0).select(
+    from astra_perseverance_spark.extensions.corpus import n_vectors
+
+    stride = ivf_stride(n_vectors(spark, sf_dir))
+    cent = v.filter(F.col("vec_id") % stride == 0).select(
         F.col("vec_id").alias("cid"),
         F.col("eq").alias("c_eq"),
         F.col("n2").alias("c_n2"),
@@ -374,7 +398,10 @@ def _kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     from astra_perseverance_spark.functions.vectors import ANN_DIM
 
     v = _vectors(spark, sf_dir).select("vec_id", "eq", "n2")
-    cent = v.filter(F.col("vec_id") % IVF_CENTROID_STRIDE == 0).select(
+    from astra_perseverance_spark.extensions.corpus import n_vectors
+
+    stride = ivf_stride(n_vectors(spark, sf_dir))
+    cent = v.filter(F.col("vec_id") % stride == 0).select(
         F.col("vec_id").alias("cid"),
         F.col("eq").alias("c_eq"),
         F.col("n2").alias("c_n2"),

@@ -13,7 +13,7 @@ from __future__ import annotations
 from astra_perseverance_spark.extensions.similarity import (
     ANN_QUERY_COUNT,
     DUP_COSINE_MIN,
-    IVF_CENTROID_STRIDE,
+    IVF_MAX_LISTS,
     IVF_NPROBE,
 )
 from astra_perseverance_spark.extensions.pipeline import (
@@ -403,6 +403,12 @@ vn AS (
 pl AS (
   SELECT {plane_count_sql('(SELECT COUNT(*) FROM embeddings)')} AS p
 ),
+strd AS (
+  SELECT greatest(1, n // greatest(
+           least(CAST(FLOOR(SQRT(CAST(n AS DOUBLE))) AS BIGINT),
+                 {IVF_MAX_LISTS}), 1)) AS stride
+  FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings)
+),
 qsel AS (
   SELECT vec_id FROM embeddings
   ORDER BY {h15_sql('CAST(vec_id AS VARCHAR)')}, vec_id
@@ -493,7 +499,7 @@ FROM hits GROUP BY query_id ORDER BY query_id
 EXT_ORACLE_SQL["ann_ivf"] = f"""
 WITH {_VEC},
 cent AS (SELECT vec_id AS cid, eq AS c_eq, n2 AS c_n2 FROM vn
-         WHERE vec_id % {IVF_CENTROID_STRIDE} = 0),
+         WHERE vec_id % (SELECT stride FROM strd) = 0),
 aff AS (
   SELECT v.vec_id, v.eq, v.n2, c.cid,
          CAST({dot_q_sql('v.eq', 'c.c_eq', ANN_DIM)} AS DOUBLE)
@@ -907,7 +913,7 @@ for _it in range(KMEANS_ITERS):
 EXT_ORACLE_SQL["ann_ivf_kmeans"] = f"""
 WITH {_VEC},
 c0 AS (SELECT vec_id AS cid, eq AS c_eq, n2 AS c_n2 FROM vn
-       WHERE vec_id % {IVF_CENTROID_STRIDE} = 0),
+       WHERE vec_id % (SELECT stride FROM strd) = 0),
 {",".join(_KM_CTES)},
 af AS (
   SELECT v.vec_id, v.eq, v.n2, c.cid,
@@ -942,7 +948,7 @@ FROM ranked WHERE rank <= {ANN_TOPK} ORDER BY query_id, rank
 EXT_ORACLE_SQL["ann_recall_ivf_kmeans"] = f"""
 WITH {_VEC},
 c0 AS (SELECT vec_id AS cid, eq AS c_eq, n2 AS c_n2 FROM vn
-       WHERE vec_id % {IVF_CENTROID_STRIDE} = 0),
+       WHERE vec_id % (SELECT stride FROM strd) = 0),
 {",".join(_KM_CTES)},
 af AS (
   SELECT v.vec_id, v.eq, v.n2, c.cid,

@@ -55,11 +55,10 @@ def export_views(spark: SparkSession, sf_dir: str, out_dir: str,
     for name in names:
         df = _call(QUERY_REGISTRY[name], spark, sf_dir, cfg)
         path = os.path.join(out_dir, name)
-        w = df.write.mode("overwrite")
         if fmt == "csv":
             _csv_safe(df).write.mode("overwrite").option(
                 "header", "true").csv(path)
         else:
-            w.parquet(path)
+            df.write.mode("overwrite").parquet(path)
         out[name] = path
     return out

@@ -177,9 +177,12 @@ class TestQueriesOverDiag:
     def test_every_registered_query_runs(self, spark):
         from astra_perseverance_spark.queries import QUERY_REGISTRY
 
-        skip = {  # extension queries read documents/embeddings parquet
+        skip = {  # corpus queries read documents/embeddings parquet,
+            # which a diag tree does not carry
             n for n, fn in QUERY_REGISTRY.items()
-            if fn.__module__.startswith("astra_perseverance_spark.extensions")
+            if fn.__module__.startswith(("astra_perseverance_spark.extensions",
+                                         "astra_perseverance_spark.streaming"
+                                         ".doc_stream"))
         }
         for name, fn in QUERY_REGISTRY.items():
             if name in skip:
