@@ -85,8 +85,8 @@ def query_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id): the deterministic fixed-size query panel — exact
     global top-K by (h15(vec_id), vec_id) via the two-phase salted
     top-k (no single-reducer sort over the corpus; vec_id is the
-    unique tie-breaker ``salted_topk`` requires).  Memoized: all three
-    ANN paths and the recall audit probe the same panel."""
+    unique tie-breaker ``salted_topk`` requires).  Memoized: every
+    ANN path and both recall audits probe the same panel."""
     def build() -> DataFrame:
         v = _vectors(spark, sf_dir).select("vec_id").withColumn(
             "qh", h15(F.col("vec_id").cast("string"))
