@@ -257,3 +257,41 @@ class TestTuneSession:
             sparkContext = spark.sparkContext
 
         m._tune_session(FakeSession())  # must not raise
+
+
+class TestSizingFormulaParity:
+    """The driver-side sizing scalars (plane count, IVF stride) are
+    mirrored as SQL in the oracle twins; the two formulas must agree
+    on every cardinality, not just the test corpora."""
+
+    from hypothesis import given, settings, strategies as st
+
+    @given(st.integers(min_value=1, max_value=10**12))
+    @settings(max_examples=200, deadline=None)
+    def test_plane_count_matches_sql(self, n):
+        import duckdb
+
+        from astra_perseverance_spark.functions.vectors import (
+            plane_count,
+            plane_count_sql,
+        )
+
+        got = duckdb.sql(
+            f"SELECT {plane_count_sql(str(n))}").fetchone()[0]
+        assert got == plane_count(n)
+
+    @given(st.integers(min_value=1, max_value=2**50))
+    @settings(max_examples=200, deadline=None)
+    def test_ivf_stride_matches_sql(self, n):
+        import duckdb
+
+        from astra_perseverance_spark.extensions.similarity import (
+            IVF_MAX_LISTS,
+            ivf_stride,
+        )
+
+        got = duckdb.sql(
+            f"SELECT greatest(1, {n} // greatest("
+            f"least(CAST(FLOOR(SQRT(CAST({n} AS DOUBLE))) AS BIGINT), "
+            f"{IVF_MAX_LISTS}), 1))").fetchone()[0]
+        assert got == ivf_stride(n)
