@@ -174,3 +174,39 @@ class TestDecontaminate:
         assert docs_flagged <= {2, 3}
         assert 2 in docs_flagged  # shares >= 3 shingles with a panel doc
         assert 3 not in docs_flagged
+
+
+class TestEmptyCorpus:
+    """Operators must degrade to empty results on an empty corpus, not
+    crash (first batch of a new pipeline, a filter that drops
+    everything)."""
+
+    @pytest.fixture()
+    def empty_docs(self, spark, monkeypatch):
+        from astra_perseverance_spark.extensions import (
+            curation,
+            dedup,
+            pipeline,
+            text_stats,
+        )
+
+        df = spark.createDataFrame(
+            [], "doc_id long, text string, lang string, source string, "
+                "n_chars long")
+        for mod in (curation, dedup, pipeline, text_stats):
+            monkeypatch.setattr(mod, "_docs", lambda s, d: df)
+        from astra_perseverance_spark.conformed.model import release_memos
+
+        release_memos(spark)
+        yield df
+        release_memos(spark)
+
+    @pytest.mark.parametrize("qname", [
+        "dedup_exact", "dedup_tokenset", "quality_signals", "pii_scan",
+        "source_mix", "quality_filter", "text_stats", "vocab_top_terms",
+    ])
+    def test_runs_empty(self, spark, empty_docs, qname):
+        from astra_perseverance_spark.queries import QUERY_REGISTRY
+
+        assert QUERY_REGISTRY[qname](spark, "empty-test://") \
+            .collect() == []
