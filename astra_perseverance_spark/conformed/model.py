@@ -604,3 +604,40 @@ def load_model(spark: SparkSession, sf_dir: str) -> ConformedModel:
             proxyhistogram=build_proxyhistogram(spark, sf_dir),
         ).cache()
     return _MODEL_CACHE[key]
+
+
+def register_sql_views(spark: SparkSession, sf_dir: str,
+                       prefix: str = "") -> list[str]:
+    """Expose the conformed model (and, when present, the corpus
+    tables) as temp views for ad-hoc ``spark.sql`` — the interactive
+    surface next to the registered query API.  Views read the SAME
+    memoized frames the queries use, so an analyst's SQL and the
+    engine's pipelines see one consistent snapshot.  Returns the view
+    names registered."""
+    import os
+
+    model = load_model(spark, sf_dir)
+    frames = {
+        "node_info": model.node_info,
+        "keyspace_rf": model.keyspace_rf,
+        "schema_object": model.schema_object,
+        "schema_column": model.schema_column,
+        "cfstats_metric": model.cfstats_metric,
+        "gc_event": model.gc_event,
+        "tombstone_event": model.tombstone_event,
+        "proxyhistogram": model.proxyhistogram,
+    }
+    if os.path.exists(os.path.join(sf_dir, "documents.parquet")):
+        from astra_perseverance_spark.extensions.corpus import (
+            docs_frame,
+            vectors_frame,
+        )
+
+        frames["documents"] = docs_frame(spark, sf_dir)
+        frames["embeddings_q"] = vectors_frame(spark, sf_dir)
+    names = []
+    for name, df in frames.items():
+        view = f"{prefix}{name}"
+        df.createOrReplaceTempView(view)
+        names.append(view)
+    return names

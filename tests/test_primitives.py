@@ -295,3 +295,24 @@ class TestSizingFormulaParity:
             f"least(CAST(FLOOR(SQRT(CAST({n} AS DOUBLE))) AS BIGINT), "
             f"{IVF_MAX_LISTS}), 1))").fetchone()[0]
         assert got == ivf_stride(n)
+
+
+class TestSqlViews:
+    def test_conformed_views_queryable(self, spark):
+        from astra_perseverance_spark.conformed.model import (
+            register_sql_views,
+        )
+        from tests.conftest import SF_SMALL
+
+        names = register_sql_views(spark, SF_SMALL)
+        assert {"node_info", "cfstats_metric", "gc_event",
+                "documents"} <= set(names)
+        # an ad-hoc analyst query over two conformed views
+        row = spark.sql("""
+            SELECT COUNT(DISTINCT n.node) AS nodes,
+                   (SELECT COUNT(*) FROM gc_event) AS gc_events
+            FROM node_info n
+        """).collect()[0]
+        assert row["nodes"] > 0 and row["gc_events"] > 0
+        assert spark.sql(
+            "SELECT COUNT(*) AS c FROM documents").collect()[0]["c"] > 0
