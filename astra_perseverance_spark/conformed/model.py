@@ -515,13 +515,6 @@ def build_schema_object(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tables.unionByName(deps).unionByName(funcs)
 
 
-# Runtime knobs _tune_session may adjust, each with the Spark default it
-# must observe before touching the knob (a non-default value means the
-# caller configured the session deliberately — leave it alone).
-_TUNABLE_DEFAULTS = {
-    "spark.sql.adaptive.enabled": "true",
-    "spark.sql.adaptive.coalescePartitions.enabled": "true",
-}
 _TUNED_SESSIONS: set[str] = set()
 
 
@@ -536,7 +529,13 @@ def _tune_session(spark: SparkSession) -> None:
     query surface directly: 200 static shuffle partitions on a
     local[8-32] box wastes a scheduler round per tiny exchange (AQE
     coalesces the data, not the task-launch overhead of the first
-    attempt's partition count)."""
+    attempt's partition count).
+
+    The adaptive knobs (AQE + partition coalescing) are deliberately
+    NOT set here: their Spark defaults are already the values the
+    engine wants, and a caller that disabled them made an explicit
+    choice this function must respect — so there is nothing to write
+    in either state."""
     import logging
 
     from pyspark.errors import AnalysisException
@@ -549,10 +548,6 @@ def _tune_session(spark: SparkSession) -> None:
             val = str(max(par, 8))
             conf.set("spark.sql.shuffle.partitions", val)
             applied.append(f"spark.sql.shuffle.partitions={val}")
-        for knob, default in _TUNABLE_DEFAULTS.items():
-            if conf.get(knob) == default:
-                conf.set(knob, default)
-                applied.append(f"{knob}={default}")
     except AnalysisException as exc:
         # CANNOT_MODIFY_CONFIG: the conf is static/locked for this
         # session.  That is a legitimate caller choice — record it and

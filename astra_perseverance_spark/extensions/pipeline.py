@@ -231,29 +231,33 @@ def q_corpus_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the corpus, i.e. the table a mixing/reporting stage reads.
 
     ``cube(lang, source)`` gives the four levels in ONE fact scan
-    with map-side partial aggregation; the level tag is derived from
-    the NULL pattern (not engine-specific GROUPING_ID bit orders) and
-    rolled-up keys render as 'ALL', so the output is unambiguous and
-    engine-portable.  Sums are exact integers."""
+    with map-side partial aggregation.  The level tag comes from
+    per-column ``GROUPING()`` bits (portable: both engines define
+    GROUPING(col) = 1 iff the column is rolled up in that row) —
+    NOT from NULL patterns, which would misclassify a genuinely NULL
+    lang/source detail group as its subtotal.  Rolled-up keys render
+    as 'ALL'; a real NULL detail value stays NULL, so the two can
+    never collide.  Sums are exact integers."""
     d = _docs(spark, sf_dir).select(
         "lang", "source",
         F.col("n_chars").cast("long").alias("nc"),
         F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("nw"),
     )
     agg = d.cube("lang", "source").agg(
+        F.grouping("lang").cast("int").alias("g_lang"),
+        F.grouping("source").cast("int").alias("g_source"),
         F.count("*").cast("long").alias("n_docs"),
         F.sum("nc").cast("long").alias("total_chars"),
         F.sum("nw").cast("long").alias("total_ws_tokens"),
     )
-    lvl = (
-        F.when(F.col("lang").isNull(), 2).otherwise(0)
-        + F.when(F.col("source").isNull(), 1).otherwise(0)
-    ).cast("int")
     return (
         agg.select(
-            lvl.alias("lvl"),
-            F.coalesce("lang", F.lit("ALL")).alias("lang"),
-            F.coalesce("source", F.lit("ALL")).alias("source"),
+            (F.col("g_lang") * 2 + F.col("g_source")).cast("int")
+            .alias("lvl"),
+            F.when(F.col("g_lang") == 1, F.lit("ALL"))
+            .otherwise(F.col("lang")).alias("lang"),
+            F.when(F.col("g_source") == 1, F.lit("ALL"))
+            .otherwise(F.col("source")).alias("source"),
             "n_docs", "total_chars", "total_ws_tokens",
         )
         .orderBy("lvl", "lang", "source")

@@ -836,15 +836,17 @@ WITH d AS (
   FROM documents
 ),
 a AS (
-  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  SELECT lang, source,
+         CAST(GROUPING(lang) AS INT) AS g_lang,
+         CAST(GROUPING(source) AS INT) AS g_source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
          CAST(SUM(nc) AS BIGINT) AS total_chars,
          CAST(SUM(nw) AS BIGINT) AS total_ws_tokens
   FROM d GROUP BY CUBE (lang, source)
 )
-SELECT CAST(CASE WHEN lang IS NULL THEN 2 ELSE 0 END
-          + CASE WHEN source IS NULL THEN 1 ELSE 0 END AS INT) AS lvl,
-       COALESCE(lang, 'ALL') AS lang,
-       COALESCE(source, 'ALL') AS source,
+SELECT CAST(g_lang * 2 + g_source AS INT) AS lvl,
+       CASE WHEN g_lang = 1 THEN 'ALL' ELSE lang END AS lang,
+       CASE WHEN g_source = 1 THEN 'ALL' ELSE source END AS source,
        n_docs, total_chars, total_ws_tokens
 FROM a ORDER BY lvl, lang, source
 """

@@ -47,7 +47,19 @@ def export_views(spark: SparkSession, sf_dir: str, out_dir: str,
         raise ValueError(f"unsupported export format: {fmt!r}")
     from astra_perseverance_spark.queries import QUERY_REGISTRY
 
-    names = list(QUERY_REGISTRY) if names is None else names
+    if names is None:
+        # default = everything runnable on this input: corpus-family
+        # queries need documents/embeddings parquet, which a diag tree
+        # does not carry — skip them there (explicitly requested names
+        # still fail loudly)
+        has_corpus = os.path.exists(
+            os.path.join(sf_dir, "documents.parquet"))
+        names = [
+            n for n, fn in QUERY_REGISTRY.items()
+            if has_corpus or not fn.__module__.startswith(
+                ("astra_perseverance_spark.extensions",
+                 "astra_perseverance_spark.streaming.doc_stream"))
+        ]
     unknown = [n for n in names if n not in QUERY_REGISTRY]
     if unknown:
         raise KeyError(f"unknown queries: {unknown}")

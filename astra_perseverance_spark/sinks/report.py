@@ -163,15 +163,17 @@ def _uptime_formula(cell: str) -> str:
             f'TEXT(({cell}/86400)-INT({cell}/86400),"hh:mm:ss")')
 
 
-def _uptime_cell(sec, excel_row: int) -> Formula | None:
-    # column F is the numeric uptime_sec column on the Node Data tab —
-    # the same fixed layout the reference's G-column formula assumes
+def _uptime_cell(sec, excel_row: int, col_idx: int) -> Formula | None:
+    """Format-uptime formula cell reading the numeric seconds column
+    immediately to its left (the tab spec places uptime_sec right
+    before the rendered column, the reference's F→G layout)."""
     if sec is None:
         return None
-    return Formula(_uptime_formula(f"F{excel_row}"), _fmt_uptime(sec))
+    cell = f"{_col_letter(col_idx - 1)}{excel_row}"
+    return Formula(_uptime_formula(cell), _fmt_uptime(sec))
 
 
-# renderer key → fn(value, excel_row) -> cell value
+# renderer key → fn(value, excel_row, col_idx) -> cell value
 _RENDERERS = {"uptime": _uptime_cell}
 
 # qname → (label, label column idx, [(column idx, agg kind)]): the
@@ -242,9 +244,9 @@ def _df_sheet(wb: Workbook, name: str, df: DataFrame,
     rows = df.collect()
     for i, row in enumerate(rows):
         sh.add_row([
-            _RENDERERS[spec[2]](row[spec[1]], i + 2) if len(spec) > 2
+            _RENDERERS[spec[2]](row[spec[1]], i + 2, c) if len(spec) > 2
             else row[spec[1]]
-            for spec in cols
+            for c, spec in enumerate(cols)
         ])
     total_row = None
     if totals and rows:

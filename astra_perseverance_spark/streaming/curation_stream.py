@@ -31,8 +31,8 @@ from astra_perseverance_spark.extensions.curation import (
     quality_signals_frame,
 )
 from astra_perseverance_spark.streaming.doc_stream import (
-    BASE_EPOCH,
     DOC_SCHEMA,
+    with_event_time,
 )
 
 
@@ -45,8 +45,8 @@ def curation_gate(docs: DataFrame) -> DataFrame:
     pii_total = pii_count_columns()[0]
     for c in pii_count_columns()[1:]:
         pii_total = pii_total + c
-    enriched = docs.select(
-        F.timestamp_seconds(F.col("doc_id") + F.lit(BASE_EPOCH)).alias("ts"),
+    enriched = with_event_time(docs).select(
+        "ts",
         pii_total.cast("long").alias("pii_total"),
         pii_redacted().alias("redacted"),
         "doc_id", "text",

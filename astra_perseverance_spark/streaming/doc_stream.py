@@ -50,12 +50,11 @@ BASE_EPOCH = 1_000_000_000
 
 def doc_digest_frame(docs: DataFrame) -> DataFrame:
     """(doc_id, lang, ts, content_md5) with the batch dedup's digest
-    and a doc_id-derived event time."""
+    and the shared doc_id-derived event time (``with_event_time``)."""
     from astra_perseverance_spark.extensions.dedup import normalized_text
 
-    return docs.select(
-        "doc_id", "lang",
-        F.timestamp_seconds(F.col("doc_id") + F.lit(BASE_EPOCH)).alias("ts"),
+    return with_event_time(docs).select(
+        "doc_id", "lang", "ts",
         F.md5(normalized_text()).alias("content_md5"),
     )
 

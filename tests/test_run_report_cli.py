@@ -71,6 +71,19 @@ def test_cli_export_views(spark, tmp_path):
         ["-p", FIXTURE_DIAG, "-o", str(out), "--name", "c",
          "--export", "parquet", "--export-views", "node_data,data_size"],
     ) == 0
-    got = spark.read.parquet(str(out / "views" / "node_data"))
+    got = spark.read.parquet(str(out / "views" / "c" / "node_data"))
     assert got.count() > 0 and "uptime_sec" in got.columns
-    assert (out / "views" / "data_size").exists()
+    assert (out / "views" / "c" / "data_size").exists()
+
+
+def test_cli_export_defaults_skip_corpus_queries_on_diag_tree(spark, tmp_path):
+    """--export with no --export-views on a diag bundle (no corpus
+    parquet) must export the cluster views and skip the corpus family
+    instead of crashing on a missing documents.parquet."""
+    out = tmp_path / "expall"
+    assert run_report.main(
+        ["-p", FIXTURE_DIAG, "-o", str(out), "--name", "c",
+         "--export", "parquet"],
+    ) == 0
+    assert (out / "views" / "c" / "workload_reads").exists()
+    assert not (out / "views" / "c" / "dedup_exact").exists()

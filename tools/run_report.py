@@ -119,8 +119,10 @@ def main(argv: list[str] | None = None) -> int:
 
             wanted = (args.export_views.split(",")
                       if args.export_views else None)
+            # per-cluster subdir: multiple -p paths must not overwrite
+            # each other's exported views
             paths = export_views(
-                spark, data_dir, os.path.join(args.out, "views"),
+                spark, data_dir, os.path.join(args.out, "views", name),
                 args.export, wanted, cfg)
             print(f"{path}: exported {len(paths)} views as {args.export}")
     return 0
