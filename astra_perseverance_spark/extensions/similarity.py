@@ -492,3 +492,48 @@ def q_ann_recall_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     query (the number that justifies spending Lloyd iterations)."""
     return _recall_vs_exact(
         q_embedding_topk(spark, sf_dir), q_ann_ivf_kmeans(spark, sf_dir))
+
+
+def q_embedding_label_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid label probe: the standard embedding-quality
+    check ("do same-label vectors cluster?").  Per-label integer
+    centroids (the same truncating per-dimension mean as the k-means
+    trainer — engine-exact), every vector classified to its nearest
+    centroid by integer d², and the confusion matrix emitted as
+    (true_label, pred_label, n, hit).
+
+    Scale shape: centroid training is one label-grain aggregation
+    (map-side partial sums; |labels| rows out), classification is a
+    broadcast of the tiny centroid set against the corpus (no
+    shuffle), and the confusion matrix is a |labels|² aggregation.
+    Ties break toward the smaller label, mirrored in the twin."""
+    from astra_perseverance_spark.functions.vectors import ANN_DIM
+
+    v = _vectors(spark, sf_dir).select("vec_id", "label", "eq", "n2")
+    sums = v.groupBy("label").agg(
+        F.count("*").alias("cnt"),
+        *[F.sum(F.col("eq")[d]).alias(f"s{d}") for d in range(ANN_DIM)],
+    )
+    cent = sums.select(
+        F.col("label").alias("c_label"),
+        F.array(
+            *[F.expr(f"s{d} DIV cnt").cast("long") for d in range(ANN_DIM)]
+        ).alias("c_eq"),
+    ).withColumn("c_n2", norm2_q(F.col("c_eq")))
+    aff = v.join(F.broadcast(cent)).select(
+        "vec_id", "label", "c_label",
+        (F.col("n2") + F.col("c_n2")
+         - 2 * dot_q(F.col("eq"), F.col("c_eq"))).alias("d2"),
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "c_label")
+    pred = (
+        aff.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select("label", F.col("c_label").alias("pred_label"))
+    )
+    return (
+        pred.groupBy(F.col("label").alias("true_label"), "pred_label")
+        .agg(F.count("*").cast("long").alias("n"))
+        .withColumn("hit", F.col("true_label") == F.col("pred_label"))
+        .orderBy("true_label", "pred_label")
+    )

@@ -1002,3 +1002,33 @@ SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_exact,
        CAST(SUM(hit) AS DOUBLE) / COUNT(*) AS recall
 FROM hits GROUP BY query_id ORDER BY query_id
 """
+
+EXT_ORACLE_SQL["embedding_label_probe"] = f"""
+WITH {_VEC},
+sums AS (
+  SELECT v.label, t.i,
+         CAST(SUM(v.eq[CAST(t.i+1 AS INT)]) AS BIGINT) AS s,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM vn v CROSS JOIN (SELECT unnest(range({ANN_DIM})) AS i) t
+  GROUP BY v.label, t.i
+),
+ce AS (
+  SELECT label AS c_label, list(s // cnt ORDER BY i) AS c_eq
+  FROM sums GROUP BY label
+),
+cent AS (
+  SELECT c_label, c_eq, {dot_q_sql('c_eq', 'c_eq', ANN_DIM)} AS c_n2 FROM ce
+),
+aff AS (
+  SELECT v.vec_id, v.label, c.c_label,
+         ROW_NUMBER() OVER (PARTITION BY v.vec_id
+           ORDER BY v.n2 + c.c_n2 - 2*{dot_q_sql('v.eq', 'c.c_eq', ANN_DIM)},
+                    c.c_label) AS r
+  FROM vn v CROSS JOIN cent c
+)
+SELECT label AS true_label, c_label AS pred_label,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       label = c_label AS hit
+FROM aff WHERE r = 1
+GROUP BY 1, 2 ORDER BY true_label, pred_label
+"""

@@ -80,6 +80,7 @@ QUERY_REGISTRY: dict[str, QueryFn] = {
     "ann_ivf_kmeans": similarity.q_ann_ivf_kmeans,
     "ann_recall_audit": similarity.q_ann_recall_audit,
     "ann_recall_ivf_kmeans": similarity.q_ann_recall_ivf_kmeans,
+    "embedding_label_probe": similarity.q_embedding_label_probe,
     "embedding_cosine_dups": similarity.q_embedding_cosine_dups,
     "embedding_dup_clusters": similarity.q_embedding_dup_clusters,
     # Extensions — text analysis family (documents)
