@@ -64,6 +64,7 @@ OPS = [
     ("ann_lsh_bucket", "Σ bucket·q_bucket (planes scale with n)"),
     ("ann_ivf", "O(n·k) assign + O(K·n/lists·nprobe) probe"),
     ("ann_ivf_kmeans", "ann_ivf + ITERS·O(n·k) integer Lloyd rounds"),
+    ("embedding_label_probe", "O(n·|labels|) broadcast classify"),
     ("embedding_cosine_dups", "Σ bucket² (planes scale with n)"),
     ("dedup_clusters", "O(E) per round × O(log d) rounds"),
     ("dedup_keep_list", "projection over memoized components"),
