@@ -112,15 +112,34 @@ class TestExtensionInvariants:
             if r["rank"] == 1:
                 assert r["cosine"] <= exact_best[r["query_id"]] + 1e-12
 
-    def test_ivf_is_subset_quality(self, q):
-        """IVF-probed cosines can never exceed the exact top-1."""
+    @pytest.mark.parametrize("ivf_q", ["ann_ivf", "ann_ivf_kmeans"])
+    def test_ivf_is_subset_quality(self, q, ivf_q):
+        """IVF-probed cosines (untrained and trained) can never exceed
+        the exact top-1."""
         exact_best = {r["query_id"]: r["cosine"]
                       for r in q("embedding_topk").collect() if r["rank"] == 1}
-        rows = q("ann_ivf").collect()
-        assert rows, "IVF returned nothing"
+        rows = q(ivf_q).collect()
+        assert rows, f"{ivf_q} returned nothing"
         for r in rows:
             if r["rank"] == 1:
                 assert r["cosine"] <= exact_best[r["query_id"]] + 1e-12
+
+    def test_kmeans_assignment_partitions_corpus(self, spark):
+        """Every vector lands in exactly one trained list (crank 1),
+        and every list id is a trained centroid id."""
+        from astra_perseverance_spark.extensions.similarity import (
+            _build_ivf_kmeans_lists,
+            _kmeans_centroids,
+        )
+        from tests.conftest import SF_SMALL
+
+        lists = _build_ivf_kmeans_lists(spark, SF_SMALL)
+        assigned = lists.filter(F.col("crank") == 1)
+        n_vec = lists.select("vec_id").distinct().count()
+        assert assigned.count() == n_vec  # exactly one list per vector
+        cids = {r["cid"]
+                for r in _kmeans_centroids(spark, SF_SMALL).collect()}
+        assert {r["cid"] for r in assigned.collect()} <= cids
 
     def test_simhash_hamming_bound(self, q):
         from astra_perseverance_spark.functions.texthash import (
