@@ -31,11 +31,9 @@ from astra_perseverance_spark.sinks.xlsx import (
 
 # tab name → (query name, ordered [(header, column)] mapping)
 TAB_REGISTRY: list[tuple[str, str, list[tuple[str, str]]]] = [
-    ("Workload", "workload_rw_outer", [
-        ("Keyspace", "ks"), ("Table", "tbl"),
-        ("Read Requests", "read_requests"), ("Read TPS", "avg_read_tps"),
-        ("Write Requests", "write_requests"), ("Write TPS", "avg_write_tps"),
-    ]),
+    # Workload renders through _workload_sheet (two-block reads/writes
+    # layout, explore.py:1693-1790); the entry keeps tab position.
+    ("Workload", "__workload__", None),
     ("Data Size", "data_size", [
         ("Keyspace", "ks"), ("Table", "tbl"), ("Size (bytes)", "size_bytes"),
     ]),
@@ -99,14 +97,14 @@ def _metrics_sheet(sh, spark: SparkSession, sf_dir: str,
 
     sh.add_row(["Workload Summary", None], style=HEADER_STYLE)
     s = QUERY_REGISTRY["workload_summary"](spark, sf_dir, cfg).collect()[0]
-    wl, ds, nd = (anchors.get("workload_rw_outer"), anchors.get("data_size"),
-                  anchors.get("node_data"))
+    rt, wt = anchors.get("workload_reads"), anchors.get("workload_writes")
+    ds, nd = anchors.get("data_size"), anchors.get("node_data")
     tpmo = "*60*60*24*365.25/12"  # TPS → transactions per mean month
     for label, key, expr in (
-        ("Read TPS", "total_read_tps", f"Workload!D{wl}" if wl else None),
-        ("Read TPMo", "read_tpmo", f"Workload!D{wl}{tpmo}" if wl else None),
-        ("Write TPS", "total_write_tps", f"Workload!F{wl}" if wl else None),
-        ("Write TPMo", "write_tpmo", f"Workload!F{wl}{tpmo}" if wl else None),
+        ("Read TPS", "total_read_tps", f"Workload!D{rt}" if rt else None),
+        ("Read TPMo", "read_tpmo", f"Workload!D{rt}{tpmo}" if rt else None),
+        ("Write TPS", "total_write_tps", f"Workload!K{wt}" if wt else None),
+        ("Write TPMo", "write_tpmo", f"Workload!K{wt}{tpmo}" if wt else None),
         ("Data Size (GB)", "data_size_gb",
          f"'Data Size'!C{ds}/1000000000" if ds else None),
         ("Average Uptime", "avg_uptime_sec",
@@ -182,8 +180,6 @@ _RENDERERS = {"uptime": _uptime_cell}
 # Workload totals).  "UPTIME_FMT" renders the same row's numeric
 # average through the uptime formula.
 TAB_TOTALS: dict[str, tuple[str, int, list[tuple[int, str]]]] = {
-    "workload_rw_outer": ("Total", 0,
-                          [(2, "SUM"), (3, "SUM"), (4, "SUM"), (5, "SUM")]),
     "data_size": ("Total", 0, [(2, "SUM")]),
     "node_data": ("Avg Uptime", 4, [(5, "AVERAGE"), (6, "UPTIME_FMT")]),
 }
@@ -206,6 +202,70 @@ TAB_COMMENTS = {
         "200ms (default setting).  Pauses under 200ms are not recorded "
         "in the system logs.",
 }
+
+
+def _workload_sheet(wb: Workbook, reads: DataFrame, writes: DataFrame,
+                    cluster: str) -> dict[str, int]:
+    """The reference's two-block Workload tab (explore.py:1693-1695,
+    1730-1790): merged tab title over A1:M1, merged 'Reads'/'Writes'
+    block titles, reads in columns A-F and writes in H-M with a spacer
+    at G.  The blocks have independent lengths and each ends with its
+    own Total row of live SUM formulas (requests, TPS, % RW —
+    explore.py:1758-1760), cached with the Spark-computed values.
+    Returns the Excel row numbers of the two total rows (the Astra
+    Metrics scalars anchor to them)."""
+    half_r = ["Keyspace", "Table", "Read Requests", "Read TPS",
+              "% Reads", "% RW"]
+    half_w = ["Keyspace", "Table", "Write Requests", "Write TPS",
+              "% Writes", "% RW"]
+    sh = wb.add_sheet("Workload", freeze_rows=3,
+                      col_widths=[14, 25, 14, 10, 10, 10, 3,
+                                  14, 25, 14, 10, 10, 10])
+    sh.add_row([f"Workload for {cluster}"], style=HEADER_STYLE)
+    sh.add_merge("A1:M1")
+    sh.add_row(["Reads"] + [None] * 6 + ["Writes"], style=HEADER_STYLE)
+    sh.add_merge("A2:F2")
+    sh.add_merge("H2:M2")
+    sh.add_row(half_r + [None] + half_w, style=HEADER_STYLE)
+
+    r_cols = ["ks", "tbl", "read_requests", "avg_read_tps",
+              "pct_reads", "r_pct_rw"]
+    w_cols = ["ks", "tbl", "write_requests", "avg_write_tps",
+              "pct_writes", "w_pct_rw"]
+    r_rows, w_rows = reads.collect(), writes.collect()
+
+    def _total_cells(rows, cols, letters, n):
+        """('Total', SUMs...) for one block; cached values recomputed
+        from the collected rows."""
+        cells = [("Total", HEADER_STYLE), (None, 0)]
+        for li, col in zip(letters, cols[2:]):
+            data = [row[col] for row in rows if row[col] is not None]
+            cached = sum(data) if data else 0
+            if col in (cols[4],):  # % of own side: always sums to ~1,
+                cells.append((None, 0))  # the reference totals only
+                continue                  # requests, TPS, % RW
+            cells.append(
+                (Formula(f"SUM({li}4:{li}{n + 3})", cached), HEADER_STYLE))
+        return cells
+
+    n_grid = max(len(r_rows), len(w_rows)) + 1  # +1 for each Total row
+    grid: list[list[tuple]] = []
+    for i in range(n_grid):
+        left: list[tuple] = [(None, 0)] * 6
+        right: list[tuple] = [(None, 0)] * 6
+        if i < len(r_rows):
+            left = [(r_rows[i][c], 0) for c in r_cols]
+        elif i == len(r_rows):
+            left = _total_cells(r_rows, r_cols, "CDEF", len(r_rows))
+        if i < len(w_rows):
+            right = [(w_rows[i][c], 0) for c in w_cols]
+        elif i == len(w_rows):
+            right = _total_cells(w_rows, w_cols, "JKLM", len(w_rows))
+        sh.add_row_styled(left + [(None, 0)] + right)
+    return {
+        "workload_reads": len(r_rows) + 4,   # Excel row of the Total
+        "workload_writes": len(w_rows) + 4,
+    }
 
 
 def _proxyhist_sheet(wb: Workbook, name: str, df: DataFrame) -> None:
@@ -294,6 +354,14 @@ def write_workbook(spark: SparkSession, sf_dir: str, out_path: str,
                            col_widths=[30, 60])
     anchors: dict[str, int] = {}
     for tab, qname, cols in TAB_REGISTRY:
+        if qname == "__workload__":
+            anchors.update(_workload_sheet(
+                wb,
+                QUERY_REGISTRY["workload_reads"](spark, sf_dir, cfg),
+                QUERY_REGISTRY["workload_writes"](spark, sf_dir, cfg),
+                os.path.splitext(os.path.basename(out_path))[0]
+                .removesuffix("_astra_chart")))
+            continue
         df = QUERY_REGISTRY[qname](spark, sf_dir, cfg)
         if qname == "proxyhistograms_ms":
             _proxyhist_sheet(wb, tab, df)

@@ -56,6 +56,12 @@ class Sheet:
     def add_row(self, values: list[object], style: int = 0) -> None:
         self.rows.append([(v, style) for v in values])
 
+    def add_row_styled(self, cells: list[tuple[object, int]]) -> None:
+        """Row with per-cell styles — for layouts where one spreadsheet
+        row mixes data and total cells (side-by-side blocks of
+        different lengths)."""
+        self.rows.append(list(cells))
+
     def add_merge(self, ref: str) -> None:
         """Merge an A1-style range (content goes in the top-left cell)."""
         self.merges.append(ref)

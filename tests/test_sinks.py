@@ -81,10 +81,20 @@ class TestWorkbook:
             assert _sheet_rows(report["xlsx"], i) is not None
 
     def test_workload_tab_content(self, report):
-        rows = _sheet_rows(report["xlsx"], EXPECTED_TABS.index("Workload") + 1)
-        assert rows[0][:3] == ["Keyspace", "Table", "Read Requests"]
-        by_tbl = {r[1]: r for r in rows[1:]}
+        """Two-block reads/writes layout (explore.py:1693-1790):
+        merged tab + block titles, reads A-F, spacer G, writes H-M."""
+        idx = EXPECTED_TABS.index("Workload") + 1
+        rows = _sheet_rows(report["xlsx"], idx)
+        assert rows[0][0].startswith("Workload for ")
+        assert rows[1][0] == "Reads" and rows[1][7] == "Writes"
+        assert rows[2][:3] == ["Keyspace", "Table", "Read Requests"]
+        assert rows[2][7:10] == ["Keyspace", "Table", "Write Requests"]
+        by_tbl = {r[1]: r for r in rows[3:] if len(r) > 1 and r[1]}
         assert float(by_tbl["orders"][2]) == pytest.approx(1250.0)
+        with zipfile.ZipFile(report["xlsx"]) as zf:
+            ws = ET.fromstring(zf.read(f"xl/worksheets/sheet{idx}.xml"))
+        merges = {m.attrib["ref"] for m in ws.findall(".//m:mergeCell", NS)}
+        assert {"A1:M1", "A2:F2", "H2:M2"} <= merges
 
     def test_node_data_tab_rows(self, report):
         rows = _sheet_rows(report["xlsx"], EXPECTED_TABS.index("Node Data") + 1)
@@ -121,8 +131,10 @@ class TestWorkbook:
 
         wl = cells("Workload")
         exprs = {e for e, _ in wl.values()}
-        assert any(e.startswith("SUM(C2:C") for e in exprs)
-        assert any(e.startswith("SUM(F2:F") for e in exprs)
+        # per-block totals: reads C (requests) / writes J, both from
+        # data row 4 (explore.py:1758-1760)
+        assert any(e.startswith("SUM(C4:C") for e in exprs)
+        assert any(e.startswith("SUM(J4:J") for e in exprs)
 
         mx = cells("Astra Metrics")
         metric_exprs = [e for e, _ in mx.values()]
