@@ -263,3 +263,36 @@ def q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "pick", "doc_id", "quota")
         .orderBy("source", "pick")
     )
+
+
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty: the fraction of a doc's (stop-shingle-
+    capped) 3-word shingles that appear in NO other document of its
+    language (df = 1) — the complement of the dedup family: low
+    novelty flags boilerplate/templated text even when no single pair
+    crosses the near-dup threshold.
+
+    Reuses the memoized capped posting universe
+    (``dedup.capped_shingle_rows``): one pass, a doc-grain
+    aggregation, exact-integer counts and a single division — so the
+    DuckDB twin matches bitwise and at scale the cost is O(postings)
+    with a doc-keyed map-side-combined shuffle."""
+    from astra_perseverance_spark.extensions.dedup import (
+        capped_shingle_rows,
+    )
+
+    sh = capped_shingle_rows(spark, sf_dir)
+    return (
+        sh.groupBy("doc_id", "lang")
+        .agg(
+            F.count("*").cast("long").alias("n_shingles"),
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
+            .cast("long").alias("n_unique"),
+        )
+        .select(
+            "doc_id", "lang", "n_shingles", "n_unique",
+            (F.col("n_unique").cast("double") / F.col("n_shingles"))
+            .alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )

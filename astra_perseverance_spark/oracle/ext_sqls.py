@@ -1032,3 +1032,18 @@ SELECT label AS true_label, c_label AS pred_label,
 FROM aff WHERE r = 1
 GROUP BY 1, 2 ORDER BY true_label, pred_label
 """
+
+EXT_ORACLE_SQL["ngram_novelty"] = f"""
+WITH {_CAPPED_SH.lstrip()},
+cap AS (
+  SELECT sh0.doc_id, sh0.lang, sh0.g, shdf.df
+  FROM sh0 JOIN shdf ON shdf.lang = sh0.lang AND shdf.g = sh0.g
+  WHERE shdf.df <= {NGRAM_DF_CAP}
+)
+SELECT doc_id, lang,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+       CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+         AS novelty
+FROM cap GROUP BY doc_id, lang ORDER BY doc_id
+"""

@@ -104,6 +104,7 @@ QUERY_REGISTRY: dict[str, QueryFn] = {
     "pii_scan": curation.q_pii_scan,
     "decontaminate": curation.q_decontaminate,
     "source_mix": curation.q_source_mix,
+    "ngram_novelty": curation.q_ngram_novelty,
 }
 
 # Queries with no SQL-expressible oracle (driver runs rows-only check).

@@ -78,6 +78,7 @@ OPS = [
     ("pii_scan", "O(n) per-row regex"),
     ("decontaminate", "O(postings) vs fixed broadcast panel"),
     ("source_mix", "O(n) + source-grain agg"),
+    ("ngram_novelty", "O(postings) doc-grain agg"),
 ]
 
 
