@@ -419,3 +419,24 @@ class TestCurationInvariants:
             assert r["doc_id"] not in panel
             assert r["bench_doc"] in panel
             assert r["n_shared"] >= 3
+
+
+class TestNoveltyInvariants:
+    def test_bounds_and_consistency(self, q):
+        rows = q("ngram_novelty").collect()
+        assert rows
+        for r in rows:
+            assert 0 <= r["n_unique"] <= r["n_shingles"]
+            assert 0.0 <= r["novelty"] <= 1.0
+
+    def test_exact_duplicates_have_zero_novelty(self, q):
+        """Members of any exact-dup group share every shingle, so none
+        of their shingles can have df = 1."""
+        dups = {r["rep_doc"] for r in q("dedup_exact").collect()
+                if r["n_docs"] >= 2}
+        if not dups:
+            return
+        nov = {r["doc_id"]: r["novelty"] for r in q("ngram_novelty").collect()}
+        for d in dups:
+            if d in nov:  # doc may fall out of the capped universe
+                assert nov[d] == 0.0
