@@ -296,3 +296,39 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def q_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus quality dashboard: per (lang, source) document counts,
+    Gopher pass counts/rate, and PII incidence — the one table a
+    curation run reports to decide which slices need attention.
+
+    One join of two doc-grain frames (both derived from the same
+    corpus scan) followed by a (lang, source)-grain aggregation with
+    map-side partial sums; output cardinality is |lang|×|source|, so
+    the result broadcasts anywhere downstream."""
+    sig = quality_signals_frame(_docs(spark, sf_dir)).select(
+        "doc_id", "gopher_pass")
+    pii = _docs(spark, sf_dir).select(
+        "doc_id", "lang", "source", *pii_count_columns())
+    joined = pii.join(sig, "doc_id").select(
+        "lang", "source", "gopher_pass",
+        ((F.col("n_email") + F.col("n_ipv4") + F.col("n_phone")) > 0)
+        .alias("has_pii"),
+    )
+    return (
+        joined.groupBy("lang", "source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("gopher_pass"), 1).otherwise(0))
+            .cast("long").alias("n_pass"),
+            F.sum(F.when(F.col("has_pii"), 1).otherwise(0))
+            .cast("long").alias("n_pii"),
+        )
+        .select(
+            "lang", "source", "n_docs", "n_pass", "n_pii",
+            (F.col("n_pass").cast("double") / F.col("n_docs"))
+            .alias("pass_rate"),
+        )
+        .orderBy("lang", "source")
+    )

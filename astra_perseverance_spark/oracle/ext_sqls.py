@@ -1047,3 +1047,46 @@ SELECT doc_id, lang,
          AS novelty
 FROM cap GROUP BY doc_id, lang ORDER BY doc_id
 """
+
+EXT_ORACLE_SQL["quality_report"] = f"""
+WITH d AS (
+  SELECT doc_id, lang, source,
+         regexp_split_to_array(trim(text), '\\s+') AS words,
+         string_split(text, chr(10)) AS lines,
+         CAST(len(regexp_extract_all(text, '#')) AS BIGINT) AS n_hash,
+         CAST(len(regexp_extract_all(text, '\\.\\.\\.')) AS BIGINT) AS n_ell,
+         (len(regexp_extract_all(text, '{PII_EMAIL}'))
+          + len(regexp_extract_all(text, '{PII_IPV4}'))
+          + len(regexp_extract_all(text, '{PII_PHONE}'))) > 0 AS has_pii
+  FROM documents
+),
+m AS (
+  SELECT doc_id, lang, source, has_pii,
+         (CAST(len(words) AS BIGINT)
+            BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+          AND CAST(list_sum(list_transform(words, w -> length(w))) AS DOUBLE)
+              / len(words)
+            BETWEEN {GOPHER_MIN_MEAN_WORD_LEN} AND {GOPHER_MAX_MEAN_WORD_LEN}
+          AND CAST(n_hash + n_ell AS DOUBLE) / len(words)
+              < {GOPHER_MAX_SYMBOL_RATIO}
+          AND CAST(len(list_filter(lines,
+                 l -> regexp_matches(ltrim(l), '^[-*•]'))) AS DOUBLE)
+              / len(lines) < {GOPHER_MAX_BULLET_FRAC}
+          AND CAST(len(list_filter(lines,
+                 l -> regexp_matches(rtrim(l), '\\.\\.\\.$'))) AS DOUBLE)
+              / len(lines) < {GOPHER_MAX_ELLIPSIS_FRAC}
+          AND CAST(len(list_filter(words,
+                 w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+              / len(words) > {GOPHER_MIN_ALPHA_FRAC}
+          AND CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE)
+              / len(lines) < {GOPHER_MAX_DUP_LINE_FRAC}) AS gopher_pass
+  FROM d
+)
+SELECT lang, source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN gopher_pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+       CAST(SUM(CASE WHEN has_pii THEN 1 ELSE 0 END) AS BIGINT) AS n_pii,
+       CAST(SUM(CASE WHEN gopher_pass THEN 1 ELSE 0 END) AS DOUBLE)
+         / COUNT(*) AS pass_rate
+FROM m GROUP BY lang, source ORDER BY lang, source
+"""

@@ -105,6 +105,7 @@ QUERY_REGISTRY: dict[str, QueryFn] = {
     "decontaminate": curation.q_decontaminate,
     "source_mix": curation.q_source_mix,
     "ngram_novelty": curation.q_ngram_novelty,
+    "quality_report": curation.q_quality_report,
 }
 
 # Queries with no SQL-expressible oracle (driver runs rows-only check).
