@@ -79,6 +79,7 @@ OPS = [
     ("decontaminate", "O(postings) vs fixed broadcast panel"),
     ("source_mix", "O(n) + source-grain agg"),
     ("ngram_novelty", "O(postings) doc-grain agg"),
+    ("quality_report", "O(n) + slice-grain agg"),
 ]
 
 
