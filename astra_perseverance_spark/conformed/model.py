@@ -550,15 +550,22 @@ def _tune_session(spark: SparkSession) -> None:
             applied.append(f"spark.sql.shuffle.partitions={val}")
     except AnalysisException as exc:
         # CANNOT_MODIFY_CONFIG: the conf is static/locked for this
-        # session.  That is a legitimate caller choice — record it and
-        # keep going with the session as-is.  Any other failure mode
-        # (typo'd knob, driver gone) should surface, not be swallowed.
+        # session — a legitimate caller choice, skip quietly.
         getter = getattr(exc, "getCondition", None)  # 4.x name
         klass = getter() if getter is not None else None
-        if klass != "CANNOT_MODIFY_CONFIG" and "Cannot modify" not in str(exc):
-            raise
-        logging.getLogger(__name__).info(
-            "session conf locked; tuning skipped: %s", exc)
+        if klass == "CANNOT_MODIFY_CONFIG" or "Cannot modify" in str(exc):
+            logging.getLogger(__name__).info(
+                "session conf locked; tuning skipped: %s", exc)
+        else:
+            # Tuning is best-effort: it runs on EVERY memo_frame entry
+            # against caller-provided sessions, so an exotic conf
+            # failure must degrade the tuning, not the query surface.
+            logging.getLogger(__name__).warning(
+                "session tuning failed (continuing untuned): %s", exc)
+        return
+    except Exception as exc:  # noqa: BLE001 — same best-effort contract
+        logging.getLogger(__name__).warning(
+            "session tuning failed (continuing untuned): %s", exc)
         return
     sid = spark.sparkContext.applicationId
     if applied and sid not in _TUNED_SESSIONS:

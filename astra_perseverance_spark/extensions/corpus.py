@@ -16,6 +16,8 @@ exactly the bench/driver shape here).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -27,9 +29,29 @@ from astra_perseverance_spark.functions.vectors import (
     quantize,
 )
 
+# Opt-in durable layout: set to a database written by
+# ``sinks.warehouse.write_bucketed_corpus`` and the corpus sources
+# below read the doc_id-bucketed tables instead of raw parquet — the
+# bucketed scan IS hash-clustered by doc_id, so doc_id joins, groupBys
+# and windows plan with no Exchange and the session-scoped
+# repartition+cache becomes unnecessary.  The flag binds the session
+# to that one corpus (sf_dir is ignored while set); it is a deployment
+# switch, not a per-query knob.
+BUCKETED_DB_ENV = "SPARK_GRAFT_BUCKETED_DB"
+
+
+def bucketed_db() -> str | None:
+    return os.environ.get(BUCKETED_DB_ENV) or None
+
 
 def docs_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``documents`` repartitioned by doc_id — cached per session."""
+    """``documents`` clustered by doc_id: the bucketed warehouse table
+    when ``SPARK_GRAFT_BUCKETED_DB`` is set (durable clustering, no
+    cache needed), else raw parquet repartitioned + cached per
+    session."""
+    db = bucketed_db()
+    if db:
+        return spark.table(f"{db}.documents")
     return memo_frame(
         spark, sf_dir, ("docs_repart",),
         lambda: spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -37,10 +59,33 @@ def docs_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# (applicationId, sf_dir) -> embeddings row count: a driver-side scalar
-# (parquet-metadata count) that sizes the LSH plane count; memoized so
-# consumers don't re-run the count job.
+def clustered_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``documents`` clustered by doc_id INSIDE the consumer's plan —
+    for per-doc explode + window pipelines (``dedup.k_gram_rows``,
+    ``text_stats.q_doc_fingerprint``).
+
+    Unlike the cached ``docs_frame``, the repartition is planned in
+    the same query: the AQE-planned cache hides its output
+    partitioning, so a window above it re-exchanges at whatever grain
+    it is handed (token/char rows ≈ 2–24× corpus bytes); planned
+    inline, the one exchange carries the documents themselves and
+    everything after the explode is partition-local.  In bucketed-
+    warehouse mode there is no exchange at all."""
+    db = bucketed_db()
+    if db:
+        return spark.table(f"{db}.documents")
+    return (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    )
+
+
+# (applicationId, sf_dir) -> row counts: driver-side scalars
+# (parquet-metadata counts) that size the corpus-scaled key spaces
+# (LSH plane count, SimHash block width); memoized so consumers don't
+# re-run the count job.
 _VEC_COUNT: dict[tuple, int] = {}
+_DOC_COUNT: dict[tuple, int] = {}
 
 
 def n_vectors(spark: SparkSession, sf_dir: str) -> int:
@@ -50,6 +95,15 @@ def n_vectors(spark: SparkSession, sf_dir: str) -> int:
             spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
         )
     return _VEC_COUNT[key]
+
+
+def n_docs(spark: SparkSession, sf_dir: str) -> int:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _DOC_COUNT:
+        _DOC_COUNT[key] = (
+            spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+        )
+    return _DOC_COUNT[key]
 
 
 def vectors_frame(spark: SparkSession, sf_dir: str) -> DataFrame:

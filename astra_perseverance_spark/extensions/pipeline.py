@@ -224,6 +224,29 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_digest_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ⋈ per-doc content digest on doc_id — the warehouse
+    co-location showcase, and the access pattern every downstream
+    curation join repeats (attach a persisted per-doc artifact back to
+    the corpus by doc_id).
+
+    Default mode computes the digest inline (one md5 pass over the
+    memoized corpus).  With the bucketed warehouse opt-in
+    (``corpus.BUCKETED_DB_ENV``) both sides read doc_id-bucketed
+    tables and the join plans bucket-local: the ONLY Exchange in the
+    whole plan is the final ORDER BY's range partitioning
+    (``tests/test_warehouse.py`` gates exactly that).  At 100 TB this
+    is the difference between re-shuffling the corpus per join and
+    never shuffling it after ingest."""
+    d = _docs(spark, sf_dir).select("doc_id", "lang", "source")
+    dig = content_digest_frame(spark, sf_dir)
+    return (
+        d.join(dig, "doc_id")
+        .select("doc_id", "lang", "source", "content_md5")
+        .orderBy("doc_id")
+    )
+
+
 def q_corpus_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus composition rollup: document counts, character volume,
     and whitespace-token volume at every (lang × source) grouping

@@ -9,7 +9,7 @@ DuckDB twins agree bitwise.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from astra_perseverance_spark.functions.texthash import (
@@ -34,6 +34,7 @@ LANG_PROFILES: list[tuple[str, tuple[str, ...]]] = [
 STOPWORDS_EN = LANG_PROFILES[0][1]
 
 
+from astra_perseverance_spark.extensions.corpus import clustered_docs as _cdocs
 from astra_perseverance_spark.extensions.corpus import docs_frame as _docs
 
 
@@ -134,53 +135,95 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     (base 257 mod 2^61-1, exact BIGINT) → per-window (w=8) minimum →
     distinct window-mins = the fingerprint set.  Emitted as the set
     size, the set minimum, and an order-independent set digest
-    (sum mod 2^61-1) — all exact integers."""
+    (sum mod 2^61-1) — all exact integers.
+
+    ROW pipeline, not HOF arrays (r4 scale fix): posexplode the chars,
+    build the gram hash from ``lead`` columns, take the window minimum
+    over a row frame, then aggregate the distinct minima — the same
+    posexplode + window shape as ``dedup.k_gram_rows``, which measured
+    ~4× faster than the interpreted HOF-lambda formulation (HOF lambdas
+    never enter whole-stage codegen; the prior array build probed 9.9×
+    wall at 8× corpus).  Every stage here is either codegen'd
+    projection or JVM window exec, and all windows share the one
+    (doc_id)-partitioned sort.
+
+    Shuffle discipline: the repartition-by-doc_id happens on the DOC
+    grain, BEFORE the per-char explode, in the same query plan — so
+    the one exchange carries ~1× corpus bytes and every later stage
+    (generate → sort → two windows → distinct → agg) is
+    partition-local.  Going through the session-cached ``docs_frame``
+    would instead re-exchange at the CHAR grain (~24× corpus bytes):
+    the cache's AQE-planned relation hides its output partitioning, so
+    the window must re-shuffle whatever grain it is handed.  With a
+    doc_id-bucketed warehouse source the remaining exchange disappears
+    entirely (see ``sinks/warehouse.py``).
+
+    Digest arithmetic: the oracle computes ``sum(fps) % M`` in HUGEINT;
+    a Spark SUM over raw 61-bit values would overflow BIGINT, so each
+    value is split as x = hi·2^31 + lo (hi < 2^30, lo < 2^31), hi/lo
+    summed separately (no overflow below 2^32 fingerprints per doc),
+    and recombined mod M = 2^61−1 using the Mersenne identity
+    2^61 ≡ 1 (mod M): a·2^31 ≡ (a >> 30) + ((a & (2^30−1)) << 31),
+    every intermediate < 2^63.  Exactly equal to sum-then-mod."""
     norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
-    d = _docs(spark, sf_dir).select("doc_id", norm.alias("nt"))
     n_grams = F.length("nt") - (FP_GRAM - 1)
-    # gram hash at 0-based position p over a precomputed ASCII-code
-    # array (one split pass instead of O(len·gram) substr calls):
-    # Σ_k codes[p+k] * BASE^(GRAM-1-k) mod M
-    powers = [FP_BASE ** (FP_GRAM - 1 - k) % FP_MOD for k in range(FP_GRAM)]
-    gram_terms = " + ".join(
-        f"cs[p + {k}] * {powers[k]}L" for k in range(FP_GRAM)
-    )
-    # Each stage is its own projection so the expensive HOF arrays
-    # (cs → gh → fps) are evaluated ONCE per row — Catalyst keeps the
-    # projections separate because the aliases are non-cheap and
-    # multiply-referenced (inlining fps into all three outputs
-    # measured 2× slower; HOF lambdas run interpreted, so there is no
-    # codegen CSE to fall back on).
+    # Deliberately NOT the cached docs_frame: repartition on the doc
+    # grain inside this plan so the downstream windows inherit the
+    # partitioning (see docstring).  The scan reads only (doc_id, text)
+    # with the length filter pushed below the exchange.
     d = (
-        d.filter(n_grams >= FP_WINDOW)
-        .select(
-            "doc_id",
-            # slice() drops the trailing empty token Java's split
-            # emits with limit -1
-            F.expr("transform(slice(split(nt, ''), 1, length(nt)), "
-                   "c -> cast(ascii(c) as bigint))")
-            .alias("cs"),
-        )
-        .select(
-            "doc_id",
-            F.expr(
-                f"transform(sequence(0, size(cs) - {FP_GRAM}), "
-                f"p -> ({gram_terms}) % {FP_MOD}L)"
-            ).alias("gh"),
-        )
-        .select(
-            "doc_id",
-            F.expr(
-                f"array_distinct(transform(sequence(1, size(gh) - {FP_WINDOW - 1}), "
-                f"w -> array_min(slice(gh, w, {FP_WINDOW}))))"
-            ).alias("fps"),
-        )
+        _cdocs(spark, sf_dir)
+        .select("doc_id", norm.alias("nt"))
+        .filter(n_grams >= FP_WINDOW)
     )
-    return d.select(
+    # One row per char: slice() drops the trailing empty token Java's
+    # split emits with limit -1.
+    chars = d.select(
         "doc_id",
-        F.size("fps").cast("long").alias("n_fps"),
-        F.array_min("fps").alias("min_fp"),
-        F.expr(
-            f"aggregate(fps, 0L, (a, x) -> (a + x) % {FP_MOD}L)"
-        ).alias("fp_digest"),
+        F.posexplode(F.expr("slice(split(nt, ''), 1, length(nt))"))
+        .alias("p", "c"),
+    ).select("doc_id", "p", F.ascii("c").cast("long").alias("code"))
+    # Gram hash at position p: Σ_k code[p+k] * BASE^(GRAM-1-k) mod M.
+    # codes < 2^21 (codepoints) × BASE^4 ≈ 2^32 → each term < 2^53,
+    # 5-term sum < 2^56: exact BIGINT, one mod at the end (identical
+    # arithmetic shape to the oracle's array formulation).
+    w = Window.partitionBy("doc_id").orderBy("p")
+    powers = [FP_BASE ** (FP_GRAM - 1 - k) % FP_MOD for k in range(FP_GRAM)]
+    term0 = F.col("code") * F.lit(powers[0])
+    terms = sum(
+        (F.lead("code", k).over(w) * F.lit(powers[k]) for k in range(1, FP_GRAM)),
+        start=term0,
+    )
+    # The last GRAM-1 positions have a null lead ⇒ null gh: drop them.
+    grams = chars.select(
+        "doc_id", "p", (terms % F.lit(FP_MOD)).alias("gh")
+    ).filter(F.col("gh").isNotNull())
+    # Window minimum over the FP_WINDOW following gram rows; a row is a
+    # valid window start only if the full window exists (the
+    # (W-1)-ahead gram is present).
+    wmins = (
+        grams.select(
+            "doc_id",
+            F.min("gh").over(w.rowsBetween(0, FP_WINDOW - 1)).alias("wmin"),
+            F.lead("gh", FP_WINDOW - 1).over(w).alias("_tail"),
+        )
+        .filter(F.col("_tail").isNotNull())
+        .select("doc_id", "wmin")
+        .distinct()
+    )
+    lo_mask = (1 << 31) - 1
+    agg = wmins.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_fps"),
+        F.min("wmin").alias("min_fp"),
+        (F.sum(F.shiftright("wmin", 31)) % F.lit(FP_MOD)).alias("sh"),
+        (F.sum(F.col("wmin").bitwiseAND(F.lit(lo_mask))) % F.lit(FP_MOD))
+        .alias("sl"),
+    )
+    # digest = (sh·2^31 + sl) mod M via the Mersenne split of sh.
+    hi_part = F.shiftright("sh", 30) + F.shiftleft(
+        F.col("sh").bitwiseAND(F.lit((1 << 30) - 1)), 31
+    )
+    return agg.select(
+        "doc_id", "n_fps", "min_fp",
+        ((hi_part + F.col("sl")) % F.lit(FP_MOD)).alias("fp_digest"),
     ).orderBy("doc_id")

@@ -50,17 +50,46 @@ MINHASH_JACCARD_MIN = 0.5
 # sf0.1), so results there are unchanged.
 NGRAM_DF_CAP = 50
 
-# SimHash: 48 bits (keeps every shifted value far from BIGINT sign).
-SIMHASH_BITS = 48
-SIMHASH_BLOCKS = 4          # 4 blocks × 12 bits for candidate blocking
-SIMHASH_BLOCK_BITS = 12
+# SimHash candidate blocking: 4 blocks, CORPUS-SCALED block width.
 # Pigeonhole guarantee: a pair with Hamming distance d touches at most
 # d blocks, so with d ≤ BLOCKS − 1 at least one block is identical and
-# 12-bit-block candidate generation is LOSSLESS.  (d up to 6 would need
-# ≥ 7 blocks of ≤ 7 bits each — 128 distinct block values, i.e. ~n²/128
-# candidate pairs: quadratic at scale.  d = 3 over 4 × 12-bit blocks is
+# per-block-chunk candidate generation is LOSSLESS.  (d up to 6 would
+# need ≥ 7 blocks of ≤ 7 bits each — 128 distinct block values, i.e.
+# ~n²/128 candidate pairs: quadratic at scale.  d = 3 over 4 blocks is
 # the standard Manku-et-al. operating point.)
+#
+# The block WIDTH grows with the corpus (the ``vectors.plane_count``
+# pattern): with a fixed width b each block's candidate work is
+# Σ chunk-bucket² ≈ n²/2^b — the round-3 fixed-LSH-planes bug in a new
+# coat.  Scaling b ≈ log2(n / TARGET) holds expected docs-per-chunk
+# (and so per-doc candidate work) constant as n grows.  Width is
+# clamped to 15 so the 4-block signature stays ≤ 60 bits — far from
+# the BIGINT sign on both engines.  At the test scale factors
+# (≤ 5 000 docs) the clamp floor keeps the historical 12-bit blocks,
+# so results there are unchanged.
+SIMHASH_BLOCKS = 4
 SIMHASH_MAX_HAMMING = SIMHASH_BLOCKS - 1
+SIMHASH_BLOCK_TARGET = 4       # expected docs per chunk value
+SIMHASH_BLOCK_BITS_MIN = 12
+SIMHASH_BLOCK_BITS_MAX = 15    # 4 × 15 = 60-bit signature max
+
+
+def simhash_block_bits(n_docs: int) -> int:
+    """Smallest block width giving ≥ n/TARGET chunk values, clamped —
+    integer-exact via bit_length (same rationale as
+    ``vectors.plane_count``: a libm log2 could differ in the last ulp
+    between engines; the DuckDB twin uses bin-string length)."""
+    m = max(1, -(-n_docs // SIMHASH_BLOCK_TARGET))
+    return min(SIMHASH_BLOCK_BITS_MAX,
+               max(SIMHASH_BLOCK_BITS_MIN, (m - 1).bit_length()))
+
+
+def simhash_block_bits_sql(count_expr: str) -> str:
+    """DuckDB twin of :func:`simhash_block_bits`."""
+    m = (f"greatest(({count_expr} + {SIMHASH_BLOCK_TARGET - 1}) "
+         f"// {SIMHASH_BLOCK_TARGET}, 1)")
+    return (f"least(greatest(length(bin({m} - 1)), "
+            f"{SIMHASH_BLOCK_BITS_MIN}), {SIMHASH_BLOCK_BITS_MAX})")
 
 # Rolling char-gram fingerprint (winnowing-lite).
 FP_GRAM = 5                 # char n-gram width

@@ -37,12 +37,11 @@ from astra_perseverance_spark.functions.texthash import (
     MINHASH_P,
     MINHASH_ROWS,
     NGRAM_DF_CAP,
-    SIMHASH_BITS,
-    SIMHASH_BLOCK_BITS,
     SIMHASH_BLOCKS,
     SIMHASH_MAX_HAMMING,
     h15_sql,
     minhash_coeffs,
+    simhash_block_bits_sql,
     word_shingles_sql,
 )
 from astra_perseverance_spark.functions.vectors import (
@@ -86,6 +85,12 @@ WITH d AS (
 )
 SELECT content_md5, MIN(doc_id) AS rep_doc, CAST(COUNT(*) AS BIGINT) AS n_docs
 FROM d GROUP BY content_md5 ORDER BY rep_doc
+"""
+
+EXT_ORACLE_SQL["doc_digest_join"] = """
+SELECT doc_id, lang, source,
+       md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS content_md5
+FROM documents ORDER BY doc_id
 """
 
 EXT_ORACLE_SQL["dedup_incremental"] = f"""
@@ -196,8 +201,12 @@ WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
 ORDER BY doc_a, doc_b
 """
 
+# Corpus-scaled block width (mirrors ``texthash.simhash_block_bits``):
+# 4 blocks × bb bits, bb from the document count — the Spark side
+# computes the same integer from a driver-side count job.
 _SIM_CHUNKS = ", ".join(
-    f"((simhash >> {c * SIMHASH_BLOCK_BITS}) & {(1 << SIMHASH_BLOCK_BITS) - 1}) AS c{c}"
+    f"((simhash >> CAST({c} * sp.bb AS INT)) & "
+    f"((1::BIGINT << CAST(sp.bb AS INT)) - 1)) AS c{c}"
     for c in range(SIMHASH_BLOCKS)
 )
 _SIM_BLOCK_UNION = " UNION ALL ".join(
@@ -206,7 +215,10 @@ _SIM_BLOCK_UNION = " UNION ALL ".join(
 )
 
 EXT_ORACLE_SQL["dedup_simhash"] = f"""
-WITH tok AS (
+WITH sp AS (
+  SELECT {simhash_block_bits_sql('(SELECT COUNT(*) FROM documents)')} AS bb
+),
+tok AS (
   SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
 ),
 tc AS (
@@ -215,9 +227,9 @@ tc AS (
   FROM tok GROUP BY doc_id, tok
 ),
 contrib AS (
-  SELECT doc_id, i.i AS i,
-         cnt * (((th >> CAST(i.i AS INT)) & 1) * 2 - 1) AS c
-  FROM tc CROSS JOIN (SELECT unnest(range({SIMHASH_BITS})) AS i) i
+  SELECT doc_id, u.i AS i,
+         cnt * (((th >> CAST(u.i AS INT)) & 1) * 2 - 1) AS c
+  FROM tc, sp, unnest(range({SIMHASH_BLOCKS} * sp.bb)) AS u(i)
 ),
 bits AS (
   SELECT doc_id, i, SUM(c) AS s FROM contrib GROUP BY doc_id, i
@@ -228,7 +240,7 @@ sim AS (
            AS simhash
   FROM bits GROUP BY doc_id
 ),
-chunked AS (SELECT doc_id, simhash, {_SIM_CHUNKS} FROM sim),
+chunked AS (SELECT doc_id, simhash, {_SIM_CHUNKS} FROM sim, sp),
 blocks AS ({_SIM_BLOCK_UNION})
 SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
        bit_count(xor(x.simhash, y.simhash)) AS hamming
@@ -703,42 +715,69 @@ from astra_perseverance_spark.extensions.curation import (  # noqa: E402
     PII_PHONE,
 )
 
+# --- Gopher fragments shared by quality_signals + quality_report ----
+# One source for the raw-column CTE, the metric expressions, and the
+# pass predicate: a threshold or expression change edits exactly one
+# place per engine (curation.py constants are the shared thresholds).
+_GOPHER_RAW_COLS = """regexp_split_to_array(trim(text), '\\s+') AS words,
+         string_split(text, chr(10)) AS lines,
+         CAST(len(regexp_extract_all(text, '#')) AS BIGINT) AS n_hash,
+         CAST(len(regexp_extract_all(text, '\\.\\.\\.')) AS BIGINT) AS n_ell"""
+
+_GOPHER_METRICS: dict[str, str] = {
+    "n_words": "CAST(len(words) AS BIGINT)",
+    "mean_word_len": ("CAST(list_sum(list_transform(words, w -> length(w)))"
+                      " AS DOUBLE) / len(words)"),
+    "symbol_word_ratio": "CAST(n_hash + n_ell AS DOUBLE) / len(words)",
+    "alpha_word_frac": ("CAST(len(list_filter(words, "
+                        "w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)"
+                        " / len(words)"),
+    "bullet_line_frac": ("CAST(len(list_filter(lines, "
+                         "l -> regexp_matches(ltrim(l), '^[-*•]')))"
+                         " AS DOUBLE) / len(lines)"),
+    "ellipsis_line_frac": ("CAST(len(list_filter(lines, "
+                           "l -> regexp_matches(rtrim(l), '\\.\\.\\.$')))"
+                           " AS DOUBLE) / len(lines)"),
+    "dup_line_frac": ("CAST(len(lines) - len(list_distinct(lines))"
+                      " AS DOUBLE) / len(lines)"),
+}
+
+
+def _gopher_pass_sql(m: dict[str, str]) -> str:
+    """The pass predicate over metric SQL expressions — pass the
+    metric-name identity map when the metrics are already named
+    columns (quality_signals), or ``_GOPHER_METRICS`` to inline them
+    (quality_report)."""
+    return (
+        f"({m['n_words']} BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}\n"
+        f"        AND {m['mean_word_len']}\n"
+        f"            BETWEEN {GOPHER_MIN_MEAN_WORD_LEN}"
+        f" AND {GOPHER_MAX_MEAN_WORD_LEN}\n"
+        f"        AND {m['symbol_word_ratio']} < {GOPHER_MAX_SYMBOL_RATIO}\n"
+        f"        AND {m['bullet_line_frac']} < {GOPHER_MAX_BULLET_FRAC}\n"
+        f"        AND {m['ellipsis_line_frac']} < {GOPHER_MAX_ELLIPSIS_FRAC}\n"
+        f"        AND {m['alpha_word_frac']} > {GOPHER_MIN_ALPHA_FRAC}\n"
+        f"        AND {m['dup_line_frac']} < {GOPHER_MAX_DUP_LINE_FRAC})"
+    )
+
+
+_GOPHER_METRIC_COLS = ",\n         ".join(
+    f"{expr} AS {name}" for name, expr in _GOPHER_METRICS.items()
+)
+
 EXT_ORACLE_SQL["quality_signals"] = f"""
 WITH d AS (
   SELECT doc_id,
-         regexp_split_to_array(trim(text), '\\s+') AS words,
-         string_split(text, chr(10)) AS lines,
-         CAST(len(regexp_extract_all(text, '#')) AS BIGINT) AS n_hash,
-         CAST(len(regexp_extract_all(text, '\\.\\.\\.')) AS BIGINT) AS n_ell
+         {_GOPHER_RAW_COLS}
   FROM documents
 ),
 m AS (
   SELECT doc_id,
-         CAST(len(words) AS BIGINT) AS n_words,
-         CAST(list_sum(list_transform(words, w -> length(w))) AS DOUBLE)
-           / len(words) AS mean_word_len,
-         CAST(n_hash + n_ell AS DOUBLE) / len(words) AS symbol_word_ratio,
-         CAST(len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]')))
-              AS DOUBLE) / len(words) AS alpha_word_frac,
-         CAST(len(list_filter(lines,
-                l -> regexp_matches(ltrim(l), '^[-*•]'))) AS DOUBLE)
-           / len(lines) AS bullet_line_frac,
-         CAST(len(list_filter(lines,
-                l -> regexp_matches(rtrim(l), '\\.\\.\\.$'))) AS DOUBLE)
-           / len(lines) AS ellipsis_line_frac,
-         CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE)
-           / len(lines) AS dup_line_frac
+         {_GOPHER_METRIC_COLS}
   FROM d
 )
 SELECT *,
-       (n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
-        AND mean_word_len BETWEEN {GOPHER_MIN_MEAN_WORD_LEN}
-                              AND {GOPHER_MAX_MEAN_WORD_LEN}
-        AND symbol_word_ratio < {GOPHER_MAX_SYMBOL_RATIO}
-        AND bullet_line_frac < {GOPHER_MAX_BULLET_FRAC}
-        AND ellipsis_line_frac < {GOPHER_MAX_ELLIPSIS_FRAC}
-        AND alpha_word_frac > {GOPHER_MIN_ALPHA_FRAC}
-        AND dup_line_frac < {GOPHER_MAX_DUP_LINE_FRAC}) AS gopher_pass
+       {_gopher_pass_sql({k: k for k in _GOPHER_METRICS})} AS gopher_pass
 FROM m ORDER BY doc_id
 """
 
@@ -1051,10 +1090,7 @@ FROM cap GROUP BY doc_id, lang ORDER BY doc_id
 EXT_ORACLE_SQL["quality_report"] = f"""
 WITH d AS (
   SELECT doc_id, lang, source,
-         regexp_split_to_array(trim(text), '\\s+') AS words,
-         string_split(text, chr(10)) AS lines,
-         CAST(len(regexp_extract_all(text, '#')) AS BIGINT) AS n_hash,
-         CAST(len(regexp_extract_all(text, '\\.\\.\\.')) AS BIGINT) AS n_ell,
+         {_GOPHER_RAW_COLS},
          (len(regexp_extract_all(text, '{PII_EMAIL}'))
           + len(regexp_extract_all(text, '{PII_IPV4}'))
           + len(regexp_extract_all(text, '{PII_PHONE}'))) > 0 AS has_pii
@@ -1062,24 +1098,7 @@ WITH d AS (
 ),
 m AS (
   SELECT doc_id, lang, source, has_pii,
-         (CAST(len(words) AS BIGINT)
-            BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
-          AND CAST(list_sum(list_transform(words, w -> length(w))) AS DOUBLE)
-              / len(words)
-            BETWEEN {GOPHER_MIN_MEAN_WORD_LEN} AND {GOPHER_MAX_MEAN_WORD_LEN}
-          AND CAST(n_hash + n_ell AS DOUBLE) / len(words)
-              < {GOPHER_MAX_SYMBOL_RATIO}
-          AND CAST(len(list_filter(lines,
-                 l -> regexp_matches(ltrim(l), '^[-*•]'))) AS DOUBLE)
-              / len(lines) < {GOPHER_MAX_BULLET_FRAC}
-          AND CAST(len(list_filter(lines,
-                 l -> regexp_matches(rtrim(l), '\\.\\.\\.$'))) AS DOUBLE)
-              / len(lines) < {GOPHER_MAX_ELLIPSIS_FRAC}
-          AND CAST(len(list_filter(words,
-                 w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
-              / len(words) > {GOPHER_MIN_ALPHA_FRAC}
-          AND CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE)
-              / len(lines) < {GOPHER_MAX_DUP_LINE_FRAC}) AS gopher_pass
+         {_gopher_pass_sql(_GOPHER_METRICS)} AS gopher_pass
   FROM d
 )
 SELECT lang, source,

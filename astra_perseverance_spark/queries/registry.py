@@ -3,6 +3,28 @@
 Every declared query from SURVEY.md §2.10 (Q1–Q20) is registered here;
 each has a DuckDB oracle twin in ``oracle.sqls`` unless listed in
 ``NO_ORACLE`` (the driver then runs a rows-only check).
+
+ORDER MATTERS — driver-check rotation policy
+--------------------------------------------
+The per-round driver oracle check covers the first 50 registry entries,
+and the registry holds more than 50 queries, so ordering decides which
+queries get a hard driver-side correctness row each round:
+
+1. The 22 SURVEY §2.10 parity queries always come first (the brief's
+   primary bar — they must be driver-green every round).
+2. Next: queries that have never had a driver row, or whose
+   implementation changed since their last driver-green round.
+3. Then the remaining actively-developed extension queries.
+4. Tail (positions > 50, no driver row this round): queries that are
+   multi-round driver-green with UNCHANGED code — still covered by the
+   local pytest oracle-parity gate (tests/test_oracle_parity.py
+   parametrizes the full registry) and the bench suite.
+
+Round-5 rotation: the 11 queries driver-unchecked in r4 (curation
+family, ngram_counts, corpus_rollup, quality_filter, multimodal) move
+into the checked window; 11 queries green since r2/r3 with untouched
+code (text/pipeline/sampling families, dedup_exact, embedding_topk,
+two streaming batch twins) rotate to the tail.
 """
 
 from __future__ import annotations
@@ -32,6 +54,7 @@ from astra_perseverance_spark.streaming import doc_stream, gc_stream
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 QUERY_REGISTRY: dict[str, QueryFn] = {
+    # ---- Tier 1: SURVEY §2.10 parity queries (always checked) ----
     # Q1-Q4, Q18, Q20-long — workload family
     "workload_reads": workload.q_workload_reads,
     "workload_writes": workload.q_workload_writes,
@@ -59,22 +82,28 @@ QUERY_REGISTRY: dict[str, QueryFn] = {
     # Findings framework + Q20 nested summary
     "warnings": warnings.q_warnings,
     "summary_json": summary.q_summary_json,
-    # Streaming-shared windowed aggregations (batch twins; the
-    # readStream path shares the same column logic — streaming/)
-    "gc_minute_windows": gc_stream.q_gc_minute_windows,
-    "gc_sessions": gc_stream.q_gc_sessions,
-    "doc_minute_tokens": doc_stream.q_doc_minute_tokens,
-    # Extensions — dedup family (documents)
-    "dedup_exact": dedup.q_dedup_exact,
-    "dedup_incremental": dedup.q_dedup_incremental,
+    # ---- Tier 2: no driver row in r4 (pushed past the 50-cap) ----
+    "ngram_counts": pipeline.q_ngram_counts,
+    "corpus_rollup": pipeline.q_corpus_rollup,
+    "quality_filter": pipeline.q_quality_filter,
+    "multimodal_features": multimodal.q_multimodal_features,
+    "multimodal_frame_sample": multimodal.q_multimodal_frame_sample,
+    "quality_signals": curation.q_quality_signals,
+    "pii_scan": curation.q_pii_scan,
+    "decontaminate": curation.q_decontaminate,
+    "source_mix": curation.q_source_mix,
+    "ngram_novelty": curation.q_ngram_novelty,
+    "quality_report": curation.q_quality_report,
+    # ---- Tier 3: changed/active this round ----
+    "doc_digest_join": pipeline.q_doc_digest_join,
+    "doc_fingerprint": text_stats.q_doc_fingerprint,
+    "dedup_simhash": dedup.q_dedup_simhash,
     "dedup_tokenset": dedup.q_dedup_tokenset,
     "dedup_minhash_lsh": dedup.q_dedup_minhash_lsh,
-    "dedup_simhash": dedup.q_dedup_simhash,
     "ngram_jaccard": dedup.q_ngram_jaccard,
     "dedup_clusters": dedup.q_dedup_clusters,
     "dedup_keep_list": dedup.q_dedup_keep_list,
-    # Extensions — similarity family (embeddings)
-    "embedding_topk": similarity.q_embedding_topk,
+    "dedup_incremental": dedup.q_dedup_incremental,
     "ann_lsh_bucket": similarity.q_ann_lsh_bucket,
     "ann_ivf": similarity.q_ann_ivf,
     "ann_ivf_kmeans": similarity.q_ann_ivf_kmeans,
@@ -82,30 +111,20 @@ QUERY_REGISTRY: dict[str, QueryFn] = {
     "ann_recall_ivf_kmeans": similarity.q_ann_recall_ivf_kmeans,
     "embedding_label_probe": similarity.q_embedding_label_probe,
     "embedding_cosine_dups": similarity.q_embedding_cosine_dups,
+    "gc_sessions": gc_stream.q_gc_sessions,
+    # ---- Tier 4: tail (>50) — multi-round green, code unchanged ----
     "embedding_dup_clusters": similarity.q_embedding_dup_clusters,
-    # Extensions — text analysis family (documents)
+    "gc_minute_windows": gc_stream.q_gc_minute_windows,
+    "doc_minute_tokens": doc_stream.q_doc_minute_tokens,
+    "dedup_exact": dedup.q_dedup_exact,
+    "embedding_topk": similarity.q_embedding_topk,
     "text_stats": text_stats.q_text_stats,
     "lang_id": text_stats.q_lang_id,
     "token_count": text_stats.q_token_count,
-    "doc_fingerprint": text_stats.q_doc_fingerprint,
-    # Extensions — corpus-pipeline family (documents)
     "vocab_top_terms": pipeline.q_vocab_top_terms,
     "tfidf_top_terms": pipeline.q_tfidf_top_terms,
     "corpus_sample": pipeline.q_corpus_sample,
     "corpus_sample_fixed": pipeline.q_corpus_sample_fixed,
-    "ngram_counts": pipeline.q_ngram_counts,
-    "corpus_rollup": pipeline.q_corpus_rollup,
-    "quality_filter": pipeline.q_quality_filter,
-    # Extensions — multimodal plumbing (documents → binary payloads)
-    "multimodal_features": multimodal.q_multimodal_features,
-    "multimodal_frame_sample": multimodal.q_multimodal_frame_sample,
-    # Extensions — curation family (documents)
-    "quality_signals": curation.q_quality_signals,
-    "pii_scan": curation.q_pii_scan,
-    "decontaminate": curation.q_decontaminate,
-    "source_mix": curation.q_source_mix,
-    "ngram_novelty": curation.q_ngram_novelty,
-    "quality_report": curation.q_quality_report,
 }
 
 # Queries with no SQL-expressible oracle (driver runs rows-only check).

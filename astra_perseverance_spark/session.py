@@ -69,6 +69,17 @@ def get_spark(app_name: str = "astra-perseverance-spark",
             "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
             initial,
         )
+    # Shuffle/spill local dirs: prefer RAM-backed tmpfs in local mode —
+    # this host's root disk is IO-bound (load is all iowait), and
+    # shuffle files on it made identical runs vary 10×.  A real cluster
+    # puts spark.local.dir on executor-local NVMe; /dev/shm is the
+    # local-mode equivalent.  Overridable (or disabled with an empty
+    # value) via SPARK_GRAFT_LOCAL_DIR.
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if local_dir is None and not master and os.path.isdir("/dev/shm"):
+        local_dir = "/dev/shm/spark-local"
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     builder = (
         builder
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")

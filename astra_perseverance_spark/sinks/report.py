@@ -244,6 +244,12 @@ def _workload_sheet(wb: Workbook, reads: DataFrame, writes: DataFrame,
             if col in (cols[4],):  # % of own side: always sums to ~1,
                 cells.append((None, 0))  # the reference totals only
                 continue                  # requests, TPS, % RW
+            if n == 0:
+                # a zero-row block would emit a reversed range
+                # (SUM(C4:C3)) that some readers treat as an error —
+                # write the literal 0 instead
+                cells.append((0, HEADER_STYLE))
+                continue
             cells.append(
                 (Formula(f"SUM({li}4:{li}{n + 3})", cached), HEADER_STYLE))
         return cells

@@ -162,6 +162,8 @@ class TestDecontaminate:
                   "n_chars long")
         monkeypatch.setattr(curation, "_docs", lambda s, d: df)
         monkeypatch.setattr(ddp, "_docs", lambda s, d: df)
+        # the shingle path reads through the inline-clustered seam
+        monkeypatch.setattr(ddp, "_cdocs", lambda s, d: df)
         # bypass the memoized shingle frame (keyed by sf_dir, which is
         # fake here) by clearing session memos first
         from astra_perseverance_spark.conformed.model import release_memos
@@ -195,6 +197,8 @@ class TestEmptyCorpus:
                 "n_chars long")
         for mod in (curation, dedup, pipeline, text_stats):
             monkeypatch.setattr(mod, "_docs", lambda s, d: df)
+        for mod in (dedup, text_stats):
+            monkeypatch.setattr(mod, "_cdocs", lambda s, d: df)
         from astra_perseverance_spark.conformed.model import release_memos
 
         release_memos(spark)

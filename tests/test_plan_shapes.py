@@ -38,6 +38,26 @@ def test_no_smj_or_cartesian(name, fn, spark):
     assert "CartesianProduct" not in p, f"{name}: CartesianProduct in plan"
 
 
+def test_plan_audit_doc_matches_registry():
+    """docs/PLAN_AUDIT.md must cover exactly the live registry — a
+    registered query missing from the audit doc means the doc was not
+    regenerated with the change that added it (r4 staleness gate)."""
+    import os
+    import re
+
+    from astra_perseverance_spark.queries import QUERY_REGISTRY
+
+    doc = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "docs", "PLAN_AUDIT.md")
+    with open(doc) as fh:
+        text = fh.read()
+    audited = set(re.findall(r"^\| (\w+) \| \d", text, re.M))
+    assert audited == set(QUERY_REGISTRY), (
+        f"missing from audit: {sorted(set(QUERY_REGISTRY) - audited)}; "
+        f"stale rows: {sorted(audited - set(QUERY_REGISTRY))} — "
+        "re-run tools/plan_audit.py")
+
+
 def test_bnlj_only_for_declared_baselines(spark):
     """BroadcastNestedLoopJoin is allowed only where it is the
     documented design: 1-row totals crossJoins and the brute-force

@@ -163,11 +163,13 @@ class TestExtensionInvariants:
 
 
 class TestMultimodal:
-    def test_decode_stub_raises(self):
+    def test_video_decode_stub_raises(self):
+        """PNG/WAV decode is real (tests/test_multimodal.py); video
+        still needs PyAV and must fail loudly, not fake an answer."""
         from astra_perseverance_spark.extensions.multimodal import decode_media
 
         with pytest.raises(NotImplementedError):
-            decode_media(b"APSE1234", "image")
+            decode_media(b"APSE1234", "video")
 
     def test_feature_batch_shape(self, q, spark):
         feats = q("multimodal_features").collect()

@@ -62,6 +62,42 @@ def test_colocated_join_values_match_plain_join(spark, warehouse):
     assert s == want
 
 
+def test_registered_query_join_exchange_free_when_bucketed(
+        spark, warehouse, monkeypatch):
+    """With SPARK_GRAFT_BUCKETED_DB set, the registered
+    ``doc_digest_join`` query reads both sides from doc_id-bucketed
+    tables and its join compiles with NO Exchange — the only Exchange
+    in the whole plan is the final ORDER BY's range partitioning."""
+    import re
+
+    from astra_perseverance_spark.extensions.corpus import BUCKETED_DB_ENV
+    from astra_perseverance_spark.queries import QUERY_REGISTRY
+
+    monkeypatch.setenv(BUCKETED_DB_ENV, "bucketdemo")
+    sess = spark.newSession()
+    sess.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    plan = _plan(QUERY_REGISTRY["doc_digest_join"](sess, SF_SMALL))
+    exchanges = re.findall(r"\(\d+\) Exchange\n(.*?)Arguments: (\w+)",
+                           plan, re.S)
+    kinds = [k for _, k in exchanges]
+    assert kinds == ["rangepartitioning"], plan
+    assert "SelectedBucketsCount" in plan  # both scans are bucket reads
+
+
+def test_doc_digest_join_values_match_between_modes(
+        spark, warehouse, monkeypatch):
+    """The bucketed path returns the same rows as the inline path (the
+    digest table was written with the identical md5 expression)."""
+    from astra_perseverance_spark.extensions.corpus import BUCKETED_DB_ENV
+    from astra_perseverance_spark.queries import QUERY_REGISTRY
+
+    monkeypatch.delenv(BUCKETED_DB_ENV, raising=False)
+    plain = QUERY_REGISTRY["doc_digest_join"](spark, SF_SMALL).collect()
+    monkeypatch.setenv(BUCKETED_DB_ENV, "bucketdemo")
+    bucketed = QUERY_REGISTRY["doc_digest_join"](spark, SF_SMALL).collect()
+    assert plain == bucketed
+
+
 def test_bucket_files_on_disk(spark, warehouse):
     """The layout is real: each table directory holds bucketed part
     files (bucket id encoded in the filename)."""

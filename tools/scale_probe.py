@@ -33,7 +33,9 @@ Expected shapes (the honest part):
 - brute-force topk: O(|corpus|·K) with the fixed query panel — linear
   in the corpus now, REP× in the probe.
 
-Usage: python tools/scale_probe.py [REP] [sf_dir]
+Usage: python tools/scale_probe.py [REP] [sf_dir] [op ...]
+With an op subset, results print to stderr only (docs/SCALE_PROBE.md
+is regenerated only by full runs, so a spot-probe can't truncate it).
 Scratch parquet goes under .scratch/ (gitignored).
 """
 
@@ -124,15 +126,26 @@ def replicate(spark, sf_dir: str, rep: int, out_dir: str) -> None:
     )
 
 
-def time_op(fn, spark, sf_dir: str) -> float:
-    t0 = time.time()
-    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-    return time.time() - t0
+def time_op(fn, spark, sf_dir: str, runs: int = 1) -> float:
+    """Best-of-``runs`` wall time for a noop write of the query.
+
+    Best-of-2 for the measured (warm) number: the scaling claim is
+    about steady-state throughput, and on this host a single run mixes
+    in JIT compilation of the query's generated code (identical runs
+    measured 8 s → 0.9 s across four executions) plus iowait noise."""
+    best = float("inf")
+    for _ in range(runs):
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        best = min(best, time.time() - t0)
+    return best
 
 
 def main() -> int:
     rep = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    only = set(sys.argv[3:])
+    ops = [(n, s) for n, s in OPS if not only or n in only]
 
     from astra_perseverance_spark import get_spark
     from astra_perseverance_spark.queries import QUERY_REGISTRY
@@ -147,7 +160,7 @@ def main() -> int:
     from astra_perseverance_spark.conformed.model import release_memos
 
     rows = []
-    for name, shape in OPS:
+    for name, shape in ops:
         fn = QUERY_REGISTRY[name]
         # Isolate each op at each scale: drop every shared memo frame,
         # one untimed warm run (rebuilds the op's own memos + codegen),
@@ -156,11 +169,11 @@ def main() -> int:
         # doc_fingerprint "went quadratic" purely from pool pressure).
         release_memos(spark)
         b1 = time_op(fn, spark, sf_dir)   # build: own memos + codegen
-        t1 = time_op(fn, spark, sf_dir)   # warm: memoized inputs hot
+        t1 = time_op(fn, spark, sf_dir, runs=2)  # warm steady-state
         r1 = fn(spark, sf_dir).count()
         release_memos(spark)
         bn = time_op(fn, spark, scratch)
-        tn = time_op(fn, spark, scratch)
+        tn = time_op(fn, spark, scratch, runs=2)
         rn = fn(spark, scratch).count()
         release_memos(spark)
         ratio = tn / t1 if t1 > 0 else float("inf")
@@ -206,9 +219,12 @@ def main() -> int:
         "above-output ratios are the documented fixed-key-space simhash",
         "pigeonhole density (knob: more blocking bits at real scale).",
     ]
-    with open(OUT_MD, "w") as f:
-        f.write("\n".join(lines) + "\n")
-    print(f"wrote {OUT_MD}", file=sys.stderr)
+    if only:
+        print("(subset run: docs/SCALE_PROBE.md not rewritten)", file=sys.stderr)
+    else:
+        with open(OUT_MD, "w") as f:
+            f.write("\n".join(lines) + "\n")
+        print(f"wrote {OUT_MD}", file=sys.stderr)
     shutil.rmtree(scratch, ignore_errors=True)
     return 0
 
