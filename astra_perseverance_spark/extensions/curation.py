@@ -332,3 +332,85 @@ def q_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "source")
     )
+
+
+def q_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation capstone: one keep/drop row per document with the
+    semicolon-joined reason list (fixed rule order: too_short; low_ttr;
+    high_punct; exact_dup; near_dup; contaminated) — the ledger the
+    pipeline's final materialization step consumes, combining the
+    quality filter, both dedup families, and decontamination in one
+    artifact.
+
+    Declared drop rules beyond ``q_quality_filter``'s: ``near_dup`` —
+    the document has a SMALLER-id verified n-gram-Jaccard partner
+    (``dedup.ngram_pairs`` emits doc_a < doc_b, so doc_b is the
+    non-representative side; a pairwise rule, deliberately not the
+    transitive closure — the cluster view is ``dedup_keep_list``);
+    ``contaminated`` — flagged by the benchmark-panel shingle audit
+    (``q_decontaminate``).
+
+    Plan: every input is a memoized artifact (stats frame, digest,
+    ngram pairs) or a bounded broadcast probe (decon panel); this
+    query adds only doc_id equi-joins on top — uniform keys, and
+    exchange-free against the bucketed warehouse.  Each probe side
+    carries a ``shuffle_hash`` hint: the memoized inputs expose no
+    size statistics, so Spark would otherwise fall back to
+    SortMergeJoin — on uniform already-aggregated keys the sort adds
+    nothing, and the flag/reject sides are far smaller than the stats
+    side, exactly the hash-build shape."""
+    from astra_perseverance_spark.extensions.dedup import (
+        content_digest_frame,
+        ngram_pairs,
+    )
+    from astra_perseverance_spark.extensions.pipeline import (
+        QF_MAX_PUNCT,
+        QF_MIN_TOKENS,
+        QF_MIN_TTR,
+    )
+    from astra_perseverance_spark.extensions.text_stats import (
+        text_stats_frame,
+    )
+
+    stats = text_stats_frame(spark, sf_dir).select(
+        "doc_id", "n_tokens", "ttr", "punct_ratio"
+    )
+    d = content_digest_frame(spark, sf_dir)
+    rep = d.groupBy("content_md5").agg(F.min("doc_id").alias("rep_doc"))
+    dup = d.join(rep.hint("shuffle_hash"), "content_md5").select(
+        "doc_id", (F.col("doc_id") > F.col("rep_doc")).alias("is_dup")
+    )
+    near = (
+        ngram_pairs(spark, sf_dir)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+        .withColumn("is_near", F.lit(True))
+    )
+    contam = (
+        q_decontaminate(spark, sf_dir)
+        .select("doc_id")
+        .distinct()
+        .withColumn("is_contam", F.lit(True))
+    )
+    flagged = (
+        stats.join(dup.hint("shuffle_hash"), "doc_id")
+        .join(near.hint("shuffle_hash"), "doc_id", "left")
+        .join(contam.hint("shuffle_hash"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.concat_ws(
+                ";",
+                F.when(F.col("n_tokens") < QF_MIN_TOKENS, F.lit("too_short")),
+                F.when(F.col("ttr") < QF_MIN_TTR, F.lit("low_ttr")),
+                F.when(F.col("punct_ratio") > QF_MAX_PUNCT,
+                       F.lit("high_punct")),
+                F.when(F.col("is_dup"), F.lit("exact_dup")),
+                F.when(F.col("is_near").isNotNull(), F.lit("near_dup")),
+                F.when(F.col("is_contam").isNotNull(),
+                       F.lit("contaminated")),
+            ).alias("reasons"),
+        )
+    )
+    return flagged.select(
+        "doc_id", (F.col("reasons") == "").alias("keep"), "reasons"
+    ).orderBy("doc_id")

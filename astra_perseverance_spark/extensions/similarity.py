@@ -537,3 +537,101 @@ def q_embedding_label_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("hit", F.col("true_label") == F.col("pred_label"))
         .orderBy("true_label", "pred_label")
     )
+
+
+# (applicationId, sf_dir) -> count of indexed-side (even vec_id)
+# vectors, the scalar that sizes the incremental index's list count.
+_OLD_COUNT: dict[tuple, int] = {}
+
+
+def _n_indexed(spark: SparkSession, sf_dir: str) -> int:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _OLD_COUNT:
+        _OLD_COUNT[key] = (
+            _vectors(spark, sf_dir)
+            .filter(F.col("vec_id") % 2 == 0).count()
+        )
+    return _OLD_COUNT[key]
+
+
+def q_ann_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANN: probe a batch of NEW vectors against the
+    PERSISTED IVF index of the existing corpus — the embedding-side
+    twin of ``dedup_incremental``, and the shape a continuously
+    ingesting pipeline runs (re-indexing the corpus per batch would be
+    quadratic over time).
+
+    The fixture split is vec_id parity (even = indexed corpus, odd =
+    new batch); in production the split is the ingestion boundary.
+    The index — centroids (every ``ivf_stride(n_even)``-th even
+    vector) plus each indexed vector's nearest-centroid list
+    assignment — is a memoized artifact built once; a batch costs one
+    broadcast centroid-affinity pass over the batch plus list-local
+    candidate joins: O(|batch| · (√n + nprobe · n/lists)), independent
+    of how many batches came before.
+
+    Output: exact cosine top-k indexed neighbors per new vector,
+    (query_id, rank, neighbor_id, cosine)."""
+    index = memo_frame(spark, sf_dir, ("ivf_incr_index",),
+                       lambda: _build_incremental_index(spark, sf_dir))
+    cent = memo_frame(spark, sf_dir, ("ivf_incr_cent",),
+                      lambda: _incremental_centroids(spark, sf_dir))
+    new = _vectors(spark, sf_dir).drop("bucket").filter(
+        F.col("vec_id") % 2 == 1)
+    probe_aff = new.join(F.broadcast(cent)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("eq").alias("q_eq"),
+        F.col("n2").alias("q_n2"),
+        "cid",
+        cosine(dot_q(F.col("eq"), F.col("c_eq")), F.col("n2"),
+               F.col("c_n2")).alias("ccos"),
+    )
+    w_aff = Window.partitionBy("query_id").orderBy(F.desc("ccos"), "cid")
+    probes = (
+        probe_aff.withColumn("crank", F.row_number().over(w_aff))
+        .filter(F.col("crank") <= IVF_NPROBE)
+        .select("query_id", "q_eq", "q_n2", "cid")
+    )
+    pairs = (
+        probes.join(index.hint("shuffle_hash"), "cid")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(dot_q(F.col("q_eq"), F.col("eq")), F.col("q_n2"),
+                   F.col("n2")).alias("cosine"),
+        )
+    )
+    return _topk(pairs)
+
+
+def _incremental_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stride = ivf_stride(_n_indexed(spark, sf_dir))
+    return (
+        _vectors(spark, sf_dir).drop("bucket")
+        .filter((F.col("vec_id") % 2 == 0)
+                & (F.expr("vec_id div 2") % stride == 0))
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.col("eq").alias("c_eq"),
+            F.col("n2").alias("c_n2"),
+        )
+    )
+
+
+def _build_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(cid, vec_id, eq, n2): each indexed (even) vector in its
+    nearest-centroid list — the persisted artifact a batch probes."""
+    old = _vectors(spark, sf_dir).drop("bucket").filter(
+        F.col("vec_id") % 2 == 0)
+    cent = _incremental_centroids(spark, sf_dir)
+    aff = old.join(F.broadcast(cent)).select(
+        "vec_id", "eq", "n2", "cid",
+        cosine(dot_q(F.col("eq"), F.col("c_eq")), F.col("n2"),
+               F.col("c_n2")).alias("ccos"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), "cid")
+    return (
+        aff.withColumn("crank", F.row_number().over(w))
+        .filter(F.col("crank") == 1)
+        .select("cid", "vec_id", "eq", "n2")
+    )

@@ -801,9 +801,10 @@ SELECT doc_id, n_email, n_ipv4, n_phone, redacted_md5,
 FROM d ORDER BY doc_id
 """
 
-EXT_ORACLE_SQL["decontaminate"] = f"""
-WITH {_CAPPED_SH.lstrip()},
-cap AS (
+# Decontamination CTE chain (needs _CAPPED_SH's sh0/shdf in scope) —
+# shared by the decontaminate twin and corpus_curate's `contaminated`
+# reason, so the panel/threshold semantics live in one place.
+_DECON_CTES = f"""cap AS (
   SELECT sh0.doc_id, sh0.lang, sh0.g
   FROM sh0 JOIN shdf ON shdf.lang = sh0.lang AND shdf.g = sh0.g
   WHERE shdf.df <= {NGRAM_DF_CAP}
@@ -820,11 +821,18 @@ bsh AS (
 tr AS (
   SELECT c.* FROM cap c
   WHERE c.doc_id NOT IN (SELECT bench_doc FROM panel)
-)
-SELECT tr.doc_id, bsh.bench_doc, CAST(COUNT(*) AS BIGINT) AS n_shared
-FROM tr JOIN bsh ON tr.lang = bsh.lang AND tr.g = bsh.g
-GROUP BY tr.doc_id, bsh.bench_doc
-HAVING COUNT(*) >= {DECON_MIN_SHARED}
+),
+decon_hits AS (
+  SELECT tr.doc_id, bsh.bench_doc, CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM tr JOIN bsh ON tr.lang = bsh.lang AND tr.g = bsh.g
+  GROUP BY tr.doc_id, bsh.bench_doc
+  HAVING COUNT(*) >= {DECON_MIN_SHARED}
+)"""
+
+EXT_ORACLE_SQL["decontaminate"] = f"""
+WITH {_CAPPED_SH.lstrip()},
+{_DECON_CTES}
+SELECT doc_id, bench_doc, n_shared FROM decon_hits
 ORDER BY doc_id, bench_doc
 """
 
@@ -1108,4 +1116,250 @@ SELECT lang, source,
        CAST(SUM(CASE WHEN gopher_pass THEN 1 ELSE 0 END) AS DOUBLE)
          / COUNT(*) AS pass_rate
 FROM m GROUP BY lang, source ORDER BY lang, source
+"""
+
+# --- Training-prep twins (extensions.prep) --------------------------
+
+from astra_perseverance_spark.extensions.prep import (  # noqa: E402
+    CHUNK_LEN,
+    CHUNK_STRIDE,
+    SCRIPT_CLASSES,
+    _HTML_DECODE,
+)
+
+EXT_ORACLE_SQL["doc_chunks"] = f"""
+WITH d AS (
+  SELECT doc_id, {_TOKS} AS toks, CAST(len({_TOKS}) AS BIGINT) AS n
+  FROM documents WHERE len({_TOKS}) > 0
+),
+k AS (
+  SELECT doc_id, toks, n, u.k AS k
+  FROM d, unnest(range((n + {CHUNK_STRIDE - 1}) // {CHUNK_STRIDE})) AS u(k)
+)
+SELECT doc_id, CAST(k AS INT) AS chunk_id,
+       CAST(k * {CHUNK_STRIDE} AS BIGINT) AS start_tok,
+       CAST(least({CHUNK_LEN}, n - k * {CHUNK_STRIDE}) AS BIGINT) AS n_tok,
+       md5(array_to_string(list_slice(toks,
+             CAST(k * {CHUNK_STRIDE} + 1 AS INT),
+             CAST(k * {CHUNK_STRIDE} + {CHUNK_LEN} AS INT)), ' '))
+         AS chunk_md5
+FROM k ORDER BY doc_id, chunk_id
+"""
+
+_HTML_WRAP = (
+    "'<html lang=\"en\"><body data-doc=\"' || CAST(doc_id AS VARCHAR) || '\">'"
+    " || '<!-- id:' || CAST(doc_id AS VARCHAR) || ' -->'"
+    " || '<p class=\"main\">' || "
+    "regexp_replace(regexp_replace(regexp_replace(text,"
+    " '&', '&amp;', 'g'), '<', '&lt;', 'g'), '>', '&gt;', 'g')"
+    " || '</p>'"
+    " || '<script type=\"text/javascript\">if (1 &lt; 2) { x = \"&amp;\"; }"
+    "</script>' || '</body></html>'"
+)
+
+_HTML_CLEAN = (
+    "regexp_replace(regexp_replace(regexp_replace(html,"
+    " '(?s)<script[^>]*>.*?</script>', ' ', 'g'),"
+    " '(?s)<!--.*?-->', ' ', 'g'),"
+    " '<[^>]*>', ' ', 'g')"
+)
+for _ent, _ch in _HTML_DECODE:
+    _rep = _ch.replace("'", "''")
+    _HTML_CLEAN = f"regexp_replace({_HTML_CLEAN}, '{_ent}', '{_rep}', 'g')"
+_HTML_CLEAN = f"trim(regexp_replace({_HTML_CLEAN}, '\\s+', ' ', 'g'))"
+
+EXT_ORACLE_SQL["html_extract"] = f"""
+WITH d AS (
+  SELECT doc_id, text, {_HTML_WRAP} AS html FROM documents
+),
+c AS (
+  SELECT doc_id, html,
+         {_HTML_CLEAN} AS clean,
+         trim(regexp_replace(text, '\\s+', ' ', 'g')) AS norm_orig
+  FROM d
+)
+SELECT doc_id,
+       CAST(length(html) AS BIGINT) AS n_chars_html,
+       CAST(length(clean) AS BIGINT) AS n_chars_clean,
+       md5(clean) AS clean_md5,
+       md5(clean) = md5(norm_orig) AS roundtrip_ok,
+       1.0 - CAST(length(clean) AS DOUBLE) / length(html) AS removed_frac
+FROM c ORDER BY doc_id
+"""
+
+_SCRIPT_ORDER = [name for name, _ in SCRIPT_CLASSES] + ["other"]
+_SCRIPT_COUNTS = ",\n         ".join(
+    f"n - length(regexp_replace(text, '{pat}', '', 'g')) AS c_{name}"
+    for name, pat in SCRIPT_CLASSES
+)
+# Dominant class: strictly-greater fold in declared order (ties keep
+# the earlier class) — c_k wins iff it beats the max of all earlier
+# counts, which mirrors the Spark fold exactly.
+_SCRIPT_DOM = f"'{_SCRIPT_ORDER[0]}'"
+for _i, _name in enumerate(_SCRIPT_ORDER[1:], start=1):
+    _prev = ", ".join(f"c_{n}" for n in _SCRIPT_ORDER[:_i])
+    _g = _prev if _i == 1 else f"greatest({_prev})"
+    _SCRIPT_DOM = (f"CASE WHEN c_{_name} > {_g} THEN '{_name}' "
+                   f"ELSE {_SCRIPT_DOM} END")
+_SCRIPT_FRACS = ",\n       ".join(
+    f"CAST(c_{name} AS DOUBLE) / n AS {name}_frac" for name in _SCRIPT_ORDER
+)
+
+EXT_ORACLE_SQL["script_profile"] = f"""
+WITH d AS (
+  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n
+  FROM documents WHERE length(text) > 0
+),
+c AS (
+  SELECT doc_id, n,
+         {_SCRIPT_COUNTS}
+  FROM d
+),
+c2 AS (
+  SELECT *, n - ({' + '.join('c_' + n for n, _ in SCRIPT_CLASSES)}) AS c_other
+  FROM c
+)
+SELECT doc_id, n,
+       {_SCRIPT_FRACS},
+       {_SCRIPT_DOM} AS dominant
+FROM c2 ORDER BY doc_id
+"""
+
+EXT_ORACLE_SQL["corpus_curate"] = f"""
+WITH d AS (
+  SELECT doc_id,
+         {_TOKS} AS toks,
+         CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+           / n_chars AS punct_ratio,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS h
+  FROM documents
+),
+s AS (
+  SELECT doc_id, h,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr,
+         punct_ratio
+  FROM d
+),
+rep AS (SELECT h, MIN(doc_id) AS rep_doc FROM d GROUP BY h),
+{_CAPPED_SH.lstrip()},
+{_DECON_CTES},
+near AS (
+  SELECT DISTINCT y.doc_id AS doc_id
+  FROM sh x JOIN sh y ON x.lang = y.lang AND x.doc_id < y.doc_id
+  WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+          / len(list_distinct(list_concat(x.sh, y.sh)))
+        >= {MINHASH_JACCARD_MIN}
+),
+contam AS (SELECT DISTINCT doc_id FROM decon_hits),
+flagged AS (
+  SELECT s.doc_id,
+         concat_ws(';',
+           CASE WHEN s.n_tokens < {QF_MIN_TOKENS} THEN 'too_short' END,
+           CASE WHEN s.ttr < {QF_MIN_TTR} THEN 'low_ttr' END,
+           CASE WHEN s.punct_ratio > {QF_MAX_PUNCT} THEN 'high_punct' END,
+           CASE WHEN s.doc_id > rep.rep_doc THEN 'exact_dup' END,
+           CASE WHEN near.doc_id IS NOT NULL THEN 'near_dup' END,
+           CASE WHEN contam.doc_id IS NOT NULL THEN 'contaminated' END
+         ) AS reasons
+  FROM s JOIN rep USING (h)
+  LEFT JOIN near ON near.doc_id = s.doc_id
+  LEFT JOIN contam ON contam.doc_id = s.doc_id
+)
+SELECT doc_id, reasons = '' AS keep, reasons
+FROM flagged ORDER BY doc_id
+"""
+
+_INCR_COS_QC = (
+    f"CAST({dot_q_sql('q.eq', 'c.c_eq', ANN_DIM)} AS DOUBLE)"
+    " / (sqrt(CAST(q.n2 AS DOUBLE)) * sqrt(CAST(c.c_n2 AS DOUBLE)))"
+)
+_INCR_COS_QA = (
+    f"CAST({dot_q_sql('p.q_eq', 'a.eq', ANN_DIM)} AS DOUBLE)"
+    " / (sqrt(CAST(p.q_n2 AS DOUBLE)) * sqrt(CAST(a.n2 AS DOUBLE)))"
+)
+
+EXT_ORACLE_SQL["ann_incremental"] = f"""
+WITH v AS (
+  SELECT vec_id, {quantize_sql('embedding')} AS eq FROM embeddings
+),
+vn AS (
+  SELECT vec_id, eq, {dot_q_sql('eq', 'eq', ANN_DIM)} AS n2 FROM v
+),
+old AS (SELECT * FROM vn WHERE vec_id % 2 = 0),
+new AS (SELECT * FROM vn WHERE vec_id % 2 = 1),
+st AS (
+  SELECT greatest(1, n // greatest(
+           least(CAST(FLOOR(SQRT(CAST(n AS DOUBLE))) AS BIGINT),
+                 {IVF_MAX_LISTS}), 1)) AS stride
+  FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM old)
+),
+cent AS (
+  SELECT vec_id AS cid, eq AS c_eq, n2 AS c_n2
+  FROM old, st WHERE (vec_id // 2) % st.stride = 0
+),
+assign AS (
+  SELECT cid, vec_id, eq, n2 FROM (
+    SELECT c.cid, q.vec_id, q.eq, q.n2,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                              ORDER BY {_INCR_COS_QC} DESC, c.cid) AS crank
+    FROM old q CROSS JOIN cent c
+  ) WHERE crank = 1
+),
+probes AS (
+  SELECT query_id, q_eq, q_n2, cid FROM (
+    SELECT q.vec_id AS query_id, q.eq AS q_eq, q.n2 AS q_n2, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                              ORDER BY {_INCR_COS_QC} DESC, c.cid) AS crank
+    FROM new q CROSS JOIN cent c
+  ) WHERE crank <= {IVF_NPROBE}
+),
+pairs AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id, {_INCR_COS_QA} AS cosine
+  FROM probes p JOIN assign a USING (cid)
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM pairs
+)
+SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cosine
+FROM ranked WHERE rank <= {ANN_TOPK} ORDER BY query_id, rank
+"""
+
+from astra_perseverance_spark.extensions.prep import (  # noqa: E402
+    BOILERPLATE_MIN_DOCS,
+)
+
+EXT_ORACLE_SQL["repeated_lines"] = f"""
+WITH l AS (
+  SELECT doc_id, trim(u.line) AS line
+  FROM documents, unnest(string_split(text, chr(10))) AS u(line)
+),
+f AS (SELECT * FROM l WHERE length(line) > 0),
+g AS (
+  SELECT line, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         CAST(COUNT(*) AS BIGINT) AS n_occ, MIN(doc_id) AS rep_doc
+  FROM f GROUP BY line
+)
+SELECT md5(line) AS line_md5, CAST(length(line) AS BIGINT) AS line_len,
+       n_docs, n_occ, rep_doc
+FROM g WHERE n_docs >= {BOILERPLATE_MIN_DOCS}
+ORDER BY rep_doc, line_md5
+"""
+
+EXT_ORACLE_SQL["token_rarity"] = f"""
+WITH t AS (
+  SELECT doc_id, unnest(list_distinct({_TOKS})) AS tok FROM documents
+),
+df AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM t GROUP BY tok)
+SELECT t.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       CAST(SUM(df.df) AS DOUBLE) / COUNT(*) AS mean_token_df,
+       MIN(df.df) AS min_token_df,
+       CAST(SUM(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_unique_tokens
+FROM t JOIN df USING (tok)
+GROUP BY t.doc_id ORDER BY doc_id
 """

@@ -38,6 +38,7 @@ from astra_perseverance_spark.extensions import (
     dedup,
     multimodal,
     pipeline,
+    prep,
     similarity,
     text_stats,
 )
@@ -95,6 +96,12 @@ QUERY_REGISTRY: dict[str, QueryFn] = {
     "ngram_novelty": curation.q_ngram_novelty,
     "quality_report": curation.q_quality_report,
     # ---- Tier 3: changed/active this round ----
+    "doc_chunks": prep.q_doc_chunks,
+    "html_extract": prep.q_html_extract,
+    "script_profile": prep.q_script_profile,
+    "repeated_lines": prep.q_repeated_lines,
+    "token_rarity": prep.q_token_rarity,
+    "corpus_curate": curation.q_corpus_curate,
     "doc_digest_join": pipeline.q_doc_digest_join,
     "doc_fingerprint": text_stats.q_doc_fingerprint,
     "dedup_simhash": dedup.q_dedup_simhash,
@@ -102,17 +109,18 @@ QUERY_REGISTRY: dict[str, QueryFn] = {
     "dedup_minhash_lsh": dedup.q_dedup_minhash_lsh,
     "ngram_jaccard": dedup.q_ngram_jaccard,
     "dedup_clusters": dedup.q_dedup_clusters,
-    "dedup_keep_list": dedup.q_dedup_keep_list,
     "dedup_incremental": dedup.q_dedup_incremental,
-    "ann_lsh_bucket": similarity.q_ann_lsh_bucket,
-    "ann_ivf": similarity.q_ann_ivf,
+    "ann_incremental": similarity.q_ann_incremental,
     "ann_ivf_kmeans": similarity.q_ann_ivf_kmeans,
-    "ann_recall_audit": similarity.q_ann_recall_audit,
-    "ann_recall_ivf_kmeans": similarity.q_ann_recall_ivf_kmeans,
-    "embedding_label_probe": similarity.q_embedding_label_probe,
-    "embedding_cosine_dups": similarity.q_embedding_cosine_dups,
     "gc_sessions": gc_stream.q_gc_sessions,
     # ---- Tier 4: tail (>50) — multi-round green, code unchanged ----
+    "ann_recall_ivf_kmeans": similarity.q_ann_recall_ivf_kmeans,
+    "embedding_label_probe": similarity.q_embedding_label_probe,
+    "dedup_keep_list": dedup.q_dedup_keep_list,
+    "ann_lsh_bucket": similarity.q_ann_lsh_bucket,
+    "ann_ivf": similarity.q_ann_ivf,
+    "ann_recall_audit": similarity.q_ann_recall_audit,
+    "embedding_cosine_dups": similarity.q_embedding_cosine_dups,
     "embedding_dup_clusters": similarity.q_embedding_dup_clusters,
     "gc_minute_windows": gc_stream.q_gc_minute_windows,
     "doc_minute_tokens": doc_stream.q_doc_minute_tokens,

@@ -331,6 +331,23 @@ class TestGraphAndPipeline:
             assert 0 <= r["n_hit"] <= r["n_exact"]
             assert r["recall"] == pytest.approx(r["n_hit"] / r["n_exact"])
 
+    def test_ann_incremental_split_and_ranking(self, q):
+        """Queries are the new (odd) batch, neighbors come only from
+        the indexed (even) corpus, and per-query ranks are a dense
+        1..k with non-increasing cosine."""
+        rows = q("ann_incremental").collect()
+        assert rows
+        per_q: dict[int, list] = {}
+        for r in rows:
+            assert r["query_id"] % 2 == 1
+            assert r["neighbor_id"] % 2 == 0
+            per_q.setdefault(r["query_id"], []).append(r)
+        for qid, rs in per_q.items():
+            rs.sort(key=lambda r: r["rank"])
+            assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+            cos = [r["cosine"] for r in rs]
+            assert cos == sorted(cos, reverse=True)
+
     def test_incremental_dedup_consistent_with_pair_queries(self, q):
         """Every cross-parity ngram pair must appear as a 'near' row
         (new=odd side, existing=even side) and vice versa."""

@@ -82,6 +82,14 @@ OPS = [
     ("source_mix", "O(n) + source-grain agg"),
     ("ngram_novelty", "O(postings) doc-grain agg"),
     ("quality_report", "O(n) + slice-grain agg"),
+    ("doc_digest_join", "O(n) doc_id equi-join (bucketed: no exchange)"),
+    ("doc_chunks", "O(tokens) per-doc local explode + slice"),
+    ("html_extract", "O(n) fixed regexp_replace chain"),
+    ("script_profile", "O(n) per-class counting"),
+    ("corpus_curate", "doc_id joins over memoized artifacts"),
+    ("ann_incremental", "O(batch·(√n + nprobe·n/lists)) index probe"),
+    ("repeated_lines", "O(lines) line-keyed agg"),
+    ("token_rarity", "O(tokens) vocab df + doc-grain agg"),
 ]
 
 
