@@ -56,7 +56,7 @@ OPS = [
     ("dedup_exact", "O(n)"),
     ("dedup_tokenset", "O(n)"),
     ("dedup_minhash_lsh", "O(n) sigs + bucket-local pairs"),
-    ("dedup_simhash", "O(n) sigs + Σ bucket² (fixed 4096-key space)"),
+    ("dedup_simhash", "O(n) sigs + Σ chunk-bucket² (corpus-scaled width)"),
     ("ngram_jaccard", "df-capped prefix postings + per-candidate verify"),
     ("text_stats", "O(n)"),
     ("lang_id", "O(n)"),
@@ -223,9 +223,11 @@ def main() -> int:
         "plants REP−1 near-duplicates per document, so a verify-bound",
         "operator's work is proportional to true pairs found, which grow",
         "~C(REP,2)× per original document here — time growing with",
-        "output is linear-in-work, not a scaling cliff.  Remaining",
-        "above-output ratios are the documented fixed-key-space simhash",
-        "pigeonhole density (knob: more blocking bits at real scale).",
+        "output is linear-in-work, not a scaling cliff.  (The simhash",
+        "block width now scales with the corpus — texthash.",
+        "simhash_block_bits — so its former fixed-key-space density",
+        "residual is gone: the probe's 8× corpus blocks on 14-bit",
+        "chunks where the 1× corpus uses 12.)",
     ]
     if only:
         print("(subset run: docs/SCALE_PROBE.md not rewritten)", file=sys.stderr)
