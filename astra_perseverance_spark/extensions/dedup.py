@@ -53,9 +53,9 @@ from astra_perseverance_spark.extensions.corpus import docs_frame as _docs
 from astra_perseverance_spark.extensions.corpus import n_docs as _n_docs
 
 
-def normalized_text() -> F.Column:
+def normalized_text(col: str = "text") -> F.Column:
     """Whitespace-collapsed, lower-cased, trimmed text."""
-    return F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    return F.regexp_replace(F.lower(F.trim(F.col(col))), r"\s+", " ")
 
 
 def content_digest_frame(spark: SparkSession, sf_dir: str) -> DataFrame:

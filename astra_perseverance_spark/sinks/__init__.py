@@ -1,7 +1,10 @@
 """Sinks: Excel workbook (S11), summary.json (S12), and the native
 columnar view export (parquet/CSV per registered query)."""
 
-from astra_perseverance_spark.sinks.export import export_views
+from astra_perseverance_spark.sinks.export import (
+    export_curated_corpus,
+    export_views,
+)
 from astra_perseverance_spark.sinks.warehouse import (
     colocated_doc_join,
     write_bucketed_corpus,
@@ -12,5 +15,6 @@ from astra_perseverance_spark.sinks.report import (
     write_workbook,
 )
 
-__all__ = ["colocated_doc_join", "export_views", "write_bucketed_corpus",
-           "write_report", "write_summary_json", "write_workbook"]
+__all__ = ["colocated_doc_join", "export_curated_corpus", "export_views",
+           "write_bucketed_corpus", "write_report", "write_summary_json",
+           "write_workbook"]

@@ -74,3 +74,52 @@ def export_views(spark: SparkSession, sf_dir: str, out_dir: str,
             df.write.mode("overwrite").parquet(path)
         out[name] = path
     return out
+
+
+def export_curated_corpus(spark: SparkSession, sf_dir: str, out_dir: str,
+                          fmt: str = "parquet") -> dict[str, object]:
+    """Materialize the training-ready corpus: documents that survive
+    the full curation ledger (``curation.q_corpus_curate`` — quality
+    rules + exact/near dedup + decontamination), written sharded by
+    the executors, plus the rejects ledger as an audit side output.
+
+    ``fmt``: ``parquet`` (native types) or ``jsonl`` (``df.write.json``
+    — one JSON object per line, the interchange format most training
+    stacks ingest).  The join is a doc_id semi-join against the
+    ledger's keep rows — uniform key, exchange-free when reading the
+    doc_id-bucketed warehouse — and nothing is collected to the
+    driver; at 100 TB the output is a partitioned dataset sized by the
+    cluster, not a file.
+
+    Returns {kept_path, rejects_path, n_docs, n_kept}."""
+    if fmt not in ("parquet", "jsonl"):
+        raise ValueError(f"unsupported corpus format: {fmt!r}")
+    from astra_perseverance_spark.extensions.corpus import docs_frame
+    from astra_perseverance_spark.extensions.curation import q_corpus_curate
+
+    ledger = q_corpus_curate(spark, sf_dir)
+    docs = docs_frame(spark, sf_dir)
+    kept = docs.join(
+        ledger.filter(F.col("keep")).select("doc_id").hint("shuffle_hash"),
+        "doc_id", "semi")
+    rejects = ledger.filter(~F.col("keep")).select("doc_id", "reasons")
+
+    kept_path = os.path.join(out_dir, "corpus_kept")
+    rejects_path = os.path.join(out_dir, "corpus_rejects")
+    if fmt == "jsonl":
+        kept.write.mode("overwrite").json(kept_path)
+        rejects.write.mode("overwrite").json(rejects_path)
+    else:
+        kept.write.mode("overwrite").parquet(kept_path)
+        rejects.write.mode("overwrite").parquet(rejects_path)
+    # ledger-grain counts (one tiny agg job, no driver-side rows)
+    counts = ledger.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("keep").cast("long")).alias("k"),
+    ).collect()[0]
+    return {
+        "kept_path": kept_path,
+        "rejects_path": rejects_path,
+        "n_docs": counts["n"],
+        "n_kept": counts["k"],
+    }

@@ -8,6 +8,7 @@ between the two execution modes.
 
 from astra_perseverance_spark.streaming.curation_stream import (
     curation_gate,
+    stream_curated_dedup,
     stream_curation_gate,
 )
 from astra_perseverance_spark.streaming.doc_stream import stream_dedup_exact
@@ -20,6 +21,7 @@ from astra_perseverance_spark.streaming.gc_stream import (
 __all__ = [
     "curation_gate",
     "gc_minute_window_agg",
+    "stream_curated_dedup",
     "stream_curation_gate",
     "stream_dedup_exact",
     "stream_gc_minute_windows",

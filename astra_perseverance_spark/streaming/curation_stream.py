@@ -62,3 +62,28 @@ def stream_curation_gate(spark: SparkSession, source_dir: str) -> DataFrame:
     streaming DataFrame (caller picks sink/trigger)."""
     stream = spark.readStream.schema(DOC_SCHEMA).parquet(source_dir)
     return curation_gate(stream)
+
+
+def curated_dedup(docs: DataFrame) -> DataFrame:
+    """Gate → digest → watermark-bounded exact dedup, composed over
+    one streaming frame: the stateless gate runs first so junk never
+    enters the dedup operator's keyed state, and the surviving rows
+    carry the REDACTED text's digest — a curated pipeline dedups what
+    it would ship, not the raw input.  (``dropDuplicatesWithinWatermark``
+    is streaming-only; the batch twin is gate + distinct digests.)"""
+    from astra_perseverance_spark.extensions.dedup import normalized_text
+    from astra_perseverance_spark.streaming.doc_stream import DEDUP_HORIZON
+
+    return (
+        curation_gate(docs)
+        .withColumn("content_md5", F.md5(normalized_text("redacted")))
+        .withWatermark("ts", DEDUP_HORIZON)
+        .dropDuplicatesWithinWatermark(["content_md5"])
+    )
+
+
+def stream_curated_dedup(spark: SparkSession, source_dir: str) -> DataFrame:
+    """The full streaming intake pipeline (gate + dedup) over a
+    file-source stream; returns the unstarted streaming DataFrame."""
+    stream = spark.readStream.schema(DOC_SCHEMA).parquet(source_dir)
+    return curated_dedup(stream)

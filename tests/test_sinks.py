@@ -229,3 +229,44 @@ class TestViewExport:
 
         with pytest.raises(KeyError):
             export_views(spark, SF_SMALL, str(tmp_path), "parquet", ["nope"])
+
+
+class TestCuratedCorpusExport:
+    @pytest.mark.parametrize("fmt,reader", [
+        ("parquet", lambda spark, p: spark.read.parquet(p)),
+        ("jsonl", lambda spark, p: spark.read.json(p)),
+    ])
+    def test_kept_plus_rejects_partition_corpus(self, spark, tmp_path,
+                                                fmt, reader):
+        from astra_perseverance_spark.queries import QUERY_REGISTRY
+        from astra_perseverance_spark.sinks import export_curated_corpus
+        from tests.conftest import SF_SMALL
+
+        out = export_curated_corpus(
+            spark, SF_SMALL, str(tmp_path / fmt), fmt)
+        kept = reader(spark, out["kept_path"])
+        rejects = reader(spark, out["rejects_path"])
+        n_docs = spark.read.parquet(
+            f"{SF_SMALL}/documents.parquet").count()
+        assert out["n_docs"] == n_docs
+        assert kept.count() == out["n_kept"]
+        assert kept.count() + rejects.count() == n_docs
+        # kept docs carry the full document schema (the corpus, not a
+        # ledger); rejects carry the audit reasons
+        assert {"doc_id", "text", "lang", "source"} <= set(kept.columns)
+        assert set(rejects.columns) == {"doc_id", "reasons"}
+        # the split agrees with the ledger
+        ledger_kept = {
+            r["doc_id"]
+            for r in QUERY_REGISTRY["corpus_curate"](spark, SF_SMALL)
+            .filter("keep").collect()
+        }
+        assert {r["doc_id"] for r in kept.select("doc_id").collect()} \
+            == ledger_kept
+
+    def test_bad_format_rejected(self, spark, tmp_path):
+        from astra_perseverance_spark.sinks import export_curated_corpus
+        from tests.conftest import SF_SMALL
+
+        with pytest.raises(ValueError):
+            export_curated_corpus(spark, SF_SMALL, str(tmp_path), "xml")

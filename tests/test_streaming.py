@@ -257,6 +257,42 @@ def test_stream_curation_gate_is_stateless(spark, doc_source):
         assert marker not in plan, f"stateful operator in gate plan: {marker}"
 
 
+def test_stream_gate_composes_with_dedup(spark, doc_source, tmp_path):
+    """Gate → watermark-bounded dedup in ONE streaming pipeline: the
+    survivors are exactly one per redacted-content digest among the
+    gate's pass-through set, and every survivor passed the gate."""
+    from astra_perseverance_spark.streaming.curation_stream import (
+        curation_gate,
+        stream_curated_dedup,
+    )
+
+    sdf = stream_curated_dedup(spark, doc_source)
+    q = (
+        sdf.writeStream.format("memory").queryName("curated_dedup_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_cd"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql("SELECT * FROM curated_dedup_test").collect()
+
+    # batch twin: gate + digest, distinct digests as the deterministic
+    # contract (dropDuplicatesWithinWatermark is streaming-only; which
+    # member survives is arrival-order dependent)
+    from pyspark.sql import functions as F
+
+    from astra_perseverance_spark.extensions.dedup import normalized_text
+
+    batch = curation_gate(spark.read.parquet(doc_source)).withColumn(
+        "content_md5", F.md5(normalized_text("redacted")))
+    want_digests = {r["content_md5"] for r in
+                    batch.select("content_md5").distinct().collect()}
+    assert {r["content_md5"] for r in got} == want_digests
+    assert len(got) == len(want_digests)
+    for r in got:
+        assert r["gopher_pass"]  # nothing bypassed the gate
+
+
 def test_stream_doc_minute_tokens_matches_batch(spark, doc_source, tmp_path):
     """The throughput windows over an availableNow replay must equal
     the batch twin exactly (all rows arrive before the watermark
