@@ -47,6 +47,19 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_stats_frame(spark, sf_dir).orderBy("doc_id")
 
 
+def _sdiv(num: Column, den: Column) -> Column:
+    """Declared ratio semantics for degenerate documents: a ratio with
+    a zero denominator (no extractable tokens / empty text) is 0.0 —
+    NOT an error and NOT NULL.  Spark 4 runs ANSI mode, where a plain
+    division throws DIVIDE_BY_ZERO; an all-non-Latin document has zero
+    ``[a-z0-9]`` tokens, so without the guard ``text_stats`` crashes
+    on real multilingual corpora (caught by
+    ``tests/test_unicode_parity.py``).  Mirrored as CASE WHEN in every
+    oracle twin, and it makes zero-token docs bottom out at
+    quality = 0 — exactly what the downstream filter should see."""
+    return F.when(den != 0, num / den).otherwise(F.lit(0.0))
+
+
 def text_stats_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unordered per-document quality-feature frame — shared by
     ``q_text_stats`` and the downstream quality-filter pipeline
@@ -64,11 +77,17 @@ def text_stats_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chars").cast("long").alias("n_chars"),
         n_tok.cast("long").alias("n_tokens"),
         F.size(F.array_distinct("toks")).cast("long").alias("n_distinct_tokens"),
-        (F.aggregate("toks", F.lit(0).cast("long"), lambda a, t: a + F.length(t))
-         .cast("double") / n_tok).alias("avg_token_len"),
-        (n_stop.cast("double") / F.size(F.array_distinct("toks"))).alias("stopword_ratio"),
-        (F.col("n_punct").cast("double") / F.col("n_chars")).alias("punct_ratio"),
-        (F.size(F.array_distinct("toks")).cast("double") / n_tok).alias("ttr"),
+        _sdiv(
+            F.aggregate("toks", F.lit(0).cast("long"),
+                        lambda a, t: a + F.length(t)).cast("double"),
+            n_tok,
+        ).alias("avg_token_len"),
+        _sdiv(n_stop.cast("double"), F.size(F.array_distinct("toks")))
+        .alias("stopword_ratio"),
+        _sdiv(F.col("n_punct").cast("double"), F.col("n_chars"))
+        .alias("punct_ratio"),
+        _sdiv(F.size(F.array_distinct("toks")).cast("double"), n_tok)
+        .alias("ttr"),
     )
     quality = (
         F.least(F.col("n_tokens").cast("double") / 100.0, F.lit(1.0))
@@ -124,7 +143,8 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             "toks", F.lit(0).cast("long"),
             lambda a, t: a + F.floor((F.length(t) + 3) / 4).cast("long"),
         ).alias("n_bpe_units"),
-        (F.col("n_chars").cast("double") / F.size("toks")).alias("chars_per_token"),
+        _sdiv(F.col("n_chars").cast("double"), F.size("toks"))
+        .alias("chars_per_token"),
     ).orderBy("doc_id")
 
 

@@ -344,15 +344,18 @@ EXT_ORACLE_SQL["quality_filter"] = f"""
 WITH d AS (
   SELECT doc_id,
          {_TOKS} AS toks,
-         CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
-           / n_chars AS punct_ratio,
+         CASE WHEN n_chars <> 0 THEN
+           CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+           / n_chars ELSE 0.0 END AS punct_ratio,
          md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS h
   FROM documents
 ),
 s AS (
   SELECT doc_id, h,
          CAST(len(toks) AS BIGINT) AS n_tokens,
-         CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr,
+         CASE WHEN len(toks) <> 0 THEN
+           CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+           ELSE 0.0 END AS ttr,
          punct_ratio
   FROM d
 ),
@@ -591,15 +594,22 @@ WITH d AS (
   FROM documents
 ),
 s AS (
+  -- zero-denominator ratios are a DECLARED 0.0 (docs with no
+  -- [a-z0-9] tokens / empty text), mirroring text_stats._sdiv
   SELECT doc_id, lang, source, n_chars,
          CAST(len(toks) AS BIGINT) AS n_tokens,
          CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens,
-         CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks)
-           AS avg_token_len,
-         CAST(len(list_intersect(list_distinct(toks), [{_STOP_EN}])) AS DOUBLE)
-           / len(list_distinct(toks)) AS stopword_ratio,
-         CAST(n_punct AS DOUBLE) / n_chars AS punct_ratio,
-         CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr
+         CASE WHEN len(toks) <> 0 THEN
+           CAST(COALESCE(list_sum(list_transform(toks, t -> length(t))), 0)
+                AS DOUBLE) / len(toks) ELSE 0.0 END AS avg_token_len,
+         CASE WHEN len(list_distinct(toks)) <> 0 THEN
+           CAST(len(list_intersect(list_distinct(toks), [{_STOP_EN}])) AS DOUBLE)
+           / len(list_distinct(toks)) ELSE 0.0 END AS stopword_ratio,
+         CASE WHEN n_chars <> 0 THEN CAST(n_punct AS DOUBLE) / n_chars
+           ELSE 0.0 END AS punct_ratio,
+         CASE WHEN len(toks) <> 0 THEN
+           CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+           ELSE 0.0 END AS ttr
   FROM d
 )
 SELECT *, least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * (1.0 - punct_ratio) * ttr
@@ -636,9 +646,12 @@ EXT_ORACLE_SQL["lang_id"] = _lang_id_sql()
 EXT_ORACLE_SQL["token_count"] = f"""
 SELECT doc_id,
        CAST(len({_TOKS}) AS BIGINT) AS n_ws_tokens,
-       CAST(list_sum(list_transform({_TOKS}, t -> (length(t) + 3) // 4)) AS BIGINT)
+       CAST(COALESCE(list_sum(list_transform({_TOKS},
+              t -> (length(t) + 3) // 4)), 0) AS BIGINT)
          AS n_bpe_units,
-       CAST(n_chars AS DOUBLE) / len({_TOKS}) AS chars_per_token
+       CASE WHEN len({_TOKS}) <> 0
+         THEN CAST(n_chars AS DOUBLE) / len({_TOKS}) ELSE 0.0 END
+         AS chars_per_token
 FROM documents ORDER BY doc_id
 """
 
@@ -1229,15 +1242,18 @@ EXT_ORACLE_SQL["corpus_curate"] = f"""
 WITH d AS (
   SELECT doc_id,
          {_TOKS} AS toks,
-         CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
-           / n_chars AS punct_ratio,
+         CASE WHEN n_chars <> 0 THEN
+           CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+           / n_chars ELSE 0.0 END AS punct_ratio,
          md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS h
   FROM documents
 ),
 s AS (
   SELECT doc_id, h,
          CAST(len(toks) AS BIGINT) AS n_tokens,
-         CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr,
+         CASE WHEN len(toks) <> 0 THEN
+           CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+           ELSE 0.0 END AS ttr,
          punct_ratio
   FROM d
 ),

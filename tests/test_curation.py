@@ -195,7 +195,9 @@ class TestEmptyCorpus:
         df = spark.createDataFrame(
             [], "doc_id long, text string, lang string, source string, "
                 "n_chars long")
-        for mod in (curation, dedup, pipeline, text_stats):
+        from astra_perseverance_spark.extensions import prep
+
+        for mod in (curation, dedup, pipeline, text_stats, prep):
             monkeypatch.setattr(mod, "_docs", lambda s, d: df)
         for mod in (dedup, text_stats):
             monkeypatch.setattr(mod, "_cdocs", lambda s, d: df)
@@ -208,6 +210,8 @@ class TestEmptyCorpus:
     @pytest.mark.parametrize("qname", [
         "dedup_exact", "dedup_tokenset", "quality_signals", "pii_scan",
         "source_mix", "quality_filter", "text_stats", "vocab_top_terms",
+        "doc_chunks", "html_extract", "script_profile", "repeated_lines",
+        "token_rarity", "corpus_curate",
     ])
     def test_runs_empty(self, spark, empty_docs, qname):
         from astra_perseverance_spark.queries import QUERY_REGISTRY
