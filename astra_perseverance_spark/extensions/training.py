@@ -1,0 +1,309 @@
+"""Training-assembly operators: cross-document duplicate-span
+detection, concat-and-cut sequence packing, and embedding
+scalar quantization.
+
+These are the steps between a curated corpus and a training run:
+find the repeated sub-document spans exact-dedup misses (Lee et al.,
+"Deduplicating Training Data Makes Language Models Better" — the
+suffix-array pass, approximated here with fixed-width token windows),
+lay documents out into fixed-token training sequences (the GPT-style
+concatenate-then-cut layout), and compress the embedding store to
+int8 codes with a measured reconstruction error.
+
+Scale shape:
+
+- ``dup_spans`` is postings-shaped: window-gram df counting at the
+  vocabulary grain (map-side partial agg), a semi-join back to the
+  pruned position rows, then a per-doc window merge.  No pair
+  generation anywhere — a gram shared by every document costs O(n)
+  marked positions, not O(n²) pairs, so unlike the pair-emitting
+  near-dup ops there is no df cap to tune.
+- ``seq_pack`` shards the corpus by hash and packs WITHIN each shard:
+  the running-total window is partition-local per shard, never a
+  single global cumsum (which would serialize the whole corpus
+  through one task at 100 TB).  Shard count scales with the corpus;
+  each shard is an independent training-data stream.
+- ``embedding_quantize`` reduces to per-dimension min/max (a
+  64-group aggregate with map-side partials — bytes, not rows, cross
+  the shuffle) folded into the plan as literals; the encode itself is
+  a narrow per-row map.  All arithmetic is exact BIGINT on the 1e-6
+  fixed-point domain (``functions.vectors``), so the DuckDB twins are
+  bitwise.
+
+Reference parity note: the reference engine (explore.py) has no
+training-assembly stage at all — this family is part of the
+beyond-reference training-pipeline surface the brief asks for, built
+on the same corpus tables and determinism contract as the dedup /
+curation families.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from astra_perseverance_spark.extensions.corpus import (
+    clustered_docs as _cdocs,
+    n_docs,
+    vectors_frame,
+)
+from astra_perseverance_spark.functions.texthash import h15, tokens
+from astra_perseverance_spark.functions.vectors import ANN_DIM
+
+# --- dup_spans ------------------------------------------------------
+
+# Token-window width for duplicate-span detection.  A window of W
+# consecutive tokens appearing in >= DUP_SPAN_MIN_DOCS distinct
+# documents marks its positions as duplicated; runs of marked
+# positions closer than W merge into one maximal span (two windows at
+# distance <= W overlap or touch as character spans).
+DUP_SPAN_W = 5
+DUP_SPAN_MIN_DOCS = 2
+
+
+def _positioned_grams(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
+    """(doc_id, p, g): one row per k-token-window occurrence WITH its
+    0-based start position — the positioned sibling of
+    ``dedup.k_gram_rows`` (same posexplode + ``lead`` row pipeline,
+    which measured ~4x faster than array HOFs; see
+    ``dedup.shingle_rows``)."""
+    w = Window.partitionBy("doc_id").orderBy("p")
+    grams = _cdocs(spark, sf_dir).select(
+        "doc_id", F.posexplode(tokens("text")).alias("p", "t0")
+    )
+    for i in range(1, k):
+        grams = grams.withColumn(f"t{i}", F.lead("t0", i).over(w))
+    return (
+        grams.filter(F.col(f"t{k - 1}").isNotNull())
+        .select(
+            "doc_id", F.col("p").cast("long").alias("p"),
+            F.concat_ws(" ", *[f"t{i}" for i in range(k)]).alias("g"),
+        )
+    )
+
+
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicate spans: maximal runs of token positions
+    covered by a ``DUP_SPAN_W``-token window that also occurs in at
+    least ``DUP_SPAN_MIN_DOCS`` distinct documents.
+
+    The sub-document complement of ``dedup_exact`` (whole-doc) and
+    ``repeated_lines`` (line-grain): licence headers, quoted
+    paragraphs, and template boilerplate repeat across documents
+    without the documents being near-duplicates, and a training
+    pipeline cuts the SPAN, not the document.
+
+    Pipeline: positioned window-grams -> gram-grain df (distinct
+    docs) -> left-semi join back to the duplicated positions ->
+    per-doc islands-and-gaps merge (``lag`` + running flag-sum):
+    a new span starts where the gap to the previous duplicated
+    position exceeds W.  Three exchanges, all on aggregated or pruned
+    grains; no candidate pairs are ever generated, so a universally
+    shared gram degrades to O(n) marked positions, never O(n^2).
+
+    Output (one row per span): doc_id, span_id (1-based per doc in
+    position order), start_tok, end_tok (inclusive), n_tok, and
+    n_windows (duplicated windows merged into the span)."""
+    grams = _positioned_grams(spark, sf_dir, DUP_SPAN_W)
+    dup_g = (
+        grams.groupBy("g")
+        .agg(F.countDistinct("doc_id").alias("ndocs"))
+        .filter(F.col("ndocs") >= DUP_SPAN_MIN_DOCS)
+        .select("g")
+    )
+    dup_pos = grams.join(dup_g.hint("shuffle_hash"), "g", "left_semi")
+    w = Window.partitionBy("doc_id").orderBy("p")
+    marked = dup_pos.withColumn("prev_p", F.lag("p").over(w)).withColumn(
+        "new_span",
+        F.when(
+            F.col("prev_p").isNull()
+            | (F.col("p") - F.col("prev_p") > DUP_SPAN_W),
+            1,
+        ).otherwise(0),
+    )
+    spans = marked.withColumn(
+        "span_id",
+        F.sum("new_span")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("int"),
+    )
+    return (
+        spans.groupBy("doc_id", "span_id")
+        .agg(
+            F.min("p").alias("start_tok"),
+            (F.max("p") + DUP_SPAN_W - 1).alias("end_tok"),
+            F.count("*").alias("n_windows"),
+        )
+        .select(
+            "doc_id", "span_id", "start_tok", "end_tok",
+            (F.col("end_tok") - F.col("start_tok") + 1).alias("n_tok"),
+            "n_windows",
+        )
+        .orderBy("doc_id", "start_tok")
+    )
+
+
+# --- seq_pack -------------------------------------------------------
+
+# Training-sequence token budget and shard sizing.  Documents are
+# dealt to shards by hash, laid out in hash order within the shard
+# (a deterministic global shuffle), concatenated, and the token
+# stream is cut every SEQ_BUDGET tokens — the standard LM packing
+# layout where a document may straddle a sequence boundary.
+SEQ_BUDGET = 512
+SEQ_SHARD_DOCS = 512  # target documents per shard
+
+
+def seq_shard_count(n: int) -> int:
+    """ceil(n / SEQ_SHARD_DOCS), min 1 — shards scale with the corpus
+    so the per-shard running-total window stays bounded (one shard
+    is one training-data stream; its cumsum is partition-local)."""
+    return max(1, -(-n // SEQ_SHARD_DOCS))
+
+
+def q_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-cut sequence packing: the (shard, position, offset)
+    layout that maps every document onto fixed-``SEQ_BUDGET``-token
+    training sequences.
+
+    Each document lands in shard ``h15(doc_id) mod shards`` and takes
+    its place in the shard's deterministic hash order (which doubles
+    as the pre-training global shuffle — hash order is uncorrelated
+    with ingest order).  Within a shard the token streams concatenate;
+    document d occupies stream offsets [tok_offset, tok_offset +
+    n_tok), i.e. training sequences floor(tok_offset / B) through
+    floor((tok_offset + n_tok - 1) / B).
+
+    The running total is a per-shard window — the shard count scales
+    with the corpus (``seq_shard_count``), so no single task ever
+    owns a corpus-wide cumsum.  Empty-token documents are excluded
+    (they occupy no stream positions).
+
+    Output: doc_id, shard_id, pack_pos (1-based rank in shard),
+    n_tok, tok_offset, seq_first, seq_last, n_seqs."""
+    shards = seq_shard_count(n_docs(spark, sf_dir))
+    d = (
+        _cdocs(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.size(tokens("text")).cast("long").alias("n_tok"),
+            h15(F.col("doc_id").cast("string")).alias("hkey"),
+        )
+        .filter(F.col("n_tok") > 0)
+        .withColumn("shard_id", F.pmod("hkey", F.lit(shards)).cast("int"))
+    )
+    w = Window.partitionBy("shard_id").orderBy("hkey", "doc_id")
+    packed = d.withColumn(
+        "cum",
+        F.sum("n_tok").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    ).withColumn("pack_pos", F.row_number().over(w).cast("long"))
+    off = F.col("cum") - F.col("n_tok")
+    return (
+        packed.select(
+            "doc_id", "shard_id", "pack_pos", "n_tok",
+            off.alias("tok_offset"),
+            F.floor(off / SEQ_BUDGET).alias("seq_first"),
+            F.floor((F.col("cum") - 1) / SEQ_BUDGET).alias("seq_last"),
+        )
+        .withColumn(
+            "n_seqs", F.col("seq_last") - F.col("seq_first") + F.lit(1)
+        )
+        .orderBy("shard_id", "pack_pos")
+    )
+
+
+# --- embedding_quantize ---------------------------------------------
+
+# int8 scalar quantization: per-dimension corpus min/max define the
+# code range; 256 levels per dimension.
+SQ_LEVELS = 255
+
+
+def _dim_stats(spark: SparkSession, sf_dir: str) -> tuple[list, list]:
+    """Per-dimension (lo, hi) over the quantized corpus — a 64-group
+    aggregate (map-side partials; bytes, not rows, cross the shuffle)
+    collected as 2x64 driver scalars, the same pipeline-config shape
+    as ``corpus.n_vectors``.  At production scale these ship with the
+    embedding store's metadata rather than being recomputed."""
+    rows = (
+        vectors_frame(spark, sf_dir)
+        .select(F.posexplode("eq").alias("d", "q"))
+        .groupBy("d")
+        .agg(F.min("q").alias("lo"), F.max("q").alias("hi"))
+        .collect()
+    )
+    lo = [0] * ANN_DIM
+    hi = [0] * ANN_DIM
+    for r in rows:
+        lo[r["d"]] = r["lo"]
+        hi[r["d"]] = r["hi"]
+    return lo, hi
+
+
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 scalar quantization of the embedding store with exact
+    reconstruction-error accounting — the memory-4x-compression step
+    before an ANN index ships, with the error audit that says whether
+    recall will survive it.
+
+    Per dimension d with corpus range [lo_d, hi_d] (on the 1e-6
+    fixed-point BIGINT domain), each component encodes to
+    ``code = (q - lo_d) * 255 div (hi_d - lo_d)`` and reconstructs to
+    ``lo_d + code * (hi_d - lo_d) div 255`` — all BIGINT, truncating
+    division on non-negative operands in both engines, so the DuckDB
+    twin is bitwise.  Degenerate dimensions (hi = lo) encode 0 and
+    reconstruct exactly.
+
+    Narrow per-row map over the cached quantized frame; the only
+    shuffle is the 64-group dim-stats aggregate folded into the plan
+    as literals.  Output: vec_id, label, code_md5 (digest of the
+    space-joined codes — the ledger, not another copy of the store),
+    err2 (exact squared reconstruction error), max_abs_err, and
+    rel_err = err2 / |q|^2."""
+    lo, hi = _dim_stats(spark, sf_dir)
+    lo_a = F.array(*[F.lit(int(x)) for x in lo])
+    hi_a = F.array(*[F.lit(int(x)) for x in hi])
+
+    def at(arr, i):
+        return F.element_at(arr, (i + 1).cast("int"))
+
+    v = vectors_frame(spark, sf_dir).select("vec_id", "label", "eq", "n2")
+    codes = F.transform(
+        "eq",
+        lambda x, i: F.when(
+            at(hi_a, i) > at(lo_a, i),
+            F.floor(
+                (x - at(lo_a, i)) * SQ_LEVELS / (at(hi_a, i) - at(lo_a, i))
+            ),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    v = v.withColumn("codes", codes)
+    recon = F.transform(
+        "codes",
+        lambda c, i: at(lo_a, i)
+        + F.floor(c * (at(hi_a, i) - at(lo_a, i)) / SQ_LEVELS),
+    )
+    err = F.zip_with("eq", recon, lambda x, y: x - y)
+    v = v.withColumn("err", err)
+    err2 = F.aggregate(
+        "err", F.lit(0).cast("long"), lambda acc, x: acc + x * x
+    )
+    return (
+        v.select(
+            "vec_id", "label",
+            F.md5(
+                F.concat_ws(
+                    " ", F.transform("codes", lambda c: c.cast("string"))
+                )
+            ).alias("code_md5"),
+            err2.alias("err2"),
+            F.array_max(F.transform("err", F.abs)).alias("max_abs_err"),
+            F.when(
+                F.col("n2") > 0,
+                err2.cast("double") / F.col("n2").cast("double"),
+            ).otherwise(F.lit(0.0)).alias("rel_err"),
+        )
+        .orderBy("vec_id")
+    )

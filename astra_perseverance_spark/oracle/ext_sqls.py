@@ -1379,3 +1379,130 @@ SELECT t.doc_id,
 FROM t JOIN df USING (tok)
 GROUP BY t.doc_id ORDER BY doc_id
 """
+
+# --- Training-assembly twins (extensions.training) ------------------
+
+from astra_perseverance_spark.extensions.training import (  # noqa: E402
+    DUP_SPAN_MIN_DOCS,
+    DUP_SPAN_W,
+    SEQ_BUDGET,
+    SEQ_SHARD_DOCS,
+    SQ_LEVELS,
+)
+
+EXT_ORACLE_SQL["dup_spans"] = f"""
+WITH d AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+),
+g AS (
+  SELECT doc_id, CAST(u.p AS BIGINT) AS p,
+         array_to_string(list_slice(toks, CAST(u.p + 1 AS INT),
+                                    CAST(u.p + {DUP_SPAN_W} AS INT)), ' ') AS g
+  FROM d, unnest(range(len(toks) - {DUP_SPAN_W - 1})) AS u(p)
+),
+dupg AS (
+  SELECT g FROM g GROUP BY g
+  HAVING COUNT(DISTINCT doc_id) >= {DUP_SPAN_MIN_DOCS}
+),
+dp AS (SELECT g.doc_id, g.p FROM g JOIN dupg USING (g)),
+m AS (
+  SELECT doc_id, p,
+         CASE WHEN lag(p) OVER w IS NULL
+                   OR p - lag(p) OVER w > {DUP_SPAN_W}
+              THEN 1 ELSE 0 END AS new_span
+  FROM dp WINDOW w AS (PARTITION BY doc_id ORDER BY p)
+),
+s AS (
+  SELECT doc_id, p,
+         CAST(SUM(new_span) OVER (PARTITION BY doc_id ORDER BY p
+              ROWS UNBOUNDED PRECEDING) AS INT) AS span_id
+  FROM m
+)
+SELECT doc_id, span_id,
+       MIN(p) AS start_tok,
+       MAX(p) + {DUP_SPAN_W - 1} AS end_tok,
+       MAX(p) + {DUP_SPAN_W - 1} - MIN(p) + 1 AS n_tok,
+       CAST(COUNT(*) AS BIGINT) AS n_windows
+FROM s GROUP BY doc_id, span_id ORDER BY doc_id, start_tok
+"""
+
+EXT_ORACLE_SQL["seq_pack"] = f"""
+WITH params AS (
+  SELECT greatest(1, (COUNT(*) + {SEQ_SHARD_DOCS - 1}) // {SEQ_SHARD_DOCS})
+           AS shards
+  FROM documents
+),
+d AS (
+  SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tok,
+         {h15_sql("CAST(doc_id AS VARCHAR)")} AS hkey
+  FROM documents
+),
+s AS (
+  SELECT doc_id, n_tok, hkey,
+         CAST(hkey % (SELECT shards FROM params) AS INT) AS shard_id
+  FROM d WHERE n_tok > 0
+),
+w AS (
+  SELECT doc_id, shard_id, n_tok,
+         SUM(n_tok) OVER win AS cum,
+         CAST(ROW_NUMBER() OVER win AS BIGINT) AS pack_pos
+  FROM s WINDOW win AS (PARTITION BY shard_id ORDER BY hkey, doc_id
+                        ROWS UNBOUNDED PRECEDING)
+)
+SELECT doc_id, shard_id, pack_pos, n_tok,
+       CAST(cum - n_tok AS BIGINT) AS tok_offset,
+       CAST((cum - n_tok) // {SEQ_BUDGET} AS BIGINT) AS seq_first,
+       CAST((cum - 1) // {SEQ_BUDGET} AS BIGINT) AS seq_last,
+       CAST((cum - 1) // {SEQ_BUDGET}
+            - (cum - n_tok) // {SEQ_BUDGET} + 1 AS BIGINT) AS n_seqs
+FROM w ORDER BY shard_id, pack_pos
+"""
+
+EXT_ORACLE_SQL["embedding_quantize"] = f"""
+WITH v AS (
+  SELECT vec_id, label, {quantize_sql('embedding')} AS eq FROM embeddings
+),
+dims AS (
+  SELECT CAST(u.d AS INT) AS d,
+         MIN(eq[CAST(u.d + 1 AS INT)]) AS lo,
+         MAX(eq[CAST(u.d + 1 AS INT)]) AS hi
+  FROM v, unnest(range({ANN_DIM})) AS u(d)
+  GROUP BY u.d
+),
+st AS (
+  SELECT (SELECT list(lo ORDER BY d) FROM dims) AS lo_a,
+         (SELECT list(hi ORDER BY d) FROM dims) AS hi_a
+),
+c AS (
+  SELECT vec_id, label, eq, lo_a, hi_a,
+         list_transform(range({ANN_DIM}), i -> CASE
+           WHEN hi_a[CAST(i + 1 AS INT)] > lo_a[CAST(i + 1 AS INT)]
+           THEN CAST((eq[CAST(i + 1 AS INT)] - lo_a[CAST(i + 1 AS INT)])
+                     * {SQ_LEVELS}
+                     // (hi_a[CAST(i + 1 AS INT)] - lo_a[CAST(i + 1 AS INT)])
+                AS BIGINT)
+           ELSE CAST(0 AS BIGINT) END) AS codes
+  FROM v, st
+),
+e AS (
+  SELECT vec_id, label, codes,
+         list_transform(range({ANN_DIM}), i ->
+           eq[CAST(i + 1 AS INT)] - (lo_a[CAST(i + 1 AS INT)]
+             + CAST(codes[CAST(i + 1 AS INT)]
+                    * (hi_a[CAST(i + 1 AS INT)] - lo_a[CAST(i + 1 AS INT)])
+                    // {SQ_LEVELS} AS BIGINT))) AS err,
+         {dot_q_sql('eq', 'eq')} AS n2
+  FROM c
+)
+SELECT vec_id, label,
+       md5(array_to_string(list_transform(codes, x -> CAST(x AS VARCHAR)),
+                           ' ')) AS code_md5,
+       CAST(list_sum(list_transform(err, x -> x * x)) AS BIGINT) AS err2,
+       CAST(list_max(list_transform(err, x -> abs(x))) AS BIGINT)
+         AS max_abs_err,
+       CASE WHEN n2 > 0
+            THEN CAST(list_sum(list_transform(err, x -> x * x)) AS DOUBLE)
+                 / CAST(n2 AS DOUBLE)
+            ELSE 0.0 END AS rel_err
+FROM e ORDER BY vec_id
+"""

@@ -24,7 +24,14 @@ Round-5 rotation: the 11 queries driver-unchecked in r4 (curation
 family, ngram_counts, corpus_rollup, quality_filter, multimodal) move
 into the checked window; 11 queries green since r2/r3 with untouched
 code (text/pipeline/sampling families, dedup_exact, embedding_topk,
-two streaming batch twins) rotate to the tail.
+two streaming batch twins) rotate to the tail.  The new training
+family (dup_spans, seq_pack, embedding_quantize) enters the window;
+to make room, three r4-green queries rotate out: gc_sessions and
+ann_ivf_kmeans (code untouched since their green row) and
+dedup_clusters (its own contraction code is untouched; its two edge
+inputs changed but both input builders — dedup_minhash_lsh and
+ngram_jaccard — stay in the window, so the changed layers are still
+driver-verified).
 """
 
 from __future__ import annotations
@@ -41,6 +48,7 @@ from astra_perseverance_spark.extensions import (
     prep,
     similarity,
     text_stats,
+    training,
 )
 from astra_perseverance_spark.queries import (
     gc,
@@ -108,12 +116,15 @@ QUERY_REGISTRY: dict[str, QueryFn] = {
     "dedup_tokenset": dedup.q_dedup_tokenset,
     "dedup_minhash_lsh": dedup.q_dedup_minhash_lsh,
     "ngram_jaccard": dedup.q_ngram_jaccard,
-    "dedup_clusters": dedup.q_dedup_clusters,
     "dedup_incremental": dedup.q_dedup_incremental,
     "ann_incremental": similarity.q_ann_incremental,
+    "dup_spans": training.q_dup_spans,
+    "seq_pack": training.q_seq_pack,
+    "embedding_quantize": training.q_embedding_quantize,
+    # ---- Tier 4: tail (>50) — multi-round green, code unchanged ----
+    "dedup_clusters": dedup.q_dedup_clusters,
     "ann_ivf_kmeans": similarity.q_ann_ivf_kmeans,
     "gc_sessions": gc_stream.q_gc_sessions,
-    # ---- Tier 4: tail (>50) — multi-round green, code unchanged ----
     "ann_recall_ivf_kmeans": similarity.q_ann_recall_ivf_kmeans,
     "embedding_label_probe": similarity.q_embedding_label_probe,
     "dedup_keep_list": dedup.q_dedup_keep_list,

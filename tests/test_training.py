@@ -1,0 +1,212 @@
+"""Training-assembly invariants: duplicate-span geometry plus a full
+independent Python recompute, sequence-packing layout algebra vs a
+pure-Python repack, and quantization error accounting vs a per-vector
+recompute."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import re
+
+import pytest
+
+from tests.conftest import SF_SMALL
+
+from astra_perseverance_spark.extensions.training import (
+    DUP_SPAN_MIN_DOCS,
+    DUP_SPAN_W,
+    SEQ_BUDGET,
+    SQ_LEVELS,
+    seq_shard_count,
+)
+from astra_perseverance_spark.functions.vectors import ANN_DIM, QUANT
+
+
+def _toks(text: str) -> list[str]:
+    return re.findall(r"[a-z0-9]+", text.lower())
+
+
+def _h15(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+@pytest.fixture(scope="module")
+def q(spark):
+    from astra_perseverance_spark.queries import QUERY_REGISTRY
+
+    def run(name):
+        return QUERY_REGISTRY[name](spark, SF_SMALL)
+
+    return run
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{SF_SMALL}/documents.parquet").collect()
+    }
+
+
+class TestDupSpans:
+    def test_span_geometry(self, q):
+        rows = q("dup_spans").collect()
+        per_doc: dict[int, list] = {}
+        for r in rows:
+            assert r["n_tok"] == r["end_tok"] - r["start_tok"] + 1
+            assert DUP_SPAN_W <= r["n_tok"] <= r["n_windows"] * DUP_SPAN_W
+            assert r["n_windows"] >= 1
+            per_doc.setdefault(r["doc_id"], []).append(r)
+        for spans in per_doc.values():
+            spans.sort(key=lambda r: r["start_tok"])
+            for i, s in enumerate(spans):
+                assert s["span_id"] == i + 1
+            for a, b in zip(spans, spans[1:]):
+                # maximality: merged islands are separated by a gap
+                # strictly wider than the merge distance
+                assert b["start_tok"] >= a["end_tok"] + 2
+
+    def test_full_python_recompute(self, q, docs):
+        """Recompute the whole operator in pure Python (grams → df →
+        marked positions → islands merge) and compare row sets."""
+        grams: dict[int, list[tuple[int, str]]] = {}
+        df: dict[str, set[int]] = {}
+        for doc_id, text in docs.items():
+            t = _toks(text)
+            g = [
+                (p, " ".join(t[p:p + DUP_SPAN_W]))
+                for p in range(len(t) - DUP_SPAN_W + 1)
+            ]
+            grams[doc_id] = g
+            for _, s in g:
+                df.setdefault(s, set()).add(doc_id)
+        dup = {s for s, d in df.items() if len(d) >= DUP_SPAN_MIN_DOCS}
+        expect = set()
+        for doc_id, g in grams.items():
+            pos = sorted(p for p, s in g if s in dup)
+            spans: list[list[int]] = []
+            for p in pos:
+                if spans and p - spans[-1][-1] <= DUP_SPAN_W:
+                    spans[-1].append(p)
+                else:
+                    spans.append([p])
+            for i, island in enumerate(spans, start=1):
+                start, end = island[0], island[-1] + DUP_SPAN_W - 1
+                expect.add((doc_id, i, start, end,
+                            end - start + 1, len(island)))
+        got = {
+            (r["doc_id"], r["span_id"], r["start_tok"], r["end_tok"],
+             r["n_tok"], r["n_windows"])
+            for r in q("dup_spans").collect()
+        }
+        assert got == expect
+        assert expect, "fixture corpus should contain duplicate spans"
+
+
+class TestSeqPack:
+    def test_full_python_repack(self, q, docs):
+        """Recompute shard deal, hash-order layout, offsets, and
+        sequence spans in pure Python and compare."""
+        shards = seq_shard_count(len(docs))
+        per_shard: dict[int, list] = {}
+        for doc_id, text in docs.items():
+            n = len(_toks(text))
+            if n == 0:
+                continue
+            h = _h15(str(doc_id))
+            per_shard.setdefault(h % shards, []).append((h, doc_id, n))
+        expect = set()
+        for shard_id, items in per_shard.items():
+            items.sort()
+            cum = 0
+            for pos, (h, doc_id, n) in enumerate(items, start=1):
+                off = cum
+                cum += n
+                expect.add((
+                    doc_id, shard_id, pos, n, off,
+                    off // SEQ_BUDGET, (cum - 1) // SEQ_BUDGET,
+                    (cum - 1) // SEQ_BUDGET - off // SEQ_BUDGET + 1,
+                ))
+        got = {
+            (r["doc_id"], r["shard_id"], r["pack_pos"], r["n_tok"],
+             r["tok_offset"], r["seq_first"], r["seq_last"], r["n_seqs"])
+            for r in q("seq_pack").collect()
+        }
+        assert got == expect
+
+    def test_stream_continuity(self, q):
+        """Within a shard the token stream has no holes: each doc
+        starts exactly where the previous one ended, and some doc
+        straddles a sequence boundary (the layout's whole point)."""
+        rows = sorted(
+            q("seq_pack").collect(),
+            key=lambda r: (r["shard_id"], r["pack_pos"]),
+        )
+        straddlers = 0
+        by_shard: dict[int, list] = {}
+        for r in rows:
+            by_shard.setdefault(r["shard_id"], []).append(r)
+            if r["n_seqs"] > 1:
+                straddlers += 1
+        for items in by_shard.values():
+            cum = 0
+            for r in items:
+                assert r["tok_offset"] == cum
+                cum += r["n_tok"]
+                assert r["seq_first"] == r["tok_offset"] // SEQ_BUDGET
+                assert r["seq_last"] == (cum - 1) // SEQ_BUDGET
+        assert straddlers > 0
+
+
+class TestEmbeddingQuantize:
+    def test_full_python_recompute(self, q, spark):
+        vecs = {
+            r["vec_id"]: r["embedding"]
+            for r in spark.read.parquet(
+                f"{SF_SMALL}/embeddings.parquet").collect()
+        }
+        eq = {
+            vid: [math.floor(float(x) * QUANT + 0.5) for x in emb]
+            for vid, emb in vecs.items()
+        }
+        lo = [min(v[d] for v in eq.values()) for d in range(ANN_DIM)]
+        hi = [max(v[d] for v in eq.values()) for d in range(ANN_DIM)]
+        expect = {}
+        for vid, v in eq.items():
+            codes, errs = [], []
+            for d in range(ANN_DIM):
+                span = hi[d] - lo[d]
+                c = (v[d] - lo[d]) * SQ_LEVELS // span if span > 0 else 0
+                codes.append(c)
+                recon = lo[d] + c * span // SQ_LEVELS
+                errs.append(v[d] - recon)
+            err2 = sum(e * e for e in errs)
+            n2 = sum(x * x for x in v)
+            expect[vid] = (
+                hashlib.md5(" ".join(map(str, codes)).encode()).hexdigest(),
+                err2,
+                max(abs(e) for e in errs),
+                err2 / n2 if n2 > 0 else 0.0,
+            )
+        got = {
+            r["vec_id"]: (r["code_md5"], r["err2"], r["max_abs_err"],
+                          r["rel_err"])
+            for r in q("embedding_quantize").collect()
+        }
+        assert set(got) == set(expect)
+        for vid in got:
+            g, e = got[vid], expect[vid]
+            assert g[:3] == e[:3], vid
+            assert g[3] == pytest.approx(e[3], rel=1e-12)
+
+    def test_error_bound(self, q):
+        """Reconstruction error per dimension is bounded by the code
+        cell width, so max_abs_err <= max_d ceil((hi_d - lo_d)/255)
+        — here just assert the per-vector bound relative to the
+        fixed-point scale: a cell is at most (2·QUANT)/255 wide."""
+        cell = 2 * QUANT // SQ_LEVELS + 1
+        for r in q("embedding_quantize").collect():
+            assert 0 <= r["max_abs_err"] <= cell
+            assert r["err2"] <= ANN_DIM * cell * cell
+            assert r["rel_err"] >= 0.0

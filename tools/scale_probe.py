@@ -90,6 +90,9 @@ OPS = [
     ("ann_incremental", "O(batch·(√n + nprobe·n/lists)) index probe"),
     ("repeated_lines", "O(lines) line-keyed agg"),
     ("token_rarity", "O(tokens) vocab df + doc-grain agg"),
+    ("dup_spans", "O(postings) mark + per-doc islands merge"),
+    ("seq_pack", "O(n) per-shard running-total window"),
+    ("embedding_quantize", "O(n·dim) map + 64-group dim stats"),
 ]
 
 
