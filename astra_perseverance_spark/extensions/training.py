@@ -307,3 +307,125 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+# --- bpe_merges -----------------------------------------------------
+
+# BPE vocabulary learning over the word-frequency table: the corpus
+# reduces to (word, count) once, and every merge round runs on that
+# vocabulary-bounded table — the standard sentencepiece/BPE training
+# shape, which is what makes the iterative part corpus-size-free.
+BPE_MERGES = 12
+BPE_MAX_WORDS = 10_000  # heavy-hitter cap on the word table (declared)
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn the first ``BPE_MERGES`` byte-pair-encoding merges from
+    the corpus — the tokenizer-training step of an LM data pipeline.
+
+    Classic frequency-table BPE: the corpus collapses to its
+    ``BPE_MAX_WORDS`` most frequent words (count DESC, word ASC — a
+    deterministic heavy-hitter cap; one corpus-scale aggregate), each
+    word becomes a character-symbol sequence weighted by its count,
+    and each round (a) sums adjacent-pair weights, (b) picks the
+    argmax pair (count DESC, pair ASC), (c) merges it greedily
+    left-to-right — non-overlapping, so in an equal-symbol run
+    ``aaa`` only the leftmost ``aa`` merges, expressed as the
+    even-offset-within-island rule on the eligible positions.
+
+    Scale shape: the ONE corpus-sized job is the word count; every
+    round after it runs over the <= 10k-row symbol table.  Each round
+    is a SINGLE plan (the argmax is computed in-plan and crossJoined
+    back as a broadcast 1-row frame — no per-round driver collect)
+    materialized with ``localCheckpoint``: an iterative algorithm
+    must truncate lineage each round, since even a cached round nests
+    the previous round's plan tree inside its InMemoryRelation and by
+    round 12 plan analysis itself blows up.  The greedy merge needs
+    no join: eligibility, island start (a running max over the last
+    non-eligible position), keep flag, consumed flag, and the re-rank
+    are all windows over the SAME (word, p) partitioning — one
+    exchange per round.  The DuckDB twin unrolls the rounds as CTEs
+    (the ``ann_ivf_kmeans`` pattern) and is string-exact.
+
+    Output: one row per learned merge — merge_rank, left_sym,
+    right_sym, new_sym, pair_count."""
+    words = (
+        _cdocs(spark, sf_dir)
+        .select(F.explode(tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy(F.desc("n"), "word")
+        .limit(BPE_MAX_WORDS)
+    )
+    w = Window.partitionBy("word").orderBy("p")
+    rows = words.select(
+        "word", "n",
+        F.posexplode(F.split("word", "")).alias("p", "sym"),
+    ).withColumn("p", F.col("p").cast("long")).localCheckpoint()
+
+    bests: list[DataFrame] = []
+    for rank in range(1, BPE_MERGES + 1):
+        best = (
+            rows.withColumn("nxt", F.lead("sym").over(w))
+            .filter(F.col("nxt").isNotNull())
+            .groupBy("sym", "nxt")
+            .agg(F.sum("n").alias("cnt"))
+            .orderBy(F.desc("cnt"), "sym", "nxt")
+            .limit(1)
+            .select(
+                F.lit(rank).alias("merge_rank"),
+                F.col("sym").alias("left_sym"),
+                F.col("nxt").alias("right_sym"),
+                F.concat("sym", "nxt").alias("new_sym"),
+                F.col("cnt").cast("long").alias("pair_count"),
+            )
+        )
+        bests.append(best)
+        b = F.broadcast(best.select(
+            F.col("left_sym").alias("_L"), F.col("right_sym").alias("_R")
+        ))
+        r = rows.crossJoin(b).withColumn("nxt", F.lead("sym").over(w))
+        r = r.withColumn(
+            "el",
+            F.coalesce(
+                (F.col("sym") == F.col("_L"))
+                & (F.col("nxt") == F.col("_R")),
+                F.lit(False),
+            ),
+        )
+        # last non-eligible position <= p: everything after it up to p
+        # is one maximal eligible run, so greedy leftmost keeps the
+        # even offsets within it
+        r = r.withColumn(
+            "lnep",
+            F.max(F.when(~F.col("el"), F.col("p"))).over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        ).withColumn(
+            "k",
+            F.col("el")
+            & (
+                (F.col("p") - F.coalesce(F.col("lnep"), F.lit(-1)) - 1) % 2
+                == 0
+            ),
+        ).withColumn("consumed", F.lag("k").over(w))
+        rows = (
+            r.filter(~F.coalesce(F.col("consumed"), F.lit(False)))
+            .select(
+                "word", "n", F.col("p").alias("p0"),
+                F.when(F.col("k"), F.concat("_L", "_R"))
+                .otherwise(F.col("sym")).alias("sym"),
+            )
+            .withColumn(
+                "p",
+                (F.row_number().over(
+                    Window.partitionBy("word").orderBy("p0")
+                ) - 1).cast("long"),
+            )
+            .drop("p0")
+            .localCheckpoint()
+        )
+    out = bests[0]
+    for b in bests[1:]:
+        out = out.unionAll(b)
+    return out.orderBy("merge_rank")

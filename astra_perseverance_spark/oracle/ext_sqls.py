@@ -1506,3 +1506,94 @@ SELECT vec_id, label,
             ELSE 0.0 END AS rel_err
 FROM e ORDER BY vec_id
 """
+
+# BPE merge learning (extensions/training.py::q_bpe_merges): the
+# rounds are unrolled as CTEs (the ann_ivf_kmeans pattern).  Each
+# round mirrors the Spark windows literally: argmax pair (count DESC,
+# pair ASC), eligibility vs the 1-row best, greedy leftmost
+# non-overlap via the last-non-eligible-position running max and the
+# even-offset rule, consumed = lag(keep), then re-rank.
+
+from astra_perseverance_spark.extensions.training import (  # noqa: E402
+    BPE_MAX_WORDS,
+    BPE_MERGES,
+)
+
+
+def _bpe_round_sql(rin: str, r: int) -> tuple[str, str, str]:
+    """One BPE round as CTE text over symbol rows ``rin``; returns
+    (sql, best_cte, rows_cte)."""
+    x, b, y, z, k, c, ro = (f"bx{r}", f"bb{r}", f"by{r}", f"bz{r}",
+                            f"bk{r}", f"bc{r}", f"br{r}")
+    sql = f"""
+{x} AS MATERIALIZED (
+  SELECT word, n, p, sym,
+         lead(sym) OVER (PARTITION BY word ORDER BY p) AS nxt
+  FROM {rin}
+),
+{b} AS MATERIALIZED (
+  SELECT sym AS lsym, nxt AS rsym, CAST(SUM(n) AS BIGINT) AS cnt
+  FROM {x} WHERE nxt IS NOT NULL GROUP BY sym, nxt
+  ORDER BY cnt DESC, sym, nxt LIMIT 1
+),
+{y} AS MATERIALIZED (
+  SELECT word, n, p, sym,
+         coalesce(sym = (SELECT lsym FROM {b})
+                  AND nxt = (SELECT rsym FROM {b}), FALSE) AS el
+  FROM {x}
+),
+{z} AS MATERIALIZED (
+  SELECT *, MAX(CASE WHEN NOT el THEN p END)
+              OVER (PARTITION BY word ORDER BY p
+                    ROWS UNBOUNDED PRECEDING) AS lnep
+  FROM {y}
+),
+{k} AS MATERIALIZED (
+  SELECT *, el AND ((p - coalesce(lnep, -1) - 1) % 2 = 0) AS kk
+  FROM {z}
+),
+{c} AS MATERIALIZED (
+  SELECT *, lag(kk) OVER (PARTITION BY word ORDER BY p) AS consumed
+  FROM {k}
+),
+{ro} AS MATERIALIZED (
+  SELECT word, n,
+         CAST(ROW_NUMBER() OVER (PARTITION BY word ORDER BY p) - 1
+              AS BIGINT) AS p,
+         CASE WHEN kk THEN (SELECT lsym || rsym FROM {b}) ELSE sym END AS sym
+  FROM {c} WHERE NOT coalesce(consumed, FALSE)
+)"""
+    return sql, b, ro
+
+
+_BPE_CTES = []
+_BPE_BESTS = []
+_bpe_prev = "br0"
+for _it in range(1, BPE_MERGES + 1):
+    _sql, _b, _bpe_prev = _bpe_round_sql(_bpe_prev, _it)
+    _BPE_CTES.append(_sql)
+    _BPE_BESTS.append(_b)
+
+_BPE_UNION = "\nUNION ALL\n".join(
+    f"SELECT CAST({i} AS INT) AS merge_rank, lsym AS left_sym,"
+    f" rsym AS right_sym, lsym || rsym AS new_sym,"
+    f" cnt AS pair_count FROM {b}"
+    for i, b in enumerate(_BPE_BESTS, start=1)
+)
+
+EXT_ORACLE_SQL["bpe_merges"] = f"""
+WITH wc AS MATERIALIZED (
+  SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS n
+  FROM (SELECT unnest({_TOKS}) AS w FROM documents)
+  GROUP BY w ORDER BY n DESC, word LIMIT {BPE_MAX_WORDS}
+),
+br0 AS MATERIALIZED (
+  SELECT word, n, CAST(u.p AS BIGINT) AS p,
+         substr(word, CAST(u.p + 1 AS INT), 1) AS sym
+  FROM wc, unnest(range(length(word))) AS u(p)
+),
+{",".join(_BPE_CTES)}
+SELECT * FROM (
+{_BPE_UNION}
+) ORDER BY merge_rank
+"""

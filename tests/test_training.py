@@ -210,3 +210,66 @@ class TestEmbeddingQuantize:
             assert 0 <= r["max_abs_err"] <= cell
             assert r["err2"] <= ANN_DIM * cell * cell
             assert r["rel_err"] >= 0.0
+
+
+class TestBpeMerges:
+    def test_full_python_recompute(self, q, docs):
+        """Reference BPE in pure Python (word-frequency table, greedy
+        leftmost non-overlapping merge) must reproduce the learned
+        merge sequence exactly."""
+        from collections import Counter
+
+        from astra_perseverance_spark.extensions.training import (
+            BPE_MAX_WORDS,
+            BPE_MERGES,
+        )
+
+        freq = Counter(t for text in docs.values() for t in _toks(text))
+        top = sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))
+        top = top[:BPE_MAX_WORDS]
+        segs = {w: list(w) for w, _ in top}
+        counts = dict(top)
+
+        expect = []
+        for rank in range(1, BPE_MERGES + 1):
+            pairs: Counter = Counter()
+            for w, syms in segs.items():
+                nw = counts[w]
+                for a, b in zip(syms, syms[1:]):
+                    pairs[(a, b)] += nw
+            if not pairs:
+                break
+            (left, right), cnt = min(
+                pairs.items(), key=lambda kv: (-kv[1], kv[0])
+            )
+            expect.append((rank, left, right, left + right, cnt))
+            for w, syms in segs.items():
+                out, i = [], 0
+                while i < len(syms):
+                    if (i + 1 < len(syms) and syms[i] == left
+                            and syms[i + 1] == right):
+                        out.append(left + right)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                segs[w] = out
+
+        got = [
+            (r["merge_rank"], r["left_sym"], r["right_sym"],
+             r["new_sym"], r["pair_count"])
+            for r in q("bpe_merges").collect()
+        ]
+        assert got == expect
+        assert len(got) == BPE_MERGES
+
+    def test_merges_are_productive(self, q):
+        """Each merge's pair_count is positive and non-increasing
+        never needs to hold (later merges can create hot pairs), but
+        every new_sym must be the concatenation of its parts and
+        ranks must be dense from 1."""
+        rows = q("bpe_merges").collect()
+        for i, r in enumerate(sorted(rows, key=lambda r: r["merge_rank"])):
+            assert r["merge_rank"] == i + 1
+            assert r["new_sym"] == r["left_sym"] + r["right_sym"]
+            assert r["pair_count"] > 0

@@ -93,6 +93,7 @@ OPS = [
     ("dup_spans", "O(postings) mark + per-doc islands merge"),
     ("seq_pack", "O(n) per-shard running-total window"),
     ("embedding_quantize", "O(n·dim) map + 64-group dim stats"),
+    ("bpe_merges", "O(corpus) word count + capped-table rounds"),
 ]
 
 
