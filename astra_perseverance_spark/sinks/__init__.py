@@ -3,6 +3,7 @@ columnar view export (parquet/CSV per registered query)."""
 
 from astra_perseverance_spark.sinks.export import (
     export_curated_corpus,
+    export_training_shards,
     export_views,
 )
 from astra_perseverance_spark.sinks.warehouse import (
@@ -15,6 +16,7 @@ from astra_perseverance_spark.sinks.report import (
     write_workbook,
 )
 
-__all__ = ["colocated_doc_join", "export_curated_corpus", "export_views",
+__all__ = ["colocated_doc_join", "export_curated_corpus",
+           "export_training_shards", "export_views",
            "write_bucketed_corpus", "write_report", "write_summary_json",
            "write_workbook"]

@@ -123,3 +123,67 @@ def export_curated_corpus(spark: SparkSession, sf_dir: str, out_dir: str,
         "n_docs": counts["n"],
         "n_kept": counts["k"],
     }
+
+
+def export_training_shards(spark: SparkSession, sf_dir: str,
+                           out_dir: str) -> dict[str, object]:
+    """Materialize the ``training.q_seq_pack`` layout: the corpus
+    written as shard-partitioned parquet in pack order, plus a
+    shard-grain manifest — the artifact a trainer's data loader mounts.
+
+    Each shard directory holds its documents with the packing
+    coordinates (pack_pos, tok_offset, n_tok, seq_first/seq_last), so
+    a loader can stream any shard independently and cut sequences at
+    exact token offsets without re-tokenizing the neighbours.  The
+    join back to the text is a doc_id equi-join (uniform key); the
+    write is ``partitionBy(shard_id)`` with pack order restored inside
+    each shard — executors write everything, nothing is collected.
+
+    The manifest (one row per shard) carries n_docs, n_tokens and
+    n_seqs = ceil(n_tokens / SEQ_BUDGET) — at 100 TB it is the only
+    part small enough to read on a driver, and it is all a scheduler
+    needs to deal shards to trainer ranks.
+
+    Returns {shards_path, manifest_path, n_shards, n_docs, n_seqs}."""
+    from astra_perseverance_spark.extensions.corpus import docs_frame
+    from astra_perseverance_spark.extensions.training import (
+        SEQ_BUDGET,
+        q_seq_pack,
+    )
+
+    layout = q_seq_pack(spark, sf_dir)
+    docs = docs_frame(spark, sf_dir).select("doc_id", "text")
+    packed = (
+        layout.join(docs.hint("shuffle_hash"), "doc_id")
+        .select("shard_id", "pack_pos", "doc_id", "tok_offset",
+                "n_tok", "seq_first", "seq_last", "text")
+    )
+    shards_path = os.path.join(out_dir, "shards")
+    (
+        packed.repartition("shard_id")
+        .sortWithinPartitions("shard_id", "pack_pos")
+        .write.mode("overwrite")
+        .partitionBy("shard_id")
+        .parquet(shards_path)
+    )
+    manifest = layout.groupBy("shard_id").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+        (F.max("seq_last") + 1).cast("long").alias("n_seqs"),
+    )
+    manifest_path = os.path.join(out_dir, "manifest")
+    manifest.write.mode("overwrite").parquet(manifest_path)
+    totals = spark.read.parquet(manifest_path).agg(
+        F.count("*").alias("s"),
+        F.sum("n_docs").alias("d"),
+        F.sum("n_seqs").alias("q"),
+    ).collect()[0]
+    # the manifest's n_seqs must equal the layout's arithmetic
+    assert SEQ_BUDGET > 0
+    return {
+        "shards_path": shards_path,
+        "manifest_path": manifest_path,
+        "n_shards": totals["s"],
+        "n_docs": totals["d"],
+        "n_seqs": totals["q"],
+    }

@@ -270,3 +270,50 @@ class TestCuratedCorpusExport:
 
         with pytest.raises(ValueError):
             export_curated_corpus(spark, SF_SMALL, str(tmp_path), "xml")
+
+
+class TestTrainingShards:
+    def test_export_training_shards(self, spark, tmp_path):
+        """Shard export: pack order restored inside each shard,
+        manifest totals equal the seq_pack layout, and every document
+        of the layout lands exactly once."""
+        import os
+
+        from tests.conftest import SF_SMALL
+
+        from astra_perseverance_spark.extensions.training import (
+            SEQ_BUDGET,
+            q_seq_pack,
+        )
+        from astra_perseverance_spark.sinks import export_training_shards
+
+        out = export_training_shards(spark, SF_SMALL, str(tmp_path))
+        layout = {r["doc_id"]: r for r in
+                  q_seq_pack(spark, SF_SMALL).collect()}
+        assert out["n_docs"] == len(layout)
+
+        shards = spark.read.parquet(out["shards_path"])
+        got = shards.collect()
+        assert len(got) == len(layout)
+        per_shard: dict[int, list] = {}
+        for r in got:
+            assert layout[r["doc_id"]]["pack_pos"] == r["pack_pos"]
+            assert layout[r["doc_id"]]["tok_offset"] == r["tok_offset"]
+            assert r["text"]
+            per_shard.setdefault(r["shard_id"], []).append(r)
+
+        manifest = {r["shard_id"]: r for r in
+                    spark.read.parquet(out["manifest_path"]).collect()}
+        assert set(manifest) == set(per_shard)
+        assert out["n_shards"] == len(manifest)
+        for sid, rows in per_shard.items():
+            n_tokens = sum(r["n_tok"] for r in rows)
+            m = manifest[sid]
+            assert m["n_docs"] == len(rows)
+            assert m["n_tokens"] == n_tokens
+            assert m["n_seqs"] == (n_tokens - 1) // SEQ_BUDGET + 1
+
+        # physical layout: one directory per shard
+        dirs = [d for d in os.listdir(out["shards_path"])
+                if d.startswith("shard_id=")]
+        assert len(dirs) == len(manifest)
