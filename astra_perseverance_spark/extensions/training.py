@@ -429,3 +429,82 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     for b in bests[1:]:
         out = out.unionAll(b)
     return out.orderBy("merge_rank")
+
+
+# --- ann_quantized_recall -------------------------------------------
+
+
+def _recon_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, rq, rn2): the int8-reconstructed embedding store —
+    what an ANN index actually holds after ``embedding_quantize``
+    ships.  Encode and decode are fused into one exact-BIGINT
+    per-row map (code = (q-lo)*255 div span; recon = lo + code*span
+    div 255); degenerate dimensions reconstruct to lo exactly."""
+    lo, hi = _dim_stats(spark, sf_dir)
+    lo_a = F.array(*[F.lit(int(x)) for x in lo])
+    hi_a = F.array(*[F.lit(int(x)) for x in hi])
+
+    def at(arr, i):
+        return F.element_at(arr, (i + 1).cast("int"))
+
+    def recon(x, i):
+        span = at(hi_a, i) - at(lo_a, i)
+        code = F.floor((x - at(lo_a, i)) * SQ_LEVELS / span)
+        return F.when(
+            span > 0, at(lo_a, i) + F.floor(code * span / SQ_LEVELS)
+        ).otherwise(at(lo_a, i))
+
+    from astra_perseverance_spark.functions.vectors import dot_q
+
+    return (
+        vectors_frame(spark, sf_dir)
+        .select("vec_id", F.transform("eq", recon).alias("rq"))
+        .withColumn("rn2", dot_q(F.col("rq"), F.col("rq")))
+    )
+
+
+def q_ann_quantized_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of retrieval over the int8-quantized store against
+    the exact baseline — the audit that says whether
+    ``embedding_quantize``'s 4x compression is safe to deploy.
+
+    Asymmetric distance (ADC, the standard PQ/SQ serving setup): the
+    query side keeps its exact fixed-point vector, the database side
+    is the reconstructed store, and ranking is exact integer cosine
+    between the two.  The panel is the shared fixed-size query set
+    (``similarity.query_ids``), so the audit costs O(n·K) at any
+    corpus scale; the recall aggregate is the tagged-union membership
+    shape shared by the other audits (no join).
+
+    Output: query_id, n_exact, n_hit, recall."""
+    from astra_perseverance_spark.extensions.similarity import (
+        _recall_vs_exact,
+        _topk,
+        q_embedding_topk,
+        query_ids,
+    )
+    from astra_perseverance_spark.functions.vectors import cosine, dot_q
+
+    exact = q_embedding_topk(spark, sf_dir)
+    v = vectors_frame(spark, sf_dir)
+    q = (
+        v.join(F.broadcast(query_ids(spark, sf_dir)), "vec_id", "semi")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("eq").alias("q_eq"),
+            F.col("n2").alias("q_n2"),
+        )
+    )
+    c = _recon_vectors(spark, sf_dir)
+    pairs = (
+        c.join(F.broadcast(q), c.vec_id != q.query_id)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(
+                dot_q(F.col("q_eq"), F.col("rq")),
+                F.col("q_n2"), F.col("rn2"),
+            ).alias("cosine"),
+        )
+    )
+    return _recall_vs_exact(exact, _topk(pairs))

@@ -1597,3 +1597,77 @@ SELECT * FROM (
 {_BPE_UNION}
 ) ORDER BY merge_rank
 """
+
+# Quantized-store recall audit (training.py::q_ann_quantized_recall):
+# asymmetric distance — exact query vector vs int8-reconstructed
+# database — with the same exact-baseline recall shape as
+# ann_recall_audit.  Encode/decode fused, exact BIGINT.
+
+EXT_ORACLE_SQL["ann_quantized_recall"] = f"""
+WITH {_VEC},
+dims AS MATERIALIZED (
+  SELECT CAST(u.d AS INT) AS d,
+         MIN(eq[CAST(u.d + 1 AS INT)]) AS lo,
+         MAX(eq[CAST(u.d + 1 AS INT)]) AS hi
+  FROM vn, unnest(range({ANN_DIM})) AS u(d)
+  GROUP BY u.d
+),
+st AS MATERIALIZED (
+  SELECT (SELECT list(lo ORDER BY d) FROM dims) AS lo_a,
+         (SELECT list(hi ORDER BY d) FROM dims) AS hi_a
+),
+rv AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(range({ANN_DIM}), i -> CASE
+           WHEN hi_a[CAST(i + 1 AS INT)] > lo_a[CAST(i + 1 AS INT)]
+           THEN CAST(lo_a[CAST(i + 1 AS INT)]
+                + ((eq[CAST(i + 1 AS INT)] - lo_a[CAST(i + 1 AS INT)])
+                   * {SQ_LEVELS}
+                   // (hi_a[CAST(i + 1 AS INT)] - lo_a[CAST(i + 1 AS INT)]))
+                  * (hi_a[CAST(i + 1 AS INT)] - lo_a[CAST(i + 1 AS INT)])
+                  // {SQ_LEVELS} AS BIGINT)
+           ELSE lo_a[CAST(i + 1 AS INT)] END) AS rq
+  FROM vn, st
+),
+rn AS MATERIALIZED (
+  SELECT vec_id, rq, {dot_q_sql('rq', 'rq')} AS rn2 FROM rv
+),
+q AS (SELECT * FROM vn WHERE vec_id IN (SELECT vec_id FROM qsel)),
+exact_pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {_COS} AS cosine
+  FROM q JOIN vn c ON c.vec_id <> q.vec_id
+),
+exact_ranked AS (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM exact_pairs
+),
+exact_k AS (SELECT query_id, neighbor_id FROM exact_ranked
+            WHERE rank <= {ANN_TOPK}),
+quant_pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         CAST({dot_q_sql('q.eq', 'c.rq', ANN_DIM)} AS DOUBLE)
+           / (sqrt(CAST(q.n2 AS DOUBLE)) * sqrt(CAST(c.rn2 AS DOUBLE)))
+           AS cosine
+  FROM q JOIN rn c ON c.vec_id <> q.vec_id
+),
+quant_ranked AS (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM quant_pairs
+),
+quant_k AS (SELECT query_id, neighbor_id FROM quant_ranked
+            WHERE rank <= {ANN_TOPK}),
+hits AS (
+  SELECT e.query_id,
+         CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+  FROM exact_k e LEFT JOIN quant_k a
+    ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+)
+SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_exact,
+       CAST(SUM(hit) AS BIGINT) AS n_hit,
+       CAST(SUM(hit) AS DOUBLE) / COUNT(*) AS recall
+FROM hits GROUP BY query_id ORDER BY query_id
+"""

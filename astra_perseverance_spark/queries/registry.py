@@ -114,18 +114,21 @@ QUERY_REGISTRY: dict[str, QueryFn] = {
     "doc_fingerprint": text_stats.q_doc_fingerprint,
     "dedup_simhash": dedup.q_dedup_simhash,
     "dedup_minhash_lsh": dedup.q_dedup_minhash_lsh,
-    "ngram_jaccard": dedup.q_ngram_jaccard,
     "dedup_incremental": dedup.q_dedup_incremental,
     "ann_incremental": similarity.q_ann_incremental,
     "dup_spans": training.q_dup_spans,
     "seq_pack": training.q_seq_pack,
     "embedding_quantize": training.q_embedding_quantize,
     "bpe_merges": training.q_bpe_merges,
+    "ann_quantized_recall": training.q_ann_quantized_recall,
     # ---- Tier 4: tail (>50) — multi-round green, code unchanged ----
-    # (dedup_tokenset's r5 change was memoization-only — same pipeline,
-    # pytest-parity covered — so it yields its window slot to the new
-    # bpe_merges)
+    # (dedup_tokenset's r5 change was memoization-only and
+    # ngram_jaccard's shingle machinery is shared with
+    # dedup_minhash_lsh, which stays in the window — both are
+    # pytest-parity covered and yield their slots to the new
+    # bpe_merges / ann_quantized_recall)
     "dedup_tokenset": dedup.q_dedup_tokenset,
+    "ngram_jaccard": dedup.q_ngram_jaccard,
     "dedup_clusters": dedup.q_dedup_clusters,
     "ann_ivf_kmeans": similarity.q_ann_ivf_kmeans,
     "gc_sessions": gc_stream.q_gc_sessions,

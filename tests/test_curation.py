@@ -195,12 +195,16 @@ class TestEmptyCorpus:
         df = spark.createDataFrame(
             [], "doc_id long, text string, lang string, source string, "
                 "n_chars long")
-        from astra_perseverance_spark.extensions import prep
+        from astra_perseverance_spark.extensions import prep, training
 
         for mod in (curation, dedup, pipeline, text_stats, prep):
             monkeypatch.setattr(mod, "_docs", lambda s, d: df)
-        for mod in (dedup, text_stats):
+        for mod in (dedup, text_stats, training):
             monkeypatch.setattr(mod, "_cdocs", lambda s, d: df)
+        monkeypatch.setattr(training, "n_docs", lambda s, d: 0)
+        vdf = spark.createDataFrame(
+            [], "vec_id long, label string, eq array<bigint>, n2 long")
+        monkeypatch.setattr(training, "vectors_frame", lambda s, d: vdf)
         from astra_perseverance_spark.conformed.model import release_memos
 
         release_memos(spark)
@@ -212,6 +216,7 @@ class TestEmptyCorpus:
         "source_mix", "quality_filter", "text_stats", "vocab_top_terms",
         "doc_chunks", "html_extract", "script_profile", "repeated_lines",
         "token_rarity", "corpus_curate",
+        "dup_spans", "seq_pack", "embedding_quantize", "bpe_merges",
     ])
     def test_runs_empty(self, spark, empty_docs, qname):
         from astra_perseverance_spark.queries import QUERY_REGISTRY

@@ -72,6 +72,7 @@ def test_bnlj_only_for_declared_baselines(spark):
         "embedding_topk", "ann_recall_audit", "ann_ivf",
         "ann_ivf_kmeans", "ann_recall_ivf_kmeans",
         "embedding_label_probe", "ann_incremental",
+        "ann_quantized_recall",
         # 1-row n_docs / Σweights crossJoin
         "tfidf_top_terms", "source_mix",
     }

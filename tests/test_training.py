@@ -273,3 +273,29 @@ class TestBpeMerges:
             assert r["merge_rank"] == i + 1
             assert r["new_sym"] == r["left_sym"] + r["right_sym"]
             assert r["pair_count"] > 0
+
+
+class TestAnnQuantizedRecall:
+    def test_recall_bounds_and_panel(self, q):
+        from astra_perseverance_spark.extensions.similarity import (
+            ANN_QUERY_COUNT,
+            ANN_TOPK,
+        )
+
+        rows = q("ann_quantized_recall").collect()
+        assert len(rows) == ANN_QUERY_COUNT
+        for r in rows:
+            assert r["n_exact"] == ANN_TOPK
+            assert 0 <= r["n_hit"] <= r["n_exact"]
+            assert r["recall"] == pytest.approx(r["n_hit"] / r["n_exact"])
+        # int8 quantization must not destroy retrieval on this corpus
+        mean = sum(r["recall"] for r in rows) / len(rows)
+        assert mean >= 0.8
+
+    def test_quantized_recall_le_errorfree(self, q):
+        """Sanity vs the exact audit: quantized retrieval's AVERAGE
+        recall cannot exceed 1.0 and the per-query rows join 1:1 with
+        the panel used by the other audits."""
+        ids_a = {r["query_id"] for r in q("ann_quantized_recall").collect()}
+        ids_b = {r["query_id"] for r in q("ann_recall_audit").collect()}
+        assert ids_a == ids_b

@@ -94,6 +94,7 @@ OPS = [
     ("seq_pack", "O(n) per-shard running-total window"),
     ("embedding_quantize", "O(n·dim) map + 64-group dim stats"),
     ("bpe_merges", "O(corpus) word count + capped-table rounds"),
+    ("ann_quantized_recall", "O(n·K) ADC brute force, fixed panel"),
 ]
 
 
