@@ -459,3 +459,49 @@ class TestNoveltyInvariants:
         for d in dups:
             if d in nov:  # doc may fall out of the capped universe
                 assert nov[d] == 0.0
+
+
+class TestTrainingInvariants:
+    def test_exact_dups_fully_covered_by_dup_spans(self, spark, monkeypatch):
+        """Members of an exact-duplicate pair share EVERY token
+        window, so each must carry exactly one duplicate span covering
+        the whole document — asserted on a synthetic corpus (sf0.001
+        plants no exact duplicates), plus an unrelated doc that must
+        stay span-free."""
+        from astra_perseverance_spark.extensions import training
+        from astra_perseverance_spark.extensions.training import (
+            DUP_SPAN_W,
+            q_dup_spans,
+        )
+
+        dup_text = "alpha beta gamma delta epsilon zeta eta theta"
+        n = len(dup_text.split())
+        df = spark.createDataFrame(
+            [(1, dup_text), (2, dup_text),
+             (3, "one two three four five six seven eight")],
+            "doc_id long, text string")
+        monkeypatch.setattr(training, "_cdocs", lambda s, d: df)
+        rows = q_dup_spans(spark, "synthetic://").collect()
+        by_doc = {}
+        for r in rows:
+            by_doc.setdefault(r["doc_id"], []).append(r)
+        assert set(by_doc) == {1, 2}
+        for doc_id in (1, 2):
+            got = by_doc[doc_id]
+            assert len(got) == 1
+            assert got[0]["start_tok"] == 0
+            assert got[0]["end_tok"] == n - 1
+            assert got[0]["n_windows"] == n - DUP_SPAN_W + 1
+
+    def test_seq_pack_covers_every_tokenized_doc(self, q, spark):
+        """seq_pack must place every document with >= 1 token exactly
+        once, and the per-shard max offset must equal the shard's
+        token sum (no gaps, no overlap)."""
+        from pyspark.sql import functions as F
+        from astra_perseverance_spark.functions.texthash import tokens
+
+        docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        n_with_tokens = docs.filter(F.size(tokens("text")) > 0).count()
+        rows = q("seq_pack").collect()
+        assert len(rows) == n_with_tokens
+        assert len({r["doc_id"] for r in rows}) == len(rows)
