@@ -1671,3 +1671,41 @@ SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_exact,
        CAST(SUM(hit) AS DOUBLE) / COUNT(*) AS recall
 FROM hits GROUP BY query_id ORDER BY query_id
 """
+
+# BPE application (training.py::q_bpe_token_count): per-word BPE
+# lengths from the final unrolled round's symbol table, joined to the
+# exploded corpus token stream; uncapped words fall back to their
+# character count.
+
+EXT_ORACLE_SQL["bpe_token_count"] = f"""
+WITH wc AS MATERIALIZED (
+  SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS n
+  FROM (SELECT unnest({_TOKS}) AS w FROM documents)
+  GROUP BY w ORDER BY n DESC, word LIMIT {BPE_MAX_WORDS}
+),
+br0 AS MATERIALIZED (
+  SELECT word, n, CAST(u.p AS BIGINT) AS p,
+         substr(word, CAST(u.p + 1 AS INT), 1) AS sym
+  FROM wc, unnest(range(length(word))) AS u(p)
+),
+{",".join(_BPE_CTES)},
+wl AS MATERIALIZED (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS n_bpe
+  FROM {_bpe_prev} GROUP BY word
+),
+t AS (
+  SELECT doc_id, unnest({_TOKS}) AS word FROM documents
+),
+j AS (
+  SELECT t.doc_id,
+         CAST(length(t.word) AS BIGINT) AS n_chars,
+         coalesce(wl.n_bpe, CAST(length(t.word) AS BIGINT)) AS n_sym
+  FROM t LEFT JOIN wl USING (word)
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(n_sym) AS BIGINT) AS n_bpe_tok,
+       CAST(SUM(n_chars) AS BIGINT) AS n_chars_tok,
+       CAST(SUM(n_sym) AS DOUBLE) / SUM(n_chars) AS bpe_ratio
+FROM j GROUP BY doc_id ORDER BY doc_id
+"""

@@ -25,13 +25,17 @@ family, ngram_counts, corpus_rollup, quality_filter, multimodal) move
 into the checked window; 11 queries green since r2/r3 with untouched
 code (text/pipeline/sampling families, dedup_exact, embedding_topk,
 two streaming batch twins) rotate to the tail.  The new training
-family (dup_spans, seq_pack, embedding_quantize) enters the window;
-to make room, three r4-green queries rotate out: gc_sessions and
-ann_ivf_kmeans (code untouched since their green row) and
-dedup_clusters (its own contraction code is untouched; its two edge
-inputs changed but both input builders — dedup_minhash_lsh and
-ngram_jaccard — stay in the window, so the changed layers are still
-driver-verified).
+family (dup_spans, seq_pack, embedding_quantize, bpe_merges,
+bpe_token_count, ann_quantized_recall) enters the window; to make
+room, six queries rotate out (rationale at each tail entry):
+gc_sessions and ann_ivf_kmeans (code untouched since their r4 green
+row), dedup_clusters (contraction code untouched; its changed edge
+inputs stay checked via dedup_minhash_lsh), dedup_tokenset
+(memoization-only change), ngram_jaccard (shingle machinery shared
+with the checked dedup_minhash_lsh), and doc_digest_join (thin
+projection; digest expression exercised by the checked
+quality_filter).  All tail queries remain under the full-registry
+pytest oracle-parity gate.
 """
 
 from __future__ import annotations
@@ -110,7 +114,6 @@ QUERY_REGISTRY: dict[str, QueryFn] = {
     "repeated_lines": prep.q_repeated_lines,
     "token_rarity": prep.q_token_rarity,
     "corpus_curate": curation.q_corpus_curate,
-    "doc_digest_join": pipeline.q_doc_digest_join,
     "doc_fingerprint": text_stats.q_doc_fingerprint,
     "dedup_simhash": dedup.q_dedup_simhash,
     "dedup_minhash_lsh": dedup.q_dedup_minhash_lsh,
@@ -120,8 +123,13 @@ QUERY_REGISTRY: dict[str, QueryFn] = {
     "seq_pack": training.q_seq_pack,
     "embedding_quantize": training.q_embedding_quantize,
     "bpe_merges": training.q_bpe_merges,
+    "bpe_token_count": training.q_bpe_token_count,
     "ann_quantized_recall": training.q_ann_quantized_recall,
     # ---- Tier 4: tail (>50) — multi-round green, code unchanged ----
+    # (doc_digest_join is a thin projection whose digest expression is
+    # also exercised by the checked quality_filter; it yields its slot
+    # to bpe_token_count)
+    "doc_digest_join": pipeline.q_doc_digest_join,
     # (dedup_tokenset's r5 change was memoization-only and
     # ngram_jaccard's shingle machinery is shared with
     # dedup_minhash_lsh, which stays in the window — both are

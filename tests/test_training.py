@@ -299,3 +299,66 @@ class TestAnnQuantizedRecall:
         ids_a = {r["query_id"] for r in q("ann_quantized_recall").collect()}
         ids_b = {r["query_id"] for r in q("ann_recall_audit").collect()}
         assert ids_a == ids_b
+
+
+class TestBpeTokenCount:
+    def test_full_python_recompute(self, q, docs):
+        """Apply the pure-Python reference tokenizer (same learn loop
+        as TestBpeMerges) to every document and compare counts."""
+        from collections import Counter
+
+        from astra_perseverance_spark.extensions.training import (
+            BPE_MAX_WORDS,
+            BPE_MERGES,
+        )
+
+        freq = Counter(t for text in docs.values() for t in _toks(text))
+        top = sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))
+        top = top[:BPE_MAX_WORDS]
+        segs = {w: list(w) for w, _ in top}
+        counts = dict(top)
+        for _ in range(BPE_MERGES):
+            pairs: Counter = Counter()
+            for w, syms in segs.items():
+                nw = counts[w]
+                for a, b in zip(syms, syms[1:]):
+                    pairs[(a, b)] += nw
+            if not pairs:
+                break
+            (left, right), _c = min(
+                pairs.items(), key=lambda kv: (-kv[1], kv[0])
+            )
+            for w, syms in segs.items():
+                out, i = [], 0
+                while i < len(syms):
+                    if (i + 1 < len(syms) and syms[i] == left
+                            and syms[i + 1] == right):
+                        out.append(left + right)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                segs[w] = out
+
+        expect = {}
+        for doc_id, text in docs.items():
+            words = _toks(text)
+            if not words:
+                continue
+            n_bpe = sum(len(segs[w]) if w in segs else len(w)
+                        for w in words)
+            n_chars = sum(len(w) for w in words)
+            expect[doc_id] = (len(words), n_bpe, n_chars)
+        got = {
+            r["doc_id"]: (r["n_words"], r["n_bpe_tok"], r["n_chars_tok"])
+            for r in q("bpe_token_count").collect()
+        }
+        assert got == expect
+
+    def test_compression_bounds(self, q):
+        """Every merge can only shrink a segmentation, so
+        n_words <= n_bpe_tok <= n_chars_tok and the ratio is in
+        (0, 1]."""
+        for r in q("bpe_token_count").collect():
+            assert r["n_words"] <= r["n_bpe_tok"] <= r["n_chars_tok"]
+            assert 0.0 < r["bpe_ratio"] <= 1.0

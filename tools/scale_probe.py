@@ -95,6 +95,7 @@ OPS = [
     ("embedding_quantize", "O(n·dim) map + 64-group dim stats"),
     ("bpe_merges", "O(corpus) word count + capped-table rounds"),
     ("ann_quantized_recall", "O(n·K) ADC brute force, fixed panel"),
+    ("bpe_token_count", "O(tokens) join vs broadcast vocab table"),
 ]
 
 
