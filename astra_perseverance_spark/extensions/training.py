@@ -242,6 +242,20 @@ def _dim_stats(spark: SparkSession, sf_dir: str) -> tuple[list, list]:
     return lo, hi
 
 
+def _dim_bounds(spark: SparkSession, sf_dir: str):
+    """(lo_at, hi_at): per-dimension bound accessors — the collected
+    stats folded into the plan as literal arrays, indexed by the
+    0-based transform-lambda position."""
+    lo, hi = _dim_stats(spark, sf_dir)
+    lo_a = F.array(*[F.lit(int(x)) for x in lo])
+    hi_a = F.array(*[F.lit(int(x)) for x in hi])
+
+    def at(arr):
+        return lambda i: F.element_at(arr, (i + 1).cast("int"))
+
+    return at(lo_a), at(hi_a)
+
+
 def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """int8 scalar quantization of the embedding store with exact
     reconstruction-error accounting — the memory-4x-compression step
@@ -262,28 +276,20 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     space-joined codes — the ledger, not another copy of the store),
     err2 (exact squared reconstruction error), max_abs_err, and
     rel_err = err2 / |q|^2."""
-    lo, hi = _dim_stats(spark, sf_dir)
-    lo_a = F.array(*[F.lit(int(x)) for x in lo])
-    hi_a = F.array(*[F.lit(int(x)) for x in hi])
-
-    def at(arr, i):
-        return F.element_at(arr, (i + 1).cast("int"))
-
+    lo_at, hi_at = _dim_bounds(spark, sf_dir)
     v = vectors_frame(spark, sf_dir).select("vec_id", "label", "eq", "n2")
     codes = F.transform(
         "eq",
         lambda x, i: F.when(
-            at(hi_a, i) > at(lo_a, i),
-            F.floor(
-                (x - at(lo_a, i)) * SQ_LEVELS / (at(hi_a, i) - at(lo_a, i))
-            ),
+            hi_at(i) > lo_at(i),
+            F.floor((x - lo_at(i)) * SQ_LEVELS / (hi_at(i) - lo_at(i))),
         ).otherwise(F.lit(0).cast("long")),
     )
     v = v.withColumn("codes", codes)
     recon = F.transform(
         "codes",
-        lambda c, i: at(lo_a, i)
-        + F.floor(c * (at(hi_a, i) - at(lo_a, i)) / SQ_LEVELS),
+        lambda c, i: lo_at(i)
+        + F.floor(c * (hi_at(i) - lo_at(i)) / SQ_LEVELS),
     )
     err = F.zip_with("eq", recon, lambda x, y: x - y)
     v = v.withColumn("err", err)
@@ -459,19 +465,14 @@ def _recon_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     ships.  Encode and decode are fused into one exact-BIGINT
     per-row map (code = (q-lo)*255 div span; recon = lo + code*span
     div 255); degenerate dimensions reconstruct to lo exactly."""
-    lo, hi = _dim_stats(spark, sf_dir)
-    lo_a = F.array(*[F.lit(int(x)) for x in lo])
-    hi_a = F.array(*[F.lit(int(x)) for x in hi])
-
-    def at(arr, i):
-        return F.element_at(arr, (i + 1).cast("int"))
+    lo_at, hi_at = _dim_bounds(spark, sf_dir)
 
     def recon(x, i):
-        span = at(hi_a, i) - at(lo_a, i)
-        code = F.floor((x - at(lo_a, i)) * SQ_LEVELS / span)
+        span = hi_at(i) - lo_at(i)
+        code = F.floor((x - lo_at(i)) * SQ_LEVELS / span)
         return F.when(
-            span > 0, at(lo_a, i) + F.floor(code * span / SQ_LEVELS)
-        ).otherwise(at(lo_a, i))
+            span > 0, lo_at(i) + F.floor(code * span / SQ_LEVELS)
+        ).otherwise(lo_at(i))
 
     from astra_perseverance_spark.functions.vectors import dot_q
 

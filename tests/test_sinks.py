@@ -317,3 +317,30 @@ class TestTrainingShards:
         dirs = [d for d in os.listdir(out["shards_path"])
                 if d.startswith("shard_id=")]
         assert len(dirs) == len(manifest)
+
+
+class TestTrainingDataCli:
+    def test_cli_end_to_end(self, tmp_path):
+        """The pipeline CLI writes curated corpus, shards, manifest,
+        and a consistent run.json in one invocation."""
+        import json
+        import os
+        import sys
+
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "tools"))
+        import make_training_data
+
+        from tests.conftest import SF_SMALL
+
+        rc = make_training_data.main([SF_SMALL, "-o", str(tmp_path)])
+        assert rc == 0
+        run = json.load(open(tmp_path / "run.json"))
+        assert os.path.isdir(run["corpus"]["kept_path"])
+        assert os.path.isdir(run["corpus"]["rejects_path"])
+        assert os.path.isdir(run["shards"]["shards_path"])
+        assert os.path.isdir(run["shards"]["manifest_path"])
+        assert run["corpus"]["n_kept"] <= run["corpus"]["n_docs"]
+        assert run["shards"]["n_docs"] > 0
+        assert run["shards"]["n_seqs"] > 0

@@ -1,0 +1,73 @@
+"""Training-data pipeline CLI: curate → materialize → shard.
+
+One command from a raw corpus directory to the artifacts a training
+run mounts:
+
+    python tools/make_training_data.py <sf_dir> -o OUT_DIR
+        [--fmt parquet|jsonl] [--skip-shards] [--skip-corpus]
+
+Stages (each is the engine's registered operator family, nothing
+CLI-specific):
+
+1. ``export_curated_corpus`` — documents surviving the full curation
+   ledger (quality rules + exact/near dedup + decontamination) plus
+   the rejects audit ledger.
+2. ``export_training_shards`` — the seq_pack concat-and-cut layout as
+   shard-partitioned parquet with a shard-grain manifest.
+3. ``run.json`` — one driver-readable summary of counts and paths.
+
+Everything data-sized is written by executors; the only driver-side
+values are the manifest/ledger count scalars in ``run.json``.  At a
+real deployment the same command runs against an object-store URI —
+Spark's Hadoop connectors make ``s3a://`` paths read/write exactly
+like local ones.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    ap.add_argument("sf_dir", help="corpus directory (documents.parquet)")
+    ap.add_argument("-o", "--out", required=True, help="output directory")
+    ap.add_argument("--fmt", choices=("parquet", "jsonl"),
+                    default="parquet", help="curated-corpus format")
+    ap.add_argument("--skip-corpus", action="store_true",
+                    help="skip the curated-corpus materialization")
+    ap.add_argument("--skip-shards", action="store_true",
+                    help="skip the training-shard layout")
+    args = ap.parse_args(argv)
+
+    from astra_perseverance_spark import get_spark
+    from astra_perseverance_spark.sinks import (
+        export_curated_corpus,
+        export_training_shards,
+    )
+
+    spark = get_spark("make-training-data")
+    spark.sparkContext.setLogLevel("ERROR")
+    os.makedirs(args.out, exist_ok=True)
+
+    run: dict[str, object] = {"sf_dir": args.sf_dir, "out": args.out}
+    if not args.skip_corpus:
+        run["corpus"] = export_curated_corpus(
+            spark, args.sf_dir, args.out, fmt=args.fmt)
+    if not args.skip_shards:
+        run["shards"] = export_training_shards(spark, args.sf_dir, args.out)
+
+    run_path = os.path.join(args.out, "run.json")
+    with open(run_path, "w") as fh:
+        json.dump(run, fh, indent=2, default=int)
+    print(f"wrote {run_path}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
