@@ -572,3 +572,111 @@ def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- derived audits (shard_manifest, dedup_recall_audit,
+#     curation_funnel) ----------------------------------------------
+
+
+def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-shard manifest as a registered query: one row per
+    shard with n_docs, n_tokens, and n_seqs = ceil(n_tokens / B).
+
+    This is exactly the table ``sinks.export_training_shards`` writes,
+    so hash-checking it against the oracle verifies the sink's core
+    computation, not just the layout query it reads.  Shard-grain
+    aggregate over ``q_seq_pack`` — the output is scheduler-sized (one
+    row per shard) at any corpus scale."""
+    return (
+        q_seq_pack(spark, sf_dir)
+        .groupBy("shard_id")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+            (F.max("seq_last") + 1).cast("long").alias("n_seqs"),
+        )
+        .orderBy("shard_id")
+    )
+
+
+def q_dedup_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall of MinHash-LSH near-dup detection against the exhaustive
+    exact-Jaccard pair set, per language — the dedup-side analog of
+    the ANN recall audits (every production LSH deployment tunes its
+    bands/rows against exactly this number).
+
+    Ground truth is ``ngram_jaccard`` (AllPairs prefix-filtered exact
+    scan, per-language universe); the probe is ``dedup_minhash_lsh``
+    (banded LSH + verify).  Membership is the tagged-union aggregate
+    on the pair key — no join; both sides are pair-grain results, far
+    smaller than the corpus.
+
+    Output: lang, n_exact, n_hit, recall."""
+    from astra_perseverance_spark.extensions.dedup import (
+        q_dedup_minhash_lsh,
+        q_ngram_jaccard,
+    )
+
+    exact = (
+        q_ngram_jaccard(spark, sf_dir)
+        .select("doc_a", "doc_b", "lang")
+        .withColumn("src", F.lit(1))
+    )
+    lsh = (
+        q_dedup_minhash_lsh(spark, sf_dir)
+        .select("doc_a", "doc_b",
+                F.lit(None).cast("string").alias("lang"))
+        .withColumn("src", F.lit(2))
+    )
+    membership = (
+        exact.unionByName(lsh)
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.max("lang").alias("lang"),
+            F.max(F.when(F.col("src") == 1, 1).otherwise(0))
+            .alias("in_exact"),
+            F.max(F.when(F.col("src") == 2, 1).otherwise(0))
+            .alias("in_lsh"),
+        )
+    )
+    return (
+        membership.filter(F.col("in_exact") == 1)
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_exact"),
+            F.sum("in_lsh").cast("long").alias("n_hit"),
+        )
+        .select(
+            "lang", "n_exact", "n_hit",
+            (F.col("n_hit").cast("double") / F.col("n_exact"))
+            .alias("recall"),
+        )
+        .orderBy("lang")
+    )
+
+
+def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reject-reason funnel over the curation ledger: how many
+    documents each rule removes, as the fraction of the corpus — the
+    one-screen answer to "where did my data go?".
+
+    A document can carry several reasons (semicolon-joined in
+    ``corpus_curate``), so rows are reason-grain and fractions need
+    not sum to the reject rate.  Reason-grain aggregate over the
+    ledger — tiny output at any scale."""
+    from astra_perseverance_spark.extensions.curation import q_corpus_curate
+
+    ledger = q_corpus_curate(spark, sf_dir)
+    total = n_docs(spark, sf_dir)
+    return (
+        ledger.filter(~F.col("keep"))
+        .select(F.explode(F.split("reasons", ";")).alias("reason"))
+        .filter(F.length("reason") > 0)
+        .groupBy("reason")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .select(
+            "reason", "n_docs",
+            (F.col("n_docs").cast("double") / F.lit(total)).alias("frac"),
+        )
+        .orderBy("reason")
+    )

@@ -1709,3 +1709,51 @@ SELECT doc_id,
        CAST(SUM(n_sym) AS DOUBLE) / SUM(n_chars) AS bpe_ratio
 FROM j GROUP BY doc_id ORDER BY doc_id
 """
+
+# Derived audits (training.py) — each wraps the already-verified twin
+# of its source query as a materialized subquery, so the audit layer
+# is checked against the same independent formulation.
+
+EXT_ORACLE_SQL["shard_manifest"] = f"""
+WITH sp AS MATERIALIZED (
+  SELECT * FROM ({EXT_ORACLE_SQL['seq_pack']})
+)
+SELECT shard_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       CAST(MAX(seq_last) + 1 AS BIGINT) AS n_seqs
+FROM sp GROUP BY shard_id ORDER BY shard_id
+"""
+
+EXT_ORACLE_SQL["dedup_recall_audit"] = f"""
+WITH e AS MATERIALIZED (
+  SELECT * FROM ({EXT_ORACLE_SQL['ngram_jaccard']})
+),
+l AS MATERIALIZED (
+  SELECT * FROM ({EXT_ORACLE_SQL['dedup_minhash_lsh']})
+),
+m AS (
+  SELECT e.lang, e.doc_a, e.doc_b,
+         CASE WHEN l.doc_a IS NOT NULL THEN 1 ELSE 0 END AS in_lsh
+  FROM e LEFT JOIN l ON l.doc_a = e.doc_a AND l.doc_b = e.doc_b
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_exact,
+       CAST(SUM(in_lsh) AS BIGINT) AS n_hit,
+       CAST(SUM(in_lsh) AS DOUBLE) / COUNT(*) AS recall
+FROM m GROUP BY lang ORDER BY lang
+"""
+
+EXT_ORACLE_SQL["curation_funnel"] = f"""
+WITH led AS MATERIALIZED (
+  SELECT * FROM ({EXT_ORACLE_SQL['corpus_curate']})
+),
+r AS (
+  SELECT u.reason AS reason
+  FROM led, unnest(string_split(reasons, ';')) AS u(reason)
+  WHERE NOT keep AND length(u.reason) > 0
+)
+SELECT reason, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS DOUBLE)
+         / (SELECT COUNT(*) FROM documents) AS frac
+FROM r GROUP BY reason ORDER BY reason
+"""

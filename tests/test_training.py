@@ -362,3 +362,48 @@ class TestBpeTokenCount:
         for r in q("bpe_token_count").collect():
             assert r["n_words"] <= r["n_bpe_tok"] <= r["n_chars_tok"]
             assert 0.0 < r["bpe_ratio"] <= 1.0
+
+
+class TestDerivedAudits:
+    def test_shard_manifest_matches_seq_pack(self, q):
+        from astra_perseverance_spark.extensions.training import SEQ_BUDGET
+
+        layout = q("seq_pack").collect()
+        per_shard: dict[int, list] = {}
+        for r in layout:
+            per_shard.setdefault(r["shard_id"], []).append(r)
+        got = {r["shard_id"]: r for r in q("shard_manifest").collect()}
+        assert set(got) == set(per_shard)
+        for sid, rows in per_shard.items():
+            toks = sum(r["n_tok"] for r in rows)
+            assert got[sid]["n_docs"] == len(rows)
+            assert got[sid]["n_tokens"] == toks
+            assert got[sid]["n_seqs"] == (toks - 1) // SEQ_BUDGET + 1
+
+    def test_dedup_recall_consistent_with_superset_property(self, q):
+        """The fixture corpus's exact pairs are all j >= 0.8, where
+        8-band/2-row LSH misses with p ~ 3e-4 — recall must be 1.0
+        here, and the audit must agree with the raw pair sets."""
+        rows = q("dedup_recall_audit").collect()
+        assert rows
+        exact = q("ngram_jaccard").collect()
+        by_lang: dict[str, int] = {}
+        for r in exact:
+            by_lang[r["lang"]] = by_lang.get(r["lang"], 0) + 1
+        assert {r["lang"]: r["n_exact"] for r in rows} == by_lang
+        for r in rows:
+            assert r["recall"] == 1.0
+
+    def test_curation_funnel_counts_match_ledger(self, q):
+        ledger = q("corpus_curate").collect()
+        expect: dict[str, int] = {}
+        for r in ledger:
+            if r["keep"]:
+                continue
+            for reason in r["reasons"].split(";"):
+                if reason:
+                    expect[reason] = expect.get(reason, 0) + 1
+        got = {r["reason"]: r["n_docs"] for r in q("curation_funnel").collect()}
+        assert got == expect
+        for r in q("curation_funnel").collect():
+            assert 0.0 < r["frac"] <= 1.0

@@ -96,6 +96,9 @@ OPS = [
     ("bpe_merges", "O(corpus) word count + capped-table rounds"),
     ("ann_quantized_recall", "O(n·K) ADC brute force, fixed panel"),
     ("bpe_token_count", "O(tokens) join vs broadcast vocab table"),
+    ("shard_manifest", "shard-grain agg over seq_pack"),
+    ("dedup_recall_audit", "pair-grain tagged-union membership"),
+    ("curation_funnel", "reason-grain agg over the ledger"),
 ]
 
 
