@@ -1,0 +1,79 @@
+"""Backward as-of join — the time-series operator Spark's join
+zoo lacks (DuckDB ships it as ``ASOF JOIN``; kdb+ calls it ``aj``).
+
+For each left row, attach the latest right row of the same key whose
+timestamp is at-or-before the left timestamp.  The naive relational
+form — a range join ``r.ts <= l.ts`` + per-row max — explodes to
+O(|matches|) intermediate rows and Spark plans it as a broadcast
+range join at best; the scalable form used here is the classic
+union-and-carry:
+
+1. tag right rows side=0 and left rows side=1,
+2. union on the key+timestamp spine (ONE shuffle, on the join keys),
+3. running ``last(right payload, ignorenulls)`` over the
+   (key, ts, side, payload) window carries the newest right row
+   forward to every later left row — partition-local after the one
+   exchange, no row explosion, no range join.
+
+At equal timestamps the right row sorts first (side 0 < 1), giving
+the inclusive ``right.ts <= left.ts`` semantics DuckDB's ASOF uses;
+among equal-timestamp right rows the payload struct is the final sort
+key, making the pick total-order deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_backward(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    left_ts: str,
+    right_ts: str,
+    payload: list[str],
+    prefix: str = "asof_",
+) -> DataFrame:
+    """Left as-of join: every ``left`` row, plus ``payload`` columns
+    (and ``right_ts``) from the latest ``right`` row with
+    ``right[right_ts] <= left[left_ts]`` on the same ``keys`` —
+    NULLs when no right row precedes.  Output columns: all of
+    ``left``'s, then ``{prefix}{right_ts}`` and ``{prefix}{c}`` for
+    each payload column."""
+    carried = [right_ts] + payload
+    r = right.select(
+        *keys,
+        F.col(right_ts).alias("_ats"),
+        F.struct(*[F.col(c) for c in carried]).alias("_r"),
+        F.lit(0).alias("_side"),
+    )
+    ltypes = dict(left.dtypes)
+    lextra = [c for c in left.columns if c not in keys]
+    for c in lextra:
+        r = r.withColumn(c, F.lit(None).cast(ltypes[c]))
+    l = left.select(
+        *keys,
+        F.col(left_ts).alias("_ats"),
+        F.lit(None).cast(dict(r.dtypes)["_r"]).alias("_r"),
+        F.lit(1).alias("_side"),
+        *lextra,
+    )
+    u = r.select(*l.columns).unionByName(l)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("_ats", "_side", "_r")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched: Column = F.last(
+        F.when(F.col("_side") == 0, F.col("_r")), ignorenulls=True
+    ).over(w)
+    out = u.withColumn("_m", matched).filter(F.col("_side") == 1)
+    return out.select(
+        *left.columns,
+        *[
+            F.col(f"_m.{c}").alias(f"{prefix}{c}")
+            for c in carried
+        ],
+    )

@@ -1757,3 +1757,24 @@ SELECT reason, CAST(COUNT(*) AS BIGINT) AS n_docs,
          / (SELECT COUNT(*) FROM documents) AS frac
 FROM r GROUP BY reason ORDER BY reason
 """
+
+# As-of attribution (extensions/timeseries.py::q_events_asof): the
+# oracle uses DuckDB's NATIVE ASOF JOIN — a genuinely independent
+# engine implementation of the same inclusive backward-match
+# semantics as the Spark union-and-carry formulation.
+
+EXT_ORACLE_SQL["events_asof"] = """
+WITH ev AS (
+  SELECT CAST(event_id AS BIGINT) AS event_id,
+         CAST(user_id AS BIGINT) AS user_id, event_type,
+         CAST(epoch_ns(ts) AS BIGINT) AS ns
+  FROM events
+),
+p AS (SELECT event_id, user_id, ns FROM ev WHERE event_type = 'purchase'),
+c AS (SELECT event_id, user_id, ns FROM ev WHERE event_type = 'click')
+SELECT p.event_id, p.user_id, p.ns AS purchase_ns,
+       c.ns AS asof_ns, c.event_id AS asof_event_id,
+       p.ns - c.ns AS gap_ns
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.ns <= p.ns
+ORDER BY p.event_id
+"""

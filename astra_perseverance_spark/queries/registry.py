@@ -52,6 +52,7 @@ from astra_perseverance_spark.extensions import (
     prep,
     similarity,
     text_stats,
+    timeseries,
     training,
 )
 from astra_perseverance_spark.queries import (
@@ -133,6 +134,7 @@ QUERY_REGISTRY: dict[str, QueryFn] = {
     "shard_manifest": training.q_shard_manifest,
     "dedup_recall_audit": training.q_dedup_recall_audit,
     "curation_funnel": training.q_curation_funnel,
+    "events_asof": timeseries.q_events_asof,
     # (doc_digest_join is a thin projection whose digest expression is
     # also exercised by the checked quality_filter; it yields its slot
     # to bpe_token_count)

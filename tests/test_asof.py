@@ -1,0 +1,83 @@
+"""As-of join invariants: a hand-built fixture with known answers
+(including ties-at-timestamp inclusive semantics and no-match NULLs),
+plus a full Python recompute over the events table."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_SMALL
+
+
+class TestAsofBackward:
+    def test_hand_fixture(self, spark):
+        from astra_perseverance_spark.functions.asof import asof_backward
+
+        left = spark.createDataFrame(
+            [(1, 10, "a"), (1, 20, "b"), (2, 5, "c"), (3, 7, "d")],
+            "k long, ts long, tag string")
+        right = spark.createDataFrame(
+            [(1, 10, 100), (1, 15, 101), (2, 6, 102), (9, 1, 103)],
+            "k long, rts long, rid long")
+        got = {
+            (r["k"], r["ts"]): (r["asof_rts"], r["asof_rid"])
+            for r in asof_backward(
+                left, right, keys=["k"], left_ts="ts", right_ts="rts",
+                payload=["rid"]).collect()
+        }
+        assert got == {
+            (1, 10): (10, 100),   # inclusive: rts == ts matches
+            (1, 20): (15, 101),   # latest preceding, not first
+            (2, 5): (None, None),  # right row is LATER -> no match
+            (3, 7): (None, None),  # key absent from right
+        }
+
+    def test_equal_ts_right_rows_pick_is_deterministic(self, spark):
+        from astra_perseverance_spark.functions.asof import asof_backward
+
+        left = spark.createDataFrame([(1, 10)], "k long, ts long")
+        right = spark.createDataFrame(
+            [(1, 10, 5), (1, 10, 9), (1, 10, 7)], "k long, rts long, rid long")
+        rows = asof_backward(
+            left, right, keys=["k"], left_ts="ts", right_ts="rts",
+            payload=["rid"]).collect()
+        # struct-ordered tiebreak: the greatest (rts, rid) wins
+        assert rows[0]["asof_rid"] == 9
+
+    def test_events_asof_python_recompute(self, spark):
+        from astra_perseverance_spark.extensions.timeseries import (
+            _events_ns,
+            q_events_asof,
+        )
+
+        ev = _events_ns(spark, SF_SMALL).collect()
+        clicks: dict[int, list] = {}
+        for r in ev:
+            if r["event_type"] == "click":
+                clicks.setdefault(r["user_id"], []).append(
+                    (r["ns"], r["event_id"]))
+        for v in clicks.values():
+            v.sort()
+        expect = {}
+        for r in ev:
+            if r["event_type"] != "purchase":
+                continue
+            best = None
+            for ns, eid in clicks.get(r["user_id"], []):
+                if ns <= r["ns"]:
+                    best = (ns, eid)
+                else:
+                    break
+            expect[r["event_id"]] = (
+                r["user_id"], r["ns"],
+                best[0] if best else None, best[1] if best else None,
+                r["ns"] - best[0] if best else None,
+            )
+        got = {
+            r["event_id"]: (r["user_id"], r["purchase_ns"], r["asof_ns"],
+                            r["asof_event_id"], r["gap_ns"])
+            for r in q_events_asof(spark, SF_SMALL).collect()
+        }
+        assert got == expect
+        assert any(v[2] is not None for v in got.values())
+        assert any(v[2] is None for v in got.values())

@@ -99,6 +99,7 @@ OPS = [
     ("shard_manifest", "shard-grain agg over seq_pack"),
     ("dedup_recall_audit", "pair-grain tagged-union membership"),
     ("curation_funnel", "reason-grain agg over the ledger"),
+    ("events_asof", "O(n) union + per-key running carry"),
 ]
 
 
