@@ -77,3 +77,62 @@ def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+# Attribution window for the banded range join: clicks within this
+# many nanoseconds at-or-before a purchase count toward it.
+ATTR_WINDOW_NS = 3_600 * 1_000_000_000  # 1 hour
+
+
+def q_events_window_attr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed attribution — the RANGE-join sibling of
+    ``events_asof``: for each purchase, how many clicks the same user
+    made within the hour at-or-before it, and the newest such click.
+
+    The scalable shape is the BANDED range join: time is bucketed at
+    the window width, clicks join on (user_id, bucket), and each
+    purchase probes exactly its own and the previous bucket — any
+    click within range lives in one of the two — then the exact
+    range predicate filters the band.  Work per purchase is bounded
+    by the user's clicks in two buckets, never a corpus-wide
+    inequality join; the equi-join keys keep Catalyst on hash joins
+    (a raw ``BETWEEN`` join would plan as a nested-loop product).
+
+    Output: event_id, user_id, purchase_ns, n_clicks_1h (0 when
+    none), last_click_ns (NULL when none)."""
+    ev = _events_ns(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ns").alias("purchase_ns"))
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ns").alias("click_ns"),
+        (F.col("ns") - (F.col("ns") % ATTR_WINDOW_NS)).alias("bts"))
+    probes = purchases.withColumn(
+        "bts",
+        F.explode(F.array(
+            F.col("purchase_ns") - (F.col("purchase_ns") % ATTR_WINDOW_NS),
+            F.col("purchase_ns") - (F.col("purchase_ns") % ATTR_WINDOW_NS)
+            - ATTR_WINDOW_NS,
+        )),
+    )
+    matches = (
+        probes.join(clicks.hint("shuffle_hash"), ["user_id", "bts"])
+        .filter(
+            (F.col("click_ns") >= F.col("purchase_ns") - ATTR_WINDOW_NS)
+            & (F.col("click_ns") <= F.col("purchase_ns"))
+        )
+        .groupBy("event_id")
+        .agg(
+            F.count("*").cast("long").alias("n_clicks_1h"),
+            F.max("click_ns").alias("last_click_ns"),
+        )
+    )
+    return (
+        purchases.join(matches.hint("shuffle_hash"), "event_id", "left")
+        .select(
+            "event_id", "user_id", "purchase_ns",
+            F.coalesce("n_clicks_1h", F.lit(0).cast("long"))
+            .alias("n_clicks_1h"),
+            "last_click_ns",
+        )
+        .orderBy("event_id")
+    )

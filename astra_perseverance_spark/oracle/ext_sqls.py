@@ -1778,3 +1778,30 @@ SELECT p.event_id, p.user_id, p.ns AS purchase_ns,
 FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.ns <= p.ns
 ORDER BY p.event_id
 """
+
+# Banded range join (timeseries.py::q_events_window_attr): the oracle
+# states the semantics directly as an inequality join — fine at
+# oracle scale, the thing the banded form avoids at corpus scale.
+
+from astra_perseverance_spark.extensions.timeseries import (  # noqa: E402
+    ATTR_WINDOW_NS,
+)
+
+EXT_ORACLE_SQL["events_window_attr"] = f"""
+WITH ev AS (
+  SELECT CAST(event_id AS BIGINT) AS event_id,
+         CAST(user_id AS BIGINT) AS user_id, event_type,
+         CAST(epoch_ns(ts) AS BIGINT) AS ns
+  FROM events
+),
+p AS (SELECT event_id, user_id, ns FROM ev WHERE event_type = 'purchase'),
+c AS (SELECT event_id, user_id, ns FROM ev WHERE event_type = 'click')
+SELECT p.event_id, p.user_id, p.ns AS purchase_ns,
+       CAST(COUNT(c.event_id) AS BIGINT) AS n_clicks_1h,
+       MAX(c.ns) AS last_click_ns
+FROM p LEFT JOIN c
+  ON c.user_id = p.user_id
+ AND c.ns >= p.ns - {ATTR_WINDOW_NS} AND c.ns <= p.ns
+GROUP BY p.event_id, p.user_id, p.ns
+ORDER BY p.event_id
+"""

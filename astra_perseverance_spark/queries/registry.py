@@ -127,14 +127,16 @@ QUERY_REGISTRY: dict[str, QueryFn] = {
     "bpe_token_count": training.q_bpe_token_count,
     "ann_quantized_recall": training.q_ann_quantized_recall,
     # ---- Tier 4: tail (>50) — multi-round green, code unchanged ----
-    # First three: NEW derived audits over already-checked sources —
-    # the window is full of higher-priority never-checked queries this
-    # round, so they ride the pytest parity gate now and rotate into
-    # the driver window in r6 under policy rule 2.
+    # First five: NEW queries (derived audits over already-checked
+    # sources + the time-series pair) — the window is full of
+    # higher-priority never-checked queries this round, so they ride
+    # the pytest parity gate now and rotate into the driver window in
+    # r6 under policy rule 2.
     "shard_manifest": training.q_shard_manifest,
     "dedup_recall_audit": training.q_dedup_recall_audit,
     "curation_funnel": training.q_curation_funnel,
     "events_asof": timeseries.q_events_asof,
+    "events_window_attr": timeseries.q_events_window_attr,
     # (doc_digest_join is a thin projection whose digest expression is
     # also exercised by the checked quality_filter; it yields its slot
     # to bpe_token_count)

@@ -81,3 +81,46 @@ class TestAsofBackward:
         assert got == expect
         assert any(v[2] is not None for v in got.values())
         assert any(v[2] is None for v in got.values())
+
+
+class TestWindowAttr:
+    def test_python_recompute(self, spark):
+        from astra_perseverance_spark.extensions.timeseries import (
+            ATTR_WINDOW_NS,
+            _events_ns,
+            q_events_window_attr,
+        )
+
+        ev = _events_ns(spark, SF_SMALL).collect()
+        clicks: dict[int, list] = {}
+        for r in ev:
+            if r["event_type"] == "click":
+                clicks.setdefault(r["user_id"], []).append(r["ns"])
+        expect = {}
+        for r in ev:
+            if r["event_type"] != "purchase":
+                continue
+            hits = [ns for ns in clicks.get(r["user_id"], [])
+                    if r["ns"] - ATTR_WINDOW_NS <= ns <= r["ns"]]
+            expect[r["event_id"]] = (len(hits), max(hits) if hits else None)
+        got = {
+            r["event_id"]: (r["n_clicks_1h"], r["last_click_ns"])
+            for r in q_events_window_attr(spark, SF_SMALL).collect()
+        }
+        assert got == expect
+
+    def test_window_attr_consistent_with_asof(self, spark):
+        """Coherence: whenever the 1-hour window found a click, the
+        as-of match exists and last_click_ns == asof_ns (the as-of
+        pick is the newest click overall, which is the newest in any
+        window ending at the purchase)."""
+        from astra_perseverance_spark.extensions.timeseries import (
+            q_events_asof,
+            q_events_window_attr,
+        )
+
+        asof = {r["event_id"]: r["asof_ns"]
+                for r in q_events_asof(spark, SF_SMALL).collect()}
+        for r in q_events_window_attr(spark, SF_SMALL).collect():
+            if r["n_clicks_1h"] > 0:
+                assert asof[r["event_id"]] == r["last_click_ns"]

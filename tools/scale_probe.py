@@ -100,6 +100,7 @@ OPS = [
     ("dedup_recall_audit", "pair-grain tagged-union membership"),
     ("curation_funnel", "reason-grain agg over the ledger"),
     ("events_asof", "O(n) union + per-key running carry"),
+    ("events_window_attr", "O(n) banded two-bucket range probe"),
 ]
 
 
