@@ -6,6 +6,9 @@ stream, sharing column logic with the batch queries so parity holds
 between the two execution modes.
 """
 
+from astra_perseverance_spark.streaming.attribution_stream import (
+    stream_events_asof,
+)
 from astra_perseverance_spark.streaming.curation_stream import (
     curation_gate,
     stream_curated_dedup,
@@ -20,6 +23,7 @@ from astra_perseverance_spark.streaming.gc_stream import (
 
 __all__ = [
     "curation_gate",
+    "stream_events_asof",
     "gc_minute_window_agg",
     "stream_curated_dedup",
     "stream_curation_gate",

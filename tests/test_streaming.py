@@ -325,3 +325,43 @@ def test_stream_doc_minute_tokens_matches_batch(spark, doc_source, tmp_path):
             with_event_time(spark.read.parquet(doc_source))).collect()
     }
     assert got == want and got
+
+
+def test_stream_asof_matches_batch(spark, tmp_path):
+    """Stateful streaming as-of attribution converges to the batch
+    events_asof result when batches replay in event-time order —
+    three time-ordered files through one query (maxFilesPerTrigger=1)
+    so the newest-click state carries across micro-batches."""
+    from astra_perseverance_spark.extensions.timeseries import (
+        _events_ns,
+        q_events_asof,
+    )
+    from astra_perseverance_spark.streaming import stream_events_asof
+
+    ev = _events_ns(spark, SF_SMALL).orderBy("ns")
+    rows = ev.collect()
+    src_dir = str(tmp_path / "asof_src")
+    third = len(rows) // 3
+    for chunk in (rows[:third], rows[third:2 * third], rows[2 * third:]):
+        spark.createDataFrame(chunk, ev.schema).coalesce(1).write.mode(
+            "append").parquet(src_dir)
+
+    sdf = stream_events_asof(spark, src_dir, max_files_per_trigger=1)
+    q = (
+        sdf.writeStream.format("memory").queryName("asof_stream_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["event_id"], r["user_id"], r["purchase_ns"], r["asof_ns"],
+         r["asof_event_id"], r["gap_ns"])
+        for r in spark.sql("SELECT * FROM asof_stream_test").collect()
+    }
+    want = {
+        (r["event_id"], r["user_id"], r["purchase_ns"], r["asof_ns"],
+         r["asof_event_id"], r["gap_ns"])
+        for r in q_events_asof(spark, SF_SMALL).collect()
+    }
+    assert got == want and len(got) > 0
