@@ -316,3 +316,72 @@ class TestSqlViews:
         assert row["nodes"] > 0 and row["gc_events"] > 0
         assert spark.sql(
             "SELECT COUNT(*) AS c FROM documents").collect()[0]["c"] > 0
+
+
+class TestBpeRoundSql:
+    """The shipped BPE round CTE (oracle/ext_sqls._bpe_round_sql) must
+    implement greedy LEFTMOST NON-OVERLAPPING merging — the
+    even-offset-within-run window rule — for any word set, including
+    the equal-symbol runs ('aaa') where overlap handling is subtle.
+    Exercised through DuckDB against a pure-Python reference."""
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        words=st.lists(
+            st.tuples(
+                st.text(alphabet="ab", min_size=1, max_size=12),
+                st.integers(min_value=1, max_value=5),
+            ),
+            min_size=1, max_size=6,
+            unique_by=lambda t: t[0],
+        )
+    )
+    def test_one_round_matches_python_greedy(self, words):
+        from collections import Counter
+
+        from astra_perseverance_spark.oracle.ext_sqls import _bpe_round_sql
+
+        # python reference: argmax pair then greedy leftmost merge
+        pairs: Counter = Counter()
+        for w, n in words:
+            for a, b in zip(w, w[1:]):
+                pairs[(a, b)] += n
+        if not pairs:
+            return
+        (left, right), _ = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        expect = set()
+        for w, n in words:
+            out, i = [], 0
+            while i < len(w):
+                if i + 1 < len(w) and w[i] == left and w[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(w[i])
+                    i += 1
+            for p, sym in enumerate(out):
+                expect.add((w, p, sym))
+
+        values = ", ".join(f"('{w}', {n})" for w, n in words)
+        round_sql, best_cte, rows_cte = _bpe_round_sql("br0", 1)
+        con = duckdb.connect()
+        got = set(con.execute(f"""
+WITH br0 AS MATERIALIZED (
+  SELECT word, CAST(n AS BIGINT) AS n, CAST(u.p AS BIGINT) AS p,
+         substr(word, CAST(u.p + 1 AS INT), 1) AS sym
+  FROM (VALUES {values}) AS t(word, n), unnest(range(length(word))) AS u(p)
+),
+{round_sql}
+SELECT word, CAST(p AS INT), sym FROM {rows_cte} ORDER BY word, p
+""").fetchall())
+        chosen = con.execute(f"""
+WITH br0 AS MATERIALIZED (
+  SELECT word, CAST(n AS BIGINT) AS n, CAST(u.p AS BIGINT) AS p,
+         substr(word, CAST(u.p + 1 AS INT), 1) AS sym
+  FROM (VALUES {values}) AS t(word, n), unnest(range(length(word))) AS u(p)
+),
+{round_sql}
+SELECT lsym, rsym FROM {best_cte}
+""").fetchall()
+        assert chosen == [(left, right)]
+        assert got == expect
