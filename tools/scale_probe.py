@@ -125,6 +125,23 @@ def replicate(spark, sf_dir: str, rep: int, out_dir: str) -> None:
         )
         .write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
     )
+    from astra_perseverance_spark.conformed.model import _read
+
+    events = _read(spark, sf_dir, "events")
+    n_ev = events.count()
+    n_users = events.agg(F.max("user_id")).collect()[0][0] + 1
+    (
+        events.select("*", r)
+        .select(
+            (F.col("event_id") + F.col("r") * n_ev).alias("event_id"),
+            "ts",
+            # replica-local user streams: per-user event rates stay
+            # constant, user count grows REP x (the dimension grain)
+            (F.col("user_id") + F.col("r") * n_users).alias("user_id"),
+            "event_type", "value", "props",
+        )
+        .write.mode("overwrite").parquet(f"{out_dir}/events.parquet")
+    )
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     n_vec = emb.count()
     (
