@@ -136,3 +136,35 @@ def q_events_window_attr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+def q_events_next_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-next-error after each purchase: the FORWARD as-of join
+    (``functions.asof.asof_forward``) — for each purchase, the
+    earliest error event of the same user at-or-after it.  The
+    operational twin of ``events_asof``'s backward attribution; same
+    one-shuffle union-and-carry shape, walked in descending time.
+
+    Output: event_id, user_id, purchase_ns, next_ns (NULL if the user
+    never errors afterwards), next_event_id, wait_ns."""
+    from astra_perseverance_spark.functions.asof import asof_forward
+
+    ev = _events_ns(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ns").alias("purchase_ns"))
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "ns", "event_id")
+    joined = asof_forward(
+        purchases, errors,
+        keys=["user_id"], left_ts="purchase_ns", right_ts="ns",
+        payload=["event_id"], prefix="next_",
+    )
+    return (
+        joined.select(
+            "event_id", "user_id", "purchase_ns",
+            F.col("next_ns"),
+            F.col("next_event_id"),
+            (F.col("next_ns") - F.col("purchase_ns")).alias("wait_ns"),
+        )
+        .orderBy("event_id")
+    )

@@ -77,3 +77,54 @@ def asof_backward(
             for c in carried
         ],
     )
+
+
+def asof_forward(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    left_ts: str,
+    right_ts: str,
+    payload: list[str],
+    prefix: str = "asof_",
+) -> DataFrame:
+    """Forward as-of join: every ``left`` row plus the EARLIEST right
+    row with ``right[right_ts] >= left[left_ts]`` on the same keys —
+    the time-to-next-event direction.  Same union-and-carry shape as
+    :func:`asof_backward`, walked in descending timestamp order: at
+    equal timestamps the right row still matches (inclusive), and
+    among equal-timestamp right rows the minimal payload struct wins
+    (the descending walk carries it last), keeping the pick total-
+    order deterministic."""
+    carried = [right_ts] + payload
+    r = right.select(
+        *keys,
+        F.col(right_ts).alias("_ats"),
+        F.struct(*[F.col(c) for c in carried]).alias("_r"),
+        F.lit(0).alias("_side"),
+    )
+    ltypes = dict(left.dtypes)
+    lextra = [c for c in left.columns if c not in keys]
+    for c in lextra:
+        r = r.withColumn(c, F.lit(None).cast(ltypes[c]))
+    l = left.select(
+        *keys,
+        F.col(left_ts).alias("_ats"),
+        F.lit(None).cast(dict(r.dtypes)["_r"]).alias("_r"),
+        F.lit(1).alias("_side"),
+        *lextra,
+    )
+    u = r.select(*l.columns).unionByName(l)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.desc("_ats"), F.asc("_side"), F.desc("_r"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched: Column = F.last(
+        F.when(F.col("_side") == 0, F.col("_r")), ignorenulls=True
+    ).over(w)
+    out = u.withColumn("_m", matched).filter(F.col("_side") == 1)
+    return out.select(
+        *left.columns,
+        *[F.col(f"_m.{c}").alias(f"{prefix}{c}") for c in carried],
+    )

@@ -1805,3 +1805,23 @@ FROM p LEFT JOIN c
 GROUP BY p.event_id, p.user_id, p.ns
 ORDER BY p.event_id
 """
+
+# Forward as-of (timeseries.py::q_events_next_error): DuckDB's native
+# ASOF JOIN with the forward inequality picks the EARLIEST matching
+# right row — the independent twin of the descending union-and-carry.
+
+EXT_ORACLE_SQL["events_next_error"] = """
+WITH ev AS (
+  SELECT CAST(event_id AS BIGINT) AS event_id,
+         CAST(user_id AS BIGINT) AS user_id, event_type,
+         CAST(epoch_ns(ts) AS BIGINT) AS ns
+  FROM events
+),
+p AS (SELECT event_id, user_id, ns FROM ev WHERE event_type = 'purchase'),
+e AS (SELECT event_id, user_id, ns FROM ev WHERE event_type = 'error')
+SELECT p.event_id, p.user_id, p.ns AS purchase_ns,
+       e.ns AS next_ns, e.event_id AS next_event_id,
+       e.ns - p.ns AS wait_ns
+FROM p ASOF LEFT JOIN e ON p.user_id = e.user_id AND e.ns >= p.ns
+ORDER BY p.event_id
+"""

@@ -137,6 +137,7 @@ QUERY_REGISTRY: dict[str, QueryFn] = {
     "curation_funnel": training.q_curation_funnel,
     "events_asof": timeseries.q_events_asof,
     "events_window_attr": timeseries.q_events_window_attr,
+    "events_next_error": timeseries.q_events_next_error,
     # (doc_digest_join is a thin projection whose digest expression is
     # also exercised by the checked quality_filter; it yields its slot
     # to bpe_token_count)

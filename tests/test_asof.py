@@ -124,3 +124,69 @@ class TestWindowAttr:
         for r in q_events_window_attr(spark, SF_SMALL).collect():
             if r["n_clicks_1h"] > 0:
                 assert asof[r["event_id"]] == r["last_click_ns"]
+
+
+class TestAsofForward:
+    def test_hand_fixture(self, spark):
+        from astra_perseverance_spark.functions.asof import asof_forward
+
+        left = spark.createDataFrame(
+            [(1, 10), (1, 16), (2, 5), (3, 7)], "k long, ts long")
+        right = spark.createDataFrame(
+            [(1, 10, 100), (1, 15, 101), (2, 3, 102)],
+            "k long, rts long, rid long")
+        got = {
+            (r["k"], r["ts"]): (r["asof_rts"], r["asof_rid"])
+            for r in asof_forward(
+                left, right, keys=["k"], left_ts="ts", right_ts="rts",
+                payload=["rid"]).collect()
+        }
+        assert got == {
+            (1, 10): (10, 100),    # inclusive equal-ts match
+            (1, 16): (None, None),  # nothing at-or-after
+            (2, 5): (None, None),   # right row is EARLIER
+            (3, 7): (None, None),   # key absent
+        }
+
+    def test_equal_ts_pick_is_minimal(self, spark):
+        from astra_perseverance_spark.functions.asof import asof_forward
+
+        left = spark.createDataFrame([(1, 10)], "k long, ts long")
+        right = spark.createDataFrame(
+            [(1, 10, 9), (1, 10, 5), (1, 10, 7)], "k long, rts long, rid long")
+        rows = asof_forward(
+            left, right, keys=["k"], left_ts="ts", right_ts="rts",
+            payload=["rid"]).collect()
+        assert rows[0]["asof_rid"] == 5
+
+    def test_next_error_python_recompute(self, spark):
+        from astra_perseverance_spark.extensions.timeseries import (
+            _events_ns,
+            q_events_next_error,
+        )
+
+        ev = _events_ns(spark, SF_SMALL).collect()
+        errors: dict[int, list] = {}
+        for r in ev:
+            if r["event_type"] == "error":
+                errors.setdefault(r["user_id"], []).append(
+                    (r["ns"], r["event_id"]))
+        for v in errors.values():
+            v.sort()
+        expect = {}
+        for r in ev:
+            if r["event_type"] != "purchase":
+                continue
+            nxt = next((e for e in errors.get(r["user_id"], [])
+                        if e[0] >= r["ns"]), None)
+            expect[r["event_id"]] = (
+                r["user_id"], r["ns"],
+                nxt[0] if nxt else None, nxt[1] if nxt else None,
+                nxt[0] - r["ns"] if nxt else None,
+            )
+        got = {
+            r["event_id"]: (r["user_id"], r["purchase_ns"], r["next_ns"],
+                            r["next_event_id"], r["wait_ns"])
+            for r in q_events_next_error(spark, SF_SMALL).collect()
+        }
+        assert got == expect

@@ -101,6 +101,7 @@ OPS = [
     ("curation_funnel", "reason-grain agg over the ledger"),
     ("events_asof", "O(n) union + per-key running carry"),
     ("events_window_attr", "O(n) banded two-bucket range probe"),
+    ("events_next_error", "O(n) union + per-key descending carry"),
 ]
 
 
