@@ -127,8 +127,8 @@ QUERY_REGISTRY: dict[str, QueryFn] = {
     "bpe_token_count": training.q_bpe_token_count,
     "ann_quantized_recall": training.q_ann_quantized_recall,
     # ---- Tier 4: tail (>50) — multi-round green, code unchanged ----
-    # First five: NEW queries (derived audits over already-checked
-    # sources + the time-series pair) — the window is full of
+    # First six: NEW queries (derived audits over already-checked
+    # sources + the time-series family) — the window is full of
     # higher-priority never-checked queries this round, so they ride
     # the pytest parity gate now and rotate into the driver window in
     # r6 under policy rule 2.
