@@ -84,6 +84,40 @@ def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 ATTR_WINDOW_NS = 3_600 * 1_000_000_000  # 1 hour
 
 
+def q_events_asof_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tolerance-bounded attribution: ``events_asof`` with the
+    lookback capped at one hour — a click older than ATTR_WINDOW_NS
+    no longer attributes the purchase (real campaigns cap the click
+    window; the unbounded variant matches clicks from years back).
+
+    Implementation is the SAME one-shuffle union-and-carry plan as
+    ``events_asof`` plus a single ``when`` on the carried struct
+    (``functions.asof`` ``tolerance=``) — the bound costs nothing at
+    100 TB, unlike re-shaping the query as a range join.  Oracle:
+    DuckDB native ASOF JOIN with the bound applied post-join, which
+    is exactly the tolerance semantics (match-then-null, not
+    match-next-older)."""
+    ev = _events_ns(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ns").alias("purchase_ns"))
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ns", "event_id")
+    joined = asof_backward(
+        purchases, clicks,
+        keys=["user_id"], left_ts="purchase_ns", right_ts="ns",
+        payload=["event_id"], tolerance=ATTR_WINDOW_NS,
+    )
+    return (
+        joined.select(
+            "event_id", "user_id", "purchase_ns",
+            F.col("asof_ns"),
+            F.col("asof_event_id"),
+            (F.col("purchase_ns") - F.col("asof_ns")).alias("gap_ns"),
+        )
+        .orderBy("event_id")
+    )
+
+
 def q_events_window_attr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Windowed attribution — the RANGE-join sibling of
     ``events_asof``: for each purchase, how many clicks the same user

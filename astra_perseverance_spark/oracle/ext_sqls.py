@@ -1758,10 +1758,19 @@ SELECT reason, CAST(COUNT(*) AS BIGINT) AS n_docs,
 FROM r GROUP BY reason ORDER BY reason
 """
 
+from astra_perseverance_spark.extensions.timeseries import (  # noqa: E402
+    ATTR_WINDOW_NS,
+)
+
 # As-of attribution (extensions/timeseries.py::q_events_asof): the
 # oracle uses DuckDB's NATIVE ASOF JOIN — a genuinely independent
 # engine implementation of the same inclusive backward-match
-# semantics as the Spark union-and-carry formulation.
+# semantics as the Spark union-and-carry formulation.  DuckDB's pick
+# among several right rows with the SAME (user_id, ns) is
+# unspecified, while the Spark side deterministically takes the max
+# (ns, event_id) struct — so the right side is pre-aggregated to
+# MAX(event_id) per (user_id, ns) before the ASOF JOIN, making the
+# oracle total-order deterministic under any future fixture.
 
 EXT_ORACLE_SQL["events_asof"] = """
 WITH ev AS (
@@ -1771,7 +1780,8 @@ WITH ev AS (
   FROM events
 ),
 p AS (SELECT event_id, user_id, ns FROM ev WHERE event_type = 'purchase'),
-c AS (SELECT event_id, user_id, ns FROM ev WHERE event_type = 'click')
+c AS (SELECT user_id, ns, MAX(event_id) AS event_id
+      FROM ev WHERE event_type = 'click' GROUP BY user_id, ns)
 SELECT p.event_id, p.user_id, p.ns AS purchase_ns,
        c.ns AS asof_ns, c.event_id AS asof_event_id,
        p.ns - c.ns AS gap_ns
@@ -1779,13 +1789,36 @@ FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.ns <= p.ns
 ORDER BY p.event_id
 """
 
+# Tolerance-bounded as-of (timeseries.py::q_events_asof_1h): the same
+# native ASOF JOIN with the one-hour bound applied POST-join — i.e.
+# match-then-null, exactly the semantics of the Spark ``tolerance``
+# gate on the carried struct (NOT "match the next older click inside
+# the window": if the latest click is too old, there is no match).
+
+EXT_ORACLE_SQL["events_asof_1h"] = f"""
+WITH ev AS (
+  SELECT CAST(event_id AS BIGINT) AS event_id,
+         CAST(user_id AS BIGINT) AS user_id, event_type,
+         CAST(epoch_ns(ts) AS BIGINT) AS ns
+  FROM events
+),
+p AS (SELECT event_id, user_id, ns FROM ev WHERE event_type = 'purchase'),
+c AS (SELECT user_id, ns, MAX(event_id) AS event_id
+      FROM ev WHERE event_type = 'click' GROUP BY user_id, ns)
+SELECT p.event_id, p.user_id, p.ns AS purchase_ns,
+       CASE WHEN p.ns - c.ns <= {ATTR_WINDOW_NS} THEN c.ns END
+         AS asof_ns,
+       CASE WHEN p.ns - c.ns <= {ATTR_WINDOW_NS} THEN c.event_id END
+         AS asof_event_id,
+       CASE WHEN p.ns - c.ns <= {ATTR_WINDOW_NS} THEN p.ns - c.ns END
+         AS gap_ns
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.ns <= p.ns
+ORDER BY p.event_id
+"""
+
 # Banded range join (timeseries.py::q_events_window_attr): the oracle
 # states the semantics directly as an inequality join — fine at
 # oracle scale, the thing the banded form avoids at corpus scale.
-
-from astra_perseverance_spark.extensions.timeseries import (  # noqa: E402
-    ATTR_WINDOW_NS,
-)
 
 EXT_ORACLE_SQL["events_window_attr"] = f"""
 WITH ev AS (
@@ -1809,6 +1842,9 @@ ORDER BY p.event_id
 # Forward as-of (timeseries.py::q_events_next_error): DuckDB's native
 # ASOF JOIN with the forward inequality picks the EARLIEST matching
 # right row — the independent twin of the descending union-and-carry.
+# Right side pre-aggregated to MIN(event_id) per (user_id, ns) for
+# the same determinism reason as events_asof (Spark picks the min
+# (ns, event_id) struct on the forward walk).
 
 EXT_ORACLE_SQL["events_next_error"] = """
 WITH ev AS (
@@ -1818,7 +1854,8 @@ WITH ev AS (
   FROM events
 ),
 p AS (SELECT event_id, user_id, ns FROM ev WHERE event_type = 'purchase'),
-e AS (SELECT event_id, user_id, ns FROM ev WHERE event_type = 'error')
+e AS (SELECT user_id, ns, MIN(event_id) AS event_id
+      FROM ev WHERE event_type = 'error' GROUP BY user_id, ns)
 SELECT p.event_id, p.user_id, p.ns AS purchase_ns,
        e.ns AS next_ns, e.event_id AS next_event_id,
        e.ns - p.ns AS wait_ns

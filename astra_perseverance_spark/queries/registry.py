@@ -20,22 +20,23 @@ queries get a hard driver-side correctness row each round:
    local pytest oracle-parity gate (tests/test_oracle_parity.py
    parametrizes the full registry) and the bench suite.
 
-Round-5 rotation: the 11 queries driver-unchecked in r4 (curation
-family, ngram_counts, corpus_rollup, quality_filter, multimodal) move
-into the checked window; 11 queries green since r2/r3 with untouched
-code (text/pipeline/sampling families, dedup_exact, embedding_topk,
-two streaming batch twins) rotate to the tail.  The new training
-family (dup_spans, seq_pack, embedding_quantize, bpe_merges,
-bpe_token_count, ann_quantized_recall) enters the window; to make
-room, six queries rotate out (rationale at each tail entry):
-gc_sessions and ann_ivf_kmeans (code untouched since their r4 green
-row), dedup_clusters (contraction code untouched; its changed edge
-inputs stay checked via dedup_minhash_lsh), dedup_tokenset
-(memoization-only change), ngram_jaccard (shingle machinery shared
-with the checked dedup_minhash_lsh), and doc_digest_join (thin
-projection; digest expression exercised by the checked
-quality_filter).  All tail queries remain under the full-registry
-pytest oracle-parity gate.
+Round-6 rotation (rule 2 first, then freshness):
+
+* Into the window: the 7 queries that have NEVER had a driver row
+  (events_asof, events_window_attr, events_next_error,
+  shard_manifest, dedup_recall_audit, curation_funnel,
+  doc_digest_join — promised the r6 window by the r5 note) plus the
+  NEW events_asof_1h; then the 6 queries whose code changed this
+  round (dedup_recall_audit → panel sampling; corpus_curate →
+  bucketed-warehouse inputs; embedding_quantize +
+  ann_quantized_recall → exact integer division; pii_scan → probe
+  fix; multimodal_features / multimodal_frame_sample → AVI decode);
+  then 14 tail queries whose last driver row is r4 (spreading the
+  freshness debt so no query's last row ages past the K=3-round
+  budget enforced by tests/test_rotation.py).
+* To the tail: the r5-green curation/prep/training entries whose
+  code is untouched this round — all still under the full-registry
+  pytest oracle-parity gate and the bench suite.
 """
 
 from __future__ import annotations
@@ -96,25 +97,55 @@ QUERY_REGISTRY: dict[str, QueryFn] = {
     # Findings framework + Q20 nested summary
     "warnings": warnings.q_warnings,
     "summary_json": summary.q_summary_json,
-    # ---- Tier 2: no driver row in r4 (pushed past the 50-cap) ----
+    # ---- Tier 2: never driver-checked (rotation rule 2) + new ----
+    "events_asof": timeseries.q_events_asof,
+    "events_asof_1h": timeseries.q_events_asof_1h,
+    "events_window_attr": timeseries.q_events_window_attr,
+    "events_next_error": timeseries.q_events_next_error,
+    "shard_manifest": training.q_shard_manifest,
+    "dedup_recall_audit": training.q_dedup_recall_audit,
+    "curation_funnel": training.q_curation_funnel,
+    "doc_digest_join": pipeline.q_doc_digest_join,
+    # ---- Tier 3: code changed this round ----
+    "corpus_curate": curation.q_corpus_curate,
+    "embedding_quantize": training.q_embedding_quantize,
+    "ann_quantized_recall": training.q_ann_quantized_recall,
+    "pii_scan": curation.q_pii_scan,
+    "multimodal_features": multimodal.q_multimodal_features,
+    "multimodal_frame_sample": multimodal.q_multimodal_frame_sample,
+    # ---- Tier 3b: last driver row is r4 — refresh before the K=3
+    # freshness budget (test_rotation.py) runs out; the other ten
+    # r4-last queries take the r7 window ----
+    "dedup_tokenset": dedup.q_dedup_tokenset,
+    "ngram_jaccard": dedup.q_ngram_jaccard,
+    "dedup_clusters": dedup.q_dedup_clusters,
+    "ann_ivf_kmeans": similarity.q_ann_ivf_kmeans,
+    "gc_sessions": gc_stream.q_gc_sessions,
+    "ann_lsh_bucket": similarity.q_ann_lsh_bucket,
+    "ann_ivf": similarity.q_ann_ivf,
+    "ann_recall_audit": similarity.q_ann_recall_audit,
+    "embedding_cosine_dups": similarity.q_embedding_cosine_dups,
+    "embedding_dup_clusters": similarity.q_embedding_dup_clusters,
+    "gc_minute_windows": gc_stream.q_gc_minute_windows,
+    "dedup_exact": dedup.q_dedup_exact,
+    "embedding_topk": similarity.q_embedding_topk,
+    "text_stats": text_stats.q_text_stats,
+    # ---- Tier 4: tail (>50) — driver-green r5 (or r4 with an r7
+    # window reservation), code unchanged; all still covered by the
+    # full-registry pytest oracle-parity gate + bench ----
     "ngram_counts": pipeline.q_ngram_counts,
     "corpus_rollup": pipeline.q_corpus_rollup,
     "quality_filter": pipeline.q_quality_filter,
-    "multimodal_features": multimodal.q_multimodal_features,
-    "multimodal_frame_sample": multimodal.q_multimodal_frame_sample,
     "quality_signals": curation.q_quality_signals,
-    "pii_scan": curation.q_pii_scan,
     "decontaminate": curation.q_decontaminate,
     "source_mix": curation.q_source_mix,
     "ngram_novelty": curation.q_ngram_novelty,
     "quality_report": curation.q_quality_report,
-    # ---- Tier 3: changed/active this round ----
     "doc_chunks": prep.q_doc_chunks,
     "html_extract": prep.q_html_extract,
     "script_profile": prep.q_script_profile,
     "repeated_lines": prep.q_repeated_lines,
     "token_rarity": prep.q_token_rarity,
-    "corpus_curate": curation.q_corpus_curate,
     "doc_fingerprint": text_stats.q_doc_fingerprint,
     "dedup_simhash": dedup.q_dedup_simhash,
     "dedup_minhash_lsh": dedup.q_dedup_minhash_lsh,
@@ -122,49 +153,13 @@ QUERY_REGISTRY: dict[str, QueryFn] = {
     "ann_incremental": similarity.q_ann_incremental,
     "dup_spans": training.q_dup_spans,
     "seq_pack": training.q_seq_pack,
-    "embedding_quantize": training.q_embedding_quantize,
     "bpe_merges": training.q_bpe_merges,
     "bpe_token_count": training.q_bpe_token_count,
-    "ann_quantized_recall": training.q_ann_quantized_recall,
-    # ---- Tier 4: tail (>50) — multi-round green, code unchanged ----
-    # First six: NEW queries (derived audits over already-checked
-    # sources + the time-series family) — the window is full of
-    # higher-priority never-checked queries this round, so they ride
-    # the pytest parity gate now and rotate into the driver window in
-    # r6 under policy rule 2.
-    "shard_manifest": training.q_shard_manifest,
-    "dedup_recall_audit": training.q_dedup_recall_audit,
-    "curation_funnel": training.q_curation_funnel,
-    "events_asof": timeseries.q_events_asof,
-    "events_window_attr": timeseries.q_events_window_attr,
-    "events_next_error": timeseries.q_events_next_error,
-    # (doc_digest_join is a thin projection whose digest expression is
-    # also exercised by the checked quality_filter; it yields its slot
-    # to bpe_token_count)
-    "doc_digest_join": pipeline.q_doc_digest_join,
-    # (dedup_tokenset's r5 change was memoization-only and
-    # ngram_jaccard's shingle machinery is shared with
-    # dedup_minhash_lsh, which stays in the window — both are
-    # pytest-parity covered and yield their slots to the new
-    # bpe_merges / ann_quantized_recall)
-    "dedup_tokenset": dedup.q_dedup_tokenset,
-    "ngram_jaccard": dedup.q_ngram_jaccard,
-    "dedup_clusters": dedup.q_dedup_clusters,
-    "ann_ivf_kmeans": similarity.q_ann_ivf_kmeans,
-    "gc_sessions": gc_stream.q_gc_sessions,
+    # r4-last, reserved for the r7 window (see Tier 3b note):
     "ann_recall_ivf_kmeans": similarity.q_ann_recall_ivf_kmeans,
     "embedding_label_probe": similarity.q_embedding_label_probe,
     "dedup_keep_list": dedup.q_dedup_keep_list,
-    "ann_lsh_bucket": similarity.q_ann_lsh_bucket,
-    "ann_ivf": similarity.q_ann_ivf,
-    "ann_recall_audit": similarity.q_ann_recall_audit,
-    "embedding_cosine_dups": similarity.q_embedding_cosine_dups,
-    "embedding_dup_clusters": similarity.q_embedding_dup_clusters,
-    "gc_minute_windows": gc_stream.q_gc_minute_windows,
     "doc_minute_tokens": doc_stream.q_doc_minute_tokens,
-    "dedup_exact": dedup.q_dedup_exact,
-    "embedding_topk": similarity.q_embedding_topk,
-    "text_stats": text_stats.q_text_stats,
     "lang_id": text_stats.q_lang_id,
     "token_count": text_stats.q_token_count,
     "vocab_top_terms": pipeline.q_vocab_top_terms,

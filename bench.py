@@ -1,11 +1,17 @@
 """Benchmark harness: time every registered query at one scale factor.
 
-Prints exactly ONE machine-readable JSON line on stdout:
+Prints exactly ONE machine-readable JSON line on stdout — kept COMPACT
+so it survives tail-capture truncation at any registry size (round-5
+postmortem: a 76-query-wide ``queries`` map overflowed the driver's
+tail window and the round recorded no bench value):
 
     {"metric": "suite_seconds", "value": <total>, "unit": "sec",
-     "queries": {"workload_reads": <sec>, ...}, "sf": <sf>}
+     "sf": <sf>, "n_queries": <count>, "detail": "BENCH_DETAIL.json"}
 
-Everything else (Spark chatter, progress) goes to stderr.  Each query
+The full per-query timing map is written to ``BENCH_DETAIL.json``
+next to this script (checked into the repo each round) and echoed to
+stderr.  Everything else (Spark chatter, progress) goes to stderr.
+Each query
 is forced end-to-end with a noop write (no driver collect, no result
 materialization on the driver — the number measures the distributed
 plan, not pandas conversion).
@@ -86,12 +92,36 @@ def main() -> int:
     release_memos(spark)
 
     total = round(sum(timings.values()), 4)
+
+    # Full per-query map: a repo file (durable, any size) + stderr.
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    detail = {
+        "metric": "suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "queries": timings,
+    }
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+    print(json.dumps(detail), file=sys.stderr)
+
+    # The ONE stdout line stays compact and truncation-safe: suite
+    # total + the 15 slowest queries only (bounded at ~700 bytes no
+    # matter how wide the registry grows).
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: -kv[1])[:15]
+    )
     print(json.dumps({
         "metric": "suite_seconds",
         "value": total,
         "unit": "sec",
-        "queries": timings,
         "sf": sf,
+        "n_queries": len(timings),
+        "queries": slowest,
+        "detail": "BENCH_DETAIL.json",
     }))
     return 0
 

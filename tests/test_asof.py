@@ -83,6 +83,115 @@ class TestAsofBackward:
         assert any(v[2] is None for v in got.values())
 
 
+class TestAsofTolerance:
+    def test_backward_tolerance_hand_fixture(self, spark):
+        from astra_perseverance_spark.functions.asof import asof_backward
+
+        left = spark.createDataFrame(
+            [(1, 10), (1, 20), (1, 100)], "k long, ts long")
+        right = spark.createDataFrame(
+            [(1, 8, 100), (1, 15, 101)], "k long, rts long, rid long")
+        got = {
+            r["ts"]: (r["asof_rts"], r["asof_rid"])
+            for r in asof_backward(
+                left, right, keys=["k"], left_ts="ts", right_ts="rts",
+                payload=["rid"], tolerance=5).collect()
+        }
+        assert got == {
+            10: (8, 100),        # gap 2 <= 5
+            20: (15, 101),       # gap 5 <= 5 (inclusive bound)
+            100: (None, None),   # latest match is 85 back -> nulled,
+                                 # NOT replaced by an older in-window row
+        }
+
+    def test_forward_tolerance_hand_fixture(self, spark):
+        from astra_perseverance_spark.functions.asof import asof_forward
+
+        left = spark.createDataFrame(
+            [(1, 10), (1, 90)], "k long, ts long")
+        right = spark.createDataFrame(
+            [(1, 12, 100), (1, 200, 101)], "k long, rts long, rid long")
+        got = {
+            r["ts"]: (r["asof_rts"], r["asof_rid"])
+            for r in asof_forward(
+                left, right, keys=["k"], left_ts="ts", right_ts="rts",
+                payload=["rid"], tolerance=5).collect()
+        }
+        assert got == {
+            10: (12, 100),      # wait 2 <= 5
+            90: (None, None),   # earliest match waits 110 -> nulled
+        }
+
+    def test_events_asof_1h_python_recompute(self, spark):
+        from astra_perseverance_spark.extensions.timeseries import (
+            ATTR_WINDOW_NS,
+            _events_ns,
+            q_events_asof_1h,
+        )
+
+        ev = _events_ns(spark, SF_SMALL).collect()
+        clicks: dict[int, list] = {}
+        for r in ev:
+            if r["event_type"] == "click":
+                clicks.setdefault(r["user_id"], []).append(
+                    (r["ns"], r["event_id"]))
+        for v in clicks.values():
+            v.sort()
+        expect = {}
+        for r in ev:
+            if r["event_type"] != "purchase":
+                continue
+            best = None
+            for ns, eid in clicks.get(r["user_id"], []):
+                if ns <= r["ns"]:
+                    best = (ns, eid)
+                else:
+                    break
+            # match-then-null: the LATEST click, dropped if too old
+            if best and r["ns"] - best[0] > ATTR_WINDOW_NS:
+                best = None
+            expect[r["event_id"]] = (
+                best[0] if best else None, best[1] if best else None)
+        got = {
+            r["event_id"]: (r["asof_ns"], r["asof_event_id"])
+            for r in q_events_asof_1h(spark, SF_SMALL).collect()
+        }
+        assert got == expect
+        # the bound must actually bite on the fixture (some user has a
+        # last click more than an hour before a purchase) AND leave
+        # some in-window matches intact
+        unbounded_hits = 0
+        from astra_perseverance_spark.extensions.timeseries import (
+            q_events_asof,
+        )
+        for r in q_events_asof(spark, SF_SMALL).collect():
+            if r["asof_ns"] is not None:
+                unbounded_hits += 1
+        bounded_hits = sum(1 for v in got.values() if v[0] is not None)
+        assert 0 < bounded_hits < unbounded_hits
+
+
+class TestAsofNameCollisions:
+    def test_reserved_internal_column_raises(self, spark):
+        from astra_perseverance_spark.functions.asof import asof_backward
+
+        left = spark.createDataFrame([(1, 10, 3)], "k long, ts long, _ats long")
+        right = spark.createDataFrame([(1, 8, 1)], "k long, rts long, rid long")
+        with pytest.raises(ValueError, match="_ats"):
+            asof_backward(left, right, keys=["k"], left_ts="ts",
+                          right_ts="rts", payload=["rid"])
+
+    def test_prefixed_output_collision_raises(self, spark):
+        from astra_perseverance_spark.functions.asof import asof_forward
+
+        left = spark.createDataFrame(
+            [(1, 10, 3)], "k long, ts long, asof_rid long")
+        right = spark.createDataFrame([(1, 8, 1)], "k long, rts long, rid long")
+        with pytest.raises(ValueError, match="asof_rid"):
+            asof_forward(left, right, keys=["k"], left_ts="ts",
+                         right_ts="rts", payload=["rid"])
+
+
 class TestWindowAttr:
     def test_python_recompute(self, spark):
         from astra_perseverance_spark.extensions.timeseries import (
