@@ -158,13 +158,13 @@ def release_memos(spark: SparkSession) -> int:
         dropped += 1
     # The BPE learn state lives outside the memo pool (checkpointed
     # RDD-backed frames, not cached plans) but is the same kind of
-    # shared warm artifact — drop it too so bench timings stay
-    # attributable (late import: extensions depend on this module).
+    # shared warm artifact — drop it too, explicitly unpersisting its
+    # checkpointed RDDs so the executor storage blocks are freed NOW
+    # rather than at nondeterministic ContextCleaner time (late
+    # import: extensions depend on this module).
     from astra_perseverance_spark.extensions import training
 
-    for key in [k for k in training._BPE_STATE if k[0] == app_id]:
-        training._BPE_STATE.pop(key)
-        dropped += 1
+    dropped += training.release_bpe_state(app_id)
     return dropped
 
 

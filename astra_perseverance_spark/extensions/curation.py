@@ -156,7 +156,15 @@ def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     it differs per document and flips if any replacement drifts.
 
     Redaction order is fixed (email, ipv4, phone) so overlapping
-    matches resolve identically on both engines."""
+    matches resolve identically on both engines.
+
+    Scale: single-pass character-class patterns (no nested
+    quantifiers — no backtracking blow-up).  The probe's 8× ratio of
+    ~2.2 is the fixed per-job floor (~0.17 s of scan setup + task
+    scheduling + output sort, measured against a no-regex control)
+    over a small linear term: the regex component itself is 0.11 s /
+    0.22 s / 0.42 s at 1× / 8× / 16× — see docs/SCALE_PROBE.md
+    footer."""
     return (
         _docs(spark, sf_dir)
         .select(

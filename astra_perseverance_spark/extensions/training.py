@@ -256,6 +256,14 @@ def _dim_bounds(spark: SparkSession, sf_dir: str):
     return at(lo_a), at(hi_a)
 
 
+def _idiv(a: F.Column, b: F.Column) -> F.Column:
+    """True BIGINT integral division (SQL ``div``): truncates toward
+    zero on exact integers, matching DuckDB's ``//`` for every BIGINT
+    operand — unlike ``F.floor(a / b)``, whose double intermediate is
+    only exact while |a| stays under 2^53."""
+    return F.call_function("div", a, b)
+
+
 def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """int8 scalar quantization of the embedding store with exact
     reconstruction-error accounting — the memory-4x-compression step
@@ -265,10 +273,12 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     Per dimension d with corpus range [lo_d, hi_d] (on the 1e-6
     fixed-point BIGINT domain), each component encodes to
     ``code = (q - lo_d) * 255 div (hi_d - lo_d)`` and reconstructs to
-    ``lo_d + code * (hi_d - lo_d) div 255`` — all BIGINT, truncating
-    division on non-negative operands in both engines, so the DuckDB
-    twin is bitwise.  Degenerate dimensions (hi = lo) encode 0 and
-    reconstruct exactly.
+    ``lo_d + code * (hi_d - lo_d) div 255`` — all BIGINT through
+    Spark's true integral ``div`` (not floor of a double division),
+    which truncates toward zero exactly like DuckDB's ``//`` for
+    every BIGINT operand, so the twin is bitwise with no magnitude
+    bound.  Degenerate dimensions (hi = lo) encode 0 and reconstruct
+    exactly.
 
     Narrow per-row map over the cached quantized frame; the only
     shuffle is the 64-group dim-stats aggregate folded into the plan
@@ -282,14 +292,14 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "eq",
         lambda x, i: F.when(
             hi_at(i) > lo_at(i),
-            F.floor((x - lo_at(i)) * SQ_LEVELS / (hi_at(i) - lo_at(i))),
+            _idiv((x - lo_at(i)) * SQ_LEVELS, hi_at(i) - lo_at(i)),
         ).otherwise(F.lit(0).cast("long")),
     )
     v = v.withColumn("codes", codes)
     recon = F.transform(
         "codes",
         lambda c, i: lo_at(i)
-        + F.floor(c * (hi_at(i) - lo_at(i)) / SQ_LEVELS),
+        + _idiv(c * (hi_at(i) - lo_at(i)), F.lit(SQ_LEVELS)),
     )
     err = F.zip_with("eq", recon, lambda x, y: x - y)
     v = v.withColumn("err", err)
@@ -363,11 +373,34 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # (applicationId, sf_dir) -> (per-round best frames, final symbol
-# rows).  The learn loop runs Spark jobs at CONSTRUCTION time (one
-# localCheckpoint per round), so both consumers (bpe_merges,
-# bpe_token_count) share one run per session — the corpus.n_docs
-# driver-scalar pattern, holding only checkpointed <= 10k-row frames.
+# rows, every localCheckpoint'd frame).  The learn loop runs Spark
+# jobs at CONSTRUCTION time (one localCheckpoint per round), so both
+# consumers (bpe_merges, bpe_token_count) share one run per session —
+# the corpus.n_docs driver-scalar pattern, holding only checkpointed
+# <= 10k-row frames.  The checkpoint list exists so release (below)
+# can free the executor storage blocks DETERMINISTICALLY: dropping
+# the dict entry alone leaves ~13 persisted RDDs per (app, sf_dir)
+# to nondeterministic ContextCleaner GC, which skews the isolated
+# bench timings the release hook exists to protect.
 _BPE_STATE: dict[tuple, tuple] = {}
+
+
+def release_bpe_state(app_id: str) -> int:
+    """Drop this session's BPE learn state AND unpersist every
+    localCheckpoint'd frame it pinned (a checkpointed DataFrame's
+    analyzed plan is a ``LogicalRDD`` holding the persisted RDD —
+    ``plan.rdd().unpersist()`` frees its storage blocks at once).
+    Returns the number of state entries dropped."""
+    dropped = 0
+    for key in [k for k in _BPE_STATE if k[0] == app_id]:
+        _, _, ckpts = _BPE_STATE.pop(key)
+        for df in ckpts:
+            try:
+                df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+            except Exception:  # noqa: BLE001 — context already stopped
+                pass
+        dropped += 1
+    return dropped
 
 
 def _bpe_learn(
@@ -375,7 +408,8 @@ def _bpe_learn(
 ) -> tuple[list[DataFrame], DataFrame]:
     key = (spark.sparkContext.applicationId, sf_dir)
     if key in _BPE_STATE:
-        return _BPE_STATE[key]
+        state = _BPE_STATE[key]
+        return state[0], state[1]
     words = (
         _cdocs(spark, sf_dir)
         .select(F.explode(tokens("text")).alias("word"))
@@ -390,6 +424,7 @@ def _bpe_learn(
         F.posexplode(F.split("word", "")).alias("p", "sym"),
     ).withColumn("p", F.col("p").cast("long")).localCheckpoint()
 
+    ckpts: list[DataFrame] = [rows]
     bests: list[DataFrame] = []
     for rank in range(1, BPE_MERGES + 1):
         best = (
@@ -452,8 +487,9 @@ def _bpe_learn(
             .drop("p0")
             .localCheckpoint()
         )
-    _BPE_STATE[key] = (bests, rows)
-    return _BPE_STATE[key]
+        ckpts.append(rows)
+    _BPE_STATE[key] = (bests, rows, ckpts)
+    return bests, rows
 
 
 # --- ann_quantized_recall -------------------------------------------
@@ -469,9 +505,9 @@ def _recon_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def recon(x, i):
         span = hi_at(i) - lo_at(i)
-        code = F.floor((x - lo_at(i)) * SQ_LEVELS / span)
+        code = _idiv((x - lo_at(i)) * SQ_LEVELS, span)
         return F.when(
-            span > 0, lo_at(i) + F.floor(code * span / SQ_LEVELS)
+            span > 0, lo_at(i) + _idiv(code * span, F.lit(SQ_LEVELS))
         ).otherwise(lo_at(i))
 
     from astra_perseverance_spark.functions.vectors import dot_q
@@ -599,17 +635,71 @@ def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Fixed audit panel: recall is measured on the stratum of exact pairs
+# that TOUCH one of these hash-selected documents, so the audit's
+# cost is bounded by the panel's pair neighborhood — NOT the corpus's
+# true-pair universe, which on a dup-dense corpus grows ~quadratically
+# in the duplication factor (round-5 probe: 8.4× at 8× replication).
+# Same fixed-panel rationale as the ANN recall audits
+# (similarity.ANN_QUERY_COUNT) and the decontamination benchmark
+# panel (curation.DECON_PANEL_K).  128 docs keeps several exact
+# pairs in the stratum on the sparse 500-doc test corpora while
+# remaining a fixed (corpus-independent) audit cost at scale.
+RECALL_PANEL_K = 128
+
+
+def recall_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id): the ``RECALL_PANEL_K`` documents with the smallest
+    (h15(doc_id), doc_id) — deterministic, uniform, engine-identical
+    (exact two-phase salted top-k; the key is a total order)."""
+    from astra_perseverance_spark.functions.ordering import salted_topk
+
+    def build() -> DataFrame:
+        d = _cdocs(spark, sf_dir).select("doc_id").withColumn(
+            "qh", h15(F.col("doc_id").cast("string"))
+        )
+        return salted_topk(
+            d, [], ["qh", "doc_id"], RECALL_PANEL_K, "doc_id"
+        ).select("doc_id")
+
+    from astra_perseverance_spark.conformed.model import memo_frame
+
+    return memo_frame(spark, sf_dir, ("dedup_recall_panel",), build)
+
+
+def _touching_panel(pairs: DataFrame, panel: DataFrame) -> DataFrame:
+    """Pairs where ``doc_a`` OR ``doc_b`` is a panel document — two
+    broadcast left-join markers, no shuffle, no pair duplication (a
+    union of two semi-joins would double-count pairs touching the
+    panel on both sides)."""
+    pa = panel.select(F.col("doc_id").alias("doc_a"),
+                      F.lit(1).alias("_ma"))
+    pb = panel.select(F.col("doc_id").alias("doc_b"),
+                      F.lit(1).alias("_mb"))
+    return (
+        pairs.join(F.broadcast(pa), "doc_a", "left")
+        .join(F.broadcast(pb), "doc_b", "left")
+        .filter(F.col("_ma").isNotNull() | F.col("_mb").isNotNull())
+        .drop("_ma", "_mb")
+    )
+
+
 def q_dedup_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall of MinHash-LSH near-dup detection against the exhaustive
-    exact-Jaccard pair set, per language — the dedup-side analog of
-    the ANN recall audits (every production LSH deployment tunes its
-    bands/rows against exactly this number).
+    """Recall of MinHash-LSH near-dup detection against the exact
+    Jaccard pair set, per language, measured on a FIXED document
+    panel — the dedup-side analog of the ANN recall audits (every
+    production LSH deployment tunes its bands/rows against exactly
+    this number).
 
     Ground truth is ``ngram_jaccard`` (AllPairs prefix-filtered exact
-    scan, per-language universe); the probe is ``dedup_minhash_lsh``
-    (banded LSH + verify).  Membership is the tagged-union aggregate
-    on the pair key — no join; both sides are pair-grain results, far
-    smaller than the corpus.
+    scan) restricted to pairs touching the ``RECALL_PANEL_K``
+    hash-selected panel documents; the probe is ``dedup_minhash_lsh``
+    (banded LSH + verify), restricted the same way purely as a cost
+    optimization (restricting the probe side cannot change which
+    exact-stratum pairs it hits).  Membership is the tagged-union
+    aggregate on the pair key — no join; with the panel restriction
+    the aggregate's input is the panel's pair neighborhood, bounded
+    at any corpus duplication density.
 
     Output: lang, n_exact, n_hit, recall."""
     from astra_perseverance_spark.extensions.dedup import (
@@ -617,13 +707,17 @@ def q_dedup_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         q_ngram_jaccard,
     )
 
+    panel = recall_panel(spark, sf_dir)
     exact = (
-        q_ngram_jaccard(spark, sf_dir)
-        .select("doc_a", "doc_b", "lang")
+        _touching_panel(
+            q_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b", "lang"),
+            panel)
         .withColumn("src", F.lit(1))
     )
     lsh = (
-        q_dedup_minhash_lsh(spark, sf_dir)
+        _touching_panel(
+            q_dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b"),
+            panel)
         .select("doc_a", "doc_b",
                 F.lit(None).cast("string").alias("lang"))
         .withColumn("src", F.lit(2))

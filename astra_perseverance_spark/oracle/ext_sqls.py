@@ -1517,6 +1517,7 @@ FROM e ORDER BY vec_id
 from astra_perseverance_spark.extensions.training import (  # noqa: E402
     BPE_MAX_WORDS,
     BPE_MERGES,
+    RECALL_PANEL_K,
 )
 
 
@@ -1725,6 +1726,10 @@ SELECT shard_id,
 FROM sp GROUP BY shard_id ORDER BY shard_id
 """
 
+# Panel-restricted (training.RECALL_PANEL_K hash-selected docs):
+# recall is measured on the stratum of exact pairs touching a panel
+# document, so the audit is bounded by the panel's pair neighborhood
+# rather than the corpus's true-pair universe.
 EXT_ORACLE_SQL["dedup_recall_audit"] = f"""
 WITH e AS MATERIALIZED (
   SELECT * FROM ({EXT_ORACLE_SQL['ngram_jaccard']})
@@ -1732,10 +1737,20 @@ WITH e AS MATERIALIZED (
 l AS MATERIALIZED (
   SELECT * FROM ({EXT_ORACLE_SQL['dedup_minhash_lsh']})
 ),
+rpanel AS (
+  SELECT doc_id FROM documents
+  ORDER BY {h15_sql("CAST(doc_id AS VARCHAR)")}, doc_id
+  LIMIT {RECALL_PANEL_K}
+),
+ep AS (
+  SELECT e.* FROM e
+  WHERE e.doc_a IN (SELECT doc_id FROM rpanel)
+     OR e.doc_b IN (SELECT doc_id FROM rpanel)
+),
 m AS (
-  SELECT e.lang, e.doc_a, e.doc_b,
+  SELECT ep.lang, ep.doc_a, ep.doc_b,
          CASE WHEN l.doc_a IS NOT NULL THEN 1 ELSE 0 END AS in_lsh
-  FROM e LEFT JOIN l ON l.doc_a = e.doc_a AND l.doc_b = e.doc_b
+  FROM ep LEFT JOIN l ON l.doc_a = ep.doc_a AND l.doc_b = ep.doc_b
 )
 SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_exact,
        CAST(SUM(in_lsh) AS BIGINT) AS n_hit,

@@ -177,9 +177,26 @@ def export_training_shards(spark: SparkSession, sf_dir: str,
         F.count("*").alias("s"),
         F.sum("n_docs").alias("d"),
         F.sum("n_seqs").alias("q"),
+        # consistency: each shard's n_seqs (derived from max seq_last)
+        # must equal ceil(n_tokens / SEQ_BUDGET) recomputed from the
+        # written manifest — integer arithmetic, no double rounding
+        F.sum(
+            F.when(
+                F.col("n_seqs")
+                != F.call_function(
+                    "div",
+                    F.col("n_tokens") + F.lit(SEQ_BUDGET - 1),
+                    F.lit(SEQ_BUDGET),
+                ),
+                1,
+            ).otherwise(0)
+        ).alias("bad"),
     ).collect()[0]
-    # the manifest's n_seqs must equal the layout's arithmetic
-    assert SEQ_BUDGET > 0
+    if totals["bad"]:
+        raise AssertionError(
+            f"manifest inconsistent: {totals['bad']} shard(s) whose "
+            f"n_seqs != ceil(n_tokens / {SEQ_BUDGET})"
+        )
     return {
         "shards_path": shards_path,
         "manifest_path": manifest_path,

@@ -4,9 +4,11 @@ custom stateful operator (``applyInPandasWithState``).
 Per-user state is ONE row — the newest click seen so far — so state
 size is |users| (the dimension grain), independent of event rate;
 purchases attribute against it and append immediately.  Within a
-micro-batch events are processed in (ns, event_id) order, so the
-operator converges to the batch twin whenever batches arrive
-event-time ordered (the test's replay shape); a click arriving
+micro-batch events are processed in (ns, clicks-first, event_id)
+order — equal-timestamp clicks land before purchases, matching the
+batch twin's inclusive tie semantics — so the operator converges to
+the batch twin whenever batches arrive event-time ordered (the
+test's replay shape); a click arriving
 *after* a purchase it should have attributed is the inherent
 streaming trade-off — batch ``events_asof`` is the retrospective
 truth, this operator is the low-latency approximation.  A production
@@ -27,8 +29,12 @@ _STATE_SCHEMA = "ns long, event_id long"
 
 
 def _attr_update(key, pdf_iter, state):
-    """One (user, micro-batch): walk events in (ns, event_id) order,
-    clicks advance the newest-click state, purchases emit their
+    """One (user, micro-batch): walk events in (ns, clicks-first,
+    event_id) order — clicks sort BEFORE purchases at equal ``ns`` so
+    an equal-timestamp click attributes the purchase, matching the
+    batch twin's inclusive ``right.ts <= left.ts`` semantics
+    (``functions.asof``) even when the click's event_id is larger.
+    Clicks advance the newest-click state, purchases emit their
     attribution row against it."""
     import pandas as pd
 
@@ -37,7 +43,11 @@ def _attr_update(key, pdf_iter, state):
     out = {c: [] for c in ("event_id", "purchase_ns",
                            "asof_ns", "asof_event_id", "gap_ns")}
     frames = [pdf for pdf in pdf_iter]
-    df = pd.concat(frames).sort_values(["ns", "event_id"])
+    df = pd.concat(frames)
+    df = (
+        df.assign(_p=(df["event_type"] != "click").astype("int8"))
+        .sort_values(["ns", "_p", "event_id"])
+    )
     for r in df.itertuples():
         if r.event_type == "click":
             cand = (int(r.ns), int(r.event_id))

@@ -365,3 +365,55 @@ def test_stream_asof_matches_batch(spark, tmp_path):
         for r in q_events_asof(spark, SF_SMALL).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_stream_asof_same_ns_tie_matches_batch(spark, tmp_path):
+    """Equal-timestamp tie INSIDE one micro-batch: a click with the
+    same ns as a purchase but a LARGER event_id must still attribute
+    it (clicks sort before purchases at equal ns), matching the batch
+    twin's inclusive ``right.ts <= left.ts`` semantics.  Before the
+    (ns, clicks-first, event_id) sort the plain (ns, event_id) order
+    processed the purchase first and missed the click."""
+    from astra_perseverance_spark.functions.asof import asof_backward
+    from astra_perseverance_spark.streaming import stream_events_asof
+
+    # user 1: purchase id=10 at ns=1000, click id=99 (LARGER id) at
+    #         the SAME ns — the tie under test
+    # user 2: ordinary earlier click as a control
+    rows = [
+        (10, 1, "purchase", 1000),
+        (99, 1, "click", 1000),
+        (20, 2, "purchase", 500),
+        (21, 2, "click", 400),
+    ]
+    sch = "event_id long, user_id long, event_type string, ns long"
+    ev = spark.createDataFrame(rows, sch)
+    src_dir = str(tmp_path / "tie_src")
+    ev.coalesce(1).write.parquet(src_dir)  # ONE file -> one micro-batch
+
+    sdf = stream_events_asof(spark, src_dir)
+    q = (
+        sdf.writeStream.format("memory").queryName("asof_tie_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_tie"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["event_id"], r["asof_ns"], r["asof_event_id"], r["gap_ns"])
+        for r in spark.sql("SELECT * FROM asof_tie_test").collect()
+    }
+    purchases = ev.filter("event_type = 'purchase'").select(
+        "event_id", "user_id", ev.ns.alias("purchase_ns"))
+    clicks = ev.filter("event_type = 'click'").select(
+        "user_id", "ns", "event_id")
+    want = {
+        (r["event_id"], r["asof_ns"], r["asof_event_id"],
+         r["purchase_ns"] - r["asof_ns"] if r["asof_ns"] is not None
+         else None)
+        for r in asof_backward(
+            purchases, clicks, keys=["user_id"], left_ts="purchase_ns",
+            right_ts="ns", payload=["event_id"]).collect()
+    }
+    assert got == want
+    assert (10, 1000, 99, 0) in got  # the same-ns click attributed

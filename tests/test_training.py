@@ -380,19 +380,38 @@ class TestDerivedAudits:
             assert got[sid]["n_tokens"] == toks
             assert got[sid]["n_seqs"] == (toks - 1) // SEQ_BUDGET + 1
 
-    def test_dedup_recall_consistent_with_superset_property(self, q):
+    def test_dedup_recall_consistent_with_superset_property(self, q, spark):
         """The fixture corpus's exact pairs are all j >= 0.8, where
         8-band/2-row LSH misses with p ~ 3e-4 — recall must be 1.0
-        here, and the audit must agree with the raw pair sets."""
+        here, and the audit must agree with the raw pair sets
+        restricted to the fixed document panel (the audit measures
+        recall on the stratum of exact pairs touching a panel doc)."""
+        from astra_perseverance_spark.extensions.training import (
+            RECALL_PANEL_K,
+            recall_panel,
+        )
+        from tests.conftest import SF_SMALL
+
         rows = q("dedup_recall_audit").collect()
         assert rows
+        panel = {r["doc_id"]
+                 for r in recall_panel(spark, SF_SMALL).collect()}
+        assert len(panel) == RECALL_PANEL_K
         exact = q("ngram_jaccard").collect()
         by_lang: dict[str, int] = {}
+        n_dropped = 0
         for r in exact:
-            by_lang[r["lang"]] = by_lang.get(r["lang"], 0) + 1
+            if r["doc_a"] in panel or r["doc_b"] in panel:
+                by_lang[r["lang"]] = by_lang.get(r["lang"], 0) + 1
+            else:
+                n_dropped += 1
         assert {r["lang"]: r["n_exact"] for r in rows} == by_lang
         for r in rows:
             assert r["recall"] == 1.0
+        # the panel restriction must actually bite on this corpus
+        # (500 docs, 64-doc panel) — otherwise the test can't tell
+        # the stratified audit from the exhaustive one
+        assert n_dropped > 0
 
     def test_curation_funnel_counts_match_ledger(self, q):
         ledger = q("corpus_curate").collect()

@@ -257,6 +257,18 @@ def main() -> int:
         "simhash_block_bits — so its former fixed-key-space density",
         "residual is gone: the probe's 8× corpus blocks on 14-bit",
         "chunks where the 1× corpus uses 12.)",
+        "",
+        "pii_scan's ratio (carried as an open question from rounds 4–5) is",
+        "measured floor, not regex pathology: isolating the regex work",
+        "against a no-regex control with the identical scan + final sort",
+        "shows t = c + k·n with c ≈ 0.17 s (job floor: parquet scan setup,",
+        "32-task scheduling, the output sort) and the regex component",
+        "scaling LINEARLY in bytes — 0.11 s at 1×, 0.22 s at 8×, 0.42 s at",
+        "16× (per-byte cost constant-to-falling as 32 cores absorb the",
+        "work; end-to-end 16×-replication ratio 3.0 vs ideal ≤ 16).  The",
+        "patterns are single-pass character classes with no nested",
+        "quantifiers, so no backtracking blow-up exists; at real corpus",
+        "scale c vanishes into the first task wave.",
     ]
     if only:
         print("(subset run: docs/SCALE_PROBE.md not rewritten)", file=sys.stderr)
