@@ -28,7 +28,7 @@ quotas, so the DuckDB twins (``oracle.ext_sqls``) match bitwise.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from astra_perseverance_spark.extensions.corpus import docs_frame as _docs
@@ -360,8 +360,15 @@ def q_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: every input is a memoized artifact (stats frame, digest,
     ngram pairs) or a bounded broadcast probe (decon panel); this
-    query adds only doc_id equi-joins on top — uniform keys, and
-    exchange-free against the bucketed warehouse.  Each probe side
+    query adds only doc_id equi-joins on top — uniform keys.  The
+    exact-dup flag uses a window min over content_md5 so the digest
+    frame crosses one exchange, not two.  With the bucketed
+    warehouse opt-in (``corpus.BUCKETED_DB_ENV``), stats and digest
+    read doc_id-bucketed tables: the corpus PAYLOAD (text) never
+    crosses an Exchange — every remaining shuffle carries doc-grain
+    derived columns (digests, postings, pair keys), bytes-per-row
+    independent of document size (gated by
+    ``tests/test_warehouse.py``).  Each probe side
     carries a ``shuffle_hash`` hint: the memoized inputs expose no
     size statistics, so Spark would otherwise fall back to
     SortMergeJoin — on uniform already-aggregated keys the sort adds
@@ -384,9 +391,15 @@ def q_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_tokens", "ttr", "punct_ratio"
     )
     d = content_digest_frame(spark, sf_dir)
-    rep = d.groupBy("content_md5").agg(F.min("doc_id").alias("rep_doc"))
-    dup = d.join(rep.hint("shuffle_hash"), "content_md5").select(
-        "doc_id", (F.col("doc_id") > F.col("rep_doc")).alias("is_dup")
+    # representative = group-min doc_id, via a window so the digest
+    # frame crosses ONE exchange (groupBy+join-back would shuffle it
+    # twice: once for the agg, once to join the reps)
+    dup = d.select(
+        "doc_id",
+        (
+            F.col("doc_id")
+            > F.min("doc_id").over(Window.partitionBy("content_md5"))
+        ).alias("is_dup"),
     )
     near = (
         ngram_pairs(spark, sf_dir)

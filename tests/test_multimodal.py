@@ -128,8 +128,86 @@ class TestDecodeMedia:
                 decode_media(b"APSE1234", "image")  # not a PNG, no Pillow
         with pytest.raises(NotImplementedError):
             decode_media(b"APSE1234", "audio")  # not RIFF
-        with pytest.raises(NotImplementedError):
-            decode_media(b"\x00\x00\x01\xba", "video")  # no PyAV
+        try:
+            import av  # noqa: F401
+            has_av = True
+        except ImportError:
+            has_av = False
+        if not has_av:
+            with pytest.raises(NotImplementedError):
+                decode_media(b"\x00\x00\x01\xba", "video")  # MPEG-PS, no PyAV
+
+    def test_avi_probe_roundtrip(self):
+        """The synthesized container (build_media_table's column-ops
+        hex assembly) parses back through the pure-stdlib AVI walker
+        with the exact written values, and decode_media returns the
+        raw movi chunk bytes for it."""
+        import struct as st
+
+        from astra_perseverance_spark.extensions.multimodal import (
+            _avi_probe,
+            decode_media,
+        )
+
+        def make_avi(w, h, nf, content: bytes) -> bytes:
+            avih = st.pack("<14I", 40000, 0, 0, 0, nf, 0, 1, 0, w, h,
+                           0, 0, 0, 0)
+            hdrl = b"LIST" + st.pack("<I", 68) + b"hdrl" \
+                + b"avih" + st.pack("<I", 56) + avih
+            movi = b"LIST" + st.pack("<I", 12 + len(content)) + b"movi" \
+                + b"00db" + st.pack("<I", len(content)) + content
+            body = b"AVI " + hdrl + movi
+            return b"RIFF" + st.pack("<I", len(body)) + body
+
+        avi = make_avi(320, 240, 7, b"frame-bytes")
+        w, h, nf, frames = _avi_probe(avi)
+        assert (w, h, nf) == (320, 240, 7)
+        assert frames == [b"frame-bytes"]
+        arr = decode_media(avi, "video")
+        assert bytes(arr.tobytes()) == b"frame-bytes"
+
+    def test_avi_probe_rejects_corrupt_container(self):
+        from astra_perseverance_spark.extensions.multimodal import _avi_probe
+
+        with pytest.raises(ValueError):
+            _avi_probe(b"RIFFxxxxWAVE")  # RIFF but not an AVI form
+        with pytest.raises(ValueError):
+            # valid RIFF/AVI framing but no avih header anywhere
+            import struct as st
+            _avi_probe(b"RIFF" + st.pack("<I", 4) + b"AVI ")
+
+
+class TestSynthesizedAviThroughSpark:
+    def test_media_table_video_payloads_are_real_avi(self, spark):
+        """The column-ops hex assembly in build_media_table produces
+        containers the independent Python walker parses back with the
+        exact metadata values and the document text as the movi
+        chunk — and the registered frame-sample query's JVM-side
+        total_frames field read agrees row for row."""
+        from tests.conftest import SF_SMALL
+
+        from astra_perseverance_spark.extensions.multimodal import (
+            MAGIC,
+            _avi_probe,
+            build_media_table,
+            q_multimodal_frame_sample,
+        )
+
+        media = build_media_table(spark, SF_SMALL).filter(
+            "meta.media_type = 'video'")
+        rows = media.limit(8).collect()
+        assert rows
+        for r in rows:
+            w, h, nf, frames = _avi_probe(bytes(r["payload"])[len(MAGIC):])
+            assert (w, h, nf) == (r["meta"]["width"], r["meta"]["height"],
+                                  r["meta"]["n_frames"])
+            assert len(frames) == 1 and len(frames[0]) > 0
+        want = {r["doc_id"]: r["meta"]["n_frames"] for r in media.collect()}
+        got = {
+            r["doc_id"]: r["n_frames"]
+            for r in q_multimodal_frame_sample(spark, SF_SMALL).collect()
+        }
+        assert got == want
 
 
 class TestDecodeThroughSpark:

@@ -98,6 +98,48 @@ def test_doc_digest_join_values_match_between_modes(
     assert plain == bucketed
 
 
+def test_corpus_curate_payload_never_shuffles_when_bucketed(
+        spark, warehouse, monkeypatch):
+    """With SPARK_GRAFT_BUCKETED_DB set, the heaviest ledger query
+    (``corpus_curate``, five doc_id joins over persisted artifacts)
+    reads stats and digests from doc_id-bucketed tables, and the
+    corpus PAYLOAD never crosses a shuffle: no Exchange input may
+    contain the raw ``text`` column.  Remaining exchanges carry only
+    doc-grain derived columns (digests, shingle postings, pair keys)
+    whose bytes-per-row are independent of document size — the
+    property that matters at 100 TB."""
+    import re
+
+    from astra_perseverance_spark.extensions.corpus import BUCKETED_DB_ENV
+    from astra_perseverance_spark.queries import QUERY_REGISTRY
+
+    monkeypatch.setenv(BUCKETED_DB_ENV, "bucketdemo")
+    sess = spark.newSession()
+    sess.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    plan = _plan(QUERY_REGISTRY["corpus_curate"](sess, SF_SMALL))
+    # both base tables come in through bucketed scans
+    assert plan.count("SelectedBucketsCount") >= 2, plan
+    exchange_inputs = re.findall(
+        r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]", plan)
+    assert exchange_inputs  # derived-artifact shuffles do remain
+    offenders = [i for i in exchange_inputs if "text#" in i]
+    assert not offenders, offenders
+
+
+def test_corpus_curate_values_match_between_modes(
+        spark, warehouse, monkeypatch):
+    """The bucketed path returns the same ledger as the inline path
+    (digest table written with the identical md5 expression)."""
+    from astra_perseverance_spark.extensions.corpus import BUCKETED_DB_ENV
+    from astra_perseverance_spark.queries import QUERY_REGISTRY
+
+    monkeypatch.delenv(BUCKETED_DB_ENV, raising=False)
+    plain = QUERY_REGISTRY["corpus_curate"](spark, SF_SMALL).collect()
+    monkeypatch.setenv(BUCKETED_DB_ENV, "bucketdemo")
+    bucketed = QUERY_REGISTRY["corpus_curate"](spark, SF_SMALL).collect()
+    assert plain == bucketed and plain
+
+
 def test_bucket_files_on_disk(spark, warehouse):
     """The layout is real: each table directory holds bucketed part
     files (bucket id encoded in the filename)."""
