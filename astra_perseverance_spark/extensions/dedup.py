@@ -268,43 +268,60 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``groupBy(doc_id)`` with 16 MIN aggregates, and the exact-Jaccard
     verify computes intersections as join-group counts restricted to
     the candidate pairs — no per-pair array operations anywhere."""
-    sh = shingle_rows(spark, sf_dir)
-    # (band, key, doc_id) postings — memoized: the candidate join
-    # self-joins this frame, and without the cache the signature
-    # pipeline (16 permutation minima over every shingle row) executes
-    # once per join side.  Persisting signatures/postings is the
-    # canonical artifact of a MinHash pipeline; grain is 8 rows per
-    # doc, MEMORY_AND_DISK.
-    sized = memo_frame(spark, sf_dir, ("minhash_postings",),
-                       lambda: _build_minhash_postings(sh))
-    cand = (
-        sized.alias("x")
-        .join(sized.alias("y"), ["band", "key"])
-        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
-        .select(
-            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+    return minhash_pairs(spark, sf_dir).orderBy("doc_a", "doc_b")
+
+
+def minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b, jaccard): the verified MinHash-LSH near-dup pair
+    frame, UNORDERED and memoized per session — the LSH family's
+    canonical artifact, same role as ``ngram_pairs`` for the exact
+    scan.  Consumers: ``q_dedup_minhash_lsh`` (adds the report sort),
+    the recall audit (``training.q_dedup_recall_audit`` — without the
+    memo the audit re-ran the whole candidate+verify join per
+    execution, which is what its 8× probe ratio measured), and the
+    duplicate graph's edge build."""
+    def build() -> DataFrame:
+        sh = shingle_rows(spark, sf_dir)
+        # (band, key, doc_id) postings — memoized: the candidate join
+        # self-joins this frame, and without the cache the signature
+        # pipeline (16 permutation minima over every shingle row)
+        # executes once per join side.  Persisting signatures/postings
+        # is the canonical artifact of a MinHash pipeline; grain is 8
+        # rows per doc, MEMORY_AND_DISK.
+        sized = memo_frame(spark, sf_dir, ("minhash_postings",),
+                           lambda: _build_minhash_postings(sh))
+        cand = (
+            sized.alias("x")
+            .join(sized.alias("y"), ["band", "key"])
+            .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+            .select(
+                F.col("x.doc_id").alias("doc_a"),
+                F.col("y.doc_id").alias("doc_b"),
+            )
+            .distinct()
         )
-        .distinct()
-    )
-    post = sh.select("doc_id", "n", "g")
-    overlap = (
-        cand
-        .join(post.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"),
-                          F.col("g")), "doc_a")
-        .join(post.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"),
-                          F.col("g")), ["doc_b", "g"])
-        .groupBy("doc_a", "doc_b", "na", "nb")
-        .agg(F.count("*").alias("o"))
-    )
-    verified = (
-        overlap.select(
-            "doc_a", "doc_b",
-            (F.col("o").cast("double") / (F.col("na") + F.col("nb") - F.col("o")))
-            .alias("jaccard"),
+        post = sh.select("doc_id", "n", "g")
+        overlap = (
+            cand
+            .join(post.select(F.col("doc_id").alias("doc_a"),
+                              F.col("n").alias("na"), F.col("g")), "doc_a")
+            .join(post.select(F.col("doc_id").alias("doc_b"),
+                              F.col("n").alias("nb"), F.col("g")),
+                  ["doc_b", "g"])
+            .groupBy("doc_a", "doc_b", "na", "nb")
+            .agg(F.count("*").alias("o"))
         )
-        .filter(F.col("jaccard") >= MINHASH_JACCARD_MIN)
-    )
-    return verified.orderBy("doc_a", "doc_b")
+        return (
+            overlap.select(
+                "doc_a", "doc_b",
+                (F.col("o").cast("double")
+                 / (F.col("na") + F.col("nb") - F.col("o")))
+                .alias("jaccard"),
+            )
+            .filter(F.col("jaccard") >= MINHASH_JACCARD_MIN)
+        )
+
+    return memo_frame(spark, sf_dir, ("minhash_pairs",), build)
 
 
 def _build_minhash_postings(sh: DataFrame) -> DataFrame:

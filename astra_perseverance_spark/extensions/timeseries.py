@@ -16,7 +16,7 @@ make both engines agree regardless of session timezone).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from astra_perseverance_spark.conformed.model import _read
@@ -169,6 +169,61 @@ def q_events_window_attr(spark: SparkSession, sf_dir: str) -> DataFrame:
             "last_click_ns",
         )
         .orderBy("event_id")
+    )
+
+
+# Sessionization inactivity gap: two events of the same user more
+# than this far apart start a new session.
+SESSION_GAP_NS = 1_800 * 1_000_000_000  # 30 minutes
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch gap-based sessionization of the events stream: per user,
+    consecutive events closer than ``SESSION_GAP_NS`` belong to one
+    session (the standard 30-minute web-analytics rule).  The batch
+    twin of the streaming ``gc_sessions`` shape, but SQL-expressible
+    and therefore under the hard oracle gate.
+
+    Plan: the lag-flag-cumsum idiom — ONE shuffle on user_id, then
+    three partition-local window passes (previous timestamp → new-
+    session flag → running flag sum = session index) and a session-
+    grain aggregate that reuses the same (user_id) clustering; no
+    self-joins, no range comparisons.  Ties at equal ns are ordered
+    by event_id (total order → deterministic session boundaries).
+
+    Output: user_id, session_idx (0-based per user), start_ns,
+    end_ns, n_events, duration_ns."""
+    ev = _events_ns(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ns", "event_id")
+    sessions = (
+        ev.withColumn("_prev", F.lag("ns").over(w))
+        .withColumn(
+            "_new",
+            F.when(
+                F.col("_prev").isNull()
+                | (F.col("ns") - F.col("_prev") > SESSION_GAP_NS),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "session_idx",
+            (F.sum("_new").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ) - 1).cast("long"),
+        )
+    )
+    return (
+        sessions.groupBy("user_id", "session_idx")
+        .agg(
+            F.min("ns").alias("start_ns"),
+            F.max("ns").alias("end_ns"),
+            F.count("*").cast("long").alias("n_events"),
+        )
+        .select(
+            "user_id", "session_idx", "start_ns", "end_ns", "n_events",
+            (F.col("end_ns") - F.col("start_ns")).alias("duration_ns"),
+        )
+        .orderBy("user_id", "session_idx")
     )
 
 

@@ -703,7 +703,7 @@ def q_dedup_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output: lang, n_exact, n_hit, recall."""
     from astra_perseverance_spark.extensions.dedup import (
-        q_dedup_minhash_lsh,
+        minhash_pairs,
         q_ngram_jaccard,
     )
 
@@ -716,7 +716,7 @@ def q_dedup_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lsh = (
         _touching_panel(
-            q_dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b"),
+            minhash_pairs(spark, sf_dir).select("doc_a", "doc_b"),
             panel)
         .select("doc_a", "doc_b",
                 F.lit(None).cast("string").alias("lang"))
@@ -746,6 +746,55 @@ def q_dedup_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("recall"),
         )
         .orderBy("lang")
+    )
+
+
+# Leakage-safe split fractions (percent of the 100-bucket hash space).
+SPLIT_TRAIN_PCT = 90
+SPLIT_VAL_PCT = 5  # test gets the remainder
+
+
+def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test assignment: every document's split
+    is decided by the hash of its NEAR-DUP CLUSTER REPRESENTATIVE
+    (the connected-component label from ``dedup_clusters``; singleton
+    documents represent themselves) — so an entire duplicate cluster
+    always lands in ONE split and a near-duplicate of a training
+    document can never leak into the eval set, the failure mode naive
+    per-doc hash splits have on real web corpora.
+
+    bucket = h15(rep_doc) mod 100; < SPLIT_TRAIN_PCT → train, next
+    SPLIT_VAL_PCT → val, remainder → test.  Pure integer/md5
+    arithmetic — engine-identical, reproducible, and stable under
+    corpus growth (a doc's split changes only if its cluster's
+    representative changes).
+
+    Plan: one left join of the corpus doc list against the memoized
+    component frame (doc-grain, shuffle_hash — cluster membership can
+    be corpus-sized on dup-dense data, so no broadcast), then a
+    narrow hash projection.  With the bucketed warehouse the corpus
+    side arrives doc_id-clustered.
+
+    Output: doc_id, rep_doc, bucket, split."""
+    from astra_perseverance_spark.extensions.corpus import docs_frame
+    from astra_perseverance_spark.extensions.dedup import q_dedup_clusters
+
+    clusters = q_dedup_clusters(spark, sf_dir).select(
+        "doc_id", F.col("cluster_id").alias("_rep"))
+    docs = docs_frame(spark, sf_dir).select("doc_id")
+    rep = F.coalesce(F.col("_rep"), F.col("doc_id"))
+    bucket = h15(rep.cast("string")) % 100
+    return (
+        docs.join(clusters.hint("shuffle_hash"), "doc_id", "left")
+        .select(
+            "doc_id",
+            rep.alias("rep_doc"),
+            bucket.alias("bucket"),
+            F.when(bucket < SPLIT_TRAIN_PCT, "train")
+            .when(bucket < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT, "val")
+            .otherwise("test").alias("split"),
+        )
+        .orderBy("doc_id")
     )
 
 

@@ -1758,6 +1758,35 @@ SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_exact,
 FROM m GROUP BY lang ORDER BY lang
 """
 
+# Leakage-safe splits (training.q_split_assign): the split comes from
+# the near-dup cluster representative's hash, so whole clusters land
+# in one split; the cluster CTE is the independently-written
+# recursive-CTE components above.
+from astra_perseverance_spark.extensions.training import (  # noqa: E402
+    SPLIT_TRAIN_PCT,
+    SPLIT_VAL_PCT,
+)
+
+EXT_ORACLE_SQL["split_assign"] = f"""
+WITH cl AS MATERIALIZED (
+  SELECT * FROM ({EXT_ORACLE_SQL['dedup_clusters']})
+),
+a AS (
+  SELECT d.doc_id, COALESCE(cl.cluster_id, d.doc_id) AS rep_doc
+  FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id
+),
+b AS (
+  SELECT doc_id, rep_doc,
+         {h15_sql("CAST(rep_doc AS VARCHAR)")} % 100 AS bucket
+  FROM a
+)
+SELECT doc_id, rep_doc, bucket,
+       CASE WHEN bucket < {SPLIT_TRAIN_PCT} THEN 'train'
+            WHEN bucket < {SPLIT_TRAIN_PCT + SPLIT_VAL_PCT} THEN 'val'
+            ELSE 'test' END AS split
+FROM b ORDER BY doc_id
+"""
+
 EXT_ORACLE_SQL["curation_funnel"] = f"""
 WITH led AS MATERIALIZED (
   SELECT * FROM ({EXT_ORACLE_SQL['corpus_curate']})
@@ -1852,6 +1881,44 @@ FROM p LEFT JOIN c
  AND c.ns >= p.ns - {ATTR_WINDOW_NS} AND c.ns <= p.ns
 GROUP BY p.event_id, p.user_id, p.ns
 ORDER BY p.event_id
+"""
+
+# Gap-based sessionization (timeseries.py::q_events_sessionize): the
+# identical lag-flag-cumsum idiom in DuckDB window SQL — equal-ns
+# ties broken by event_id on both engines, so session boundaries are
+# total-order deterministic.
+from astra_perseverance_spark.extensions.timeseries import (  # noqa: E402
+    SESSION_GAP_NS,
+)
+
+EXT_ORACLE_SQL["events_sessionize"] = f"""
+WITH ev AS (
+  SELECT CAST(event_id AS BIGINT) AS event_id,
+         CAST(user_id AS BIGINT) AS user_id,
+         CAST(epoch_ns(ts) AS BIGINT) AS ns
+  FROM events
+),
+flagged AS (
+  SELECT user_id, event_id, ns,
+         CASE WHEN lag(ns) OVER w IS NULL
+                OR ns - lag(ns) OVER w > {SESSION_GAP_NS}
+              THEN 1 ELSE 0 END AS new_s
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ns, event_id)
+),
+indexed AS (
+  SELECT user_id, ns,
+         CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ns, event_id
+                               ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT)
+           AS session_idx
+  FROM flagged
+)
+SELECT user_id, session_idx,
+       MIN(ns) AS start_ns, MAX(ns) AS end_ns,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       MAX(ns) - MIN(ns) AS duration_ns
+FROM indexed GROUP BY user_id, session_idx
+ORDER BY user_id, session_idx
 """
 
 # Forward as-of (timeseries.py::q_events_next_error): DuckDB's native

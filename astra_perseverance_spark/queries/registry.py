@@ -26,14 +26,16 @@ Round-6 rotation (rule 2 first, then freshness):
   (events_asof, events_window_attr, events_next_error,
   shard_manifest, dedup_recall_audit, curation_funnel,
   doc_digest_join — promised the r6 window by the r5 note) plus the
-  NEW events_asof_1h; then the 6 queries whose code changed this
-  round (dedup_recall_audit → panel sampling; corpus_curate →
-  bucketed-warehouse inputs; embedding_quantize +
-  ann_quantized_recall → exact integer division; pii_scan → probe
-  fix; multimodal_features / multimodal_frame_sample → AVI decode);
-  then 14 tail queries whose last driver row is r4 (spreading the
-  freshness debt so no query's last row ages past the K=3-round
-  budget enforced by tests/test_rotation.py).
+  NEW events_asof_1h, events_sessionize and split_assign; then the
+  queries whose code changed this round (dedup_recall_audit → panel
+  sampling; corpus_curate → window-min dup flag + bucketed-warehouse
+  gates; embedding_quantize + ann_quantized_recall → exact integer
+  division; pii_scan → probe-fix docs; multimodal_features /
+  multimodal_frame_sample → real AVI container round-trip); then 12
+  tail queries whose last driver row is r4 (spreading the freshness
+  debt so no query's last row ages past the K=3-round budget
+  enforced by tests/test_rotation.py; the other 12 r4-last queries
+  are reserved for the r7 window — see the Tier 4 note).
 * To the tail: the r5-green curation/prep/training entries whose
   code is untouched this round — all still under the full-registry
   pytest oracle-parity gate and the bench suite.
@@ -102,9 +104,11 @@ QUERY_REGISTRY: dict[str, QueryFn] = {
     "events_asof_1h": timeseries.q_events_asof_1h,
     "events_window_attr": timeseries.q_events_window_attr,
     "events_next_error": timeseries.q_events_next_error,
+    "events_sessionize": timeseries.q_events_sessionize,
     "shard_manifest": training.q_shard_manifest,
     "dedup_recall_audit": training.q_dedup_recall_audit,
     "curation_funnel": training.q_curation_funnel,
+    "split_assign": training.q_split_assign,
     "doc_digest_join": pipeline.q_doc_digest_join,
     # ---- Tier 3: code changed this round ----
     "corpus_curate": curation.q_corpus_curate,
@@ -128,8 +132,6 @@ QUERY_REGISTRY: dict[str, QueryFn] = {
     "embedding_dup_clusters": similarity.q_embedding_dup_clusters,
     "gc_minute_windows": gc_stream.q_gc_minute_windows,
     "dedup_exact": dedup.q_dedup_exact,
-    "embedding_topk": similarity.q_embedding_topk,
-    "text_stats": text_stats.q_text_stats,
     # ---- Tier 4: tail (>50) — driver-green r5 (or r4 with an r7
     # window reservation), code unchanged; all still covered by the
     # full-registry pytest oracle-parity gate + bench ----
@@ -156,6 +158,8 @@ QUERY_REGISTRY: dict[str, QueryFn] = {
     "bpe_merges": training.q_bpe_merges,
     "bpe_token_count": training.q_bpe_token_count,
     # r4-last, reserved for the r7 window (see Tier 3b note):
+    "text_stats": text_stats.q_text_stats,
+    "embedding_topk": similarity.q_embedding_topk,
     "ann_recall_ivf_kmeans": similarity.q_ann_recall_ivf_kmeans,
     "embedding_label_probe": similarity.q_embedding_label_probe,
     "dedup_keep_list": dedup.q_dedup_keep_list,

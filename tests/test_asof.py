@@ -235,6 +235,70 @@ class TestWindowAttr:
                 assert asof[r["event_id"]] == r["last_click_ns"]
 
 
+class TestSessionize:
+    def test_python_recompute(self, spark):
+        from astra_perseverance_spark.extensions.timeseries import (
+            SESSION_GAP_NS,
+            _events_ns,
+            q_events_sessionize,
+        )
+
+        ev = _events_ns(spark, SF_SMALL).collect()
+        per_user: dict[int, list] = {}
+        for r in ev:
+            per_user.setdefault(r["user_id"], []).append(
+                (r["ns"], r["event_id"]))
+        expect = {}
+        for uid, rows in per_user.items():
+            rows.sort()
+            idx, start, prev, count = -1, None, None, 0
+            for ns, _eid in rows:
+                if prev is None or ns - prev > SESSION_GAP_NS:
+                    if idx >= 0:
+                        expect[(uid, idx)] = (start, prev, count,
+                                              prev - start)
+                    idx += 1
+                    start, count = ns, 0
+                count += 1
+                prev = ns
+            expect[(uid, idx)] = (start, prev, count, prev - start)
+        got = {
+            (r["user_id"], r["session_idx"]):
+            (r["start_ns"], r["end_ns"], r["n_events"], r["duration_ns"])
+            for r in q_events_sessionize(spark, SF_SMALL).collect()
+        }
+        assert got == expect
+        # the gap rule must actually split somebody on the fixture
+        assert any(i > 0 for _, i in got)
+
+    def test_hand_fixture_gap_boundary(self, spark):
+        """Gap exactly == SESSION_GAP_NS stays in the SAME session
+        (strict > starts a new one); one ns more splits."""
+        from astra_perseverance_spark.extensions.timeseries import (
+            SESSION_GAP_NS,
+            q_events_sessionize,
+        )
+        import astra_perseverance_spark.extensions.timeseries as ts
+
+        rows = [
+            (1, 7, "click", 0),
+            (2, 7, "click", SESSION_GAP_NS),          # == gap: same
+            (3, 7, "click", 2 * SESSION_GAP_NS + 1),  # > gap: new
+        ]
+        sch = "event_id long, user_id long, event_type string, ns long"
+        df = spark.createDataFrame(rows, sch)
+        orig = ts._events_ns
+        ts._events_ns = lambda s, d: df
+        try:
+            got = {
+                (r["session_idx"]): (r["n_events"])
+                for r in q_events_sessionize(spark, "ignored").collect()
+            }
+        finally:
+            ts._events_ns = orig
+        assert got == {0: 2, 1: 1}
+
+
 class TestAsofForward:
     def test_hand_fixture(self, spark):
         from astra_perseverance_spark.functions.asof import asof_forward

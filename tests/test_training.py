@@ -413,6 +413,34 @@ class TestDerivedAudits:
         # the stratified audit from the exhaustive one
         assert n_dropped > 0
 
+    def test_split_assign_covers_corpus_with_valid_splits(self, q, spark):
+        from astra_perseverance_spark.extensions.corpus import n_docs
+        from tests.conftest import SF_SMALL
+
+        rows = q("split_assign").collect()
+        assert len(rows) == n_docs(spark, SF_SMALL)
+        assert {r["split"] for r in rows} == {"train", "val", "test"}
+        for r in rows:
+            assert 0 <= r["bucket"] < 100
+        # ~90/5/5 with hash noise; just require the ordering
+        by = {"train": 0, "val": 0, "test": 0}
+        for r in rows:
+            by[r["split"]] += 1
+        assert by["train"] > by["val"] and by["train"] > by["test"]
+
+    def test_split_assign_keeps_dup_clusters_together(self, q):
+        """The leakage guarantee: every exact- or near-dup cluster
+        (and hence every verified near-dup PAIR) lives in one split."""
+        split = {r["doc_id"]: r["split"] for r in q("split_assign").collect()}
+        clusters: dict[int, set] = {}
+        for r in q("dedup_clusters").collect():
+            clusters.setdefault(r["cluster_id"], set()).add(r["doc_id"])
+        assert clusters
+        for cid, members in clusters.items():
+            assert len({split[d] for d in members}) == 1, cid
+        for r in q("ngram_jaccard").collect():
+            assert split[r["doc_a"]] == split[r["doc_b"]]
+
     def test_curation_funnel_counts_match_ledger(self, q):
         ledger = q("corpus_curate").collect()
         expect: dict[str, int] = {}

@@ -100,8 +100,11 @@ OPS = [
     ("dedup_recall_audit", "pair-grain tagged-union membership"),
     ("curation_funnel", "reason-grain agg over the ledger"),
     ("events_asof", "O(n) union + per-key running carry"),
+    ("events_asof_1h", "events_asof + one tolerance gate on the carry"),
     ("events_window_attr", "O(n) banded two-bucket range probe"),
     ("events_next_error", "O(n) union + per-key descending carry"),
+    ("events_sessionize", "O(n) one shuffle + 3 local window passes"),
+    ("split_assign", "O(n) left join vs component frame + hash map"),
 ]
 
 
