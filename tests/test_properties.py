@@ -162,6 +162,38 @@ class TestExtensionInvariants:
             assert 0.0 <= r["quality"] <= 1.0
 
 
+class TestIntegerDivision:
+    def test_idiv_matches_duckdb_floor_semantics(self, spark):
+        """``training._idiv`` (SQL ``div``) must agree with DuckDB's
+        ``//`` on every BIGINT — including negatives (both truncate
+        toward zero) and magnitudes past 2^53, where the old
+        ``floor(a / b)`` double path loses integer precision."""
+        import duckdb
+
+        from astra_perseverance_spark.extensions.training import _idiv
+
+        cases = [
+            (7, 2), (-7, 2), (7, -2), (-7, -2), (0, 5),
+            (2**61 + 12345, 255), (-(2**61) - 7, 255),
+            (2**53 + 1, 3), (10**18, 7), (255, 2**40),
+            # floor(double-div) would return 2^53 here; div is exact
+            (2**53 + 1, 1),
+        ]
+        df = spark.createDataFrame(cases, "a long, b long")
+        got = {
+            (r["a"], r["b"]): r["q"]
+            for r in df.select(
+                "a", "b", _idiv(F.col("a"), F.col("b")).alias("q")
+            ).collect()
+        }
+        for a, b in cases:
+            want = duckdb.sql(
+                f"SELECT CAST({a} AS BIGINT) // CAST({b} AS BIGINT)"
+            ).fetchone()[0]
+            assert got[(a, b)] == want, (a, b)
+        assert got[(2**53 + 1, 1)] == 2**53 + 1  # exact past 2^53
+
+
 class TestMultimodal:
     def test_video_decode_stub_raises(self):
         """PNG/WAV decode is real (tests/test_multimodal.py); video

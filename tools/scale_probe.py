@@ -55,7 +55,7 @@ OPS = [
     # (name, expected shape)
     ("dedup_exact", "O(n)"),
     ("dedup_tokenset", "O(n)"),
-    ("dedup_minhash_lsh", "O(n) sigs + bucket-local pairs"),
+    ("dedup_minhash_lsh", "memoized pair artifact (build: bucket-local pairs)"),
     ("dedup_simhash", "O(n) sigs + Σ chunk-bucket² (corpus-scaled width)"),
     ("ngram_jaccard", "df-capped prefix postings + per-candidate verify"),
     ("text_stats", "O(n)"),
@@ -246,9 +246,10 @@ def main() -> int:
         "",
         "Each op is measured in isolation (shared memo frames released,",
         "own warm 'build' run first — timed separately as the build",
-        "ratio, since for memoized operators (ngram pairs, IVF lists)",
-        "the warm number reads a cached artifact and the build number",
-        "is where the join/train cost lives).  Ratios at or under the",
+        "ratio, since for memoized operators (ngram pairs, minhash",
+        "pairs, IVF lists, components) the warm number reads a cached",
+        "artifact and the build number is where the join/train cost",
+        "lives).  Ratios at or under the",
         "replication factor mean the operator is partition-parallel with",
         "no hidden quadratic stage.  For the near-dup ops, compare the",
         "time ratio against the OUTPUT row growth: the probe corpus",
