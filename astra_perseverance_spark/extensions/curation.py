@@ -342,12 +342,20 @@ def q_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The curation capstone: one keep/drop row per document with the
-    semicolon-joined reason list (fixed rule order: too_short; low_ttr;
-    high_punct; exact_dup; near_dup; contaminated) — the ledger the
-    pipeline's final materialization step consumes, combining the
-    quality filter, both dedup families, and decontamination in one
+def curation_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, keep, reasons) UNORDERED — the curation ledger frame,
+    memoized per session: the ledger is a pipeline artifact (the
+    materialization step, the funnel, and the shard exporter all read
+    the same decisions), so the five-join build runs once, not per
+    consumer — the same artifact pattern as ``dedup.ngram_pairs`` /
+    ``dedup.minhash_pairs``.  In bucketed-warehouse mode the memo is
+    skipped: the durable tables are the cache, and consumers get the
+    exchange-free bucketed plan (gated in ``tests/test_warehouse.py``).
+
+    One keep/drop row per document with the semicolon-joined reason
+    list (fixed rule order: too_short; low_ttr; high_punct;
+    exact_dup; near_dup; contaminated) — combining the quality
+    filter, both dedup families, and decontamination in one
     artifact.
 
     Declared drop rules beyond ``q_quality_filter``'s: ``near_dup`` —
@@ -374,6 +382,8 @@ def q_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     SortMergeJoin — on uniform already-aggregated keys the sort adds
     nothing, and the flag/reject sides are far smaller than the stats
     side, exactly the hash-build shape."""
+    from astra_perseverance_spark.conformed.model import memo_frame
+    from astra_perseverance_spark.extensions.corpus import bucketed_db
     from astra_perseverance_spark.extensions.dedup import (
         content_digest_frame,
         ngram_pairs,
@@ -387,51 +397,65 @@ def q_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         text_stats_frame,
     )
 
-    stats = text_stats_frame(spark, sf_dir).select(
-        "doc_id", "n_tokens", "ttr", "punct_ratio"
-    )
-    d = content_digest_frame(spark, sf_dir)
-    # representative = group-min doc_id, via a window so the digest
-    # frame crosses ONE exchange (groupBy+join-back would shuffle it
-    # twice: once for the agg, once to join the reps)
-    dup = d.select(
-        "doc_id",
-        (
-            F.col("doc_id")
-            > F.min("doc_id").over(Window.partitionBy("content_md5"))
-        ).alias("is_dup"),
-    )
-    near = (
-        ngram_pairs(spark, sf_dir)
-        .select(F.col("doc_b").alias("doc_id"))
-        .distinct()
-        .withColumn("is_near", F.lit(True))
-    )
-    contam = (
-        q_decontaminate(spark, sf_dir)
-        .select("doc_id")
-        .distinct()
-        .withColumn("is_contam", F.lit(True))
-    )
-    flagged = (
-        stats.join(dup.hint("shuffle_hash"), "doc_id")
-        .join(near.hint("shuffle_hash"), "doc_id", "left")
-        .join(contam.hint("shuffle_hash"), "doc_id", "left")
-        .select(
-            "doc_id",
-            F.concat_ws(
-                ";",
-                F.when(F.col("n_tokens") < QF_MIN_TOKENS, F.lit("too_short")),
-                F.when(F.col("ttr") < QF_MIN_TTR, F.lit("low_ttr")),
-                F.when(F.col("punct_ratio") > QF_MAX_PUNCT,
-                       F.lit("high_punct")),
-                F.when(F.col("is_dup"), F.lit("exact_dup")),
-                F.when(F.col("is_near").isNotNull(), F.lit("near_dup")),
-                F.when(F.col("is_contam").isNotNull(),
-                       F.lit("contaminated")),
-            ).alias("reasons"),
+    def build() -> DataFrame:
+        stats = text_stats_frame(spark, sf_dir).select(
+            "doc_id", "n_tokens", "ttr", "punct_ratio"
         )
-    )
-    return flagged.select(
-        "doc_id", (F.col("reasons") == "").alias("keep"), "reasons"
-    ).orderBy("doc_id")
+        d = content_digest_frame(spark, sf_dir)
+        # representative = group-min doc_id, via a window so the
+        # digest frame crosses ONE exchange (groupBy+join-back would
+        # shuffle it twice: once for the agg, once to join the reps)
+        dup = d.select(
+            "doc_id",
+            (
+                F.col("doc_id")
+                > F.min("doc_id").over(Window.partitionBy("content_md5"))
+            ).alias("is_dup"),
+        )
+        near = (
+            ngram_pairs(spark, sf_dir)
+            .select(F.col("doc_b").alias("doc_id"))
+            .distinct()
+            .withColumn("is_near", F.lit(True))
+        )
+        contam = (
+            q_decontaminate(spark, sf_dir)
+            .select("doc_id")
+            .distinct()
+            .withColumn("is_contam", F.lit(True))
+        )
+        flagged = (
+            stats.join(dup.hint("shuffle_hash"), "doc_id")
+            .join(near.hint("shuffle_hash"), "doc_id", "left")
+            .join(contam.hint("shuffle_hash"), "doc_id", "left")
+            .select(
+                "doc_id",
+                F.concat_ws(
+                    ";",
+                    F.when(F.col("n_tokens") < QF_MIN_TOKENS,
+                           F.lit("too_short")),
+                    F.when(F.col("ttr") < QF_MIN_TTR, F.lit("low_ttr")),
+                    F.when(F.col("punct_ratio") > QF_MAX_PUNCT,
+                           F.lit("high_punct")),
+                    F.when(F.col("is_dup"), F.lit("exact_dup")),
+                    F.when(F.col("is_near").isNotNull(),
+                           F.lit("near_dup")),
+                    F.when(F.col("is_contam").isNotNull(),
+                           F.lit("contaminated")),
+                ).alias("reasons"),
+            )
+        )
+        return flagged.select(
+            "doc_id", (F.col("reasons") == "").alias("keep"), "reasons"
+        )
+
+    if bucketed_db():
+        return build()
+    return memo_frame(spark, sf_dir, ("curation_ledger",), build)
+
+
+def q_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation capstone query: the memoized ledger
+    (``curation_ledger``) with the report sort — see that builder's
+    docstring for the rule semantics and the plan/scale notes."""
+    return curation_ledger(spark, sf_dir).orderBy("doc_id")

@@ -806,10 +806,13 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     A document can carry several reasons (semicolon-joined in
     ``corpus_curate``), so rows are reason-grain and fractions need
     not sum to the reject rate.  Reason-grain aggregate over the
-    ledger — tiny output at any scale."""
-    from astra_perseverance_spark.extensions.curation import q_corpus_curate
+    MEMOIZED ledger frame (``curation.curation_ledger`` — the sort
+    the registered query adds is irrelevant here and the memo means
+    the five-join build isn't re-run per consumer) — tiny output at
+    any scale."""
+    from astra_perseverance_spark.extensions.curation import curation_ledger
 
-    ledger = q_corpus_curate(spark, sf_dir)
+    ledger = curation_ledger(spark, sf_dir)
     total = n_docs(spark, sf_dir)
     return (
         ledger.filter(~F.col("keep"))

@@ -79,7 +79,7 @@ def export_views(spark: SparkSession, sf_dir: str, out_dir: str,
 def export_curated_corpus(spark: SparkSession, sf_dir: str, out_dir: str,
                           fmt: str = "parquet") -> dict[str, object]:
     """Materialize the training-ready corpus: documents that survive
-    the full curation ledger (``curation.q_corpus_curate`` — quality
+    the full curation ledger (``curation.curation_ledger`` — quality
     rules + exact/near dedup + decontamination), written sharded by
     the executors, plus the rejects ledger as an audit side output.
 
@@ -95,9 +95,9 @@ def export_curated_corpus(spark: SparkSession, sf_dir: str, out_dir: str,
     if fmt not in ("parquet", "jsonl"):
         raise ValueError(f"unsupported corpus format: {fmt!r}")
     from astra_perseverance_spark.extensions.corpus import docs_frame
-    from astra_perseverance_spark.extensions.curation import q_corpus_curate
+    from astra_perseverance_spark.extensions.curation import curation_ledger
 
-    ledger = q_corpus_curate(spark, sf_dir)
+    ledger = curation_ledger(spark, sf_dir)  # unordered memoized frame
     docs = docs_frame(spark, sf_dir)
     kept = docs.join(
         ledger.filter(F.col("keep")).select("doc_id").hint("shuffle_hash"),

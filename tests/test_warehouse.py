@@ -110,13 +110,24 @@ def test_corpus_curate_payload_never_shuffles_when_bucketed(
     property that matters at 100 TB."""
     import re
 
+    from astra_perseverance_spark.conformed.model import release_memos
     from astra_perseverance_spark.extensions.corpus import BUCKETED_DB_ENV
     from astra_perseverance_spark.queries import QUERY_REGISTRY
 
     monkeypatch.setenv(BUCKETED_DB_ENV, "bucketdemo")
+    # hermetic: earlier tests memoize corpus frames in NON-bucketed
+    # mode (raw-parquet repartitions carrying text); explain prints
+    # those cached subtrees, which would fail the no-text-exchange
+    # assertion for shuffles this plan wouldn't re-execute in a real
+    # bucketed deployment.  Release so every input rebuilds under the
+    # flag — the fresh-deployment shape the invariant is about.
+    release_memos(spark)
     sess = spark.newSession()
     sess.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    plan = _plan(QUERY_REGISTRY["corpus_curate"](sess, SF_SMALL))
+    try:
+        plan = _plan(QUERY_REGISTRY["corpus_curate"](sess, SF_SMALL))
+    finally:
+        release_memos(spark)  # drop frames memoized under the flag
     # both base tables come in through bucketed scans
     assert plan.count("SelectedBucketsCount") >= 2, plan
     exchange_inputs = re.findall(
