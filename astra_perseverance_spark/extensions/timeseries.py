@@ -172,6 +172,61 @@ def q_events_window_attr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view → click → purchase: for each
+    user with at least one view, the EARLIEST view, the earliest
+    click at-or-after it, and the earliest purchase at-or-after that
+    click — the classic product-analytics funnel, where a step only
+    counts if it happens after the previous step completed.
+
+    Plan: ONE shuffle on user_id, then three whole-partition window
+    aggregates computed in sequence (each step's conditional MIN can
+    reference the previous step's column because the window is the
+    whole user partition) and a user-grain dedup that reuses the same
+    clustering — no self-joins, no per-step re-shuffle, no range
+    join.  A naive formulation is three chained as-of joins (three
+    shuffles); the single-exchange form is what survives a 100 TB
+    event stream.
+
+    Output: user_id, view_ns, click_ns, purchase_ns (NULL once the
+    chain breaks), reached (1–3 = deepest step completed)."""
+    ev = _events_ns(spark, sf_dir)
+    w = Window.partitionBy("user_id")
+    t = F.col("event_type")
+    staged = (
+        ev.withColumn(
+            "view_ns",
+            F.min(F.when(t == "view", F.col("ns"))).over(w))
+        .withColumn(
+            "click_ns",
+            F.min(F.when((t == "click")
+                         & (F.col("ns") >= F.col("view_ns")),
+                         F.col("ns"))).over(w))
+        .withColumn(
+            "purchase_ns",
+            F.min(F.when((t == "purchase")
+                         & (F.col("ns") >= F.col("click_ns")),
+                         F.col("ns"))).over(w))
+    )
+    return (
+        staged.filter(F.col("view_ns").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.max("view_ns").alias("view_ns"),
+            F.max("click_ns").alias("click_ns"),
+            F.max("purchase_ns").alias("purchase_ns"),
+        )
+        .select(
+            "user_id", "view_ns", "click_ns", "purchase_ns",
+            (F.lit(1)
+             + F.col("click_ns").isNotNull().cast("int")
+             + F.col("purchase_ns").isNotNull().cast("int"))
+            .cast("int").alias("reached"),
+        )
+        .orderBy("user_id")
+    )
+
+
 # Sessionization inactivity gap: two events of the same user more
 # than this far apart start a new session.
 SESSION_GAP_NS = 1_800 * 1_000_000_000  # 30 minutes

@@ -1883,6 +1883,43 @@ GROUP BY p.event_id, p.user_id, p.ns
 ORDER BY p.event_id
 """
 
+# Ordered conversion funnel (timeseries.py::q_events_funnel): the
+# identical sequential conditional-MIN window formulation — each CTE
+# stage's MIN can reference the previous stage's column.
+
+EXT_ORACLE_SQL["events_funnel"] = """
+WITH ev AS (
+  SELECT CAST(user_id AS BIGINT) AS user_id, event_type,
+         CAST(epoch_ns(ts) AS BIGINT) AS ns
+  FROM events
+),
+s1 AS (
+  SELECT user_id, event_type, ns,
+         MIN(CASE WHEN event_type = 'view' THEN ns END)
+           OVER (PARTITION BY user_id) AS view_ns
+  FROM ev
+),
+s2 AS (
+  SELECT *, MIN(CASE WHEN event_type = 'click' AND ns >= view_ns
+                     THEN ns END)
+              OVER (PARTITION BY user_id) AS click_ns
+  FROM s1
+),
+s3 AS (
+  SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ns >= click_ns
+                     THEN ns END)
+              OVER (PARTITION BY user_id) AS purchase_ns
+  FROM s2
+)
+SELECT user_id, MAX(view_ns) AS view_ns, MAX(click_ns) AS click_ns,
+       MAX(purchase_ns) AS purchase_ns,
+       CAST(1 + CASE WHEN MAX(click_ns) IS NOT NULL THEN 1 ELSE 0 END
+              + CASE WHEN MAX(purchase_ns) IS NOT NULL THEN 1 ELSE 0 END
+            AS INT) AS reached
+FROM s3 WHERE view_ns IS NOT NULL
+GROUP BY user_id ORDER BY user_id
+"""
+
 # Gap-based sessionization (timeseries.py::q_events_sessionize): the
 # identical lag-flag-cumsum idiom in DuckDB window SQL — equal-ns
 # ties broken by event_id on both engines, so session boundaries are

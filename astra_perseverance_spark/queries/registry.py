@@ -105,6 +105,7 @@ QUERY_REGISTRY: dict[str, QueryFn] = {
     "events_window_attr": timeseries.q_events_window_attr,
     "events_next_error": timeseries.q_events_next_error,
     "events_sessionize": timeseries.q_events_sessionize,
+    "events_funnel": timeseries.q_events_funnel,
     "shard_manifest": training.q_shard_manifest,
     "dedup_recall_audit": training.q_dedup_recall_audit,
     "curation_funnel": training.q_curation_funnel,
@@ -131,7 +132,6 @@ QUERY_REGISTRY: dict[str, QueryFn] = {
     "embedding_cosine_dups": similarity.q_embedding_cosine_dups,
     "embedding_dup_clusters": similarity.q_embedding_dup_clusters,
     "gc_minute_windows": gc_stream.q_gc_minute_windows,
-    "dedup_exact": dedup.q_dedup_exact,
     # ---- Tier 4: tail (>50) — driver-green r5 (or r4 with an r7
     # window reservation), code unchanged; all still covered by the
     # full-registry pytest oracle-parity gate + bench ----
@@ -160,6 +160,7 @@ QUERY_REGISTRY: dict[str, QueryFn] = {
     # r4-last, reserved for the r7 window (see Tier 3b note):
     "text_stats": text_stats.q_text_stats,
     "embedding_topk": similarity.q_embedding_topk,
+    "dedup_exact": dedup.q_dedup_exact,
     "ann_recall_ivf_kmeans": similarity.q_ann_recall_ivf_kmeans,
     "embedding_label_probe": similarity.q_embedding_label_probe,
     "dedup_keep_list": dedup.q_dedup_keep_list,

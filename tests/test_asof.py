@@ -299,6 +299,78 @@ class TestSessionize:
         assert got == {0: 2, 1: 1}
 
 
+class TestFunnel:
+    def test_python_recompute(self, spark):
+        from astra_perseverance_spark.extensions.timeseries import (
+            _events_ns,
+            q_events_funnel,
+        )
+
+        ev = _events_ns(spark, SF_SMALL).collect()
+        per_user: dict[int, list] = {}
+        for r in ev:
+            per_user.setdefault(r["user_id"], []).append(
+                (r["ns"], r["event_type"]))
+        expect = {}
+        for uid, rows in per_user.items():
+            views = [ns for ns, t in rows if t == "view"]
+            if not views:
+                continue
+            v = min(views)
+            clicks = [ns for ns, t in rows if t == "click" and ns >= v]
+            c = min(clicks) if clicks else None
+            p = None
+            if c is not None:
+                buys = [ns for ns, t in rows
+                        if t == "purchase" and ns >= c]
+                p = min(buys) if buys else None
+            expect[uid] = (v, c, p,
+                           1 + (c is not None) + (p is not None))
+        got = {
+            r["user_id"]: (r["view_ns"], r["click_ns"],
+                           r["purchase_ns"], r["reached"])
+            for r in q_events_funnel(spark, SF_SMALL).collect()
+        }
+        assert got == expect and got
+        # the dense fixture completes the funnel for everyone; the
+        # hand fixture below covers broken chains and step ordering
+        assert 3 in {v[3] for v in got.values()}
+
+    def test_step_order_is_enforced(self, spark):
+        """A purchase BEFORE the first qualifying click must not
+        count: the funnel is ordered, not mere per-type minima."""
+        from astra_perseverance_spark.extensions.timeseries import (
+            q_events_funnel,
+        )
+        import astra_perseverance_spark.extensions.timeseries as ts
+
+        rows = [
+            (1, 1, "purchase", 50),   # before the click -> ignored
+            (2, 1, "view", 10),
+            (3, 1, "click", 100),
+            (4, 1, "purchase", 200),  # the one that counts
+            (5, 2, "click", 5),       # click before first view
+            (6, 2, "view", 10),
+            (7, 2, "click", 30),
+        ]
+        sch = "event_id long, user_id long, event_type string, ns long"
+        df = spark.createDataFrame(rows, sch)
+        orig = ts._events_ns
+        ts._events_ns = lambda s, d: df
+        try:
+            got = {
+                r["user_id"]: (r["view_ns"], r["click_ns"],
+                               r["purchase_ns"], r["reached"])
+                for r in q_events_funnel(spark, "ignored").collect()
+            }
+        finally:
+            ts._events_ns = orig
+        assert got == {
+            1: (10, 100, 200, 3),
+            2: (10, 30, None, 2),  # the ns=5 click predates the view
+        }
+
+
 class TestAsofForward:
     def test_hand_fixture(self, spark):
         from astra_perseverance_spark.functions.asof import asof_forward

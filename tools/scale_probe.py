@@ -104,6 +104,7 @@ OPS = [
     ("events_window_attr", "O(n) banded two-bucket range probe"),
     ("events_next_error", "O(n) union + per-key descending carry"),
     ("events_sessionize", "O(n) one shuffle + 3 local window passes"),
+    ("events_funnel", "O(n) one shuffle + 3 sequential window aggs"),
     ("split_assign", "O(n) left join vs component frame + hash map"),
 ]
 
