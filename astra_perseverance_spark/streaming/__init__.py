@@ -15,6 +15,9 @@ from astra_perseverance_spark.streaming.curation_stream import (
     stream_curation_gate,
 )
 from astra_perseverance_spark.streaming.doc_stream import stream_dedup_exact
+from astra_perseverance_spark.streaming.funnel_stream import (
+    stream_events_funnel,
+)
 from astra_perseverance_spark.streaming.gc_stream import (
     gc_minute_window_agg,
     stream_gc_minute_windows,
@@ -24,6 +27,7 @@ from astra_perseverance_spark.streaming.gc_stream import (
 __all__ = [
     "curation_gate",
     "stream_events_asof",
+    "stream_events_funnel",
     "gc_minute_window_agg",
     "stream_curated_dedup",
     "stream_curation_gate",

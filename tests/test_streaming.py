@@ -367,6 +367,54 @@ def test_stream_asof_matches_batch(spark, tmp_path):
     assert got == want and len(got) > 0
 
 
+def test_stream_funnel_matches_batch(spark, tmp_path):
+    """Stateful streaming funnel converges to the batch events_funnel
+    result when batches replay in event-time order: the greedy
+    in-order walk locks in exactly the batch minima (earliest view →
+    earliest qualifying click → earliest qualifying purchase).  Three
+    time-ordered files through one query so funnel state carries
+    across micro-batches; the LAST emitted row per user is compared
+    (earlier rows are the funnel's progress change-stream)."""
+    from astra_perseverance_spark.extensions.timeseries import (
+        _events_ns,
+        q_events_funnel,
+    )
+    from astra_perseverance_spark.streaming import stream_events_funnel
+
+    ev = _events_ns(spark, SF_SMALL).orderBy("ns")
+    rows = ev.collect()
+    src_dir = str(tmp_path / "funnel_src")
+    third = len(rows) // 3
+    for chunk in (rows[:third], rows[third:2 * third], rows[2 * third:]):
+        spark.createDataFrame(chunk, ev.schema).coalesce(1).write.mode(
+            "append").parquet(src_dir)
+
+    sdf = stream_events_funnel(spark, src_dir, max_files_per_trigger=1)
+    q = (
+        sdf.writeStream.format("memory").queryName("funnel_stream_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_funnel"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    # last emitted row per user = the deepest funnel state reached
+    emitted = spark.sql(
+        "SELECT * FROM funnel_stream_test").collect()
+    last: dict[int, tuple] = {}
+    for r in emitted:
+        cur = (r["view_ns"], r["click_ns"], r["purchase_ns"],
+               r["reached"])
+        prev = last.get(r["user_id"])
+        if prev is None or cur[3] >= prev[3]:
+            last[r["user_id"]] = cur
+    want = {
+        r["user_id"]: (r["view_ns"], r["click_ns"], r["purchase_ns"],
+                       r["reached"])
+        for r in q_events_funnel(spark, SF_SMALL).collect()
+    }
+    assert last == want and len(last) > 0
+
+
 def test_stream_asof_same_ns_tie_matches_batch(spark, tmp_path):
     """Equal-timestamp tie INSIDE one micro-batch: a click with the
     same ns as a purchase but a LARGER event_id must still attribute
