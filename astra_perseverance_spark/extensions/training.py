@@ -790,9 +790,98 @@ def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             rep.alias("rep_doc"),
             bucket.alias("bucket"),
-            F.when(bucket < SPLIT_TRAIN_PCT, "train")
-            .when(bucket < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT, "val")
-            .otherwise("test").alias("split"),
+            _split_name(bucket).alias("split"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _split_name(bucket: F.Column) -> F.Column:
+    """bucket (0–99) → split label; shared by both split operators so
+    the boundary arithmetic can never drift between them."""
+    return (
+        F.when(bucket < SPLIT_TRAIN_PCT, "train")
+        .when(bucket < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT, "val")
+        .otherwise("test")
+    )
+
+
+def q_split_assign_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe split assignment for a NEW ingestion batch against
+    an EXISTING corpus (doc_id parity split, the
+    ``dedup_incremental`` fixture convention: even = existing, odd =
+    new): a new document that duplicates or near-duplicates an
+    existing document INHERITS the split of its anchor (the matched
+    existing doc with the smallest id), so fresh crawl data can never
+    drop a near-copy of a training document into the eval set;
+    unmatched new docs hash their own id.
+
+    The existing corpus's splits are what ``split_assign`` would have
+    produced on that corpus alone: connected components of the
+    EXISTING-ONLY duplicate subgraph (memoized — at production scale
+    a persisted artifact of the prior corpus build), rep-hash
+    bucketed.  Matches come from the persisted-artifact probes of
+    ``dedup_incremental`` — batch-sized work, not a corpus re-dedup.
+
+    Output: doc_id (new batch), anchor_doc (NULL if unmatched),
+    n_anchors, split, split_conflict (TRUE when the doc's anchors
+    span more than one split — the signal to quarantine a document
+    that bridges existing clusters across the split boundary)."""
+    from astra_perseverance_spark.conformed.model import memo_frame
+    from astra_perseverance_spark.extensions.corpus import docs_frame
+    from astra_perseverance_spark.extensions.dedup import (
+        _dup_edges,
+        q_dedup_incremental,
+    )
+    from astra_perseverance_spark.functions.graph import (
+        connected_components,
+    )
+
+    def build_even_components() -> DataFrame:
+        edges = _dup_edges(spark, sf_dir).filter(
+            (F.col("a") % 2 == 0) & (F.col("b") % 2 == 0))
+        return connected_components(edges)
+
+    comp = memo_frame(
+        spark, sf_dir, ("even_components",), build_even_components
+    ).select(F.col("node").alias("doc_id"), "component")
+
+    docs = docs_frame(spark, sf_dir).select("doc_id")
+    existing = (
+        docs.filter(F.col("doc_id") % 2 == 0)
+        .join(comp.hint("shuffle_hash"), "doc_id", "left")
+    )
+    ex_rep = F.coalesce(F.col("component"), F.col("doc_id"))
+    ex_split = existing.select(
+        F.col("doc_id").alias("dup_of"),
+        _split_name(h15(ex_rep.cast("string")) % 100).alias("ex_split"),
+    )
+    m = (
+        q_dedup_incremental(spark, sf_dir)
+        .select("doc_id", "dup_of")
+        .join(ex_split.hint("shuffle_hash"), "dup_of")
+        .groupBy("doc_id")
+        .agg(
+            F.min("dup_of").alias("anchor_doc"),
+            F.count_distinct(F.col("dup_of")).cast("long")
+            .alias("n_anchors"),
+            F.min_by("ex_split", "dup_of").alias("anchor_split"),
+            (F.count_distinct(F.col("ex_split")) > 1)
+            .alias("split_conflict"),
+        )
+    )
+    own_bucket = h15(F.col("doc_id").cast("string")) % 100
+    return (
+        docs.filter(F.col("doc_id") % 2 == 1)
+        .join(m.hint("shuffle_hash"), "doc_id", "left")
+        .select(
+            "doc_id", "anchor_doc",
+            F.coalesce("n_anchors", F.lit(0).cast("long"))
+            .alias("n_anchors"),
+            F.coalesce(F.col("anchor_split"), _split_name(own_bucket))
+            .alias("split"),
+            F.coalesce("split_conflict", F.lit(False))
+            .alias("split_conflict"),
         )
         .orderBy("doc_id")
     )

@@ -1787,6 +1787,85 @@ SELECT doc_id, rep_doc, bucket,
 FROM b ORDER BY doc_id
 """
 
+# Incremental leakage-safe splits (training.q_split_assign_incremental):
+# existing-corpus (even doc_id) splits via recursive-CTE components of
+# the EVEN-ONLY duplicate subgraph; new (odd) docs inherit their
+# minimum-id anchor's split through the dedup_incremental match set,
+# else hash their own id.
+
+
+def _split_case(bucket_expr: str) -> str:
+    return (
+        f"CASE WHEN ({bucket_expr}) < {SPLIT_TRAIN_PCT} THEN 'train' "
+        f"WHEN ({bucket_expr}) < {SPLIT_TRAIN_PCT + SPLIT_VAL_PCT} "
+        f"THEN 'val' ELSE 'test' END"
+    )
+
+
+EXT_ORACLE_SQL["split_assign_incremental"] = f"""
+WITH RECURSIVE
+de AS (
+  SELECT doc_id,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS h
+  FROM documents WHERE doc_id % 2 = 0
+),
+grpe AS (SELECT h, MIN(doc_id) AS m, COUNT(*) AS c FROM de GROUP BY h),
+exact_e AS (
+  SELECT grpe.m AS a, de.doc_id AS b
+  FROM de JOIN grpe USING (h)
+  WHERE grpe.c >= 2 AND de.doc_id > grpe.m
+),
+{_CAPPED_SH.lstrip()},
+near_e AS (
+  SELECT x.doc_id AS a, y.doc_id AS b
+  FROM sh x JOIN sh y ON x.lang = y.lang AND x.doc_id < y.doc_id
+  WHERE x.doc_id % 2 = 0 AND y.doc_id % 2 = 0
+    AND CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+          / len(list_distinct(list_concat(x.sh, y.sh)))
+        >= {MINHASH_JACCARD_MIN}
+),
+edges AS (SELECT a, b FROM exact_e UNION SELECT a, b FROM near_e),
+sym AS (SELECT a AS s, b AS t FROM edges
+        UNION ALL SELECT b AS s, a AS t FROM edges),
+nodes AS (SELECT DISTINCT s AS doc FROM sym),
+reach(doc, m) AS (
+  SELECT doc, doc FROM nodes
+  UNION
+  SELECT r.doc, s.t FROM reach r JOIN sym s ON s.s = r.m
+),
+cl AS (SELECT doc AS doc_id, MIN(m) AS rep FROM reach GROUP BY doc),
+ex AS (
+  SELECT d2.doc_id AS dup_of,
+         {_split_case(
+             h15_sql("CAST(COALESCE(cl.rep, d2.doc_id) AS VARCHAR)")
+             + " % 100")} AS ex_split
+  FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 0) d2
+  LEFT JOIN cl ON cl.doc_id = d2.doc_id
+),
+matches AS (
+  SELECT doc_id, dup_of
+  FROM ({EXT_ORACLE_SQL['dedup_incremental']})
+),
+agg AS (
+  SELECT ma.doc_id, MIN(ma.dup_of) AS anchor_doc,
+         CAST(COUNT(DISTINCT ma.dup_of) AS BIGINT) AS n_anchors,
+         arg_min(ex.ex_split, ma.dup_of) AS anchor_split,
+         COUNT(DISTINCT ex.ex_split) > 1 AS split_conflict
+  FROM matches ma JOIN ex ON ex.dup_of = ma.dup_of
+  GROUP BY ma.doc_id
+)
+SELECT n.doc_id, agg.anchor_doc,
+       COALESCE(agg.n_anchors, 0) AS n_anchors,
+       COALESCE(agg.anchor_split,
+                {_split_case(
+                    h15_sql("CAST(n.doc_id AS VARCHAR)") + " % 100")})
+         AS split,
+       COALESCE(agg.split_conflict, FALSE) AS split_conflict
+FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) n
+LEFT JOIN agg ON agg.doc_id = n.doc_id
+ORDER BY n.doc_id
+"""
+
 EXT_ORACLE_SQL["curation_funnel"] = f"""
 WITH led AS MATERIALIZED (
   SELECT * FROM ({EXT_ORACLE_SQL['corpus_curate']})

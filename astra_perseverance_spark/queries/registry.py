@@ -110,6 +110,7 @@ QUERY_REGISTRY: dict[str, QueryFn] = {
     "dedup_recall_audit": training.q_dedup_recall_audit,
     "curation_funnel": training.q_curation_funnel,
     "split_assign": training.q_split_assign,
+    "split_assign_incremental": training.q_split_assign_incremental,
     "doc_digest_join": pipeline.q_doc_digest_join,
     # ---- Tier 3: code changed this round ----
     "corpus_curate": curation.q_corpus_curate,
@@ -131,7 +132,6 @@ QUERY_REGISTRY: dict[str, QueryFn] = {
     "ann_recall_audit": similarity.q_ann_recall_audit,
     "embedding_cosine_dups": similarity.q_embedding_cosine_dups,
     "embedding_dup_clusters": similarity.q_embedding_dup_clusters,
-    "gc_minute_windows": gc_stream.q_gc_minute_windows,
     # ---- Tier 4: tail (>50) — driver-green r5 (or r4 with an r7
     # window reservation), code unchanged; all still covered by the
     # full-registry pytest oracle-parity gate + bench ----
@@ -161,6 +161,7 @@ QUERY_REGISTRY: dict[str, QueryFn] = {
     "text_stats": text_stats.q_text_stats,
     "embedding_topk": similarity.q_embedding_topk,
     "dedup_exact": dedup.q_dedup_exact,
+    "gc_minute_windows": gc_stream.q_gc_minute_windows,
     "ann_recall_ivf_kmeans": similarity.q_ann_recall_ivf_kmeans,
     "embedding_label_probe": similarity.q_embedding_label_probe,
     "dedup_keep_list": dedup.q_dedup_keep_list,

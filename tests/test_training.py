@@ -441,6 +441,88 @@ class TestDerivedAudits:
         for r in q("ngram_jaccard").collect():
             assert split[r["doc_a"]] == split[r["doc_b"]]
 
+    def test_split_assign_incremental_python_recompute(self, q, spark):
+        """Full independent recompute: even-only duplicate components
+        via a Python union-find over the registered exact/near pair
+        sets, existing splits via hashlib-md5 h15 buckets, inheritance
+        through the dedup_incremental match set — compared row-for-row
+        against the operator."""
+        import hashlib
+
+        from astra_perseverance_spark.extensions.dedup import (
+            content_digest_frame,
+        )
+        from astra_perseverance_spark.extensions.training import (
+            SPLIT_TRAIN_PCT,
+            SPLIT_VAL_PCT,
+        )
+        from tests.conftest import SF_SMALL
+
+        def h15py(s: str) -> int:
+            return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+        def split_of(rep: int) -> str:
+            b = h15py(str(rep)) % 100
+            if b < SPLIT_TRAIN_PCT:
+                return "train"
+            if b < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT:
+                return "val"
+            return "test"
+
+        digests = content_digest_frame(spark, SF_SMALL).collect()
+        all_ids = sorted(r["doc_id"] for r in digests)
+        evens = [i for i in all_ids if i % 2 == 0]
+
+        # even-only duplicate graph: exact (same digest) + near pairs
+        parent = {i: i for i in evens}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        def union(a, b):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+
+        by_md5: dict[str, list] = {}
+        for r in digests:
+            if r["doc_id"] % 2 == 0:
+                by_md5.setdefault(r["content_md5"], []).append(r["doc_id"])
+        for members in by_md5.values():
+            for m in members[1:]:
+                union(members[0], m)
+        for r in q("ngram_jaccard").collect():
+            if r["doc_a"] % 2 == 0 and r["doc_b"] % 2 == 0:
+                union(r["doc_a"], r["doc_b"])
+        ex_split = {e: split_of(find(e)) for e in evens}
+
+        matches: dict[int, list] = {}
+        for r in q("dedup_incremental").collect():
+            matches.setdefault(r["doc_id"], []).append(r["dup_of"])
+        expect = {}
+        for d in all_ids:
+            if d % 2 == 0:
+                continue
+            ms = sorted(matches.get(d, []))
+            if ms:
+                splits = {ex_split[m] for m in ms}
+                expect[d] = (ms[0], len(set(ms)), ex_split[ms[0]],
+                             len(splits) > 1)
+            else:
+                expect[d] = (None, 0, split_of(d), False)
+        got = {
+            r["doc_id"]: (r["anchor_doc"], r["n_anchors"], r["split"],
+                          r["split_conflict"])
+            for r in q("split_assign_incremental").collect()
+        }
+        assert got == expect
+        # the inheritance path must actually fire on the fixture
+        assert any(v[0] is not None for v in got.values())
+        assert any(v[0] is None for v in got.values())
+
     def test_curation_funnel_counts_match_ledger(self, q):
         ledger = q("corpus_curate").collect()
         expect: dict[str, int] = {}

@@ -106,6 +106,8 @@ OPS = [
     ("events_sessionize", "O(n) one shuffle + 3 local window passes"),
     ("events_funnel", "O(n) one shuffle + 3 sequential window aggs"),
     ("split_assign", "O(n) left join vs component frame + hash map"),
+    ("split_assign_incremental",
+     "batch-sized probes vs persisted even-graph components"),
 ]
 
 
