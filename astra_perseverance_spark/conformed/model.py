@@ -162,6 +162,13 @@ def release_memos(spark: SparkSession) -> int:
     # checkpointed RDDs so the executor storage blocks are freed NOW
     # rather than at nondeterministic ContextCleaner time (late
     # import: extensions depend on this module).
+    # ORDERING CONTRACT: the memo pool MUST be dropped before (or
+    # with) the BPE state.  A localCheckpoint'd RDD is unrecoverable
+    # once unpersisted — it has no lineage to recompute from — so any
+    # memoized frame derived from the BPE frames would fail on its
+    # next action if it outlived release_bpe_state.  This function is
+    # the only caller of release_bpe_state and pops the memo pool
+    # first, which is exactly that contract; keep it that way.
     from astra_perseverance_spark.extensions import training
 
     dropped += training.release_bpe_state(app_id)

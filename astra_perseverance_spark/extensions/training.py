@@ -390,7 +390,13 @@ def release_bpe_state(app_id: str) -> int:
     localCheckpoint'd frame it pinned (a checkpointed DataFrame's
     analyzed plan is a ``LogicalRDD`` holding the persisted RDD —
     ``plan.rdd().unpersist()`` frees its storage blocks at once).
-    Returns the number of state entries dropped."""
+    Returns the number of state entries dropped.
+
+    DANGER: a localCheckpoint'd RDD cannot be recomputed after
+    unpersist (no lineage), so any still-referenced DataFrame derived
+    from these frames fails on its next action.  Call only through
+    ``conformed.model.release_memos``, which drops the memo pool
+    first — that ordering contract is what makes this safe."""
     dropped = 0
     for key in [k for k in _BPE_STATE if k[0] == app_id]:
         _, _, ckpts = _BPE_STATE.pop(key)
@@ -830,7 +836,8 @@ def q_split_assign_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     from astra_perseverance_spark.conformed.model import memo_frame
     from astra_perseverance_spark.extensions.corpus import docs_frame
     from astra_perseverance_spark.extensions.dedup import (
-        _dup_edges,
+        content_digest_frame,
+        ngram_pairs,
         q_dedup_incremental,
     )
     from astra_perseverance_spark.functions.graph import (
@@ -838,9 +845,33 @@ def q_split_assign_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def build_even_components() -> DataFrame:
-        edges = _dup_edges(spark, sf_dir).filter(
-            (F.col("a") % 2 == 0) & (F.col("b") % 2 == 0))
-        return connected_components(edges)
+        # Exact edges must be REBUILT over the even subcorpus, not
+        # parity-filtered from the global graph: the global exact
+        # edges are star-shaped around the GLOBAL min doc_id, so when
+        # a digest group's hub is odd, its (odd_hub, even_member)
+        # edges would all be dropped and two even exact-duplicates
+        # would land in different components (and possibly different
+        # splits).  Near edges are genuine pairs, so the even-even
+        # filter is exact for them.  Mirrors the oracle's
+        # de/grpe/exact_e CTEs.
+        d = content_digest_frame(spark, sf_dir).filter(
+            F.col("doc_id") % 2 == 0)
+        groups = (
+            d.groupBy("content_md5")
+            .agg(F.min("doc_id").alias("m"), F.count("*").alias("c"))
+            .filter(F.col("c") >= 2)
+        )
+        exact = (
+            d.join(groups, "content_md5")
+            .filter(F.col("doc_id") > F.col("m"))
+            .select(F.col("m").alias("a"), F.col("doc_id").alias("b"))
+        )
+        near = (
+            ngram_pairs(spark, sf_dir)
+            .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+            .filter((F.col("a") % 2 == 0) & (F.col("b") % 2 == 0))
+        )
+        return connected_components(exact.union(near).distinct())
 
     comp = memo_frame(
         spark, sf_dir, ("even_components",), build_even_components

@@ -20,25 +20,26 @@ queries get a hard driver-side correctness row each round:
    local pytest oracle-parity gate (tests/test_oracle_parity.py
    parametrizes the full registry) and the bench suite.
 
-Round-6 rotation (rule 2 first, then freshness):
+Round-7 rotation (freshness deadline first, then rule 2):
 
-* Into the window: the 7 queries that have NEVER had a driver row
-  (events_asof, events_window_attr, events_next_error,
-  shard_manifest, dedup_recall_audit, curation_funnel,
-  doc_digest_join — promised the r6 window by the r5 note) plus the
-  NEW events_asof_1h, events_sessionize and split_assign; then the
-  queries whose code changed this round (dedup_recall_audit → panel
-  sampling; corpus_curate → window-min dup flag + bucketed-warehouse
-  gates; embedding_quantize + ann_quantized_recall → exact integer
-  division; pii_scan → probe-fix docs; multimodal_features /
-  multimodal_frame_sample → real AVI container round-trip); then 12
-  tail queries whose last driver row is r4 (spreading the freshness
-  debt so no query's last row ages past the K=3-round budget
-  enforced by tests/test_rotation.py; the other 12 r4-last queries
-  are reserved for the r7 window — see the Tier 4 note).
-* To the tail: the r5-green curation/prep/training entries whose
-  code is untouched this round — all still under the full-registry
-  pytest oracle-parity gate and the bench suite.
+* Into the window: the 14 queries whose last driver row is r4
+  (text_stats, embedding_topk, dedup_exact, gc_minute_windows,
+  ann_recall_ivf_kmeans, embedding_label_probe, dedup_keep_list,
+  doc_minute_tokens, lang_id, token_count, vocab_top_terms,
+  tfidf_top_terms, corpus_sample, corpus_sample_fixed) — r7 is the
+  last round their K=3 freshness budget (tests/test_rotation.py)
+  allows, so they take the window wholesale (the r6 docstring
+  under-counted this set as 12; the true count is 14).  Then the
+  queries that are NEW or whose code changed this round:
+  user_skew_audit + ann_ivf_pq (new), split_assign_incremental
+  (even-subgraph exact-edge rebuild), the events family
+  (events_asof/asof_1h/window_attr/next_error/sessionize/funnel —
+  _events_ns learned the user_id-bucketed warehouse read),
+  multimodal_features / multimodal_frame_sample (MJPEG frame decode
+  inside the AVI walk).
+* To the tail: the r5/r6-green dedup/ANN/curation/prep/training
+  entries whose code is untouched this round — all still under the
+  full-registry pytest oracle-parity gate and the bench suite.
 """
 
 from __future__ import annotations
@@ -99,29 +100,44 @@ QUERY_REGISTRY: dict[str, QueryFn] = {
     # Findings framework + Q20 nested summary
     "warnings": warnings.q_warnings,
     "summary_json": summary.q_summary_json,
-    # ---- Tier 2: never driver-checked (rotation rule 2) + new ----
+    # ---- Tier 2: the 14 r4-last queries — K=3 freshness deadline,
+    # r7 is the last round they can be refreshed (see docstring) ----
+    "text_stats": text_stats.q_text_stats,
+    "embedding_topk": similarity.q_embedding_topk,
+    "dedup_exact": dedup.q_dedup_exact,
+    "gc_minute_windows": gc_stream.q_gc_minute_windows,
+    "ann_recall_ivf_kmeans": similarity.q_ann_recall_ivf_kmeans,
+    "embedding_label_probe": similarity.q_embedding_label_probe,
+    "dedup_keep_list": dedup.q_dedup_keep_list,
+    "doc_minute_tokens": doc_stream.q_doc_minute_tokens,
+    "lang_id": text_stats.q_lang_id,
+    "token_count": text_stats.q_token_count,
+    "vocab_top_terms": pipeline.q_vocab_top_terms,
+    "tfidf_top_terms": pipeline.q_tfidf_top_terms,
+    "corpus_sample": pipeline.q_corpus_sample,
+    "corpus_sample_fixed": pipeline.q_corpus_sample_fixed,
+    # ---- Tier 3: NEW or code changed this round ----
+    "split_assign_incremental": training.q_split_assign_incremental,
+    "split_assign": training.q_split_assign,
     "events_asof": timeseries.q_events_asof,
     "events_asof_1h": timeseries.q_events_asof_1h,
     "events_window_attr": timeseries.q_events_window_attr,
     "events_next_error": timeseries.q_events_next_error,
     "events_sessionize": timeseries.q_events_sessionize,
     "events_funnel": timeseries.q_events_funnel,
+    "multimodal_features": multimodal.q_multimodal_features,
+    "multimodal_frame_sample": multimodal.q_multimodal_frame_sample,
+    # ---- Tier 4: tail (>50) — driver-green r5/r6, code unchanged;
+    # all still covered by the full-registry pytest oracle-parity
+    # gate + bench ----
     "shard_manifest": training.q_shard_manifest,
     "dedup_recall_audit": training.q_dedup_recall_audit,
     "curation_funnel": training.q_curation_funnel,
-    "split_assign": training.q_split_assign,
-    "split_assign_incremental": training.q_split_assign_incremental,
     "doc_digest_join": pipeline.q_doc_digest_join,
-    # ---- Tier 3: code changed this round ----
     "corpus_curate": curation.q_corpus_curate,
     "embedding_quantize": training.q_embedding_quantize,
     "ann_quantized_recall": training.q_ann_quantized_recall,
     "pii_scan": curation.q_pii_scan,
-    "multimodal_features": multimodal.q_multimodal_features,
-    "multimodal_frame_sample": multimodal.q_multimodal_frame_sample,
-    # ---- Tier 3b: last driver row is r4 — refresh before the K=3
-    # freshness budget (test_rotation.py) runs out; the other ten
-    # r4-last queries take the r7 window ----
     "dedup_tokenset": dedup.q_dedup_tokenset,
     "ngram_jaccard": dedup.q_ngram_jaccard,
     "dedup_clusters": dedup.q_dedup_clusters,
@@ -132,9 +148,6 @@ QUERY_REGISTRY: dict[str, QueryFn] = {
     "ann_recall_audit": similarity.q_ann_recall_audit,
     "embedding_cosine_dups": similarity.q_embedding_cosine_dups,
     "embedding_dup_clusters": similarity.q_embedding_dup_clusters,
-    # ---- Tier 4: tail (>50) — driver-green r5 (or r4 with an r7
-    # window reservation), code unchanged; all still covered by the
-    # full-registry pytest oracle-parity gate + bench ----
     "ngram_counts": pipeline.q_ngram_counts,
     "corpus_rollup": pipeline.q_corpus_rollup,
     "quality_filter": pipeline.q_quality_filter,
@@ -157,21 +170,6 @@ QUERY_REGISTRY: dict[str, QueryFn] = {
     "seq_pack": training.q_seq_pack,
     "bpe_merges": training.q_bpe_merges,
     "bpe_token_count": training.q_bpe_token_count,
-    # r4-last, reserved for the r7 window (see Tier 3b note):
-    "text_stats": text_stats.q_text_stats,
-    "embedding_topk": similarity.q_embedding_topk,
-    "dedup_exact": dedup.q_dedup_exact,
-    "gc_minute_windows": gc_stream.q_gc_minute_windows,
-    "ann_recall_ivf_kmeans": similarity.q_ann_recall_ivf_kmeans,
-    "embedding_label_probe": similarity.q_embedding_label_probe,
-    "dedup_keep_list": dedup.q_dedup_keep_list,
-    "doc_minute_tokens": doc_stream.q_doc_minute_tokens,
-    "lang_id": text_stats.q_lang_id,
-    "token_count": text_stats.q_token_count,
-    "vocab_top_terms": pipeline.q_vocab_top_terms,
-    "tfidf_top_terms": pipeline.q_tfidf_top_terms,
-    "corpus_sample": pipeline.q_corpus_sample,
-    "corpus_sample_fixed": pipeline.q_corpus_sample_fixed,
 }
 
 # Queries with no SQL-expressible oracle (driver runs rows-only check).

@@ -29,10 +29,18 @@ _OUT_SCHEMA = (
 _STATE_SCHEMA = "view_ns long, click_ns long, purchase_ns long"
 
 
+_STEP_PRIORITY = {"view": 0, "click": 1, "purchase": 2}
+
+
 def _funnel_update(key, pdf_iter, state):
-    """One (user, micro-batch): walk events in (ns, event_id) order,
-    advancing the three funnel fields monotonically; emit one row per
-    advancement."""
+    """One (user, micro-batch): walk events in (ns, step-priority,
+    event_id) order — view < click < purchase at equal ``ns`` so an
+    equal-timestamp click (or purchase) lands AFTER the step it
+    depends on regardless of event_id, matching the batch twin's
+    inclusive ``ns >= view_ns`` / ``ns >= click_ns`` semantics (the
+    same tie class as ``attribution_stream``'s clicks-first ``_p``
+    column).  Advances the three funnel fields monotonically; emits
+    one row per advancement."""
     import pandas as pd
 
     user = key[0]
@@ -40,7 +48,12 @@ def _funnel_update(key, pdf_iter, state):
     out = {k: [] for k in ("view_ns", "click_ns", "purchase_ns",
                            "reached")}
     frames = [pdf for pdf in pdf_iter]
-    df = pd.concat(frames).sort_values(["ns", "event_id"])
+    df = pd.concat(frames)
+    df = (
+        df.assign(_p=df["event_type"].map(_STEP_PRIORITY)
+                  .fillna(3).astype("int8"))  # non-funnel types: any slot
+        .sort_values(["ns", "_p", "event_id"])
+    )
     for r in df.itertuples():
         ns = int(r.ns)
         advanced = False

@@ -465,3 +465,65 @@ def test_stream_asof_same_ns_tie_matches_batch(spark, tmp_path):
     }
     assert got == want
     assert (10, 1000, 99, 0) in got  # the same-ns click attributed
+
+
+def test_stream_funnel_same_ns_tie_matches_batch(spark, tmp_path):
+    """Equal-timestamp tie INSIDE one micro-batch: a click with a
+    SMALLER event_id than its same-ns view (and a purchase with a
+    smaller event_id than its same-ns click) must still advance the
+    funnel — the batch twin's ``ns >= view_ns`` / ``ns >= click_ns``
+    filters are inclusive.  Before the (ns, step-priority, event_id)
+    sort the plain (ns, event_id) order processed the dependent step
+    first and skipped it."""
+    from astra_perseverance_spark.extensions.timeseries import (
+        q_events_funnel,
+    )
+    from astra_perseverance_spark.streaming import stream_events_funnel
+
+    # user 1: view id=50 and click id=10 (SMALLER id) at the SAME ns
+    # user 2: earlier view, then click id=30 and purchase id=5
+    #         (SMALLER id) tied at ns=1000
+    rows = [
+        (50, 1, "view", 1000),
+        (10, 1, "click", 1000),
+        (1, 2, "view", 500),
+        (30, 2, "click", 1000),
+        (5, 2, "purchase", 1000),
+    ]
+    sch = "event_id long, user_id long, event_type string, ns long"
+    ev = spark.createDataFrame(rows, sch)
+    src_dir = str(tmp_path / "funnel_tie_src")
+    ev.coalesce(1).write.parquet(src_dir)  # ONE file -> one micro-batch
+
+    sdf = stream_events_funnel(spark, src_dir)
+    q = (
+        sdf.writeStream.format("memory").queryName("funnel_tie_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_funnel_tie"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    emitted = spark.sql("SELECT * FROM funnel_tie_test").collect()
+    last: dict[int, tuple] = {}
+    for r in emitted:
+        cur = (r["view_ns"], r["click_ns"], r["purchase_ns"],
+               r["reached"])
+        prev = last.get(r["user_id"])
+        if prev is None or cur[3] >= prev[3]:
+            last[r["user_id"]] = cur
+
+    ev.createOrReplaceTempView("_funnel_tie_events")
+    import astra_perseverance_spark.extensions.timeseries as ts
+    orig = ts._events_ns
+    ts._events_ns = lambda s, d: s.table("_funnel_tie_events")
+    try:
+        want = {
+            r["user_id"]: (r["view_ns"], r["click_ns"],
+                           r["purchase_ns"], r["reached"])
+            for r in q_events_funnel(spark, SF_SMALL).collect()
+        }
+    finally:
+        ts._events_ns = orig
+    assert last == want
+    assert last[1] == (1000, 1000, None, 2)  # same-ns click advanced
+    assert last[2] == (500, 1000, 1000, 3)  # same-ns purchase advanced
