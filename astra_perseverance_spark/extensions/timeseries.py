@@ -312,3 +312,127 @@ def q_events_next_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+# Heavy-hitter guard for the whole-user window families.  Every
+# operator above that does Window.partitionBy("user_id")
+# (sessionize, funnel, the as-of carry) must by construction sort one
+# user's whole event history inside one task — AQE skew-join splitting
+# does not apply to window functions, so a power-law "whale" user
+# (one bot with 10^9 events) is a straggler or an OOM no in-plan
+# trick can fix.  The mitigation is therefore UPSTREAM and explicit:
+# q_user_skew_audit detects whales (registered, oracle-checked), and
+# cap_user_events deterministically downsamples users over the cap
+# before the window families run.  Default cap chosen so one user's
+# partition stays comfortably inside an executor task at 100 TB
+# (10M events x ~50 B ≈ 500 MB sorted spill-free).
+USER_EVENT_CAP = 10_000_000
+SKEW_TOP_K = 10
+
+
+def q_user_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-user (whale) audit over the events stream: the top-10
+    heaviest users by event count, each against the global per-user
+    count distribution (p50/p99 by the repo's exact nearest-rank
+    half-even pick, max, and the max/p99 skew ratio).  A skew_ratio
+    in the hundreds means the whole-user window families
+    (``q_events_sessionize``/``q_events_funnel``/``functions.asof``)
+    have a straggler partition — feed the listed user_ids to
+    ``cap_user_events`` or a quarantine list.
+
+    Plan: per-user counts are ONE shuffle with map-side partial
+    aggregation (the whale itself collapses on the map side, so the
+    audit never suffers the skew it measures); the percentile is read
+    off the counts-of-counts histogram (the ``gc_percentiles``
+    pattern — a running sum over a tiny value-histogram, no global
+    sort of the user grain); the top-10 is ``orderBy().limit()`` =
+    TakeOrderedAndProject, distributed; the final rank is a window
+    over exactly 10 rows.
+
+    Output: rank, user_id, n_events, share (of all events), p50_n,
+    p99_n, max_n, skew_ratio (max_n/p99_n)."""
+    from astra_perseverance_spark.functions.percentiles import (
+        nearest_rank_1based,
+    )
+
+    cnt = (
+        _events_ns(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(F.count("*").cast("long").alias("n_events"))
+    )
+    hist = cnt.groupBy("n_events").agg(
+        F.count("*").cast("long").alias("n_users_at"))
+    # tiny frame (distinct count values), single-partition window OK
+    cum = hist.withColumn(
+        "cum",
+        F.sum("n_users_at").over(
+            Window.orderBy("n_events")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    tot = cnt.agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum("n_events").cast("long").alias("total_events"),
+        F.max("n_events").alias("max_n"),
+    )
+    n_users = F.col("n_users")
+    stats = (
+        cum.crossJoin(F.broadcast(tot))  # 1-row totals, declared W3 shape
+        .agg(
+            F.max("n_users").alias("n_users"),
+            F.max("total_events").alias("total_events"),
+            F.max("max_n").alias("max_n"),
+            F.min(F.when(
+                F.col("cum") >= nearest_rank_1based(n_users, 50),
+                F.col("n_events"))).alias("p50_n"),
+            F.min(F.when(
+                F.col("cum") >= nearest_rank_1based(n_users, 99),
+                F.col("n_events"))).alias("p99_n"),
+        )
+    )
+    top = (
+        cnt.orderBy(F.col("n_events").desc(), F.col("user_id"))
+        .limit(SKEW_TOP_K)  # TakeOrderedAndProject — no global window
+    )
+    wr = Window.orderBy(F.col("n_events").desc(), F.col("user_id"))
+    return (
+        top.withColumn("rank", F.row_number().over(wr).cast("int"))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "rank", "user_id", "n_events",
+            (F.col("n_events").cast("double")
+             / F.col("total_events")).alias("share"),
+            "p50_n", "p99_n", "max_n",
+            (F.col("max_n").cast("double")
+             / F.col("p99_n")).alias("skew_ratio"),
+        )
+        .orderBy("rank")
+    )
+
+
+def cap_user_events(ev: DataFrame, cap: int = USER_EVENT_CAP) -> DataFrame:
+    """Deterministic whale downsample: users with more than ``cap``
+    events keep a uniform hash-selected ~``cap``-event subset; all
+    other users pass through untouched.
+
+    Selection is ``xxhash64(event_id) % ceil(n/cap) == 0`` — a pure
+    function of the row, so re-runs, retries and AQE re-plans keep
+    the identical subset, and no per-user ORDER is ever computed (a
+    first-N-by-time truncation would itself need the whale sorted in
+    one task, the exact operation being guarded).  Sampling, not
+    truncation, is deliberate: it preserves the event-rate *shape*
+    for bot-grade users while bounding every downstream
+    ``Window.partitionBy(user_id)`` partition at ~``cap`` rows.
+    Semantics for capped users are approximate by declaration — the
+    audit query names them so pipelines can quarantine instead."""
+    cnt = ev.groupBy("user_id").agg(F.count("*").alias("_n"))
+    stride = F.ceil(F.col("_n") / F.lit(cap)).cast("long")
+    whales = cnt.filter(F.col("_n") > cap).select(
+        "user_id", stride.alias("_stride"))
+    return (
+        ev.join(F.broadcast(whales), "user_id", "left")
+        .filter(
+            F.col("_stride").isNull()
+            | (F.pmod(F.xxhash64(F.col("event_id")), F.col("_stride")) == 0)
+        )
+        .select(*ev.columns)  # restore caller's column order
+    )

@@ -2060,3 +2060,56 @@ SELECT p.event_id, p.user_id, p.ns AS purchase_ns,
 FROM p ASOF LEFT JOIN e ON p.user_id = e.user_id AND e.ns >= p.ns
 ORDER BY p.event_id
 """
+
+# Hot-user skew audit (timeseries.py::q_user_skew_audit): per-user
+# event counts, top-10 heavy hitters against the exact nearest-rank
+# p50/p99 of the count distribution.  The rank pick reuses
+# nearest_rank_sql so both engines share the integer half-even
+# arithmetic; rn over the unique-per-user counts (ordered by
+# n_events, user_id) is the discrete sorted index.
+from astra_perseverance_spark.functions.percentiles import (  # noqa: E402
+    nearest_rank_sql,
+)
+from astra_perseverance_spark.extensions.timeseries import (  # noqa: E402
+    SKEW_TOP_K,
+)
+
+EXT_ORACLE_SQL["user_skew_audit"] = f"""
+WITH c AS (
+  SELECT CAST(user_id AS BIGINT) AS user_id,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY user_id
+),
+g AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+         CAST(SUM(n_events) AS BIGINT) AS total_events,
+         MAX(n_events) AS max_n
+  FROM c
+),
+sorted AS (
+  SELECT n_events,
+         ROW_NUMBER() OVER (ORDER BY n_events, user_id) AS rn
+  FROM c
+),
+p AS (
+  SELECT
+    MIN(CASE WHEN s.rn >= {nearest_rank_sql('g.n_users', 50)}
+             THEN s.n_events END) AS p50_n,
+    MIN(CASE WHEN s.rn >= {nearest_rank_sql('g.n_users', 99)}
+             THEN s.n_events END) AS p99_n
+  FROM sorted s, g
+),
+t AS (
+  SELECT user_id, n_events,
+         CAST(ROW_NUMBER() OVER (ORDER BY n_events DESC, user_id)
+              AS INT) AS rank
+  FROM c
+  ORDER BY n_events DESC, user_id LIMIT {SKEW_TOP_K}
+)
+SELECT t.rank, t.user_id, t.n_events,
+       CAST(t.n_events AS DOUBLE) / g.total_events AS share,
+       p.p50_n, p.p99_n, g.max_n,
+       CAST(g.max_n AS DOUBLE) / p.p99_n AS skew_ratio
+FROM t, g, p
+ORDER BY t.rank
+"""

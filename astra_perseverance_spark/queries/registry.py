@@ -117,6 +117,7 @@ QUERY_REGISTRY: dict[str, QueryFn] = {
     "corpus_sample": pipeline.q_corpus_sample,
     "corpus_sample_fixed": pipeline.q_corpus_sample_fixed,
     # ---- Tier 3: NEW or code changed this round ----
+    "user_skew_audit": timeseries.q_user_skew_audit,
     "split_assign_incremental": training.q_split_assign_incremental,
     "split_assign": training.q_split_assign,
     "events_asof": timeseries.q_events_asof,

@@ -435,3 +435,59 @@ class TestAsofForward:
             for r in q_events_next_error(spark, SF_SMALL).collect()
         }
         assert got == expect
+
+
+class TestUserSkewGuard:
+    def test_cap_user_events_downsamples_whales_only(self, spark):
+        """One planted whale over the cap is hash-downsampled to
+        ~cap events; every other user passes through untouched; the
+        selection is a pure row function, so a re-run keeps the
+        identical subset."""
+        from astra_perseverance_spark.extensions.timeseries import (
+            cap_user_events,
+        )
+
+        rows = (
+            [(i, 1, "view", 1000 + i) for i in range(1000)]  # whale
+            + [(10_000 + i, 2, "view", 1000 + i) for i in range(50)]
+        )
+        sch = "event_id long, user_id long, event_type string, ns long"
+        ev = spark.createDataFrame(rows, sch)
+        capped = cap_user_events(ev, cap=100)
+        got = capped.groupBy("user_id").count().collect()
+        by_user = {r["user_id"]: r["count"] for r in got}
+        assert by_user[2] == 50  # under-cap user untouched
+        # stride = ceil(1000/100) = 10 -> ~1/10 of the whale survives
+        assert 50 <= by_user[1] <= 200
+        again = {
+            tuple(r) for r in cap_user_events(ev, cap=100).collect()
+        }
+        assert again == {tuple(r) for r in capped.collect()}  # deterministic
+        assert capped.columns == ev.columns
+
+    def test_user_skew_audit_flags_planted_whale(self, spark, tmp_path):
+        """The audit's rank-1 row is the planted whale and the
+        skew_ratio reflects max/p99 of the per-user distribution."""
+        import astra_perseverance_spark.extensions.timeseries as ts
+
+        # 199 small users so the p99 rank (ceil-ish of 0.99*200)
+        # lands on a small user, not the whale
+        rows = [(i, 999, "view", i) for i in range(500)]
+        for u in range(199):
+            rows += [(10_000 + 100 * u + j, u, "view", j)
+                     for j in range(5)]
+        sch = "event_id long, user_id long, event_type string, ns long"
+        spark.createDataFrame(rows, sch).createOrReplaceTempView(
+            "_skew_events")
+        orig = ts._events_ns
+        ts._events_ns = lambda s, d: s.table("_skew_events")
+        try:
+            out = ts.q_user_skew_audit(spark, SF_SMALL).collect()
+        finally:
+            ts._events_ns = orig
+        assert out[0]["rank"] == 1 and out[0]["user_id"] == 999
+        assert out[0]["n_events"] == 500 and out[0]["max_n"] == 500
+        assert out[0]["p50_n"] == 5 and out[0]["p99_n"] == 5
+        assert out[0]["skew_ratio"] == 100.0
+        assert len(out) == 10 and [r["rank"] for r in out] == list(
+            range(1, 11))
