@@ -26,7 +26,22 @@ from astra_perseverance_spark.functions.asof import asof_backward
 def _events_ns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(event_id, user_id, event_type, ns): the events table with the
     timestamp as epoch nanos BIGINT — same type-branching as
-    ``conformed.model.build_gc_event`` (nanos / instant / ntz)."""
+    ``conformed.model.build_gc_event`` (nanos / instant / ntz).
+
+    With the bucketed warehouse opt-in (``corpus.BUCKETED_DB_ENV``
+    naming a database holding ``sinks.warehouse.write_bucketed_events``
+    output) the user_id-bucketed table is read instead: the scan is
+    already hash-clustered on user_id, so every
+    ``Window.partitionBy("user_id")`` in this family plans with NO
+    Exchange (gated in ``tests/test_warehouse.py``).  Falls through
+    to raw parquet when the database has no events table (a
+    corpus-only warehouse)."""
+    from astra_perseverance_spark.extensions.corpus import bucketed_db
+
+    db = bucketed_db()
+    if db and spark.catalog.tableExists(f"{db}.events"):
+        return spark.table(f"{db}.events").select(
+            "event_id", "user_id", "event_type", "ns")
     raw = _read(spark, sf_dir, "events")
     ts_type = dict(raw.dtypes).get("ts", "")
     if ts_type in ("bigint", "long"):

@@ -69,3 +69,33 @@ def colocated_doc_join(spark: SparkSession, database: str) -> DataFrame:
         "doc_id", "lang", "source")
     dig = spark.table(f"{database}.doc_digests")
     return docs.join(dig, "doc_id")
+
+
+def write_bucketed_events(spark: SparkSession, sf_dir: str, database: str,
+                          location: str,
+                          n_buckets: int = DEFAULT_BUCKETS) -> str:
+    """Write the events stream bucketed+sorted by user_id under
+    ``database`` (created at ``location``), timestamps already
+    converted to epoch-ns BIGINT (the ``_events_ns`` conversion runs
+    ONCE, at ingest).  Returns the qualified table name.
+
+    The whole timeseries family (sessionize, funnel, as-of carry,
+    banded attribution) otherwise opens with an Exchange on user_id
+    every run; a user_id-bucketed scan is already hash-clustered on
+    the key, so ``Window.partitionBy("user_id")`` and the session
+    aggregate plan with NO Exchange — only the final ORDER BY
+    repartitions.  ``sortBy(user_id, ns, event_id)`` additionally
+    matches the window sort order for single-file buckets."""
+    from astra_perseverance_spark.extensions.timeseries import _events_ns
+
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {database} "
+              f"LOCATION '{location}'")
+    qualified = f"{database}.events"
+    (
+        _events_ns(spark, sf_dir)
+        .write.mode("overwrite")
+        .bucketBy(n_buckets, "user_id").sortBy("user_id", "ns", "event_id")
+        .format("parquet")
+        .saveAsTable(qualified)
+    )
+    return qualified

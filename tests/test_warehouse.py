@@ -164,3 +164,72 @@ def test_bucket_files_on_disk(spark, warehouse):
     assert files
     assert all("_0000" in os.path.basename(f) or "bucket" in f
                for f in files)
+
+
+@pytest.fixture(scope="module")
+def events_warehouse(spark, tmp_path_factory):
+    from astra_perseverance_spark.sinks.warehouse import write_bucketed_events
+
+    loc = tmp_path_factory.mktemp("bucketed_ev")
+    table = write_bucketed_events(spark, SF_SMALL, "eventdemo", str(loc))
+    yield table
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    spark.sql("DROP DATABASE IF EXISTS eventdemo")
+
+
+def test_sessionize_exchange_free_when_bucketed(
+        spark, events_warehouse, monkeypatch):
+    """With SPARK_GRAFT_BUCKETED_DB naming an events warehouse, the
+    ``events_sessionize`` scan is already hash-clustered on user_id:
+    no Exchange before the window passes or the session aggregate —
+    the only Exchange in the plan is the final ORDER BY's range
+    partitioning."""
+    import re
+
+    from astra_perseverance_spark.extensions.corpus import BUCKETED_DB_ENV
+    from astra_perseverance_spark.queries import QUERY_REGISTRY
+
+    monkeypatch.setenv(BUCKETED_DB_ENV, "eventdemo")
+    sess = spark.newSession()
+    plan = _plan(QUERY_REGISTRY["events_sessionize"](sess, SF_SMALL))
+    exchanges = re.findall(r"\(\d+\) Exchange\n(.*?)Arguments: (\w+)",
+                           plan, re.S)
+    kinds = [k for _, k in exchanges]
+    assert kinds == ["rangepartitioning"], plan
+    assert "Scan parquet spark_catalog.eventdemo.events" in plan, plan
+    assert "Bucketed: true" in plan, plan
+
+
+def test_funnel_exchange_free_when_bucketed(
+        spark, events_warehouse, monkeypatch):
+    """Same invariant for the funnel: the three whole-partition window
+    aggregates and the user-grain dedup all reuse the bucketed scan's
+    user_id clustering."""
+    import re
+
+    from astra_perseverance_spark.extensions.corpus import BUCKETED_DB_ENV
+    from astra_perseverance_spark.queries import QUERY_REGISTRY
+
+    monkeypatch.setenv(BUCKETED_DB_ENV, "eventdemo")
+    sess = spark.newSession()
+    plan = _plan(QUERY_REGISTRY["events_funnel"](sess, SF_SMALL))
+    exchanges = re.findall(r"\(\d+\) Exchange\n(.*?)Arguments: (\w+)",
+                           plan, re.S)
+    kinds = [k for _, k in exchanges]
+    assert kinds == ["rangepartitioning"], plan
+
+
+def test_events_values_match_between_modes(
+        spark, events_warehouse, monkeypatch):
+    """The bucketed events path returns the same rows as the raw
+    parquet path for the whole family's base frame and for a
+    registered query (the table was written BY _events_ns, so the ns
+    conversion is identical by construction)."""
+    from astra_perseverance_spark.extensions.corpus import BUCKETED_DB_ENV
+    from astra_perseverance_spark.queries import QUERY_REGISTRY
+
+    monkeypatch.delenv(BUCKETED_DB_ENV, raising=False)
+    plain = QUERY_REGISTRY["events_sessionize"](spark, SF_SMALL).collect()
+    monkeypatch.setenv(BUCKETED_DB_ENV, "eventdemo")
+    bucketed = QUERY_REGISTRY["events_sessionize"](spark, SF_SMALL).collect()
+    assert plain == bucketed and plain
