@@ -635,3 +635,62 @@ def _build_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("crank") == 1)
         .select("cid", "vec_id", "eq", "n2")
     )
+
+
+def q_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF + quantized serving — the composed 100-TB shape: probe the
+    TRAINED coarse quantizer's lists (``q_ann_ivf_kmeans``'s Lloyd
+    centroids) but score candidates against the int8-quantized store
+    by asymmetric distance (ADC: exact fixed-point query vector vs
+    ``training._recon_vectors``'s reconstructed database side).  This
+    is what actually ships: the coarse index prunes the corpus to
+    ~n/|lists|·nprobe candidates, and the scored payload is the
+    4x-compressed store, never the full-precision vectors.
+
+    Plan: probe routing reuses the memoized ``ivf_kmeans_lists``
+    frame; the database side is one vec_id equi-join (shuffle_hash —
+    co-partitioned at scale) between the crank-1 assignment and the
+    reconstructed store; candidate scoring is the same broadcast-
+    panel ⋈ list shape as the other IVF paths.
+
+    Output: query_id, rank, neighbor_id, cosine (ADC cosine)."""
+    from astra_perseverance_spark.extensions.training import _recon_vectors
+
+    ranked = memo_frame(spark, sf_dir, ("ivf_kmeans_lists",),
+                        lambda: _build_ivf_kmeans_lists(spark, sf_dir))
+    assign = (
+        ranked.filter(F.col("crank") == 1)
+        .select("vec_id", "cid")
+        .join(_recon_vectors(spark, sf_dir).hint("shuffle_hash"), "vec_id")
+    )
+    probes = (
+        ranked.join(F.broadcast(query_ids(spark, sf_dir)), "vec_id", "semi")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("eq").alias("q_eq"),
+            F.col("n2").alias("q_n2"),
+            "cid",
+        )
+    )
+    pairs = (
+        probes.join(assign.hint("shuffle_hash"), "cid")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(dot_q(F.col("q_eq"), F.col("rq")),
+                   F.col("q_n2"), F.col("rn2")).alias("cosine"),
+        )
+    )
+    return _topk(pairs)
+
+
+def q_ann_recall_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the composed IVF+quantized path against the exact
+    full-precision baseline — the deploy audit for the serving stack
+    as a whole (coarse-pruning loss AND quantization loss in one
+    number, directly comparable per panel query with
+    ``ann_recall_ivf_kmeans`` and ``ann_quantized_recall``, which
+    isolate each loss)."""
+    return _recall_vs_exact(
+        q_embedding_topk(spark, sf_dir), q_ann_ivf_pq(spark, sf_dir))

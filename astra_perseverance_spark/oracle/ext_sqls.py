@@ -2113,3 +2113,117 @@ SELECT t.rank, t.user_id, t.n_events,
 FROM t, g, p
 ORDER BY t.rank
 """
+
+# Composed IVF + quantized serving (similarity.py::q_ann_ivf_pq):
+# the trained-IVF probe CTEs (c0 + unrolled Lloyd rounds + af/assign/
+# probes, shared verbatim with ann_ivf_kmeans) scored against the
+# int8-reconstructed store CTEs (dims/st/rv/rn, shared verbatim with
+# ann_quantized_recall) — ADC: exact query vector, reconstructed
+# database side.
+
+_RECON_CTES = f"""
+dims AS MATERIALIZED (
+  SELECT CAST(u.d AS INT) AS d,
+         MIN(eq[CAST(u.d + 1 AS INT)]) AS lo,
+         MAX(eq[CAST(u.d + 1 AS INT)]) AS hi
+  FROM vn, unnest(range({ANN_DIM})) AS u(d)
+  GROUP BY u.d
+),
+st AS MATERIALIZED (
+  SELECT (SELECT list(lo ORDER BY d) FROM dims) AS lo_a,
+         (SELECT list(hi ORDER BY d) FROM dims) AS hi_a
+),
+rv AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(range({ANN_DIM}), i -> CASE
+           WHEN hi_a[CAST(i + 1 AS INT)] > lo_a[CAST(i + 1 AS INT)]
+           THEN CAST(lo_a[CAST(i + 1 AS INT)]
+                + ((eq[CAST(i + 1 AS INT)] - lo_a[CAST(i + 1 AS INT)])
+                   * {SQ_LEVELS}
+                   // (hi_a[CAST(i + 1 AS INT)] - lo_a[CAST(i + 1 AS INT)]))
+                  * (hi_a[CAST(i + 1 AS INT)] - lo_a[CAST(i + 1 AS INT)])
+                  // {SQ_LEVELS} AS BIGINT)
+           ELSE lo_a[CAST(i + 1 AS INT)] END) AS rq
+  FROM vn, st
+),
+rn AS MATERIALIZED (
+  SELECT vec_id, rq, {dot_q_sql('rq', 'rq')} AS rn2 FROM rv
+)"""
+
+_IVF_PQ_PROBE_CTES = f"""
+c0 AS (SELECT vec_id AS cid, eq AS c_eq, n2 AS c_n2 FROM vn
+       WHERE vec_id % (SELECT stride FROM strd) = 0),
+{",".join(_KM_CTES)},
+af AS (
+  SELECT v.vec_id, v.eq, v.n2, c.cid,
+         ROW_NUMBER() OVER (PARTITION BY v.vec_id
+           ORDER BY v.n2 + c.c_n2 - 2*{dot_q_sql('v.eq', 'c.c_eq', ANN_DIM)},
+                    c.cid) AS crank
+  FROM vn v CROSS JOIN {_km_prev} c
+),
+assign AS (SELECT a.vec_id, a.cid, r.rq, r.rn2
+           FROM af a JOIN rn r ON r.vec_id = a.vec_id
+           WHERE a.crank = 1),
+probes AS (
+  SELECT vec_id AS query_id, eq AS q_eq, n2 AS q_n2, cid
+  FROM af
+  WHERE vec_id IN (SELECT vec_id FROM qsel) AND crank <= {IVF_NPROBE}
+),
+pq_pairs AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         CAST({dot_q_sql('p.q_eq', 'a.rq', ANN_DIM)} AS DOUBLE)
+           / (sqrt(CAST(p.q_n2 AS DOUBLE)) * sqrt(CAST(a.rn2 AS DOUBLE)))
+           AS cosine
+  FROM probes p JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.query_id
+)"""
+
+EXT_ORACLE_SQL["ann_ivf_pq"] = f"""
+WITH {_VEC},
+{_RECON_CTES.lstrip()},
+{_IVF_PQ_PROBE_CTES.lstrip()},
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM pq_pairs
+)
+SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cosine
+FROM ranked WHERE rank <= {ANN_TOPK} ORDER BY query_id, rank
+"""
+
+EXT_ORACLE_SQL["ann_recall_ivf_pq"] = f"""
+WITH {_VEC},
+{_RECON_CTES.lstrip()},
+{_IVF_PQ_PROBE_CTES.lstrip()},
+ann_ranked AS (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM pq_pairs
+),
+ann_k AS (SELECT query_id, neighbor_id FROM ann_ranked
+          WHERE rank <= {ANN_TOPK}),
+q AS (SELECT * FROM vn WHERE vec_id IN (SELECT vec_id FROM qsel)),
+exact_pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {_COS} AS cosine
+  FROM q JOIN vn c ON c.vec_id <> q.vec_id
+),
+exact_ranked AS (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM exact_pairs
+),
+exact_k AS (SELECT query_id, neighbor_id FROM exact_ranked
+            WHERE rank <= {ANN_TOPK}),
+hits AS (
+  SELECT e.query_id,
+         CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+  FROM exact_k e LEFT JOIN ann_k a
+    ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+)
+SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_exact,
+       CAST(SUM(hit) AS BIGINT) AS n_hit,
+       CAST(SUM(hit) AS DOUBLE) / COUNT(*) AS recall
+FROM hits GROUP BY query_id ORDER BY query_id
+"""

@@ -126,6 +126,8 @@ QUERY_REGISTRY: dict[str, QueryFn] = {
     "events_next_error": timeseries.q_events_next_error,
     "events_sessionize": timeseries.q_events_sessionize,
     "events_funnel": timeseries.q_events_funnel,
+    "ann_ivf_pq": similarity.q_ann_ivf_pq,
+    "ann_recall_ivf_pq": similarity.q_ann_recall_ivf_pq,
     "multimodal_features": multimodal.q_multimodal_features,
     "multimodal_frame_sample": multimodal.q_multimodal_frame_sample,
     # ---- Tier 4: tail (>50) — driver-green r5/r6, code unchanged;

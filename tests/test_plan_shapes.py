@@ -72,9 +72,11 @@ def test_bnlj_only_for_declared_baselines(spark):
         "embedding_topk", "ann_recall_audit", "ann_ivf",
         "ann_ivf_kmeans", "ann_recall_ivf_kmeans",
         "embedding_label_probe", "ann_incremental",
-        "ann_quantized_recall",
+        "ann_quantized_recall", "ann_ivf_pq", "ann_recall_ivf_pq",
         # 1-row n_docs / Σweights crossJoin
         "tfidf_top_terms", "source_mix",
+        # 1-row global-stats crossJoin (totals + percentile picks)
+        "user_skew_audit",
     }
     from astra_perseverance_spark.queries import QUERY_REGISTRY
 
