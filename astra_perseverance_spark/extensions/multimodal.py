@@ -23,8 +23,11 @@ ops, so the registered queries parse an actual binary format —
 ``q_multimodal_frame_sample`` reads the avih total_frames field out
 of the payload bytes JVM-side — while the DuckDB twins recompute the
 embedded values arithmetically, keeping the whole round-trip under
-the driver's hash-match gate.  Only codec decode of non-AVI video
-without PyAV remains ``NotImplementedError``.
+the driver's hash-match gate.  MJPEG streams (``##dc`` chunks holding
+JPEG) get a real per-frame codec-HEADER decode (``_jpeg_dims``, an
+ITU T.81 SOF marker walk feeding ``avi_frame_stats``); what remains
+``NotImplementedError`` is only pixel/entropy decode of compressed
+codecs without Pillow/PyAV (MJPEG pixels, non-AVI containers).
 """
 
 from __future__ import annotations
@@ -169,6 +172,54 @@ def _avi_probe(data: bytes) -> tuple[int, int, int, list[bytes]]:
     return width, height, n_frames, frames
 
 
+_JPEG_SOI = b"\xff\xd8"
+# SOF0–SOF15 minus DHT (C4), JPG (C8), DAC (CC) — ITU T.81 table B.1
+_JPEG_SOF_MARKERS = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
+
+
+def _jpeg_dims(data: bytes) -> tuple[int, int]:
+    """(height, width) from a JPEG's SOF frame header — a pure-stdlib
+    marker-segment walk of the public ITU T.81 / JFIF format.  Reads
+    the real codec bitstream header (not container metadata), which
+    is exactly what an MJPEG frame sampler needs without a full
+    entropy decoder."""
+    if data[:2] != _JPEG_SOI:
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("bad JPEG marker stream")
+        marker = data[pos + 1]
+        if marker == 0x01 or 0xD0 <= marker <= 0xD8:  # standalone
+            pos += 2
+            continue
+        (seglen,) = struct.unpack(">H", data[pos + 2:pos + 4])
+        if marker in _JPEG_SOF_MARKERS:
+            h, w = struct.unpack(">HH", data[pos + 5:pos + 9])
+            return h, w
+        if marker == 0xDA:  # SOS: entropy data — SOF must have come first
+            break
+        pos += 2 + seglen
+    raise ValueError("JPEG missing SOF header")
+
+
+def avi_frame_stats(payload: bytes) -> list[tuple[int, int, int, int]]:
+    """Per-frame (frame_no, height, width, byte_len) for an AVI
+    payload.  MJPEG streams (``##dc`` chunks carrying JPEG) get their
+    dims from each frame's OWN SOF header via ``_jpeg_dims`` — a real
+    per-frame codec-header decode; uncompressed DIB streams report
+    the container's avih dims (the chunk bytes are the pixels)."""
+    width, height, _n, frames = _avi_probe(payload)
+    out = []
+    for i, fr in enumerate(frames):
+        if fr[:2] == _JPEG_SOI:
+            h, w = _jpeg_dims(fr)
+        else:
+            h, w = height, width
+        out.append((i, h, w, len(fr)))
+    return out
+
+
 def decode_media(payload: bytes, media_type: str) -> np.ndarray:
     """Decode an image/audio/video payload into pixel/sample arrays.
 
@@ -205,6 +256,20 @@ def decode_media(payload: bytes, media_type: str) -> np.ndarray:
     except ImportError:
         if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
             *_dims, frames = _avi_probe(payload)
+            if frames and frames[0][:2] == _JPEG_SOI:
+                # MJPEG: per-frame dims/stats are decodable stdlib-side
+                # (avi_frame_stats); pixel entropy-decode needs Pillow
+                try:
+                    from PIL import Image  # optional dependency
+                    return np.stack([
+                        np.asarray(Image.open(io.BytesIO(fr)))
+                        for fr in frames
+                    ])
+                except ImportError:
+                    raise NotImplementedError(
+                        "MJPEG pixel decode requires Pillow; frame "
+                        "dims/stats available via avi_frame_stats"
+                    ) from None
             return np.frombuffer(b"".join(frames), dtype=np.uint8)
         raise NotImplementedError(
             "non-AVI video decode requires PyAV/ffmpeg") from None

@@ -254,3 +254,127 @@ class TestDecodeThroughSpark:
                 "mean_val double").collect()
         }
         assert got == want
+
+
+def _mk_jpeg(h: int, w: int) -> bytes:
+    """Minimal structurally-valid JPEG header stream: SOI + JFIF APP0
+    + SOF0 carrying (h, w) + SOS + fake entropy bytes + EOI.  Enough
+    for any marker-walking header parser; not entropy-decodable."""
+    import struct as st
+
+    app0 = b"\xff\xe0" + st.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" \
+        + st.pack(">HH", 1, 1) + b"\x00\x00"
+    sof0 = b"\xff\xc0" + st.pack(">H", 17) + b"\x08" \
+        + st.pack(">HH", h, w) + b"\x03" \
+        + b"\x01\x22\x00" + b"\x02\x11\x01" + b"\x03\x11\x01"
+    sos = b"\xff\xda" + st.pack(">H", 12) + b"\x03" \
+        + b"\x01\x00\x02\x11\x03\x11" + b"\x00\x3f\x00"
+    return b"\xff\xd8" + app0 + sof0 + sos + b"\x12\x34\x56" + b"\xff\xd9"
+
+
+def _mk_mjpeg_avi(frames: list[bytes], width: int, height: int) -> bytes:
+    """Minimal AVI (RIFF) container holding ``frames`` as ``00dc``
+    (compressed) chunks — the MJPEG layout."""
+    import struct as st
+
+    avih = st.pack("<14I", 40000, 0, 0, 0, len(frames), 0, 1, 0,
+                   width, height, 0, 0, 0, 0)
+    hdrl = b"LIST" + st.pack("<I", 4 + 8 + 56) + b"hdrl" \
+        + b"avih" + st.pack("<I", 56) + avih
+    movi_body = b""
+    for fr in frames:
+        movi_body += b"00dc" + st.pack("<I", len(fr)) + fr
+        if len(fr) % 2:
+            movi_body += b"\x00"  # chunks are word-aligned
+    movi = b"LIST" + st.pack("<I", 4 + len(movi_body)) + b"movi" + movi_body
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + st.pack("<I", len(body)) + body
+
+
+class TestMjpeg:
+    def test_jpeg_dims_reads_sof_header(self):
+        from astra_perseverance_spark.extensions.multimodal import _jpeg_dims
+
+        assert _jpeg_dims(_mk_jpeg(480, 640)) == (480, 640)
+        assert _jpeg_dims(_mk_jpeg(1, 65535)) == (1, 65535)
+        with pytest.raises(ValueError):
+            _jpeg_dims(b"APSE not a jpeg")
+
+    def test_avi_frame_stats_decodes_mjpeg_frame_headers(self):
+        """Per-frame dims come from each frame's OWN SOF header (a
+        real codec-header decode), not the container metadata: the
+        two frames carry different dims than the avih header."""
+        from astra_perseverance_spark.extensions.multimodal import (
+            avi_frame_stats,
+        )
+
+        f0, f1 = _mk_jpeg(120, 160), _mk_jpeg(240, 321)
+        avi = _mk_mjpeg_avi([f0, f1], width=999, height=888)
+        stats = avi_frame_stats(avi)
+        assert stats == [(0, 120, 160, len(f0)), (1, 240, 321, len(f1))]
+
+    def test_avi_frame_stats_dib_falls_back_to_container_dims(self):
+        from astra_perseverance_spark.extensions.multimodal import (
+            avi_frame_stats,
+        )
+        from astra_perseverance_spark.extensions.multimodal import _avi_probe
+
+        import struct as st
+        raw = b"\x01\x02\x03\x04"
+        avih = st.pack("<14I", 40000, 0, 0, 0, 1, 0, 1, 0, 2, 2,
+                       0, 0, 0, 0)
+        hdrl = b"LIST" + st.pack("<I", 4 + 8 + 56) + b"hdrl" \
+            + b"avih" + st.pack("<I", 56) + avih
+        movi = b"LIST" + st.pack("<I", 4 + 8 + len(raw)) + b"movi" \
+            + b"00db" + st.pack("<I", len(raw)) + raw
+        body = b"AVI " + hdrl + movi
+        avi = b"RIFF" + st.pack("<I", len(body)) + body
+        assert _avi_probe(avi)[:3] == (2, 2, 1)
+        assert avi_frame_stats(avi) == [(0, 2, 2, len(raw))]
+
+    def test_decode_media_mjpeg_tier(self):
+        """With Pillow importable the MJPEG branch decodes real pixel
+        frames; without it, it raises the narrowed NotImplementedError
+        (naming avi_frame_stats as the stdlib alternative) rather
+        than silently returning entropy bytes as pixels."""
+        from astra_perseverance_spark.extensions.multimodal import decode_media
+
+        avi = _mk_mjpeg_avi([_mk_jpeg(2, 2)], width=2, height=2)
+        try:
+            import PIL  # noqa: F401
+            has_pil = True
+        except ImportError:
+            has_pil = False
+        if has_pil:
+            # structurally-valid but entropy-garbage JPEG: Pillow will
+            # object at pixel-decode time, which still proves the MJPEG
+            # branch routed to the codec rather than the raw-bytes path
+            with pytest.raises(Exception):
+                decode_media(avi, "video")
+        else:
+            with pytest.raises(NotImplementedError, match="avi_frame_stats"):
+                decode_media(avi, "video")
+
+    def test_dib_avi_still_returns_raw_bytes(self):
+        import numpy as np
+
+        from astra_perseverance_spark.extensions.multimodal import decode_media
+
+        import struct as st
+        raw = b"\x01\x02\x03\x04"
+        avih = st.pack("<14I", 40000, 0, 0, 0, 1, 0, 1, 0, 2, 2,
+                       0, 0, 0, 0)
+        hdrl = b"LIST" + st.pack("<I", 4 + 8 + 56) + b"hdrl" \
+            + b"avih" + st.pack("<I", 56) + avih
+        movi = b"LIST" + st.pack("<I", 4 + 8 + len(raw)) + b"movi" \
+            + b"00db" + st.pack("<I", len(raw)) + raw
+        body = b"AVI " + hdrl + movi
+        avi = b"RIFF" + st.pack("<I", len(body)) + body
+        try:
+            import av  # noqa: F401
+            return  # PyAV owns the video path when importable
+        except ImportError:
+            pass
+        assert np.array_equal(
+            decode_media(avi, "video"),
+            np.frombuffer(raw, dtype=np.uint8))
