@@ -1,20 +1,31 @@
 """Streaming as-of attribution: the ``events_asof`` semantics as a
 custom stateful operator (``applyInPandasWithState``).
 
-Per-user state is ONE row — the newest click seen so far — so state
-size is |users| (the dimension grain), independent of event rate;
-purchases attribute against it and append immediately.  Within a
-micro-batch events are processed in (ns, clicks-first, event_id)
-order — equal-timestamp clicks land before purchases, matching the
-batch twin's inclusive tie semantics — so the operator converges to
-the batch twin whenever batches arrive event-time ordered (the
-test's replay shape); a click arriving
-*after* a purchase it should have attributed is the inherent
-streaming trade-off — batch ``events_asof`` is the retrospective
-truth, this operator is the low-latency approximation.  A production
-deployment would add an inactivity TTL (event-time timeout) to drop
-dormant users' state; the operator keeps NoTimeout so attribution
-survives arbitrarily long user gaps on the test corpus.
+Per-user state is the newest FINALIZED click, the user's event-time
+high-water mark, and — when a lateness budget is configured — a
+reorder buffer of not-yet-finalized events, so state size stays
+dimension-grain (one row per user; the buffer is bounded by the
+lateness budget × per-user rate, defensively capped at
+``REORDER_BUFFER_CAP``).
+
+Within a micro-batch events are processed in (ns, clicks-first,
+event_id) order — equal-timestamp clicks land before purchases,
+matching the batch twin's inclusive tie semantics.  With
+``lateness_ns=0`` (default) everything finalizes immediately:
+purchases attribute against the newest click seen so far and append
+at once, converging to the batch twin whenever batches arrive
+event-time ordered.  With ``lateness_ns=L`` events newer than
+``max_ns − L`` wait in the buffer; a purchase only emits once the
+user's watermark passes it, by which point any click inside the
+budget — even one arriving in a LATER batch with an earlier
+timestamp — has been replayed ahead of it in event-time order, so
+the emitted attribution matches the batch twin.  The trade-off
+becomes explicit latency (one watermark advance) instead of a silent
+dropped attribution; arrivals later than the budget are dropped, a
+*declared* bound.  A production deployment would add an inactivity
+TTL (event-time timeout) to drop dormant users' state; the operator
+keeps NoTimeout so attribution survives arbitrarily long user gaps
+on the test corpus.
 """
 
 from __future__ import annotations
@@ -25,60 +36,94 @@ _OUT_SCHEMA = (
     "event_id long, user_id long, purchase_ns long, "
     "asof_ns long, asof_event_id long, gap_ns long"
 )
-_STATE_SCHEMA = "ns long, event_id long"
+_STATE_SCHEMA = (
+    "ns long, event_id long, max_ns long, "
+    "pend_ns array<long>, pend_eid array<long>, pend_click array<boolean>"
+)
+
+REORDER_BUFFER_CAP = 4096
 
 
-def _attr_update(key, pdf_iter, state):
-    """One (user, micro-batch): walk events in (ns, clicks-first,
-    event_id) order — clicks sort BEFORE purchases at equal ``ns`` so
-    an equal-timestamp click attributes the purchase, matching the
-    batch twin's inclusive ``right.ts <= left.ts`` semantics
-    (``functions.asof``) even when the click's event_id is larger.
-    Clicks advance the newest-click state, purchases emit their
-    attribution row against it."""
-    import pandas as pd
+def _make_attr_update(lateness_ns: int):
+    def _attr_update(key, pdf_iter, state):
+        import pandas as pd
 
-    user = key[0]
-    latest = tuple(state.get) if state.exists else None
-    out = {c: [] for c in ("event_id", "purchase_ns",
-                           "asof_ns", "asof_event_id", "gap_ns")}
-    frames = [pdf for pdf in pdf_iter]
-    df = pd.concat(frames)
-    df = (
-        df.assign(_p=(df["event_type"] != "click").astype("int8"))
-        .sort_values(["ns", "_p", "event_id"])
-    )
-    for r in df.itertuples():
-        if r.event_type == "click":
-            cand = (int(r.ns), int(r.event_id))
-            if latest is None or cand > latest:
-                latest = cand
-        elif r.event_type == "purchase":
-            hit = latest if latest is not None and latest[0] <= r.ns else None
-            out["event_id"].append(int(r.event_id))
-            out["purchase_ns"].append(int(r.ns))
-            out["asof_ns"].append(hit[0] if hit else None)
-            out["asof_event_id"].append(hit[1] if hit else None)
-            out["gap_ns"].append(int(r.ns) - hit[0] if hit else None)
-    if latest is not None:
-        state.update(latest)
-    yield pd.DataFrame({
-        "event_id": pd.Series(out["event_id"], dtype="Int64"),
-        "user_id": pd.Series([user] * len(out["event_id"]), dtype="Int64"),
-        "purchase_ns": pd.Series(out["purchase_ns"], dtype="Int64"),
-        "asof_ns": pd.Series(out["asof_ns"], dtype="Int64"),
-        "asof_event_id": pd.Series(out["asof_event_id"], dtype="Int64"),
-        "gap_ns": pd.Series(out["gap_ns"], dtype="Int64"),
-    })
+        user = key[0]
+        if state.exists:
+            ns0, eid0, max_ns, pend_ns, pend_eid, pend_click = tuple(
+                state.get)
+            latest = (ns0, eid0) if ns0 is not None else None
+            pending = list(zip(pend_ns, pend_eid, pend_click))
+        else:
+            latest, max_ns, pending = None, None, []
+        events = [(int(ns), int(eid), et == "click")
+                  for pdf in pdf_iter
+                  for eid, et, ns in zip(pdf["event_id"],
+                                         pdf["event_type"], pdf["ns"])
+                  if et in ("click", "purchase")]
+        events += [(int(ns), int(eid), bool(ic))
+                   for ns, eid, ic in pending]
+        if events:
+            batch_max = max(ns for ns, _e, _c in events)
+            max_ns = batch_max if max_ns is None else max(max_ns, batch_max)
+        wm = (max_ns - lateness_ns) if max_ns is not None else None
+        # (ns, clicks-first, event_id): an equal-ns click attributes
+        # the purchase regardless of event_id — the batch twin's
+        # inclusive right.ts <= left.ts semantics (functions.asof)
+        ordered = sorted(
+            (ns, 0 if is_click else 1, eid) for ns, eid, is_click in events)
+        fin = [e for e in ordered if e[0] <= wm] if events else []
+        pend = [e for e in ordered if e[0] > wm] if events else []
+        if len(pend) > REORDER_BUFFER_CAP:
+            spill = len(pend) - REORDER_BUFFER_CAP
+            fin += pend[:spill]
+            pend = pend[spill:]
+        out = {c: [] for c in ("event_id", "purchase_ns",
+                               "asof_ns", "asof_event_id", "gap_ns")}
+        for ns, kind, eid in fin:
+            if kind == 0:
+                cand = (ns, eid)
+                if latest is None or cand > latest:
+                    latest = cand
+            else:
+                hit = latest if latest is not None and latest[0] <= ns \
+                    else None
+                out["event_id"].append(eid)
+                out["purchase_ns"].append(ns)
+                out["asof_ns"].append(hit[0] if hit else None)
+                out["asof_event_id"].append(hit[1] if hit else None)
+                out["gap_ns"].append(ns - hit[0] if hit else None)
+        state.update((
+            latest[0] if latest else None,
+            latest[1] if latest else None,
+            max_ns,
+            [ns for ns, _k, _e in pend],
+            [e for _ns, _k, e in pend],
+            [k == 0 for _ns, k, _e in pend],
+        ))
+        yield pd.DataFrame({
+            "event_id": pd.Series(out["event_id"], dtype="Int64"),
+            "user_id": pd.Series([user] * len(out["event_id"]),
+                                 dtype="Int64"),
+            "purchase_ns": pd.Series(out["purchase_ns"], dtype="Int64"),
+            "asof_ns": pd.Series(out["asof_ns"], dtype="Int64"),
+            "asof_event_id": pd.Series(out["asof_event_id"], dtype="Int64"),
+            "gap_ns": pd.Series(out["gap_ns"], dtype="Int64"),
+        })
+
+    return _attr_update
 
 
 def stream_events_asof(spark: SparkSession, source_dir: str,
                        schema: str | None = None,
-                       max_files_per_trigger: int | None = None):
+                       max_files_per_trigger: int | None = None,
+                       lateness_ns: int = 0):
     """Streaming as-of attribution over a file-source event stream
     (rows: event_id, user_id, event_type, ns).  Returns the unstarted
     streaming DataFrame; the batch twin is
-    ``extensions.timeseries.q_events_asof``."""
+    ``extensions.timeseries.q_events_asof``.  ``lateness_ns`` enables
+    the watermark-bounded reorder buffer (see module docstring); 0
+    keeps immediate attribution."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     sch = schema or "event_id long, user_id long, event_type string, ns long"
@@ -89,7 +134,7 @@ def stream_events_asof(spark: SparkSession, source_dir: str,
     return (
         stream.groupBy("user_id")
         .applyInPandasWithState(
-            _attr_update,
+            _make_attr_update(lateness_ns),
             outputStructType=_OUT_SCHEMA,
             stateStructType=_STATE_SCHEMA,
             outputMode="append",

@@ -1,21 +1,27 @@
 """Streaming conversion funnel: the ``events_funnel`` semantics as a
 custom stateful operator (``applyInPandasWithState``).
 
-Per-user state is ONE row — the funnel progression (view_ns,
-click_ns, purchase_ns), each field set at most once — so state size
-is |users| (the dimension grain), independent of event rate.  The
-greedy in-order walk is EXACTLY the batch semantics: the batch query
-takes the earliest view, then the earliest click at-or-after it,
-then the earliest purchase at-or-after that click, and a greedy walk
-over event-time-ordered events locks in precisely those minima.  So
-when batches replay in event-time order the last emitted row per
-user equals the batch ``q_events_funnel`` row (the test gates this);
-an out-of-order arrival that should have advanced an earlier step is
-the inherent streaming trade-off, as in ``attribution_stream``.
+Per-user state is the funnel progression (view_ns, click_ns,
+purchase_ns — each field finalized at most once), the last emitted
+row, the user's event-time high-water mark, and — when a lateness
+budget is configured — a small reorder buffer of not-yet-finalized
+events.  State size stays dimension-grain: the buffer holds only
+events inside the lateness window (bounded by budget × per-user rate,
+defensively capped at ``REORDER_BUFFER_CAP``).
 
-A row is emitted only when a user's funnel ADVANCES — downstream
-consumers see funnel progress as a change stream, not a per-event
-firehose.
+With ``lateness_ns=0`` (the default) the operator is the original
+greedy event-time walk: when batches replay in event-time order the
+last emitted row per user equals the batch ``q_events_funnel`` row
+(the equivalence test gates this).  With ``lateness_ns=L`` a
+watermark-bounded reorder buffer closes the cross-batch gap: events
+newer than ``max_ns − L`` stay buffered and are replayed ahead of
+each walk, so a late click/view arriving within the budget can still
+advance an earlier step (e.g. click@5 arriving after purchase@10 was
+seen — the batch twin counts that purchase, and so does the buffered
+walk).  Rows are emitted only when the user's funnel tuple CHANGES —
+advancements and in-budget corrections form a change stream (last
+row wins downstream); an arrival later than the budget is dropped,
+now a *declared* bound instead of an inherent gap.
 """
 
 from __future__ import annotations
@@ -26,69 +32,109 @@ _OUT_SCHEMA = (
     "user_id long, view_ns long, click_ns long, purchase_ns long, "
     "reached int"
 )
-_STATE_SCHEMA = "view_ns long, click_ns long, purchase_ns long"
-
+_STATE_SCHEMA = (
+    "view_ns long, click_ns long, purchase_ns long, "
+    "lv long, lc long, lp long, max_ns long, "
+    "pend_ns array<long>, pend_eid array<long>, pend_step array<int>"
+)
 
 _STEP_PRIORITY = {"view": 0, "click": 1, "purchase": 2}
+# Defensive bound on the per-user reorder buffer: the lateness budget
+# already bounds it by (budget × event rate); a bot-grade user inside
+# the window is additionally capped — oldest buffered events finalize
+# eagerly (exactly the no-buffer behavior) rather than growing state.
+REORDER_BUFFER_CAP = 4096
 
 
-def _funnel_update(key, pdf_iter, state):
-    """One (user, micro-batch): walk events in (ns, step-priority,
-    event_id) order — view < click < purchase at equal ``ns`` so an
-    equal-timestamp click (or purchase) lands AFTER the step it
-    depends on regardless of event_id, matching the batch twin's
-    inclusive ``ns >= view_ns`` / ``ns >= click_ns`` semantics (the
-    same tie class as ``attribution_stream``'s clicks-first ``_p``
-    column).  Advances the three funnel fields monotonically; emits
-    one row per advancement."""
-    import pandas as pd
+def _walk(v, c, p, events):
+    """Greedy event-time funnel walk: fold ``events`` (sorted
+    (ns, step, event_id) tuples) into the (v, c, p) progression,
+    yielding the tuple after each advancement — EXACTLY the batch
+    semantics (earliest view, then earliest click at-or-after it,
+    then earliest purchase at-or-after that click)."""
+    steps = []
+    for ns, step, _eid in events:
+        if step == 0 and v is None:
+            v = ns
+        elif step == 1 and c is None and v is not None and ns >= v:
+            c = ns
+        elif step == 2 and p is None and c is not None and ns >= c:
+            p = ns
+        else:
+            continue
+        steps.append((v, c, p))
+    return v, c, p, steps
 
-    user = key[0]
-    v, c, p = tuple(state.get) if state.exists else (None, None, None)
-    out = {k: [] for k in ("view_ns", "click_ns", "purchase_ns",
-                           "reached")}
-    frames = [pdf for pdf in pdf_iter]
-    df = pd.concat(frames)
-    df = (
-        df.assign(_p=df["event_type"].map(_STEP_PRIORITY)
-                  .fillna(3).astype("int8"))  # non-funnel types: any slot
-        .sort_values(["ns", "_p", "event_id"])
-    )
-    for r in df.itertuples():
-        ns = int(r.ns)
-        advanced = False
-        if r.event_type == "view" and v is None:
-            v, advanced = ns, True
-        elif (r.event_type == "click" and c is None
-                and v is not None and ns >= v):
-            c, advanced = ns, True
-        elif (r.event_type == "purchase" and p is None
-                and c is not None and ns >= c):
-            p, advanced = ns, True
-        if advanced:
-            out["view_ns"].append(v)
-            out["click_ns"].append(c)
-            out["purchase_ns"].append(p)
-            out["reached"].append(
-                1 + (c is not None) + (p is not None))
-    if v is not None:
-        state.update((v, c, p))
-    yield pd.DataFrame({
-        "user_id": pd.Series([user] * len(out["reached"]), dtype="Int64"),
-        "view_ns": pd.Series(out["view_ns"], dtype="Int64"),
-        "click_ns": pd.Series(out["click_ns"], dtype="Int64"),
-        "purchase_ns": pd.Series(out["purchase_ns"], dtype="Int64"),
-        "reached": pd.Series(out["reached"], dtype="Int32"),
-    })
+
+def _make_funnel_update(lateness_ns: int):
+    def _funnel_update(key, pdf_iter, state):
+        import pandas as pd
+
+        user = key[0]
+        if state.exists:
+            (v, c, p, lv, lc, lp, max_ns,
+             pend_ns, pend_eid, pend_step) = tuple(state.get)
+            pending = list(zip(pend_ns, pend_eid, pend_step))
+        else:
+            v = c = p = lv = lc = lp = max_ns = None
+            pending = []
+        events = [(int(ns), int(eid), _STEP_PRIORITY.get(et, 3))
+                  for pdf in pdf_iter
+                  for eid, et, ns in zip(pdf["event_id"],
+                                         pdf["event_type"], pdf["ns"])]
+        events = ([e for e in events if e[2] != 3]
+                  + [(ns, eid, st) for ns, eid, st in pending])
+        if events:
+            batch_max = max(ns for ns, _e, _s in events)
+            max_ns = batch_max if max_ns is None else max(max_ns, batch_max)
+        wm = (max_ns - lateness_ns) if max_ns is not None else None
+        # (ns, step-priority, event_id): view < click < purchase at
+        # equal ns — the batch twin's inclusive >= tie semantics
+        ordered = sorted((ns, st, eid) for ns, eid, st in events)
+        fin = [e for e in ordered if e[0] <= wm] if events else []
+        pend = [e for e in ordered if e[0] > wm] if events else []
+        if len(pend) > REORDER_BUFFER_CAP:
+            spill = len(pend) - REORDER_BUFFER_CAP
+            fin += pend[:spill]  # oldest finalize eagerly (declared cap)
+            pend = pend[spill:]
+        rows = []
+        v, c, p, steps = _walk(v, c, p, fin)
+        # provisional: replay the buffered tail on top of the
+        # finalized progression — corrections supersede downstream
+        pv, pc, pp, psteps = _walk(v, c, p, pend)
+        for tup in steps + psteps:
+            if tup != (lv, lc, lp):
+                rows.append(tup)
+                lv, lc, lp = tup
+        state.update((
+            v, c, p, lv, lc, lp, max_ns,
+            [ns for ns, _s, _e in pend],
+            [e for _ns, _s, e in pend],
+            [s for _ns, s, _e in pend],
+        ))
+        yield pd.DataFrame({
+            "user_id": pd.Series([user] * len(rows), dtype="Int64"),
+            "view_ns": pd.Series([t[0] for t in rows], dtype="Int64"),
+            "click_ns": pd.Series([t[1] for t in rows], dtype="Int64"),
+            "purchase_ns": pd.Series([t[2] for t in rows], dtype="Int64"),
+            "reached": pd.Series(
+                [1 + (t[1] is not None) + (t[2] is not None)
+                 for t in rows], dtype="Int32"),
+        })
+
+    return _funnel_update
 
 
 def stream_events_funnel(spark: SparkSession, source_dir: str,
                          schema: str | None = None,
-                         max_files_per_trigger: int | None = None):
+                         max_files_per_trigger: int | None = None,
+                         lateness_ns: int = 0):
     """Streaming funnel over a file-source event stream (rows:
     event_id, user_id, event_type, ns).  Returns the unstarted
     streaming DataFrame; the batch twin is
-    ``extensions.timeseries.q_events_funnel``."""
+    ``extensions.timeseries.q_events_funnel``.  ``lateness_ns``
+    enables the watermark-bounded reorder buffer (see module
+    docstring); 0 keeps the pure greedy walk."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     sch = schema or "event_id long, user_id long, event_type string, ns long"
@@ -99,7 +145,7 @@ def stream_events_funnel(spark: SparkSession, source_dir: str,
     return (
         stream.groupBy("user_id")
         .applyInPandasWithState(
-            _funnel_update,
+            _make_funnel_update(lateness_ns),
             outputStructType=_OUT_SCHEMA,
             stateStructType=_STATE_SCHEMA,
             outputMode="append",

@@ -527,3 +527,97 @@ def test_stream_funnel_same_ns_tie_matches_batch(spark, tmp_path):
     assert last == want
     assert last[1] == (1000, 1000, None, 2)  # same-ns click advanced
     assert last[2] == (500, 1000, 1000, 3)  # same-ns purchase advanced
+
+
+def test_funnel_reorder_buffer_recovers_cross_batch_late_click(
+        spark, tmp_path):
+    """Watermark-bounded reorder buffer: purchase@100 arrives in batch
+    1, the click@50 it depends on arrives in batch 2.  Without a
+    lateness budget the purchase is gone by the time the click lands
+    (the declared r6 trade-off); with lateness_ns covering the gap the
+    buffered purchase replays after the late click and the funnel
+    completes — matching the batch twin over the full event set."""
+    from astra_perseverance_spark.streaming import stream_events_funnel
+
+    sch = "event_id long, user_id long, event_type string, ns long"
+    b1 = [(1, 7, "view", 10), (2, 7, "purchase", 100)]
+    b2 = [(3, 7, "click", 50)]
+    src_dir = str(tmp_path / "late_funnel_src")
+    for chunk in (b1, b2):
+        spark.createDataFrame(chunk, sch).coalesce(1).write.mode(
+            "append").parquet(src_dir)
+
+    sdf = stream_events_funnel(
+        spark, src_dir, max_files_per_trigger=1, lateness_ns=1000)
+    q = (
+        sdf.writeStream.format("memory").queryName("late_funnel_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_late_funnel"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    emitted = [tuple(r) for r in spark.sql(
+        "SELECT view_ns, click_ns, purchase_ns, reached "
+        "FROM late_funnel_test ORDER BY reached").collect()]
+    # change stream ends at the completed funnel = the batch answer
+    assert emitted[-1] == (10, 50, 100, 3), emitted
+    # and without the budget the purchase stays lost (regression pin)
+    sdf0 = stream_events_funnel(spark, src_dir, max_files_per_trigger=1)
+    q0 = (
+        sdf0.writeStream.format("memory").queryName("late_funnel_test0")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_late_funnel0"))
+        .trigger(availableNow=True).start()
+    )
+    q0.awaitTermination(120)
+    emitted0 = [tuple(r) for r in spark.sql(
+        "SELECT view_ns, click_ns, purchase_ns, reached "
+        "FROM late_funnel_test0 ORDER BY reached").collect()]
+    assert emitted0[-1] == (10, 50, None, 2), emitted0
+
+
+def test_attribution_reorder_buffer_recovers_cross_batch_late_click(
+        spark, tmp_path):
+    """purchase@100 in batch 1, its click@50 in batch 2, and a
+    watermark-advancing later click in batch 3: with a lateness
+    budget the purchase holds in the reorder buffer until the
+    watermark passes it, by which point the late click has been
+    replayed ahead — the emitted attribution equals the batch
+    ``asof_backward`` answer instead of NULL."""
+    from astra_perseverance_spark.streaming import stream_events_asof
+
+    sch = "event_id long, user_id long, event_type string, ns long"
+    b1 = [(1, 7, "purchase", 100)]
+    b2 = [(2, 7, "click", 50)]
+    b3 = [(3, 7, "click", 5000)]  # advances the user watermark past 100
+    src_dir = str(tmp_path / "late_attr_src")
+    for chunk in (b1, b2, b3):
+        spark.createDataFrame(chunk, sch).coalesce(1).write.mode(
+            "append").parquet(src_dir)
+
+    sdf = stream_events_asof(
+        spark, src_dir, max_files_per_trigger=1, lateness_ns=1000)
+    q = (
+        sdf.writeStream.format("memory").queryName("late_attr_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_late_attr"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = [tuple(r) for r in spark.sql(
+        "SELECT event_id, purchase_ns, asof_ns, asof_event_id, gap_ns "
+        "FROM late_attr_test").collect()]
+    assert got == [(1, 100, 50, 2, 50)], got
+    # regression pin: without the budget the click arrives too late
+    sdf0 = stream_events_asof(spark, src_dir, max_files_per_trigger=1)
+    q0 = (
+        sdf0.writeStream.format("memory").queryName("late_attr_test0")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_late_attr0"))
+        .trigger(availableNow=True).start()
+    )
+    q0.awaitTermination(120)
+    got0 = [tuple(r) for r in spark.sql(
+        "SELECT event_id, purchase_ns, asof_ns, asof_event_id, gap_ns "
+        "FROM late_attr_test0").collect()]
+    assert got0 == [(1, 100, None, None, None)], got0
