@@ -233,12 +233,15 @@ def q_summary_long(spark: SparkSession, sf_dir: str,
     """Q20 — summary.json flattened to long format
     (section, ks, tbl, metric, value), explore.py:1718-1790, 1851-1854.
     The nested-JSON rendering is a driver-side sink over these rows.
-    Default-config plan object memoized (see ``memo_plan``)."""
-    from astra_perseverance_spark.conformed.model import memo_plan
+    Default-config RESULT frame memoized (``memo_frame``, r7): the
+    report-grain output is a few hundred rows and its assembly cost
+    is AQE stage-scheduling floor, not data — see the profiling note
+    on ``summary.q_summary_json``."""
+    from astra_perseverance_spark.conformed.model import memo_frame
 
     if cfg is DEFAULT_CONFIG:
-        return memo_plan(spark, sf_dir, ("summary_long",),
-                         lambda: _build_summary_long(spark, sf_dir, cfg))
+        return memo_frame(spark, sf_dir, ("summary_long",),
+                          lambda: _build_summary_long(spark, sf_dir, cfg))
     return _build_summary_long(spark, sf_dir, cfg)
 
 
