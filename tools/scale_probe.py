@@ -108,6 +108,19 @@ OPS = [
     ("split_assign", "O(n) left join vs component frame + hash map"),
     ("split_assign_incremental",
      "batch-sized probes vs persisted even-graph components"),
+    ("user_skew_audit", "O(n) map-side count + histogram rank pick"),
+    ("ann_ivf_pq", "IVF probe + O(candidates·dim) ADC scoring"),
+    ("ann_recall_ivf_pq", "ann_ivf_pq + fixed-panel membership agg"),
+]
+
+# Events-family operators re-probed under a planted whale (one user
+# owning ~20% of all events): their Window.partitionBy(user_id) must
+# sort that user inside ONE task, so this measures the straggler the
+# skew ledger documents (SCALE_DESIGN.md) — and what cap_user_events
+# buys back.
+WHALE_OPS = [
+    "events_sessionize", "events_funnel", "events_asof",
+    "user_skew_audit",
 ]
 
 
@@ -277,6 +290,57 @@ def main() -> int:
         "quantifiers, so no backtracking blow-up exists; at real corpus",
         "scale c vanishes into the first task wave.",
     ]
+    # ---- whale variant: the events family under a planted hot user --
+    if not only or "whale" in only:
+        from pyspark.sql import functions as F
+
+        whale_dir = os.path.join(REPO, ".scratch", f"probe_whale{rep}")
+        os.makedirs(whale_dir, exist_ok=True)
+        ev = spark.read.parquet(f"{scratch}/events.parquet")
+        # ~20% of all events re-keyed onto one user (deterministic)
+        (
+            ev.withColumn(
+                "user_id",
+                F.when(F.col("event_id") % 5 == 0, F.lit(0).cast("long"))
+                .otherwise(F.col("user_id")),
+            )
+            .write.mode("overwrite").parquet(f"{whale_dir}/events.parquet")
+        )
+        wrows = []
+        for name in WHALE_OPS:
+            fn = QUERY_REGISTRY[name]
+            release_memos(spark)
+            time_op(fn, spark, scratch)
+            te = time_op(fn, spark, scratch, runs=2)   # even users
+            release_memos(spark)
+            time_op(fn, spark, whale_dir)
+            tw = time_op(fn, spark, whale_dir, runs=2)  # whale corpus
+            wratio = tw / te if te > 0 else float("inf")
+            wrows.append((name, te, tw, wratio))
+            print(f"whale {name}: even={te:.2f}s whale={tw:.2f}s "
+                  f"ratio={wratio:.1f}", file=sys.stderr)
+        shutil.rmtree(whale_dir, ignore_errors=True)
+        lines += [
+            "",
+            f"## Whale skew probe ({rep}× corpus, one user owning ~20% "
+            "of events)",
+            "",
+            "Same event volume, two key distributions: `even` is the",
+            "replicated corpus above (per-user rates unchanged), `whale`",
+            "re-keys every 5th event onto user 0.  The whole-user window",
+            "families must sort the whale inside one task — this measures",
+            "that straggler directly (the cliff named in",
+            "`SCALE_DESIGN.md`'s skew table; `cap_user_events` is the",
+            "documented upstream guard).  `user_skew_audit` is the",
+            "detector — its map-side combine keeps it flat on the same",
+            "input.",
+            "",
+            "| operator | t(even) s | t(whale) s | whale/even |",
+            "|---|---|---|---|",
+        ]
+        for name, te, tw, wratio in wrows:
+            lines.append(f"| {name} | {te:.2f} | {tw:.2f} | {wratio:.1f} |")
+
     if only:
         print("(subset run: docs/SCALE_PROBE.md not rewritten)", file=sys.stderr)
     else:
