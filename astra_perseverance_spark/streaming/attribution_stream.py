@@ -21,8 +21,9 @@ budget — even one arriving in a LATER batch with an earlier
 timestamp — has been replayed ahead of it in event-time order, so
 the emitted attribution matches the batch twin.  The trade-off
 becomes explicit latency (one watermark advance) instead of a silent
-dropped attribution; arrivals later than the budget are dropped, a
-*declared* bound.  A production deployment would add an inactivity
+dropped attribution; an arrival later than the budget degrades to
+the monotone behavior (a too-late click still attributes future
+purchases, never past ones) — a *declared* bound.  A production deployment would add an inactivity
 TTL (event-time timeout) to drop dormant users' state; the operator
 keeps NoTimeout so attribution survives arbitrarily long user gaps
 on the test corpus.

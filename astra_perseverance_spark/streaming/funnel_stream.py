@@ -20,8 +20,10 @@ advance an earlier step (e.g. click@5 arriving after purchase@10 was
 seen — the batch twin counts that purchase, and so does the buffered
 walk).  Rows are emitted only when the user's funnel tuple CHANGES —
 advancements and in-budget corrections form a change stream (last
-row wins downstream); an arrival later than the budget is dropped,
-now a *declared* bound instead of an inherent gap.
+row wins downstream); an arrival later than the budget degrades to
+the monotone greedy walk (it can still advance an unset step but can
+no longer correct an earlier one) — a *declared* bound instead of an
+inherent gap.
 """
 
 from __future__ import annotations
