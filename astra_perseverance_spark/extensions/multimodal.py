@@ -186,15 +186,26 @@ def _jpeg_dims(data: bytes) -> tuple[int, int]:
     if data[:2] != _JPEG_SOI:
         raise ValueError("not a JPEG payload")
     pos = 2
-    while pos + 4 <= len(data):
+    n = len(data)
+    while pos + 2 <= n:
         if data[pos] != 0xFF:
             raise ValueError("bad JPEG marker stream")
+        # ITU T.81 B.1.1.2: a marker may be preceded by any number of
+        # 0xFF fill bytes — the marker code is the first non-FF byte.
+        while pos + 1 < n and data[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 2 > n:
+            break
         marker = data[pos + 1]
         if marker == 0x01 or 0xD0 <= marker <= 0xD8:  # standalone
             pos += 2
             continue
+        if pos + 4 > n:
+            break
         (seglen,) = struct.unpack(">H", data[pos + 2:pos + 4])
         if marker in _JPEG_SOF_MARKERS:
+            if pos + 9 > n:
+                raise ValueError("truncated JPEG SOF segment")
             h, w = struct.unpack(">HH", data[pos + 5:pos + 9])
             return h, w
         if marker == 0xDA:  # SOS: entropy data — SOF must have come first

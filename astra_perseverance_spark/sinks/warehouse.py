@@ -85,14 +85,31 @@ def write_bucketed_events(spark: SparkSession, sf_dir: str, database: str,
     the key, so ``Window.partitionBy("user_id")`` and the session
     aggregate plan with NO Exchange — only the final ORDER BY
     repartitions.  ``sortBy(user_id, ns, event_id)`` additionally
-    matches the window sort order for single-file buckets."""
+    matches the window sort order for single-file buckets.
+
+    Ingest always reads the RAW parquet: ``_events_ns`` would
+    otherwise resolve to the bucketed table itself when
+    ``SPARK_GRAFT_BUCKETED_DB`` already points at ``database`` (a
+    refresh run), and overwriting a table being read from is an
+    AnalysisException — the env var is suppressed while the source
+    plan is built (the branch binds at plan-build time), so
+    re-ingest is idempotent."""
+    import os
+
+    from astra_perseverance_spark.extensions.corpus import BUCKETED_DB_ENV
     from astra_perseverance_spark.extensions.timeseries import _events_ns
 
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {database} "
               f"LOCATION '{location}'")
     qualified = f"{database}.events"
+    prior = os.environ.pop(BUCKETED_DB_ENV, None)
+    try:
+        src = _events_ns(spark, sf_dir)
+    finally:
+        if prior is not None:
+            os.environ[BUCKETED_DB_ENV] = prior
     (
-        _events_ns(spark, sf_dir)
+        src
         .write.mode("overwrite")
         .bucketBy(n_buckets, "user_id").sortBy("user_id", "ns", "event_id")
         .format("parquet")

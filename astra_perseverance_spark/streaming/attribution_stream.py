@@ -23,7 +23,20 @@ the emitted attribution matches the batch twin.  The trade-off
 becomes explicit latency (one watermark advance) instead of a silent
 dropped attribution; an arrival later than the budget degrades to
 the monotone behavior (a too-late click still attributes future
-purchases, never past ones) — a *declared* bound.  A production deployment would add an inactivity
+purchases, never past ones) — a *declared* bound.
+
+Buffered purchases additionally emit PROVISIONAL rows (their current
+attribution against everything replayed before them in event-time
+order), superseded on change or finalization — last row wins keyed
+by event_id, mirroring ``funnel_stream``.  Without this, a bounded
+replay (``availableNow``) or a user who goes quiet would silently
+withhold every purchase inside the lateness budget of that user's
+final watermark; with it the tail converges to the batch twin and
+in-between rows are a documented change stream.  The state tracks
+the last emitted (asof_ns, asof_event_id) per still-buffered
+purchase so an unchanged provisional row is never re-emitted on
+buffer replay, and a finalization that matches the already-emitted
+provisional row is suppressed too.  A production deployment would add an inactivity
 TTL (event-time timeout) to drop dormant users' state; the operator
 keeps NoTimeout so attribution survives arbitrarily long user gaps
 on the test corpus.
@@ -39,10 +52,15 @@ _OUT_SCHEMA = (
 )
 _STATE_SCHEMA = (
     "ns long, event_id long, max_ns long, "
-    "pend_ns array<long>, pend_eid array<long>, pend_click array<boolean>"
+    "pend_ns array<long>, pend_eid array<long>, pend_click array<boolean>, "
+    "em_eid array<long>, em_ans array<long>, em_aeid array<long>"
 )
 
 REORDER_BUFFER_CAP = 4096
+
+# NULL attribution (purchase with no prior click) inside the emitted-
+# provisional state arrays (event-time ns / event ids are non-negative).
+_NULL_NS = -1
 
 
 def _make_attr_update(lateness_ns: int):
@@ -51,12 +69,17 @@ def _make_attr_update(lateness_ns: int):
 
         user = key[0]
         if state.exists:
-            ns0, eid0, max_ns, pend_ns, pend_eid, pend_click = tuple(
-                state.get)
+            (ns0, eid0, max_ns, pend_ns, pend_eid, pend_click,
+             em_eid, em_ans, em_aeid) = tuple(state.get)
             latest = (ns0, eid0) if ns0 is not None else None
             pending = list(zip(pend_ns, pend_eid, pend_click))
+            dec = (lambda x: None if x is None or x == _NULL_NS
+                   else int(x))
+            # eid → (asof_ns, asof_eid) already emitted provisionally
+            emitted = {int(e): (dec(a), dec(ae))
+                       for e, a, ae in zip(em_eid, em_ans, em_aeid)}
         else:
-            latest, max_ns, pending = None, None, []
+            latest, max_ns, pending, emitted = None, None, [], {}
         events = [(int(ns), int(eid), et == "click")
                   for pdf in pdf_iter
                   for eid, et, ns in zip(pdf["event_id"],
@@ -81,6 +104,14 @@ def _make_attr_update(lateness_ns: int):
             pend = pend[spill:]
         out = {c: [] for c in ("event_id", "purchase_ns",
                                "asof_ns", "asof_event_id", "gap_ns")}
+
+        def emit(eid, ns, hit):
+            out["event_id"].append(eid)
+            out["purchase_ns"].append(ns)
+            out["asof_ns"].append(hit[0] if hit else None)
+            out["asof_event_id"].append(hit[1] if hit else None)
+            out["gap_ns"].append(ns - hit[0] if hit else None)
+
         for ns, kind, eid in fin:
             if kind == 0:
                 cand = (ns, eid)
@@ -89,11 +120,29 @@ def _make_attr_update(lateness_ns: int):
             else:
                 hit = latest if latest is not None and latest[0] <= ns \
                     else None
-                out["event_id"].append(eid)
-                out["purchase_ns"].append(ns)
-                out["asof_ns"].append(hit[0] if hit else None)
-                out["asof_event_id"].append(hit[1] if hit else None)
-                out["gap_ns"].append(ns - hit[0] if hit else None)
+                key_hit = (hit[0] if hit else None, hit[1] if hit else None)
+                # a provisional row with the same attribution already
+                # went out — finalization changes nothing downstream
+                if emitted.pop(eid, None) != key_hit:
+                    emit(eid, ns, hit)
+        # provisional pass over the buffered tail: purchases emit
+        # their CURRENT attribution (finalized latest + in-buffer
+        # clicks replayed ahead of them), superseded on change —
+        # last row wins keyed by event_id
+        new_emitted = {}
+        plat = latest
+        for ns, kind, eid in pend:
+            if kind == 0:
+                cand = (ns, eid)
+                if plat is None or cand > plat:
+                    plat = cand
+            else:
+                hit = plat if plat is not None and plat[0] <= ns else None
+                key_hit = (hit[0] if hit else None, hit[1] if hit else None)
+                if emitted.get(eid, ()) != key_hit:
+                    emit(eid, ns, hit)
+                new_emitted[eid] = key_hit
+        enc = (lambda x: _NULL_NS if x is None else int(x))
         state.update((
             latest[0] if latest else None,
             latest[1] if latest else None,
@@ -101,6 +150,9 @@ def _make_attr_update(lateness_ns: int):
             [ns for ns, _k, _e in pend],
             [e for _ns, _k, e in pend],
             [k == 0 for _ns, k, _e in pend],
+            [int(e) for e in new_emitted],
+            [enc(a) for a, _ae in new_emitted.values()],
+            [enc(ae) for _a, ae in new_emitted.values()],
         ))
         yield pd.DataFrame({
             "event_id": pd.Series(out["event_id"], dtype="Int64"),

@@ -24,6 +24,14 @@ row wins downstream); an arrival later than the budget degrades to
 the monotone greedy walk (it can still advance an unset step but can
 no longer correct an earlier one) — a *declared* bound instead of an
 inherent gap.
+
+The change-stream claim is enforced across batches: the state keeps
+the provisional tuple sequence emitted for the still-buffered tail,
+and each replay diffs its combined (finalized + provisional) walk
+against that sequence — the longest common prefix was already
+emitted, so a pure replay (new events outside the buffered region)
+re-emits nothing, and a correction re-emits only from the first
+tuple that actually changed.
 """
 
 from __future__ import annotations
@@ -37,8 +45,13 @@ _OUT_SCHEMA = (
 _STATE_SCHEMA = (
     "view_ns long, click_ns long, purchase_ns long, "
     "lv long, lc long, lp long, max_ns long, "
-    "pend_ns array<long>, pend_eid array<long>, pend_step array<int>"
+    "pend_ns array<long>, pend_eid array<long>, pend_step array<int>, "
+    "em_v array<long>, em_c array<long>, em_p array<long>"
 )
+
+# Unreached funnel steps are None in the emitted tuples but state
+# arrays carry them as this sentinel (event-time ns are non-negative).
+_NULL_NS = -1
 
 _STEP_PRIORITY = {"view": 0, "click": 1, "purchase": 2}
 # Defensive bound on the per-user reorder buffer: the lateness budget
@@ -75,11 +88,16 @@ def _make_funnel_update(lateness_ns: int):
         user = key[0]
         if state.exists:
             (v, c, p, lv, lc, lp, max_ns,
-             pend_ns, pend_eid, pend_step) = tuple(state.get)
+             pend_ns, pend_eid, pend_step,
+             em_v, em_c, em_p) = tuple(state.get)
             pending = list(zip(pend_ns, pend_eid, pend_step))
+            dec = (lambda x: None if x is None or x == _NULL_NS
+                   else int(x))
+            prev_prov = [(dec(a), dec(b), dec(cc))
+                         for a, b, cc in zip(em_v, em_c, em_p)]
         else:
             v = c = p = lv = lc = lp = max_ns = None
-            pending = []
+            pending, prev_prov = [], []
         events = [(int(ns), int(eid), _STEP_PRIORITY.get(et, 3))
                   for pdf in pdf_iter
                   for eid, et, ns in zip(pdf["event_id"],
@@ -104,15 +122,29 @@ def _make_funnel_update(lateness_ns: int):
         # provisional: replay the buffered tail on top of the
         # finalized progression — corrections supersede downstream
         pv, pc, pp, psteps = _walk(v, c, p, pend)
-        for tup in steps + psteps:
+        combined = steps + psteps
+        # a replay reproduces last batch's provisional tuples verbatim
+        # (finalizing events re-walk to the same tuples); the longest
+        # common prefix against the previously emitted provisional
+        # sequence was already emitted — skip it, emit only from the
+        # first tuple that changed
+        lcp = 0
+        while (lcp < len(combined) and lcp < len(prev_prov)
+               and combined[lcp] == prev_prov[lcp]):
+            lcp += 1
+        for tup in combined[lcp:]:
             if tup != (lv, lc, lp):
                 rows.append(tup)
                 lv, lc, lp = tup
+        enc = (lambda x: _NULL_NS if x is None else int(x))
         state.update((
             v, c, p, lv, lc, lp, max_ns,
             [ns for ns, _s, _e in pend],
             [e for _ns, _s, e in pend],
             [s for _ns, s, _e in pend],
+            [enc(t[0]) for t in psteps],
+            [enc(t[1]) for t in psteps],
+            [enc(t[2]) for t in psteps],
         ))
         yield pd.DataFrame({
             "user_id": pd.Series([user] * len(rows), dtype="Int64"),

@@ -300,6 +300,27 @@ class TestMjpeg:
         with pytest.raises(ValueError):
             _jpeg_dims(b"APSE not a jpeg")
 
+    def test_jpeg_dims_skips_fill_bytes(self):
+        """ITU T.81 B.1.1.2: a marker may be padded by any number of
+        0xFF fill bytes — they are not markers carrying lengths, so
+        the walk must not desync on them (ADVICE r7)."""
+        from astra_perseverance_spark.extensions.multimodal import _jpeg_dims
+
+        jpeg = _mk_jpeg(12, 34)
+        sof_at = jpeg.index(b"\xff\xc0")
+        padded = jpeg[:sof_at] + b"\xff\xff\xff" + jpeg[sof_at:]
+        assert _jpeg_dims(padded) == (12, 34)
+
+    def test_jpeg_dims_truncated_sof_raises_valueerror(self):
+        """A SOF segment cut off before its dims raises the documented
+        ValueError, never struct.error (ADVICE r7)."""
+        from astra_perseverance_spark.extensions.multimodal import _jpeg_dims
+
+        jpeg = _mk_jpeg(12, 34)
+        sof_at = jpeg.index(b"\xff\xc0")
+        with pytest.raises(ValueError):
+            _jpeg_dims(jpeg[:sof_at + 4])  # marker + seglen, no dims
+
     def test_avi_frame_stats_decodes_mjpeg_frame_headers(self):
         """Per-frame dims come from each frame's OWN SOF header (a
         real codec-header decode), not the container metadata: the

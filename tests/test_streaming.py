@@ -582,8 +582,9 @@ def test_attribution_reorder_buffer_recovers_cross_batch_late_click(
     watermark-advancing later click in batch 3: with a lateness
     budget the purchase holds in the reorder buffer until the
     watermark passes it, by which point the late click has been
-    replayed ahead — the emitted attribution equals the batch
-    ``asof_backward`` answer instead of NULL."""
+    replayed ahead — the LAST emitted row per event_id (buffered
+    purchases emit a provisional change stream, last row wins)
+    equals the batch ``asof_backward`` answer instead of NULL."""
     from astra_perseverance_spark.streaming import stream_events_asof
 
     sch = "event_id long, user_id long, event_type string, ns long"
@@ -607,7 +608,10 @@ def test_attribution_reorder_buffer_recovers_cross_batch_late_click(
     got = [tuple(r) for r in spark.sql(
         "SELECT event_id, purchase_ns, asof_ns, asof_event_id, gap_ns "
         "FROM late_attr_test").collect()]
-    assert got == [(1, 100, 50, 2, 50)], got
+    # change stream: provisional NULL (batch 1, purchase in buffer),
+    # provisional corrected by the late click (batch 2); finalization
+    # in batch 3 matches what was already emitted, so it adds no row
+    assert got == [(1, 100, None, None, None), (1, 100, 50, 2, 50)], got
     # regression pin: without the budget the click arrives too late
     sdf0 = stream_events_asof(spark, src_dir, max_files_per_trigger=1)
     q0 = (
@@ -621,3 +625,106 @@ def test_attribution_reorder_buffer_recovers_cross_batch_late_click(
         "SELECT event_id, purchase_ns, asof_ns, asof_event_id, gap_ns "
         "FROM late_attr_test0").collect()]
     assert got0 == [(1, 100, None, None, None)], got0
+
+
+def test_attribution_tail_purchase_emits_provisionally(spark, tmp_path):
+    """ADVICE r7: with lateness_ns > 0 and NO watermark-advancing
+    later event, a bounded replay (availableNow) used to withhold
+    every purchase inside the lateness budget of the user's final
+    watermark.  Buffered purchases now emit provisional rows — the
+    tail converges to the batch twin even when the user goes quiet."""
+    from astra_perseverance_spark.streaming import stream_events_asof
+
+    sch = "event_id long, user_id long, event_type string, ns long"
+    b1 = [(1, 7, "purchase", 100)]
+    b2 = [(2, 7, "click", 50)]  # in-budget late click, then silence
+    src_dir = str(tmp_path / "tail_attr_src")
+    for chunk in (b1, b2):
+        spark.createDataFrame(chunk, sch).coalesce(1).write.mode(
+            "append").parquet(src_dir)
+
+    sdf = stream_events_asof(
+        spark, src_dir, max_files_per_trigger=1, lateness_ns=1000)
+    q = (
+        sdf.writeStream.format("memory").queryName("tail_attr_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_tail_attr"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = [tuple(r) for r in spark.sql(
+        "SELECT event_id, purchase_ns, asof_ns, asof_event_id, gap_ns "
+        "FROM tail_attr_test").collect()]
+    # last row per event_id = the batch answer, despite the purchase
+    # never finalizing
+    assert got == [(1, 100, None, None, None), (1, 100, 50, 2, 50)], got
+
+
+def test_attribution_provisional_rows_not_reemitted_on_replay(
+        spark, tmp_path):
+    """An unchanged buffered purchase must not re-emit its provisional
+    row every batch: a third batch whose events do not touch the
+    buffered region adds no duplicate of the already-emitted
+    provisional attribution."""
+    from astra_perseverance_spark.streaming import stream_events_asof
+
+    sch = "event_id long, user_id long, event_type string, ns long"
+    b1 = [(1, 7, "click", 50), (2, 7, "purchase", 100)]
+    # a later in-budget purchase keeps everything buffered (watermark
+    # still below the whole region) and replays purchase 2 unchanged
+    b2 = [(3, 7, "purchase", 120)]
+    src_dir = str(tmp_path / "noreemit_attr_src")
+    for chunk in (b1, b2):
+        spark.createDataFrame(chunk, sch).coalesce(1).write.mode(
+            "append").parquet(src_dir)
+
+    sdf = stream_events_asof(
+        spark, src_dir, max_files_per_trigger=1, lateness_ns=1000)
+    q = (
+        sdf.writeStream.format("memory").queryName("noreemit_attr_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_noreemit_attr"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = [tuple(r) for r in spark.sql(
+        "SELECT event_id, purchase_ns, asof_ns, asof_event_id, gap_ns "
+        "FROM noreemit_attr_test").collect()]
+    # purchase 2's provisional row appears ONCE (batch 1) — batch 2's
+    # replay reproduces the identical attribution and is suppressed;
+    # purchase 3 emits its own provisional row
+    assert got == [(2, 100, 50, 1, 50), (3, 120, 50, 1, 70)], got
+
+
+def test_funnel_provisional_replay_does_not_reemit(spark, tmp_path):
+    """ADVICE r7: new events arriving while the reorder buffer is
+    non-empty used to re-emit previously-superseded tuples (a
+    reached=1 row after reached=3 was already emitted).  The replay
+    now diffs against the previously emitted provisional sequence —
+    a batch that advances nothing emits nothing."""
+    from astra_perseverance_spark.streaming import stream_events_funnel
+
+    sch = "event_id long, user_id long, event_type string, ns long"
+    b1 = [(1, 7, "view", 10), (2, 7, "click", 20), (3, 7, "purchase", 30)]
+    b2 = [(4, 7, "view", 40)]  # in-budget, advances no funnel step
+    src_dir = str(tmp_path / "noreemit_funnel_src")
+    for chunk in (b1, b2):
+        spark.createDataFrame(chunk, sch).coalesce(1).write.mode(
+            "append").parquet(src_dir)
+
+    sdf = stream_events_funnel(
+        spark, src_dir, max_files_per_trigger=1, lateness_ns=1000)
+    q = (
+        sdf.writeStream.format("memory").queryName("noreemit_funnel_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_noreemit_funnel"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = [tuple(r) for r in spark.sql(
+        "SELECT view_ns, click_ns, purchase_ns, reached "
+        "FROM noreemit_funnel_test").collect()]
+    # exactly the three advancement tuples, strictly increasing —
+    # batch 2's replay re-walks to the same sequence and emits nothing
+    assert got == [(10, None, None, 1), (10, 20, None, 2),
+                   (10, 20, 30, 3)], got

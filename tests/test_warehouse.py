@@ -233,3 +233,27 @@ def test_events_values_match_between_modes(
     monkeypatch.setenv(BUCKETED_DB_ENV, "eventdemo")
     bucketed = QUERY_REGISTRY["events_sessionize"](spark, SF_SMALL).collect()
     assert plain == bucketed and plain
+
+
+def test_events_reingest_idempotent_with_bucketed_env(
+        spark, events_warehouse, monkeypatch, tmp_path):
+    """Refresh-run safety (ADVICE r7): re-running write_bucketed_events
+    while SPARK_GRAFT_BUCKETED_DB already points at the TARGET database
+    must not plan a read of the table being overwritten (that is an
+    AnalysisException) — ingest reads the raw parquet unconditionally,
+    and the env var is restored afterwards."""
+    import os
+
+    from astra_perseverance_spark.extensions.corpus import BUCKETED_DB_ENV
+    from astra_perseverance_spark.sinks.warehouse import (
+        write_bucketed_events,
+    )
+
+    monkeypatch.setenv(BUCKETED_DB_ENV, "eventdemo")
+    table = write_bucketed_events(
+        spark, SF_SMALL, "eventdemo", str(tmp_path / "ignored_loc"))
+    assert table == "eventdemo.events"
+    assert os.environ[BUCKETED_DB_ENV] == "eventdemo"  # restored
+    n = spark.table(table).count()
+    raw = spark.read.parquet(f"{SF_SMALL}/events.parquet").count()
+    assert n == raw > 0
