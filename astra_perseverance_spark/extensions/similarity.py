@@ -694,3 +694,128 @@ def q_ann_recall_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     isolate each loss)."""
     return _recall_vs_exact(
         q_embedding_topk(spark, sf_dir), q_ann_ivf_pq(spark, sf_dir))
+
+
+# (applicationId, sf_dir) → per-dimension (lo, hi) over the INDEXED
+# (even vec_id) corpus — the incremental store's frozen metadata.
+_EVEN_DIM_STATS: dict[tuple, tuple[list, list]] = {}
+
+
+def _even_dim_bounds(spark: SparkSession, sf_dir: str):
+    """(lo_at, hi_at) accessors over the INDEXED (even vec_id) corpus
+    only.  Deliberately NOT ``training._dim_bounds``: the quantized
+    store's bounds are frozen when the index is built — before any
+    new batch exists — so the incremental serving path must not let
+    odd (new-batch) vectors widen them.  Same 64-group aggregate →
+    2×64 driver scalars → literal-array fold as the training helper
+    (the sanctioned dim-stats collect; at production scale these
+    ship with the store's metadata)."""
+    from astra_perseverance_spark.functions.vectors import ANN_DIM
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _EVEN_DIM_STATS:
+        rows = (
+            _vectors(spark, sf_dir)
+            .filter(F.col("vec_id") % 2 == 0)
+            .select(F.posexplode("eq").alias("d", "q"))
+            .groupBy("d")
+            .agg(F.min("q").alias("lo"), F.max("q").alias("hi"))
+            .collect()
+        )
+        lo = [0] * ANN_DIM
+        hi = [0] * ANN_DIM
+        for r in rows:
+            lo[r["d"]] = r["lo"]
+            hi[r["d"]] = r["hi"]
+        _EVEN_DIM_STATS[key] = (lo, hi)
+    lo, hi = _EVEN_DIM_STATS[key]
+    lo_a = F.array(*[F.lit(int(x)) for x in lo])
+    hi_a = F.array(*[F.lit(int(x)) for x in hi])
+
+    def at(arr):
+        return lambda i: F.element_at(arr, (i + 1).cast("int"))
+
+    return at(lo_a), at(hi_a)
+
+
+def _recon_even_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, rq, rn2): the int8-reconstructed INDEXED store —
+    ``training._recon_vectors``'s encode∘decode fused map (exact
+    BIGINT ``div``) applied to the even half with the even-corpus
+    bounds.  This is the persisted artifact the incremental serving
+    path scores against; a new batch never touches it."""
+    from astra_perseverance_spark.extensions.training import SQ_LEVELS, _idiv
+    from astra_perseverance_spark.functions.vectors import dot_q as _dq
+
+    lo_at, hi_at = _even_dim_bounds(spark, sf_dir)
+
+    def recon(x, i):
+        span = hi_at(i) - lo_at(i)
+        code = _idiv((x - lo_at(i)) * SQ_LEVELS, span)
+        return F.when(
+            span > 0, lo_at(i) + _idiv(code * span, F.lit(SQ_LEVELS))
+        ).otherwise(lo_at(i))
+
+    return (
+        _vectors(spark, sf_dir)
+        .filter(F.col("vec_id") % 2 == 0)
+        .select("vec_id", F.transform("eq", recon).alias("rq"))
+        .withColumn("rn2", _dq(F.col("rq"), F.col("rq")))
+    )
+
+
+def q_ann_incremental_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANN over the QUANTIZED store — the composition a
+    continuously ingesting production system serves: a new batch
+    (odd vec_ids) is routed by the persisted coarse quantizer
+    (``_incremental_centroids``, full-precision — the standard IVF-PQ
+    layout keeps the tiny centroid set unquantized) and scored by
+    asymmetric distance (exact fixed-point query vector vs the
+    int8-reconstructed even store, ``_recon_even_store``) — i.e.
+    ``ann_incremental``'s batch-sized probing with ``ann_ivf_pq``'s
+    serving payload.
+
+    Batch cost is O(|batch| · (√n + nprobe · n/lists)) against the
+    4×-compressed store, independent of how many batches came before;
+    the index, centroids and reconstructed store are memoized
+    artifacts (built once, reused by every probe run), and the
+    store join is a vec_id equi-join (shuffle_hash — co-partitioned
+    at scale).
+
+    Output: query_id, rank, neighbor_id, cosine (ADC cosine)."""
+    index = memo_frame(spark, sf_dir, ("ivf_incr_index",),
+                       lambda: _build_incremental_index(spark, sf_dir))
+    cent = memo_frame(spark, sf_dir, ("ivf_incr_cent",),
+                      lambda: _incremental_centroids(spark, sf_dir))
+    store = memo_frame(spark, sf_dir, ("ivf_incr_pq_store",),
+                       lambda: _recon_even_store(spark, sf_dir))
+    assign = (
+        index.select("cid", "vec_id")
+        .join(store.hint("shuffle_hash"), "vec_id")
+    )
+    new = _vectors(spark, sf_dir).drop("bucket").filter(
+        F.col("vec_id") % 2 == 1)
+    probe_aff = new.join(F.broadcast(cent)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("eq").alias("q_eq"),
+        F.col("n2").alias("q_n2"),
+        "cid",
+        cosine(dot_q(F.col("eq"), F.col("c_eq")), F.col("n2"),
+               F.col("c_n2")).alias("ccos"),
+    )
+    w_aff = Window.partitionBy("query_id").orderBy(F.desc("ccos"), "cid")
+    probes = (
+        probe_aff.withColumn("crank", F.row_number().over(w_aff))
+        .filter(F.col("crank") <= IVF_NPROBE)
+        .select("query_id", "q_eq", "q_n2", "cid")
+    )
+    pairs = (
+        probes.join(assign.hint("shuffle_hash"), "cid")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(dot_q(F.col("q_eq"), F.col("rq")), F.col("q_n2"),
+                   F.col("rn2")).alias("cosine"),
+        )
+    )
+    return _topk(pairs)

@@ -263,7 +263,13 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output: user_id, session_idx (0-based per user), start_ns,
     end_ns, n_events, duration_ns."""
-    ev = _events_ns(spark, sf_dir)
+    return _sessionize(_events_ns(spark, sf_dir))
+
+
+def _sessionize(ev: DataFrame) -> DataFrame:
+    """Gap-based sessionization of an (event_id, user_id, ns) frame —
+    the lag-flag-cumsum pipeline shared by ``q_events_sessionize``
+    and its whale-capped variant."""
     w = Window.partitionBy("user_id").orderBy("ns", "event_id")
     sessions = (
         ev.withColumn("_prev", F.lag("ns").over(w))
@@ -429,25 +435,63 @@ def cap_user_events(ev: DataFrame, cap: int = USER_EVENT_CAP) -> DataFrame:
     events keep a uniform hash-selected ~``cap``-event subset; all
     other users pass through untouched.
 
-    Selection is ``xxhash64(event_id) % ceil(n/cap) == 0`` — a pure
+    Selection is ``h15(event_id) % ceil(n/cap) == 0`` — a pure
     function of the row, so re-runs, retries and AQE re-plans keep
     the identical subset, and no per-user ORDER is ever computed (a
     first-N-by-time truncation would itself need the whale sorted in
-    one task, the exact operation being guarded).  Sampling, not
-    truncation, is deliberate: it preserves the event-rate *shape*
-    for bot-grade users while bounding every downstream
-    ``Window.partitionBy(user_id)`` partition at ~``cap`` rows.
-    Semantics for capped users are approximate by declaration — the
-    audit query names them so pipelines can quarantine instead."""
+    one task, the exact operation being guarded).  The hash is the
+    repo's cross-engine ``texthash.h15`` (md5-prefix, the
+    ``corpus_sample`` pattern) and the stride is an exact integer
+    ceiling division, so the DuckDB oracle twin of
+    ``q_events_sessionize_capped`` reproduces the identical subset.
+    Sampling, not truncation, is deliberate: it preserves the
+    event-rate *shape* for bot-grade users while bounding every
+    downstream ``Window.partitionBy(user_id)`` partition at ~``cap``
+    rows.  Semantics for capped users are approximate by declaration
+    — the audit query names them so pipelines can quarantine
+    instead."""
+    from astra_perseverance_spark.functions.texthash import h15
+
     cnt = ev.groupBy("user_id").agg(F.count("*").alias("_n"))
-    stride = F.ceil(F.col("_n") / F.lit(cap)).cast("long")
+    # exact BIGINT ceil-div (F.ceil of a double quotient drifts past
+    # 2^53; both engines share this integer form)
+    stride = F.expr(f"(_n + {cap} - 1) div {cap}").cast("long")
     whales = cnt.filter(F.col("_n") > cap).select(
         "user_id", stride.alias("_stride"))
     return (
         ev.join(F.broadcast(whales), "user_id", "left")
         .filter(
             F.col("_stride").isNull()
-            | (F.pmod(F.xxhash64(F.col("event_id")), F.col("_stride")) == 0)
+            | (F.pmod(h15(F.col("event_id").cast("string")),
+                      F.col("_stride")) == 0)
         )
         .select(*ev.columns)  # restore caller's column order
     )
+
+
+# Demonstration cap for the REGISTERED capped-sessionize variant: the
+# production guard (USER_EVENT_CAP = 10M) never triggers on the test
+# corpora (per-user max ≈ 100), so the registered query runs the
+# guard with a cap the fixtures actually exceed — the oracle then
+# checks real capped-mode semantics, not a pass-through.
+SESSION_CAP_DEMO = 50
+
+
+def q_events_sessionize_capped(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Whale-guarded sessionization: ``cap_user_events`` composed
+    with the ``q_events_sessionize`` pipeline — the form a 100-TB
+    deployment actually runs, where one bot-grade user would
+    otherwise be a straggler partition inside every
+    ``Window.partitionBy(user_id)`` (see the heavy-hitter guard
+    note above ``USER_EVENT_CAP``).  Registered with
+    ``SESSION_CAP_DEMO`` so the cap path is oracle-exercised at test
+    scale; production composes the same two functions with the 10M
+    default.
+
+    Same output schema as ``events_sessionize``; capped users'
+    sessions are computed over their hash-selected subset (declared
+    approximate — fewer events, possibly different gap boundaries),
+    uncapped users' sessions are identical to the plain query."""
+    return _sessionize(
+        cap_user_events(_events_ns(spark, sf_dir), cap=SESSION_CAP_DEMO))

@@ -2227,3 +2227,148 @@ SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_exact,
        CAST(SUM(hit) AS DOUBLE) / COUNT(*) AS recall
 FROM hits GROUP BY query_id ORDER BY query_id
 """
+
+# Whale-capped sessionization (timeseries.py::q_events_sessionize_capped):
+# the cap_user_events guard — per-user counts, exact integer ceil-div
+# stride, h15(event_id) hash selection for users over the cap — feeding
+# the identical lag-flag-cumsum sessionization.  The hash is the
+# cross-engine md5-prefix h15 (the corpus_sample pattern), so the twin
+# reproduces the IDENTICAL downsampled subset bit-for-bit.
+from astra_perseverance_spark.extensions.timeseries import (  # noqa: E402
+    SESSION_CAP_DEMO,
+)
+
+EXT_ORACLE_SQL["events_sessionize_capped"] = f"""
+WITH ev0 AS (
+  SELECT CAST(event_id AS BIGINT) AS event_id,
+         CAST(user_id AS BIGINT) AS user_id,
+         CAST(epoch_ns(ts) AS BIGINT) AS ns
+  FROM events
+),
+cnt AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n FROM ev0 GROUP BY user_id
+),
+wh AS (
+  SELECT user_id,
+         (n + {SESSION_CAP_DEMO - 1}) // {SESSION_CAP_DEMO} AS stride
+  FROM cnt WHERE n > {SESSION_CAP_DEMO}
+),
+ev AS (
+  SELECT e.event_id, e.user_id, e.ns
+  FROM ev0 e LEFT JOIN wh ON wh.user_id = e.user_id
+  WHERE wh.stride IS NULL
+     OR {h15_sql("CAST(e.event_id AS VARCHAR)")} % wh.stride = 0
+),
+flagged AS (
+  SELECT user_id, event_id, ns,
+         CASE WHEN lag(ns) OVER w IS NULL
+                OR ns - lag(ns) OVER w > {SESSION_GAP_NS}
+              THEN 1 ELSE 0 END AS new_s
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ns, event_id)
+),
+indexed AS (
+  SELECT user_id, ns,
+         CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ns, event_id
+                               ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT)
+           AS session_idx
+  FROM flagged
+)
+SELECT user_id, session_idx,
+       MIN(ns) AS start_ns, MAX(ns) AS end_ns,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       MAX(ns) - MIN(ns) AS duration_ns
+FROM indexed GROUP BY user_id, session_idx
+ORDER BY user_id, session_idx
+"""
+
+# Incremental ANN over the quantized store
+# (similarity.py::q_ann_incremental_pq): the ann_incremental CTEs
+# (parity split, even-corpus stride centroids, crank-1 list
+# assignment, nprobe probe routing) with the candidate payload swapped
+# for the int8-reconstructed EVEN store — bounds computed over the
+# indexed half only (frozen at index build, before the new batch
+# exists), encode∘decode fused exact-BIGINT as in ann_quantized_recall.
+
+_INCR_RECON_CTES = f"""
+sdim AS MATERIALIZED (
+  SELECT CAST(u.d AS INT) AS d,
+         MIN(eq[CAST(u.d + 1 AS INT)]) AS lo,
+         MAX(eq[CAST(u.d + 1 AS INT)]) AS hi
+  FROM old, unnest(range({ANN_DIM})) AS u(d)
+  GROUP BY u.d
+),
+sb AS MATERIALIZED (
+  SELECT (SELECT list(lo ORDER BY d) FROM sdim) AS lo_a,
+         (SELECT list(hi ORDER BY d) FROM sdim) AS hi_a
+),
+srv AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(range({ANN_DIM}), i -> CASE
+           WHEN hi_a[CAST(i + 1 AS INT)] > lo_a[CAST(i + 1 AS INT)]
+           THEN CAST(lo_a[CAST(i + 1 AS INT)]
+                + ((eq[CAST(i + 1 AS INT)] - lo_a[CAST(i + 1 AS INT)])
+                   * {SQ_LEVELS}
+                   // (hi_a[CAST(i + 1 AS INT)] - lo_a[CAST(i + 1 AS INT)]))
+                  * (hi_a[CAST(i + 1 AS INT)] - lo_a[CAST(i + 1 AS INT)])
+                  // {SQ_LEVELS} AS BIGINT)
+           ELSE lo_a[CAST(i + 1 AS INT)] END) AS rq
+  FROM old, sb
+),
+srn AS MATERIALIZED (
+  SELECT vec_id, rq, {dot_q_sql('rq', 'rq')} AS rn2 FROM srv
+)"""
+
+EXT_ORACLE_SQL["ann_incremental_pq"] = f"""
+WITH v AS (
+  SELECT vec_id, {quantize_sql('embedding')} AS eq FROM embeddings
+),
+vn AS (
+  SELECT vec_id, eq, {dot_q_sql('eq', 'eq', ANN_DIM)} AS n2 FROM v
+),
+old AS (SELECT * FROM vn WHERE vec_id % 2 = 0),
+new AS (SELECT * FROM vn WHERE vec_id % 2 = 1),
+st AS (
+  SELECT greatest(1, n // greatest(
+           least(CAST(FLOOR(SQRT(CAST(n AS DOUBLE))) AS BIGINT),
+                 {IVF_MAX_LISTS}), 1)) AS stride
+  FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM old)
+),
+cent AS (
+  SELECT vec_id AS cid, eq AS c_eq, n2 AS c_n2
+  FROM old, st WHERE (vec_id // 2) % st.stride = 0
+),
+{_INCR_RECON_CTES.lstrip()},
+assign AS (
+  SELECT a.cid, a.vec_id, r.rq, r.rn2 FROM (
+    SELECT c.cid, q.vec_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                              ORDER BY {_INCR_COS_QC} DESC, c.cid) AS crank
+    FROM old q CROSS JOIN cent c
+  ) a JOIN srn r ON r.vec_id = a.vec_id
+  WHERE a.crank = 1
+),
+probes AS (
+  SELECT query_id, q_eq, q_n2, cid FROM (
+    SELECT q.vec_id AS query_id, q.eq AS q_eq, q.n2 AS q_n2, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                              ORDER BY {_INCR_COS_QC} DESC, c.cid) AS crank
+    FROM new q CROSS JOIN cent c
+  ) WHERE crank <= {IVF_NPROBE}
+),
+pairs AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         CAST({dot_q_sql('p.q_eq', 'a.rq', ANN_DIM)} AS DOUBLE)
+           / (sqrt(CAST(p.q_n2 AS DOUBLE)) * sqrt(CAST(a.rn2 AS DOUBLE)))
+           AS cosine
+  FROM probes p JOIN assign a ON a.cid = p.cid
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM pairs
+)
+SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cosine
+FROM ranked WHERE rank <= {ANN_TOPK} ORDER BY query_id, rank
+"""

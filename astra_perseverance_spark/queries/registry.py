@@ -20,26 +20,27 @@ queries get a hard driver-side correctness row each round:
    local pytest oracle-parity gate (tests/test_oracle_parity.py
    parametrizes the full registry) and the bench suite.
 
-Round-7 rotation (freshness deadline first, then rule 2):
+Round-8 rotation (freshness deadline first, then rule 2):
 
-* Into the window: the 14 queries whose last driver row is r4
-  (text_stats, embedding_topk, dedup_exact, gc_minute_windows,
-  ann_recall_ivf_kmeans, embedding_label_probe, dedup_keep_list,
-  doc_minute_tokens, lang_id, token_count, vocab_top_terms,
-  tfidf_top_terms, corpus_sample, corpus_sample_fixed) — r7 is the
-  last round their K=3 freshness budget (tests/test_rotation.py)
-  allows, so they take the window wholesale (the r6 docstring
-  under-counted this set as 12; the true count is 14).  Then the
-  queries that are NEW or whose code changed this round:
-  user_skew_audit + ann_ivf_pq (new), split_assign_incremental
-  (even-subgraph exact-edge rebuild), the events family
-  (events_asof/asof_1h/window_attr/next_error/sessionize/funnel —
-  _events_ns learned the user_id-bucketed warehouse read),
-  multimodal_features / multimodal_frame_sample (MJPEG frame decode
-  inside the AVI walk).
-* To the tail: the r5/r6-green dedup/ANN/curation/prep/training
-  entries whose code is untouched this round — all still under the
-  full-registry pytest oracle-parity gate and the bench suite.
+* Into the window: the 22 queries whose last driver row is r5
+  (ann_incremental, bpe_merges, bpe_token_count, corpus_rollup,
+  decontaminate, dedup_incremental, dedup_minhash_lsh, dedup_simhash,
+  doc_chunks, doc_fingerprint, dup_spans, html_extract, ngram_counts,
+  ngram_novelty, quality_filter, quality_report, quality_signals,
+  repeated_lines, script_profile, seq_pack, source_mix, token_rarity)
+  — r8 is the last round their K=3 freshness budget
+  (tests/test_rotation.py) allows, so they take the window wholesale.
+  Then the six NEW or code-changed entries: events_sessionize_capped
+  + ann_incremental_pq (new this round), events_sessionize (its body
+  moved into the shared ``_sessionize`` helper the capped variant
+  composes), multimodal_features + multimodal_frame_sample (the
+  ``_jpeg_dims`` fill-byte/bounds fix sits on their decode path), and
+  gc_sessions (its module gained the sessionization stream's lateness
+  reorder buffer; also r6-last, so this pre-pays one r9 slot).
+* To the tail, ordered for round 9: first the 17 remaining queries
+  whose last driver row is r6 (shard_manifest … embedding_dup_clusters
+  below) — they are due in r9 (22 parity + 17 = 39 slots, leaving 11
+  free); then the r7-green entries (due r10).
 """
 
 from __future__ import annotations
@@ -100,8 +101,57 @@ QUERY_REGISTRY: dict[str, QueryFn] = {
     # Findings framework + Q20 nested summary
     "warnings": warnings.q_warnings,
     "summary_json": summary.q_summary_json,
-    # ---- Tier 2: the 14 r4-last queries — K=3 freshness deadline,
-    # r7 is the last round they can be refreshed (see docstring) ----
+    # ---- Tier 2: the 22 r5-last queries — K=3 freshness deadline,
+    # r8 is the last round they can be refreshed (see docstring) ----
+    "ann_incremental": similarity.q_ann_incremental,
+    "bpe_merges": training.q_bpe_merges,
+    "bpe_token_count": training.q_bpe_token_count,
+    "corpus_rollup": pipeline.q_corpus_rollup,
+    "decontaminate": curation.q_decontaminate,
+    "dedup_incremental": dedup.q_dedup_incremental,
+    "dedup_minhash_lsh": dedup.q_dedup_minhash_lsh,
+    "dedup_simhash": dedup.q_dedup_simhash,
+    "doc_chunks": prep.q_doc_chunks,
+    "doc_fingerprint": text_stats.q_doc_fingerprint,
+    "dup_spans": training.q_dup_spans,
+    "html_extract": prep.q_html_extract,
+    "ngram_counts": pipeline.q_ngram_counts,
+    "ngram_novelty": curation.q_ngram_novelty,
+    "quality_filter": pipeline.q_quality_filter,
+    "quality_report": curation.q_quality_report,
+    "quality_signals": curation.q_quality_signals,
+    "repeated_lines": prep.q_repeated_lines,
+    "script_profile": prep.q_script_profile,
+    "seq_pack": training.q_seq_pack,
+    "source_mix": curation.q_source_mix,
+    "token_rarity": prep.q_token_rarity,
+    # ---- Tier 3: NEW or code changed this round ----
+    "events_sessionize_capped": timeseries.q_events_sessionize_capped,
+    "ann_incremental_pq": similarity.q_ann_incremental_pq,
+    "events_sessionize": timeseries.q_events_sessionize,
+    "multimodal_features": multimodal.q_multimodal_features,
+    "multimodal_frame_sample": multimodal.q_multimodal_frame_sample,
+    "gc_sessions": gc_stream.q_gc_sessions,
+    # ---- Tier 4: tail (>50) — first the 17 r6-last queries (due in
+    # the r9 window), then the r7-green entries (due r10); all still
+    # covered by the full-registry pytest oracle-parity gate + bench --
+    "shard_manifest": training.q_shard_manifest,
+    "dedup_recall_audit": training.q_dedup_recall_audit,
+    "curation_funnel": training.q_curation_funnel,
+    "doc_digest_join": pipeline.q_doc_digest_join,
+    "corpus_curate": curation.q_corpus_curate,
+    "embedding_quantize": training.q_embedding_quantize,
+    "ann_quantized_recall": training.q_ann_quantized_recall,
+    "pii_scan": curation.q_pii_scan,
+    "dedup_tokenset": dedup.q_dedup_tokenset,
+    "ngram_jaccard": dedup.q_ngram_jaccard,
+    "dedup_clusters": dedup.q_dedup_clusters,
+    "ann_ivf_kmeans": similarity.q_ann_ivf_kmeans,
+    "ann_lsh_bucket": similarity.q_ann_lsh_bucket,
+    "ann_ivf": similarity.q_ann_ivf,
+    "ann_recall_audit": similarity.q_ann_recall_audit,
+    "embedding_cosine_dups": similarity.q_embedding_cosine_dups,
+    "embedding_dup_clusters": similarity.q_embedding_dup_clusters,
     "text_stats": text_stats.q_text_stats,
     "embedding_topk": similarity.q_embedding_topk,
     "dedup_exact": dedup.q_dedup_exact,
@@ -116,7 +166,6 @@ QUERY_REGISTRY: dict[str, QueryFn] = {
     "tfidf_top_terms": pipeline.q_tfidf_top_terms,
     "corpus_sample": pipeline.q_corpus_sample,
     "corpus_sample_fixed": pipeline.q_corpus_sample_fixed,
-    # ---- Tier 3: NEW or code changed this round ----
     "user_skew_audit": timeseries.q_user_skew_audit,
     "split_assign_incremental": training.q_split_assign_incremental,
     "split_assign": training.q_split_assign,
@@ -124,55 +173,9 @@ QUERY_REGISTRY: dict[str, QueryFn] = {
     "events_asof_1h": timeseries.q_events_asof_1h,
     "events_window_attr": timeseries.q_events_window_attr,
     "events_next_error": timeseries.q_events_next_error,
-    "events_sessionize": timeseries.q_events_sessionize,
     "events_funnel": timeseries.q_events_funnel,
     "ann_ivf_pq": similarity.q_ann_ivf_pq,
     "ann_recall_ivf_pq": similarity.q_ann_recall_ivf_pq,
-    "multimodal_features": multimodal.q_multimodal_features,
-    "multimodal_frame_sample": multimodal.q_multimodal_frame_sample,
-    # ---- Tier 4: tail (>50) — driver-green r5/r6, code unchanged;
-    # all still covered by the full-registry pytest oracle-parity
-    # gate + bench ----
-    "shard_manifest": training.q_shard_manifest,
-    "dedup_recall_audit": training.q_dedup_recall_audit,
-    "curation_funnel": training.q_curation_funnel,
-    "doc_digest_join": pipeline.q_doc_digest_join,
-    "corpus_curate": curation.q_corpus_curate,
-    "embedding_quantize": training.q_embedding_quantize,
-    "ann_quantized_recall": training.q_ann_quantized_recall,
-    "pii_scan": curation.q_pii_scan,
-    "dedup_tokenset": dedup.q_dedup_tokenset,
-    "ngram_jaccard": dedup.q_ngram_jaccard,
-    "dedup_clusters": dedup.q_dedup_clusters,
-    "ann_ivf_kmeans": similarity.q_ann_ivf_kmeans,
-    "gc_sessions": gc_stream.q_gc_sessions,
-    "ann_lsh_bucket": similarity.q_ann_lsh_bucket,
-    "ann_ivf": similarity.q_ann_ivf,
-    "ann_recall_audit": similarity.q_ann_recall_audit,
-    "embedding_cosine_dups": similarity.q_embedding_cosine_dups,
-    "embedding_dup_clusters": similarity.q_embedding_dup_clusters,
-    "ngram_counts": pipeline.q_ngram_counts,
-    "corpus_rollup": pipeline.q_corpus_rollup,
-    "quality_filter": pipeline.q_quality_filter,
-    "quality_signals": curation.q_quality_signals,
-    "decontaminate": curation.q_decontaminate,
-    "source_mix": curation.q_source_mix,
-    "ngram_novelty": curation.q_ngram_novelty,
-    "quality_report": curation.q_quality_report,
-    "doc_chunks": prep.q_doc_chunks,
-    "html_extract": prep.q_html_extract,
-    "script_profile": prep.q_script_profile,
-    "repeated_lines": prep.q_repeated_lines,
-    "token_rarity": prep.q_token_rarity,
-    "doc_fingerprint": text_stats.q_doc_fingerprint,
-    "dedup_simhash": dedup.q_dedup_simhash,
-    "dedup_minhash_lsh": dedup.q_dedup_minhash_lsh,
-    "dedup_incremental": dedup.q_dedup_incremental,
-    "ann_incremental": similarity.q_ann_incremental,
-    "dup_spans": training.q_dup_spans,
-    "seq_pack": training.q_seq_pack,
-    "bpe_merges": training.q_bpe_merges,
-    "bpe_token_count": training.q_bpe_token_count,
 }
 
 # Queries with no SQL-expressible oracle (driver runs rows-only check).

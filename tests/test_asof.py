@@ -465,6 +465,37 @@ class TestUserSkewGuard:
         assert again == {tuple(r) for r in capped.collect()}  # deterministic
         assert capped.columns == ev.columns
 
+    def test_sessionize_capped_composes_guard_with_sessionize(self, spark):
+        """The registered capped variant = cap_user_events ∘
+        sessionize: an over-cap whale is hash-downsampled before the
+        window family runs, while an under-cap user's sessions are
+        byte-identical to the plain query's."""
+        import astra_perseverance_spark.extensions.timeseries as ts
+
+        rows = (
+            [(i, 1, "view", i * 10**9) for i in range(200)]  # whale
+            + [(1000 + i, 2, "view", i * 10**9) for i in range(10)]
+        )
+        sch = "event_id long, user_id long, event_type string, ns long"
+        spark.createDataFrame(rows, sch).createOrReplaceTempView("_cap_ev")
+        orig = ts._events_ns
+        ts._events_ns = lambda s, d: s.table("_cap_ev")
+        try:
+            got = ts.q_events_sessionize_capped(spark, SF_SMALL).collect()
+            plain = ts.q_events_sessionize(spark, SF_SMALL).collect()
+        finally:
+            ts._events_ns = orig
+        by_user: dict[int, list] = {}
+        for r in got:
+            by_user.setdefault(r["user_id"], []).append(r)
+        # under-cap user untouched
+        assert [tuple(r) for r in by_user[2]] == [
+            tuple(r) for r in plain if r["user_id"] == 2]
+        # whale (200 > SESSION_CAP_DEMO=50, stride 4): a strict subset
+        # of its events survives into the session aggregate
+        n1 = sum(r["n_events"] for r in by_user[1])
+        assert 0 < n1 < 200
+
     def test_user_skew_audit_flags_planted_whale(self, spark, tmp_path):
         """The audit's rank-1 row is the planted whale and the
         skew_ratio reflects max/p99 of the per-user distribution."""

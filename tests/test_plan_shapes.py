@@ -71,7 +71,7 @@ def test_bnlj_only_for_declared_baselines(spark):
         # bounded centroid-broadcast crossJoins of the IVF builds
         "embedding_topk", "ann_recall_audit", "ann_ivf",
         "ann_ivf_kmeans", "ann_recall_ivf_kmeans",
-        "embedding_label_probe", "ann_incremental",
+        "embedding_label_probe", "ann_incremental", "ann_incremental_pq",
         "ann_quantized_recall", "ann_ivf_pq", "ann_recall_ivf_pq",
         # 1-row n_docs / Σweights crossJoin
         "tfidf_top_terms", "source_mix",

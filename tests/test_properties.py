@@ -391,6 +391,31 @@ class TestGraphAndPipeline:
             cos = [r["cosine"] for r in rs]
             assert cos == sorted(cos, reverse=True)
 
+    def test_ann_incremental_pq_split_ranking_and_overlap(self, q):
+        """The PQ-served incremental path keeps the batch/index
+        contract (odd queries, even-only neighbors, dense ranks,
+        non-increasing ADC cosine), and — since it shares the coarse
+        routing with the full-precision path and only the scoring
+        payload differs — its top-k majority-overlaps the
+        full-precision incremental answer (quantization may reorder
+        the tail, never wipe the list)."""
+        rows = q("ann_incremental_pq").collect()
+        assert rows
+        per_q: dict[int, list] = {}
+        for r in rows:
+            assert r["query_id"] % 2 == 1
+            assert r["neighbor_id"] % 2 == 0
+            per_q.setdefault(r["query_id"], []).append(r)
+        for _qid, rs in per_q.items():
+            rs.sort(key=lambda r: r["rank"])
+            assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+            cos = [r["cosine"] for r in rs]
+            assert cos == sorted(cos, reverse=True)
+        full = {(r["query_id"], r["neighbor_id"])
+                for r in q("ann_incremental").collect()}
+        pq = {(r["query_id"], r["neighbor_id"]) for r in rows}
+        assert len(pq & full) >= len(full) // 2
+
     def test_incremental_dedup_consistent_with_pair_queries(self, q):
         """Every cross-parity ngram pair must appear as a 'near' row
         (new=odd side, existing=even side) and vice versa."""
