@@ -80,59 +80,24 @@ _SESSION_OUT_SCHEMA = (
     "node string, session_start timestamp, session_end timestamp, "
     "pauses long, max_pause_ms long"
 )
-# open-session state: span extremes in epoch seconds + running stats
-_SESSION_STATE_SCHEMA = "start long, end long, pauses long, max_pause long"
+# open-session state: span extremes in epoch seconds + running stats,
+# the node's event-time high-water mark, and — when a lateness budget
+# is configured — the reorder buffer of not-yet-finalized events.
+_SESSION_STATE_SCHEMA = (
+    "start long, end long, pauses long, max_pause long, "
+    "max_ts long, pend_ts array<long>, pend_pm array<long>"
+)
+
+# Defensive bound on the per-node reorder buffer (the lateness budget
+# already bounds it by budget × event rate): oldest buffered events
+# finalize eagerly rather than growing state.
+REORDER_BUFFER_CAP = 4096
 
 
-def _session_update(key, pdf_iter, state):
-    """applyInPandasWithState update function for one node.
-
-    State is the single open session (a gap-free span).  Each batch:
-    merge the open span with the batch's events in ts order; every
-    ≥ ``SESSION_GAP_SEC`` gap closes a session, which is emitted
-    downstream (append mode).  The last span stays in state with an
-    event-time timeout at end + gap, so a quiet node still closes its
-    final session once the watermark passes the gap horizon.
-
-    Runs once per (node, micro-batch) on already-shuffled Arrow
-    batches — state size is one row per node, independent of rate."""
-    import pandas as pd
-
-    node = key[0]
-
-    def _emit(spans):
-        if not spans:
-            return pd.DataFrame(columns=[
-                "node", "session_start", "session_end", "pauses",
-                "max_pause_ms",
-            ])
-        return pd.DataFrame({
-            "node": node,
-            "session_start": pd.to_datetime(
-                [s[0] for s in spans], unit="s", utc=True
-            ).tz_localize(None),
-            "session_end": pd.to_datetime(
-                [s[1] for s in spans], unit="s", utc=True
-            ).tz_localize(None),
-            "pauses": [s[2] for s in spans],
-            "max_pause_ms": [s[3] for s in spans],
-        })
-
-    if state.hasTimedOut:
-        # watermark passed end + gap: the open session is final.
-        closed = [state.get] if state.exists else []
-        state.remove()
-        yield _emit(closed)
-        return
-
-    # (start, end, pauses, max_pause) spans: open state + batch events
-    spans = [tuple(state.get)] if state.exists else []
-    for pdf in pdf_iter:
-        ep = (pdf["ts"].astype("int64") // 1_000_000_000).to_numpy()
-        pm = pdf["pause_ms"].to_numpy()
-        spans.extend((int(e), int(e), 1, int(p)) for e, p in zip(ep, pm))
-    spans.sort()
-
+def _merge_spans(spans):
+    """Fold sorted (start, end, pauses, max_pause) spans with the
+    ≥ SESSION_GAP_SEC gap rule — the batch semantics, shared by the
+    update path and the timeout flush."""
     merged = [spans[0]]
     for s in spans[1:]:
         last = merged[-1]
@@ -141,32 +106,154 @@ def _session_update(key, pdf_iter, state):
         else:
             merged[-1] = (last[0], max(last[1], s[1]),
                           last[2] + s[2], max(last[3], s[3]))
+    return merged
 
-    open_span = merged.pop()
-    state.update(open_span)
-    state.setTimeoutTimestamp((open_span[1] + SESSION_GAP_SEC) * 1000)
-    yield _emit(merged)
+
+def _make_session_update(lateness_sec: int):
+    def _session_update(key, pdf_iter, state):
+        """applyInPandasWithState update function for one node.
+
+        State is the single open session (a gap-free span built from
+        FINALIZED events) plus, with ``lateness_sec > 0``, a reorder
+        buffer: events newer than ``max_ts − lateness_sec`` are not
+        folded yet, so a cross-batch late event landing inside the
+        buffered region can still merge two provisional sessions into
+        one (without the buffer the earlier session may already be
+        emitted and the late bridge is silently lost — the declared
+        r7 gap).  Each batch merges the open span with the finalized
+        events in ts order; every ≥ ``SESSION_GAP_SEC`` gap closes a
+        session, which is emitted downstream (append mode).  The last
+        span stays in state with an event-time timeout past the
+        newest buffered/open timestamp + gap, so a quiet node still
+        flushes the buffer and closes its final session once the
+        watermark passes the gap horizon.
+
+        Runs once per (node, micro-batch) on already-shuffled Arrow
+        batches — state is one row per node plus the lateness-bounded
+        buffer, independent of total event rate."""
+        import pandas as pd
+
+        node = key[0]
+
+        def _emit(spans):
+            if not spans:
+                return pd.DataFrame(columns=[
+                    "node", "session_start", "session_end", "pauses",
+                    "max_pause_ms",
+                ])
+            return pd.DataFrame({
+                "node": node,
+                "session_start": pd.to_datetime(
+                    [s[0] for s in spans], unit="s", utc=True
+                ).tz_localize(None),
+                "session_end": pd.to_datetime(
+                    [s[1] for s in spans], unit="s", utc=True
+                ).tz_localize(None),
+                "pauses": [s[2] for s in spans],
+                "max_pause_ms": [s[3] for s in spans],
+            })
+
+        if state.hasTimedOut:
+            # watermark passed the gap horizon: replay the buffer on
+            # top of the open span — everything is final now.
+            if state.exists:
+                (start, end, pauses, maxp, _mt,
+                 pend_ts, pend_pm) = tuple(state.get)
+                spans = [(start, end, pauses, maxp)] if start is not None \
+                    else []
+                spans += [(int(t), int(t), 1, int(p))
+                          for t, p in zip(pend_ts, pend_pm)]
+                spans.sort()
+                closed = _merge_spans(spans) if spans else []
+            else:
+                closed = []
+            state.remove()
+            yield _emit(closed)
+            return
+
+        if state.exists:
+            (start, end, pauses, maxp, max_ts,
+             pend_ts, pend_pm) = tuple(state.get)
+            open_span = (start, end, pauses, maxp) if start is not None \
+                else None
+            pending = list(zip(pend_ts, pend_pm))
+        else:
+            open_span, max_ts, pending = None, None, []
+
+        events = list(pending)
+        for pdf in pdf_iter:
+            ep = (pdf["ts"].astype("int64") // 1_000_000_000).to_numpy()
+            pm = pdf["pause_ms"].to_numpy()
+            events.extend((int(e), int(p)) for e, p in zip(ep, pm))
+        if events:
+            batch_max = max(t for t, _p in events)
+            max_ts = batch_max if max_ts is None else max(max_ts, batch_max)
+        wm = (max_ts - lateness_sec) if max_ts is not None else None
+        events.sort()
+        fin = [e for e in events if e[0] <= wm] if events else []
+        pend = [e for e in events if e[0] > wm] if events else []
+        if len(pend) > REORDER_BUFFER_CAP:
+            spill = len(pend) - REORDER_BUFFER_CAP
+            fin += pend[:spill]  # oldest finalize eagerly (declared cap)
+            pend = pend[spill:]
+
+        spans = ([open_span] if open_span else []) \
+            + [(t, t, 1, p) for t, p in fin]
+        spans.sort()
+        merged = _merge_spans(spans) if spans else []
+        open_span = merged.pop() if merged else None
+
+        state.update((
+            open_span[0] if open_span else None,
+            open_span[1] if open_span else None,
+            open_span[2] if open_span else None,
+            open_span[3] if open_span else None,
+            max_ts,
+            [t for t, _p in pend],
+            [p for _t, p in pend],
+        ))
+        cands = [max_ts]
+        if open_span:
+            cands.append(open_span[1])
+        cands.extend(t for t, _p in pend)
+        state.setTimeoutTimestamp((max(cands) + SESSION_GAP_SEC) * 1000)
+        yield _emit(merged)
+
+    return _session_update
 
 
 def stream_gc_sessions(spark: SparkSession, source_dir: str,
-                       schema: str | None = None):
+                       schema: str | None = None,
+                       max_files_per_trigger: int | None = None,
+                       lateness_sec: int = 0):
     """Streaming sessionization: the ``q_gc_sessions`` gap rule as a
     custom stateful operator (``applyInPandasWithState``).
 
     Same semantics as the batch form, incrementally: closed sessions
     append as soon as a gap is observed (or the watermark times the
-    open session out).  Returns the unstarted streaming DataFrame."""
+    open session out).  ``lateness_sec`` enables the watermark-bounded
+    reorder buffer (the same mechanism as ``funnel_stream`` /
+    ``attribution_stream``): a cross-batch late event inside the
+    budget can still MERGE two provisional sessions; 0 keeps the
+    greedy walk, where such an event is declared-dropped into the
+    monotone behavior.  Unlike those two operators this stream also
+    declares ``withWatermark`` (the event-time timeout requires it),
+    and Spark's own late-row filter drops inputs older than the
+    stream watermark BEFORE they reach the state function — so the
+    effective budget is ``min(lateness_sec, WATERMARK delay)``; a
+    deployment wanting a larger budget raises both.  Returns the
+    unstarted streaming DataFrame."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     sch = schema or "node string, dc string, ts timestamp, pause_ms int"
-    stream = (
-        spark.readStream.schema(sch).parquet(source_dir)
-        .withWatermark("ts", WATERMARK)
-    )
+    reader = spark.readStream.schema(sch)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir).withWatermark("ts", WATERMARK)
     return (
         stream.groupBy("node")
         .applyInPandasWithState(
-            _session_update,
+            _make_session_update(lateness_sec),
             outputStructType=_SESSION_OUT_SCHEMA,
             stateStructType=_SESSION_STATE_SCHEMA,
             outputMode="append",

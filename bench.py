@@ -23,8 +23,30 @@ real data scale), then best-of-BENCH_REPEAT timed runs report the
 plan's execution cost.  Only the conformed-model cache stays warm
 across queries, as it would in a real deployment.
 
+Each query also records a PLAN FINGERPRINT (round-7 advisory): a
+stable hash of its normalized optimized plan
+(``functions.planfp``).  A bench delta with an unchanged fingerprint
+is suite-order jitter by construction; a changed fingerprint demands
+a ``docs/PLAN_AUDIT.md`` refresh.  The fingerprint is computed twice
+from independent plan builds — a query whose optimizer output is
+nondeterministic (e.g. distinct-aggregate Expand ordering) records
+``"unstable"`` instead of a hash, so the cross-check
+(``tools/plan_audit.py``) never false-alarms on it.
+
+The run ends with a bucketed-warehouse section (disable with
+``SPARK_GRAFT_BENCH_BUCKETED=0``): the corpus + events tables are
+written once via ``sinks.warehouse`` (ingest time recorded
+separately), the doc_id/user_id-keyed query families are re-timed
+against the bucketed layout, and a Spark-side order-insensitive
+result digest is recorded for BOTH modes per query —
+``BENCH_DETAIL.json`` then carries a ``bucketed`` map proving the
+exchange-free plans are faster AND hash-identical to raw-parquet
+mode.  The suite total keeps summing the RAW timings only, so the
+headline number stays comparable across rounds.
+
 Env knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
-SPARK_GRAFT_CPUS (default 32), BENCH_REPEAT (default 2).
+SPARK_GRAFT_CPUS (default 32), BENCH_REPEAT (default 2),
+SPARK_GRAFT_BENCH_BUCKETED (default on; 0 disables).
 """
 
 from __future__ import annotations
@@ -41,6 +63,89 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 def _force(df) -> None:
     """Execute the full plan without collecting to the driver."""
     df.write.format("noop").mode("overwrite").save()
+
+
+def _result_digest(df) -> int:
+    """Order-insensitive Spark-side digest of a result frame: bit_xor
+    of per-row xxhash64 over the name-sorted stringified columns — one
+    scalar crosses to the driver, the rows never do."""
+    from pyspark.sql import functions as F
+
+    cols = [F.coalesce(F.col(c).cast("string"), F.lit("NULL"))
+            for c in sorted(df.columns)]
+    h = df.select(F.xxhash64(F.concat_ws("|", *cols)).alias("h"))
+    row = h.agg(F.expr("bit_xor(h)")).collect()[0][0]
+    return int(row) if row is not None else 0
+
+
+# The query families the bucketed warehouse exists for: user_id-keyed
+# events plans (exchange-free via write_bucketed_events) and
+# doc_id-keyed corpus joins (write_bucketed_corpus).
+BUCKETED_QUERIES = [
+    "events_asof", "events_asof_1h", "events_window_attr",
+    "events_next_error", "events_sessionize", "events_funnel",
+    "events_sessionize_capped", "user_skew_audit",
+    "doc_digest_join", "corpus_curate",
+]
+
+
+def _bench_bucketed(spark, sf_dir: str, repeat: int,
+                    raw_timings: dict[str, float]) -> dict:
+    """Time ``BUCKETED_QUERIES`` against a freshly written bucketed
+    warehouse; record raw-vs-bucketed result digests so the speedup is
+    provably same-answer.  Returns the ``bucketed`` detail map."""
+    import tempfile
+
+    from astra_perseverance_spark.conformed.model import release_memos
+    from astra_perseverance_spark.extensions.corpus import BUCKETED_DB_ENV
+    from astra_perseverance_spark.queries import QUERY_REGISTRY
+    from astra_perseverance_spark.sinks.warehouse import (
+        write_bucketed_corpus,
+        write_bucketed_events,
+    )
+
+    # raw-mode digests first (env unset)
+    digests_raw = {}
+    for name in BUCKETED_QUERIES:
+        release_memos(spark)
+        digests_raw[name] = _result_digest(QUERY_REGISTRY[name](spark, sf_dir))
+
+    loc = tempfile.mkdtemp(prefix="bench_bucketed_wh_")
+    t0 = time.time()
+    write_bucketed_corpus(spark, sf_dir, "benchwh", loc)
+    write_bucketed_events(spark, sf_dir, "benchwh", loc)
+    ingest = round(time.time() - t0, 4)
+    print(f"bucketed ingest: {ingest:.2f}s", file=sys.stderr)
+
+    out: dict = {"ingest_seconds": ingest, "queries": {}}
+    os.environ[BUCKETED_DB_ENV] = "benchwh"
+    try:
+        for name in BUCKETED_QUERIES:
+            fn = QUERY_REGISTRY[name]
+            release_memos(spark)
+            _force(fn(spark, sf_dir))  # warm
+            best = None
+            for _ in range(repeat):
+                t0 = time.time()
+                _force(fn(spark, sf_dir))
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            same = _result_digest(fn(spark, sf_dir)) == digests_raw[name]
+            out["queries"][name] = {
+                "seconds": round(best, 4),
+                "raw_seconds": raw_timings.get(name),
+                "hash_match": same,
+            }
+            print(f"bucketed {name}: {best:.2f}s "
+                  f"(raw {raw_timings.get(name)}s, "
+                  f"hash_match={same})", file=sys.stderr)
+    finally:
+        del os.environ[BUCKETED_DB_ENV]
+        release_memos(spark)
+        for t in ("documents", "doc_digests", "embeddings", "events"):
+            spark.sql(f"DROP TABLE IF EXISTS benchwh.{t}")
+        spark.sql("DROP DATABASE IF EXISTS benchwh")
+    return out
 
 
 def main() -> int:
@@ -76,11 +181,16 @@ def main() -> int:
     # isolation).  The conformed-model cache stays warm throughout, as
     # it would in any real deployment.
     from astra_perseverance_spark.conformed.model import release_memos
+    from astra_perseverance_spark.functions.planfp import plan_fingerprint
 
     timings: dict[str, float] = {}
+    plans: dict[str, str] = {}
     for name, fn in QUERY_REGISTRY.items():
         release_memos(spark)
         _force(fn(spark, sf_dir))  # warm: own memos + codegen, untimed
+        fp1 = plan_fingerprint(fn(spark, sf_dir))
+        fp2 = plan_fingerprint(fn(spark, sf_dir))
+        plans[name] = fp1 if fp1 == fp2 else "unstable"
         best = None
         for _ in range(repeat):
             t0 = time.time()
@@ -88,8 +198,12 @@ def main() -> int:
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 4)
-        print(f"{name}: {best:.2f}s", file=sys.stderr)
+        print(f"{name}: {best:.2f}s [{plans[name]}]", file=sys.stderr)
     release_memos(spark)
+
+    bucketed = None
+    if os.environ.get("SPARK_GRAFT_BENCH_BUCKETED", "1") != "0":
+        bucketed = _bench_bucketed(spark, sf_dir, repeat, timings)
 
     total = round(sum(timings.values()), 4)
 
@@ -102,8 +216,12 @@ def main() -> int:
         "value": total,
         "unit": "sec",
         "sf": sf,
+        "sf_dir": sf_dir,
         "queries": timings,
+        "plans": plans,
     }
+    if bucketed is not None:
+        detail["bucketed"] = bucketed
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
     print(json.dumps(detail), file=sys.stderr)

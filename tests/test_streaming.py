@@ -728,3 +728,81 @@ def test_funnel_provisional_replay_does_not_reemit(spark, tmp_path):
     # batch 2's replay re-walks to the same sequence and emits nothing
     assert got == [(10, None, None, 1), (10, 20, None, 2),
                    (10, 20, 30, 3)], got
+
+
+def test_gc_sessions_reorder_buffer_merges_late_bridge(spark, tmp_path):
+    """r7 verdict #3: a cross-batch late event that should MERGE two
+    sessions.  Batch 1 carries pauses at t=0 and t=2000 (gap ≥ 1800 —
+    greedily two sessions, the first already closed and emitted);
+    batch 2 delivers the late bridge at t=1600 (inside BOTH the
+    reorder budget and the stream's 10-minute watermark delay — rows
+    older than the stream watermark never reach the state function,
+    see the stream_gc_sessions docstring).  With the budget the
+    buffered events replay in event-time order and the emitted closed
+    session is the single merged [0, 2000] span — the batch
+    q_gc_sessions answer.  Without the budget the wrong early close
+    stands (regression pin)."""
+    from datetime import datetime, timezone
+
+    from astra_perseverance_spark.streaming import stream_gc_sessions
+
+    sch = "node string, dc string, ts timestamp, pause_ms int"
+    BASE = 1_000_000  # clear of the epoch-0 initial-watermark boundary
+
+    def mk(ts_list):
+        return spark.createDataFrame(
+            [("n1", "dc1",
+              datetime.fromtimestamp(BASE + t, tz=timezone.utc)
+              .replace(tzinfo=None), 10 + i)
+             for i, t in enumerate(ts_list)], sch)
+
+    import time
+
+    src = str(tmp_path / "late_sess_src")
+    # distinct mtimes keep the file-source batch order deterministic
+    mk([0, 2000]).coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.1)
+    # the late bridge: 1600 > stream watermark (2000 - 600) so Spark's
+    # late-row filter lets it through; 2000-1600 and 1600-0 both < gap
+    mk([1600]).coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.1)
+    # watermark-advancing event finalizes the buffered region, then a
+    # sentinel closes the merged span (the trick
+    # test_stateful_sessions_match_batch uses)
+    mk([100_000]).coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.1)
+    mk([300_000]).coalesce(1).write.mode("append").parquet(src)
+
+    q = stream_gc_sessions(spark, src, max_files_per_trigger=1,
+                           lateness_sec=2500)
+    run = (
+        q.writeStream.format("memory").queryName("late_sess_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_late_sess"))
+        .trigger(availableNow=True).start()
+    )
+    run.awaitTermination(180)
+    got = {
+        (int(r["session_start"].timestamp()) - BASE,
+         int(r["session_end"].timestamp()) - BASE, r["pauses"])
+        for r in spark.sql("SELECT * FROM late_sess_test").collect()
+        if r["session_start"].timestamp() - BASE <= 2000
+    }
+    assert (0, 2000, 3) in got, got
+    assert (0, 0, 1) not in got, got
+
+    # regression pin: greedy mode closes [0, 0] before the bridge lands
+    q0 = stream_gc_sessions(spark, src, max_files_per_trigger=1)
+    run0 = (
+        q0.writeStream.format("memory").queryName("late_sess_test0")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_late_sess0"))
+        .trigger(availableNow=True).start()
+    )
+    run0.awaitTermination(180)
+    got0 = {
+        (int(r["session_start"].timestamp()) - BASE,
+         int(r["session_end"].timestamp()) - BASE, r["pauses"])
+        for r in spark.sql("SELECT * FROM late_sess_test0").collect()
+    }
+    assert (0, 0, 1) in got0, got0
