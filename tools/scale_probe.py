@@ -104,6 +104,8 @@ OPS = [
     ("events_window_attr", "O(n) banded two-bucket range probe"),
     ("events_next_error", "O(n) union + per-key descending carry"),
     ("events_sessionize", "O(n) one shuffle + 3 local window passes"),
+    ("events_sessionize_capped",
+     "cap guard (map-side count + broadcast whales) + sessionize"),
     ("events_funnel", "O(n) one shuffle + 3 sequential window aggs"),
     ("split_assign", "O(n) left join vs component frame + hash map"),
     ("split_assign_incremental",
@@ -111,6 +113,8 @@ OPS = [
     ("user_skew_audit", "O(n) map-side count + histogram rank pick"),
     ("ann_ivf_pq", "IVF probe + O(candidates·dim) ADC scoring"),
     ("ann_recall_ivf_pq", "ann_ivf_pq + fixed-panel membership agg"),
+    ("ann_incremental_pq",
+     "O(batch·(√n + nprobe·n/lists)) probe, ADC vs int8 even store"),
 ]
 
 # Events-family operators re-probed under a planted whale (one user
@@ -120,7 +124,7 @@ OPS = [
 # buys back.
 WHALE_OPS = [
     "events_sessionize", "events_funnel", "events_asof",
-    "user_skew_audit",
+    "user_skew_audit", "events_sessionize_capped",
 ]
 
 
@@ -333,7 +337,10 @@ def main() -> int:
             "`SCALE_DESIGN.md`'s skew table; `cap_user_events` is the",
             "documented upstream guard).  `user_skew_audit` is the",
             "detector — its map-side combine keeps it flat on the same",
-            "input.",
+            "input.  `events_sessionize_capped` is the GUARDED path:",
+            "the cap downsamples the whale before the window family",
+            "runs, so its whale/even ratio should stay ~1.0 where the",
+            "uncapped family shows the straggler.",
             "",
             "| operator | t(even) s | t(whale) s | whale/even |",
             "|---|---|---|---|",
