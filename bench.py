@@ -42,7 +42,13 @@ result digest is recorded for BOTH modes per query —
 ``BENCH_DETAIL.json`` then carries a ``bucketed`` map proving the
 exchange-free plans are faster AND hash-identical to raw-parquet
 mode.  The suite total keeps summing the RAW timings only, so the
-headline number stays comparable across rounds.
+headline number stays comparable across rounds.  Caveat the map makes
+visible rather than hiding: multi-pass corpus consumers
+(``corpus_curate`` re-reads documents for each signal family) run
+SLOWER bucketed at bench scale, because the bucketed branch trades
+the session-scoped repartition+cache for durable clustering — the
+bucketing win is specifically the per-join Exchange, i.e. the events
+family and single-pass doc_id joins.
 
 Env knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
 SPARK_GRAFT_CPUS (default 32), BENCH_REPEAT (default 2),
