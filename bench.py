@@ -161,7 +161,17 @@ def main() -> int:
     sf = float(m.group(1)) if m else 0.0
 
     from astra_perseverance_spark import get_spark
+    from astra_perseverance_spark.extensions.corpus import BUCKETED_DB_ENV
     from astra_perseverance_spark.queries import QUERY_REGISTRY
+
+    # An ambient bucketed-warehouse binding would silently turn the
+    # whole "raw" suite into bucketed mode (and the bucketed section
+    # would then overwrite the caller's warehouse) — neutralize it for
+    # the duration of the bench.
+    ambient = os.environ.pop(BUCKETED_DB_ENV, None)
+    if ambient:
+        print(f"ignoring ambient {BUCKETED_DB_ENV}={ambient} for the "
+              f"bench run", file=sys.stderr)
 
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -247,6 +257,8 @@ def main() -> int:
         "queries": slowest,
         "detail": "BENCH_DETAIL.json",
     }))
+    if ambient:
+        os.environ[BUCKETED_DB_ENV] = ambient
     return 0
 
 
