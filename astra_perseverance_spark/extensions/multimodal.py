@@ -235,14 +235,18 @@ def decode_media(payload: bytes, media_type: str) -> np.ndarray:
     """Decode an image/audio/video payload into pixel/sample arrays.
 
     Tiered: Pillow when importable (any image format); otherwise the
-    built-in PNG subset decoder (``_png_decode``) and stdlib WAV
-    decode, which keep the decode branch real — and tested, see
-    ``tests/test_multimodal.py`` — in dependency-free containers.
-    Video: PyAV when importable (any codec); otherwise the stdlib
-    AVI container parse (``_avi_probe``) returns the concatenated
-    raw frame-chunk bytes — literal pixel data for uncompressed DIB
-    streams, which is all a codec-free parser can honestly decode.
-    Non-AVI video without PyAV stays ``NotImplementedError``."""
+    built-in PNG subset decoder (``_png_decode``), the built-in
+    baseline JPEG decoder (``extensions.jpegcodec``, pure
+    numpy/stdlib per the public ITU T.81 spec) and stdlib WAV decode,
+    which keep the decode branch real — and tested, see
+    ``tests/test_multimodal.py`` / ``tests/test_jpegcodec.py`` — in
+    dependency-free containers.  Video: PyAV when importable (any
+    codec); otherwise the stdlib AVI container parse (``_avi_probe``)
+    decodes MJPEG streams frame-by-frame through the same baseline
+    JPEG codec, and returns raw frame-chunk bytes for uncompressed
+    DIB streams (literal pixel data).  The remaining
+    ``NotImplementedError`` surface: non-AVI video without PyAV, and
+    progressive/arithmetic/12-bit JPEG frames without Pillow."""
     if media_type == "image":
         try:
             from PIL import Image  # optional dependency
@@ -250,8 +254,13 @@ def decode_media(payload: bytes, media_type: str) -> np.ndarray:
         except ImportError:
             if payload[:8] == _PNG_SIG:
                 return _png_decode(payload)
+            if payload[:2] == _JPEG_SOI:
+                from astra_perseverance_spark.extensions.jpegcodec import (
+                    decode_baseline_jpeg,
+                )
+                return decode_baseline_jpeg(payload)
             raise NotImplementedError(
-                "non-PNG image decode requires Pillow") from None
+                "non-PNG/JPEG image decode requires Pillow") from None
     if media_type == "audio":
         if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
             return _wav_decode(payload)
@@ -268,8 +277,11 @@ def decode_media(payload: bytes, media_type: str) -> np.ndarray:
         if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
             *_dims, frames = _avi_probe(payload)
             if frames and frames[0][:2] == _JPEG_SOI:
-                # MJPEG: per-frame dims/stats are decodable stdlib-side
-                # (avi_frame_stats); pixel entropy-decode needs Pillow
+                # MJPEG: per-frame pixel decode — Pillow when
+                # importable (any JPEG flavor), else the built-in
+                # baseline codec (extensions.jpegcodec, pure
+                # numpy/stdlib per ITU T.81; progressive/arithmetic
+                # frames raise NotImplementedError there)
                 try:
                     from PIL import Image  # optional dependency
                     return np.stack([
@@ -277,10 +289,11 @@ def decode_media(payload: bytes, media_type: str) -> np.ndarray:
                         for fr in frames
                     ])
                 except ImportError:
-                    raise NotImplementedError(
-                        "MJPEG pixel decode requires Pillow; frame "
-                        "dims/stats available via avi_frame_stats"
-                    ) from None
+                    from astra_perseverance_spark.extensions.jpegcodec \
+                        import decode_baseline_jpeg
+                    return np.stack([
+                        decode_baseline_jpeg(fr) for fr in frames
+                    ])
             return np.frombuffer(b"".join(frames), dtype=np.uint8)
         raise NotImplementedError(
             "non-AVI video decode requires PyAV/ffmpeg") from None

@@ -1,0 +1,119 @@
+"""Roundtrip and structure tests for the built-in baseline JPEG codec
+(``extensions.jpegcodec``) — no external codec needed: the encoder
+writes legal baseline streams, the decoder reads them back, and the
+error bound is the flat quantization table's.
+
+When Pillow happens to be importable the decoder is additionally
+cross-checked against it on the same encoded bytes (a genuinely
+independent implementation of the same public spec)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from astra_perseverance_spark.extensions.jpegcodec import (
+    decode_baseline_jpeg,
+    encode_baseline_jpeg,
+)
+
+
+def _gradient(h, w, seed=0):
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack([
+        (yy * (3 + seed)) % 256,
+        (xx * (2 + seed)) % 256,
+        ((yy + xx) * 2) % 256,
+    ], -1).astype(np.uint8)
+
+
+class TestRoundtrip:
+    def test_flat_color_near_exact(self):
+        img = np.full((16, 24, 3), [120, 60, 200], dtype=np.uint8)
+        dec = decode_baseline_jpeg(encode_baseline_jpeg(img))
+        assert dec.shape == img.shape and dec.dtype == np.uint8
+        assert np.abs(dec.astype(int) - img.astype(int)).max() <= 2
+
+    @pytest.mark.parametrize("subsample", [1, 2])
+    @pytest.mark.parametrize("restart", [0, 3])
+    def test_gradient_all_modes(self, subsample, restart):
+        """Odd (non-multiple-of-MCU) dims × 4:4:4 / 4:2:0 × with and
+        without restart markers."""
+        img = _gradient(33, 41)
+        enc = encode_baseline_jpeg(img, subsample=subsample,
+                                   restart_interval=restart)
+        dec = decode_baseline_jpeg(enc)
+        assert dec.shape == img.shape
+        err = np.abs(dec.astype(int) - img.astype(int))
+        assert err.mean() < 3 and err.max() <= 12, (subsample, restart)
+
+    def test_grayscale(self):
+        yy, xx = np.mgrid[0:33, 0:41]
+        g = ((yy * 5 + xx * 3) % 256).astype(np.uint8)
+        dec = decode_baseline_jpeg(encode_baseline_jpeg(g))
+        assert dec.shape == g.shape and dec.ndim == 2
+        assert np.abs(dec.astype(int) - g.astype(int)).mean() < 3
+
+    def test_noise_bounded_by_quantizer(self):
+        rng = np.random.default_rng(3)
+        img = rng.integers(0, 256, (24, 24, 3)).astype(np.uint8)
+        dec = decode_baseline_jpeg(encode_baseline_jpeg(img))
+        err = np.abs(dec.astype(int) - img.astype(int))
+        # flat q=8/12 tables: worst-case error stays far from gross
+        assert err.mean() < 8 and err.max() < 48
+
+    def test_restart_dc_reset_matters(self):
+        """The restart stream really exercises the reset path: the
+        same image with restart_interval=1 still roundtrips (every
+        MCU re-seeds DC prediction and the bit reader re-aligns)."""
+        img = _gradient(17, 26, seed=2)
+        dec = decode_baseline_jpeg(
+            encode_baseline_jpeg(img, restart_interval=1))
+        assert np.abs(dec.astype(int) - img.astype(int)).mean() < 3
+
+
+class TestStructure:
+    def test_dims_match_jpeg_dims_walker(self):
+        from astra_perseverance_spark.extensions.multimodal import _jpeg_dims
+
+        enc = encode_baseline_jpeg(_gradient(21, 34))
+        assert _jpeg_dims(enc) == (21, 34)
+
+    def test_rejects_non_jpeg(self):
+        with pytest.raises(ValueError):
+            decode_baseline_jpeg(b"APSE not jpeg")
+
+    def test_truncated_entropy_raises(self):
+        enc = encode_baseline_jpeg(_gradient(16, 16))
+        with pytest.raises(ValueError):
+            decode_baseline_jpeg(enc[: len(enc) // 2])
+
+    def test_progressive_marker_raises_not_implemented(self):
+        enc = bytearray(encode_baseline_jpeg(_gradient(16, 16)))
+        sof = enc.find(b"\xff\xc0")
+        enc[sof + 1] = 0xC2  # rewrite SOF0 → SOF2 (progressive)
+        with pytest.raises(NotImplementedError):
+            decode_baseline_jpeg(bytes(enc))
+
+    def test_missing_tables_raise(self):
+        """The header-only fixture JPEG (valid SOF, no DQT/DHT, fake
+        entropy) is a codec error, never garbage pixels."""
+        from tests.test_multimodal import _mk_jpeg
+
+        with pytest.raises((ValueError, KeyError)):
+            decode_baseline_jpeg(_mk_jpeg(8, 8))
+
+
+class TestAgainstPillow:
+    def test_pillow_crosscheck_if_available(self):
+        try:
+            from PIL import Image
+        except ImportError:
+            pytest.skip("Pillow not installed")
+        import io
+
+        img = _gradient(32, 32)
+        enc = encode_baseline_jpeg(img)
+        ours = decode_baseline_jpeg(enc)
+        theirs = np.asarray(Image.open(io.BytesIO(enc)).convert("RGB"))
+        assert np.abs(ours.astype(int) - theirs.astype(int)).max() <= 2

@@ -354,27 +354,33 @@ class TestMjpeg:
         assert avi_frame_stats(avi) == [(0, 2, 2, len(raw))]
 
     def test_decode_media_mjpeg_tier(self):
-        """With Pillow importable the MJPEG branch decodes real pixel
-        frames; without it, it raises the narrowed NotImplementedError
-        (naming avi_frame_stats as the stdlib alternative) rather
-        than silently returning entropy bytes as pixels."""
+        """The MJPEG branch routes every frame through a real JPEG
+        codec (Pillow when importable, else the built-in baseline
+        decoder): a REAL encoded MJPEG AVI decodes to stacked pixel
+        frames, and the structurally-valid-but-garbage header-only
+        fixture JPEG raises a codec error rather than silently
+        returning entropy bytes as pixels."""
+        from astra_perseverance_spark.extensions.jpegcodec import (
+            encode_baseline_jpeg,
+        )
         from astra_perseverance_spark.extensions.multimodal import decode_media
 
-        avi = _mk_mjpeg_avi([_mk_jpeg(2, 2)], width=2, height=2)
-        try:
-            import PIL  # noqa: F401
-            has_pil = True
-        except ImportError:
-            has_pil = False
-        if has_pil:
-            # structurally-valid but entropy-garbage JPEG: Pillow will
-            # object at pixel-decode time, which still proves the MJPEG
-            # branch routed to the codec rather than the raw-bytes path
-            with pytest.raises(Exception):
-                decode_media(avi, "video")
-        else:
-            with pytest.raises(NotImplementedError, match="avi_frame_stats"):
-                decode_media(avi, "video")
+        yy, xx = np.mgrid[0:16, 0:16]
+        f0 = ((yy * 7 + xx * 3) % 256).astype(np.uint8)
+        f1 = ((yy * 2 + xx * 9) % 256).astype(np.uint8)
+        frames = [encode_baseline_jpeg(f0), encode_baseline_jpeg(f1)]
+        avi = _mk_mjpeg_avi(frames, width=16, height=16)
+        out = decode_media(avi, "video")
+        assert out.shape[0] == 2 and out.shape[1:3] == (16, 16)
+        assert out.dtype == np.uint8
+        # pixel-accurate up to quantization error
+        got0 = out[0] if out[0].ndim == 2 else out[0][..., 0]
+        assert np.abs(got0.astype(int) - f0.astype(int)).mean() < 4
+
+        # garbage entropy: a codec error, never raw bytes as pixels
+        bad = _mk_mjpeg_avi([_mk_jpeg(2, 2)], width=2, height=2)
+        with pytest.raises(Exception):
+            decode_media(bad, "video")
 
     def test_dib_avi_still_returns_raw_bytes(self):
         import numpy as np
