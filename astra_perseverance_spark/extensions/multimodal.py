@@ -16,18 +16,21 @@ The Spark-side architecture is real and tested end to end:
 
 Decode is TIERED, real wherever a dependency-free path exists:
 Pillow / PyAV when importable; otherwise a built-in PNG-subset
-decoder (RFC 2083, all five filters), stdlib WAV, and a stdlib
-AVI/RIFF container parse (``_avi_probe``).  Video payloads in the
-media table are REAL minimal AVI containers synthesized with column
-ops, so the registered queries parse an actual binary format —
-``q_multimodal_frame_sample`` reads the avih total_frames field out
-of the payload bytes JVM-side — while the DuckDB twins recompute the
-embedded values arithmetically, keeping the whole round-trip under
-the driver's hash-match gate.  MJPEG streams (``##dc`` chunks holding
-JPEG) get a real per-frame codec-HEADER decode (``_jpeg_dims``, an
-ITU T.81 SOF marker walk feeding ``avi_frame_stats``); what remains
-``NotImplementedError`` is only pixel/entropy decode of compressed
-codecs without Pillow/PyAV (MJPEG pixels, non-AVI containers).
+decoder (RFC 2083, all five filters), a built-in BASELINE JPEG codec
+(``extensions.jpegcodec`` — full ITU T.81 sequential-Huffman decode:
+entropy, dequant, IDCT, chroma upsampling, YCbCr→RGB), stdlib WAV,
+and a stdlib AVI/RIFF container parse (``_avi_probe``).  Video
+payloads in the media table are REAL minimal AVI containers
+synthesized with column ops, so the registered queries parse an
+actual binary format — ``q_multimodal_frame_sample`` reads the avih
+total_frames field out of the payload bytes JVM-side — while the
+DuckDB twins recompute the embedded values arithmetically, keeping
+the whole round-trip under the driver's hash-match gate.  MJPEG
+streams (``##dc`` chunks holding JPEG) get per-frame codec-header
+stats (``_jpeg_dims`` → ``avi_frame_stats``) AND real pixel decode
+through the baseline codec; what remains ``NotImplementedError`` is
+only progressive/arithmetic/12-bit JPEG without Pillow and non-AVI
+containers without PyAV.
 """
 
 from __future__ import annotations

@@ -255,6 +255,57 @@ class TestDecodeThroughSpark:
         }
         assert got == want
 
+    def test_mapinpandas_decodes_real_mjpeg_avis(self, spark):
+        """Real MJPEG video payloads through the Arrow batch path:
+        each worker decodes the AVI's JPEG frames to PIXELS via the
+        built-in baseline codec (or Pillow) and emits frame-count +
+        mean intensity, matching the encoded source up to
+        quantization error."""
+        import pandas as pd
+
+        from astra_perseverance_spark.extensions.jpegcodec import (
+            encode_baseline_jpeg,
+        )
+
+        yy, xx = np.mgrid[0:16, 0:16]
+        rows, want = [], {}
+        for i in range(4):
+            frames_px = [((yy * (i + 2) + xx * f) % 256).astype(np.uint8)
+                         for f in range(1, 3)]
+            frames = [encode_baseline_jpeg(p) for p in frames_px]
+            avi = _mk_mjpeg_avi(frames, width=16, height=16)
+            rows.append((i, bytearray(avi)))
+            want[i] = (2, float(np.mean([p.mean() for p in frames_px])))
+        df = spark.createDataFrame(rows, "doc_id long, payload binary") \
+            .repartition(2)
+
+        def decode(batches):
+            from astra_perseverance_spark.extensions.multimodal import (
+                decode_media,
+            )
+            for pdf in batches:
+                out_n, out_mean = [], []
+                for p in pdf["payload"]:
+                    arr = decode_media(bytes(p), "video")
+                    out_n.append(int(arr.shape[0]))
+                    out_mean.append(float(arr.mean()))
+                yield pd.DataFrame({
+                    "doc_id": pdf["doc_id"],
+                    "n_frames": out_n,
+                    "mean_val": out_mean,
+                })
+
+        got = {
+            r["doc_id"]: (r["n_frames"], r["mean_val"])
+            for r in df.mapInPandas(
+                decode, "doc_id long, n_frames int, mean_val double"
+            ).collect()
+        }
+        assert set(got) == set(want)
+        for i, (n, mean) in want.items():
+            assert got[i][0] == n
+            assert abs(got[i][1] - mean) < 4.0, (i, got[i], mean)
+
 
 def _mk_jpeg(h: int, w: int) -> bytes:
     """Minimal structurally-valid JPEG header stream: SOI + JFIF APP0
