@@ -241,6 +241,9 @@ def decode_baseline_jpeg(data: bytes) -> np.ndarray:
             if not body or len(body) < 1 + 2 * body[0]:
                 raise ValueError("truncated JPEG SOS segment")
             ns = body[0]
+            if ns != len(frame["comps"]):
+                raise NotImplementedError(
+                    "non-interleaved JPEG scans need Pillow")
             scan = []
             for si in range(ns):
                 cs, tt = body[1 + 2 * si], body[2 + 2 * si]
@@ -256,6 +259,9 @@ def _decode_scan(frame, scan, qt, huff, intervals, restart) -> np.ndarray:
     h, w = frame["h"], frame["w"]
     hmax = max(c["h"] for c in frame["comps"])
     vmax = max(c["v"] for c in frame["comps"])
+    if any(hmax % c["h"] or vmax % c["v"] for c in frame["comps"]):
+        raise NotImplementedError(
+            "non-integer JPEG sampling ratios need Pillow")
     mcu_cols = -(-w // (8 * hmax))
     mcu_rows = -(-h // (8 * vmax))
     planes = {
