@@ -204,3 +204,110 @@ def export_training_shards(spark: SparkSession, sf_dir: str,
         "n_docs": totals["d"],
         "n_seqs": totals["q"],
     }
+
+
+def export_webdataset(spark: SparkSession, sf_dir: str, out_dir: str,
+                      shard_docs: int = 512) -> dict[str, object]:
+    """Materialize the corpus as WebDataset-style tar shards — the
+    sample-per-member layout streaming trainer loaders mount directly
+    (each sample is ``{doc_id:012d}.txt`` + ``.json`` metadata members
+    inside ``shard-NNNNN.tar``).
+
+    Distribution shape: shard assignment is the engine's standard
+    deterministic hash shard (``h15(doc_id) % n_shards`` — the
+    ``seq_pack`` pattern, so shard count scales with the corpus and a
+    re-run reproduces identical shards); the frame is repartitioned BY
+    shard and each executor task writes its own tar(s) via
+    ``mapInPandas`` — nothing is collected to the driver, and the
+    function's output frame IS the shard manifest.  Tar members are
+    written with zeroed mtime/uid/gid so shard bytes are reproducible.
+
+    ``out_dir`` must be visible to the executors (local mode: any
+    local path; a cluster: a mounted/object store path).
+
+    Returns {shards_path, manifest_path, n_shards, n_docs}."""
+    import io as _io
+    import json as _json
+    import math
+    import tarfile
+    from collections.abc import Iterator
+
+    import pandas as _pd
+
+    from astra_perseverance_spark.extensions.corpus import docs_frame, n_docs
+    from astra_perseverance_spark.functions.texthash import h15
+
+    shards_path = os.path.join(out_dir, "shards")
+    os.makedirs(shards_path, exist_ok=True)
+    n = n_docs(spark, sf_dir)
+    n_shards = max(1, math.ceil(n / shard_docs))
+    docs = docs_frame(spark, sf_dir).select(
+        "doc_id", "text", "lang", "source",
+        F.pmod(h15(F.col("doc_id").cast("string")), F.lit(n_shards))
+        .cast("int").alias("shard_id"),
+    )
+
+    def write_shards(batches: Iterator[_pd.DataFrame]
+                     ) -> Iterator[_pd.DataFrame]:
+        open_tar = {"sid": None, "tar": None, "n": 0}
+        rows = []
+
+        def close():
+            if open_tar["tar"] is not None:
+                open_tar["tar"].close()
+                path = os.path.join(
+                    shards_path, f"shard-{open_tar['sid']:05d}.tar")
+                rows.append((open_tar["sid"], open_tar["n"],
+                             os.path.getsize(path), path))
+                open_tar.update(sid=None, tar=None, n=0)
+
+        for pdf in batches:
+            for doc_id, text, lang, source, sid in zip(
+                    pdf["doc_id"], pdf["text"], pdf["lang"],
+                    pdf["source"], pdf["shard_id"]):
+                sid = int(sid)
+                if open_tar["sid"] != sid:
+                    close()
+                    path = os.path.join(shards_path, f"shard-{sid:05d}.tar")
+                    open_tar.update(
+                        sid=sid, tar=tarfile.open(path, "w"), n=0)
+                for suffix, payload in (
+                    (".txt", str(text).encode("utf-8")),
+                    (".json", _json.dumps(
+                        {"doc_id": int(doc_id), "lang": str(lang),
+                         "source": str(source)},
+                        sort_keys=True).encode("utf-8")),
+                ):
+                    info = tarfile.TarInfo(f"{int(doc_id):012d}{suffix}")
+                    info.size = len(payload)
+                    info.mtime = 0
+                    info.uid = info.gid = 0
+                    info.uname = info.gname = ""
+                    open_tar["tar"].addfile(info, _io.BytesIO(payload))
+                open_tar["n"] += 1
+        close()
+        yield _pd.DataFrame(
+            rows, columns=["shard_id", "n_docs", "n_bytes", "path"])
+
+    manifest = (
+        docs.repartition(n_shards, "shard_id")
+        .sortWithinPartitions("shard_id", "doc_id")
+        .mapInPandas(
+            write_shards,
+            "shard_id int, n_docs long, n_bytes long, path string")
+    )
+    manifest_path = os.path.join(out_dir, "manifest")
+    manifest.write.mode("overwrite").parquet(manifest_path)
+    totals = spark.read.parquet(manifest_path).agg(
+        F.countDistinct("shard_id").alias("s"),
+        F.sum("n_docs").alias("d"),
+    ).collect()[0]
+    if totals["d"] != n:
+        raise AssertionError(
+            f"webdataset export wrote {totals['d']} docs, corpus has {n}")
+    return {
+        "shards_path": shards_path,
+        "manifest_path": manifest_path,
+        "n_shards": totals["s"],
+        "n_docs": totals["d"],
+    }

@@ -344,3 +344,141 @@ class TestTrainingDataCli:
         assert run["corpus"]["n_kept"] <= run["corpus"]["n_docs"]
         assert run["shards"]["n_docs"] > 0
         assert run["shards"]["n_seqs"] > 0
+
+
+class TestWebdatasetExport:
+    def test_tar_shards_roundtrip(self, spark, tmp_path):
+        """Every corpus document lands exactly once across the tar
+        shards, text + metadata members round-trip byte-exact, shard
+        assignment matches the deterministic h15 rule, and the
+        manifest counts agree with the files on disk."""
+        import json
+        import tarfile
+
+        from tests.conftest import SF_SMALL
+
+        from astra_perseverance_spark.sinks.export import export_webdataset
+
+        out = export_webdataset(spark, SF_SMALL, str(tmp_path / "wds"),
+                                shard_docs=40)
+        docs = {
+            r["doc_id"]: (r["text"], r["lang"], r["source"])
+            for r in spark.read.parquet(
+                f"{SF_SMALL}/documents.parquet").collect()
+        }
+        assert out["n_docs"] == len(docs)
+        assert out["n_shards"] >= 2  # shard_docs=40 over 100+ docs
+
+        seen = {}
+        import glob
+        import os
+
+        for path in sorted(glob.glob(
+                os.path.join(out["shards_path"], "shard-*.tar"))):
+            sid = int(os.path.basename(path)[6:11])
+            with tarfile.open(path) as tf:
+                members = tf.getmembers()
+                by_doc = {}
+                for m in members:
+                    doc_id = int(m.name[:12])
+                    by_doc.setdefault(doc_id, {})[m.name[12:]] = (
+                        tf.extractfile(m).read())
+                for doc_id, parts in by_doc.items():
+                    assert set(parts) == {".txt", ".json"}
+                    meta = json.loads(parts[".json"])
+                    text, lang, source = docs[doc_id]
+                    assert parts[".txt"].decode("utf-8") == text
+                    assert meta == {"doc_id": doc_id, "lang": lang,
+                                    "source": source}
+                    assert doc_id not in seen
+                    seen[doc_id] = sid
+        assert set(seen) == set(docs)
+
+        # deterministic shard rule: h15(doc_id) % n_shards
+        import hashlib
+
+        def h15(s: str) -> int:
+            return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+        n_shards_rule = -(-len(docs) // 40)
+        for doc_id, sid in seen.items():
+            assert sid == h15(str(doc_id)) % n_shards_rule
+
+        # manifest agrees with disk
+        man = {r["shard_id"]: (r["n_docs"], r["path"])
+               for r in spark.read.parquet(out["manifest_path"]).collect()}
+        from collections import Counter
+
+        per_shard = Counter(seen.values())
+        assert {s: n for s, (n, _p) in man.items()} == dict(per_shard)
+
+
+class TestJsonlCorpusSource:
+    def test_ingest_roundtrip_and_query(self, spark, tmp_path):
+        """JSONL dump → ingest → the engine's own queries run on the
+        result: exports the fixture corpus as JSONL, ingests it into a
+        fresh corpus dir, and text_stats over the ingested dir equals
+        text_stats over the original."""
+        from tests.conftest import SF_SMALL
+
+        from astra_perseverance_spark.extensions.text_stats import (
+            q_text_stats,
+        )
+        from astra_perseverance_spark.sources.corpus_jsonl import (
+            ingest_jsonl_corpus,
+            read_documents_jsonl,
+        )
+
+        dump = str(tmp_path / "dump")
+        (
+            spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+            .write.mode("overwrite").json(dump)
+        )
+        corpus_dir = ingest_jsonl_corpus(
+            spark, dump, str(tmp_path / "corpus"))
+        got = read_documents_jsonl(spark, dump)
+        orig = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        assert got.count() == orig.count()
+
+        a = {tuple(r) for r in q_text_stats(spark, corpus_dir).collect()}
+        b = {tuple(r) for r in q_text_stats(spark, SF_SMALL).collect()}
+        assert a == b and a
+
+    def test_missing_optional_fields_are_defaulted(self, spark, tmp_path):
+        """A dump carrying only (doc_id, text) still conforms: lang,
+        source and n_chars are filled with the documented defaults."""
+        import json
+
+        from astra_perseverance_spark.sources.corpus_jsonl import (
+            read_documents_jsonl,
+        )
+
+        p = tmp_path / "mini.jsonl"
+        p.write_text("\n".join(
+            json.dumps({"doc_id": i, "text": f"doc {i} text"})
+            for i in range(5)))
+        df = read_documents_jsonl(spark, str(p))
+        rows = {r["doc_id"]: r for r in df.collect()}
+        assert len(rows) == 5
+        assert rows[0]["lang"] == "und" and rows[0]["source"] == "jsonl"
+        assert rows[0]["n_chars"] == len("doc 0 text")
+
+    def test_strict_vs_permissive_on_corrupt_lines(self, spark, tmp_path):
+        import json
+
+        import pytest as _pytest
+
+        from astra_perseverance_spark.sources.corpus_jsonl import (
+            read_documents_jsonl,
+        )
+
+        p = tmp_path / "bad.jsonl"
+        p.write_text("\n".join([
+            json.dumps({"doc_id": 1, "text": "ok"}),
+            "{not json at all",
+            json.dumps({"doc_id": 2, "text": "also ok"}),
+        ]))
+        with _pytest.raises(Exception):
+            read_documents_jsonl(spark, str(p), strict=True).collect()
+        got = read_documents_jsonl(spark, str(p), strict=False).collect()
+        assert {r["doc_id"] for r in got} == {1, 2}
