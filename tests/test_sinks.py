@@ -482,3 +482,71 @@ class TestJsonlCorpusSource:
             read_documents_jsonl(spark, str(p), strict=True).collect()
         got = read_documents_jsonl(spark, str(p), strict=False).collect()
         assert {r["doc_id"] for r in got} == {1, 2}
+
+
+class TestWebdatasetSource:
+    def test_export_read_roundtrip(self, spark, tmp_path):
+        """Corpus → tar shards → read back: the reconstructed frame
+        equals the original documents table exactly, and an ingested
+        corpus dir answers the engine's own queries identically."""
+        from tests.conftest import SF_SMALL
+
+        from astra_perseverance_spark.extensions.text_stats import (
+            q_text_stats,
+        )
+        from astra_perseverance_spark.sinks.export import export_webdataset
+        from astra_perseverance_spark.sources.webdataset import (
+            ingest_webdataset_corpus,
+            read_webdataset,
+        )
+
+        out = export_webdataset(spark, SF_SMALL, str(tmp_path / "wds"),
+                                shard_docs=40)
+        got = {
+            tuple(r) for r in read_webdataset(
+                spark, out["shards_path"]).collect()
+        }
+        orig = {
+            tuple(r) for r in spark.read.parquet(
+                f"{SF_SMALL}/documents.parquet")
+            .select("doc_id", "text", "lang", "source", "n_chars")
+            .collect()
+        }
+        assert got == orig and got
+
+        corpus_dir = ingest_webdataset_corpus(
+            spark, out["shards_path"], str(tmp_path / "corpus"))
+        a = {tuple(r) for r in q_text_stats(spark, corpus_dir).collect()}
+        b = {tuple(r) for r in q_text_stats(spark, SF_SMALL).collect()}
+        assert a == b and a
+
+    def test_key_fallback_and_foreign_members(self, spark, tmp_path):
+        """Third-party shards still read: metadata without doc_id
+        falls back to the numeric member key, extra member types are
+        ignored, and a text-less sample is skipped."""
+        import io
+        import json
+        import tarfile
+
+        from astra_perseverance_spark.sources.webdataset import (
+            read_webdataset,
+        )
+
+        shard = tmp_path / "shard-00000.tar"
+        with tarfile.open(shard, "w") as tf:
+            def add(name, payload):
+                info = tarfile.TarInfo(name)
+                info.size = len(payload)
+                tf.addfile(info, io.BytesIO(payload))
+
+            add("000000000007.txt", b"seven")
+            add("000000000007.json", json.dumps({"lang": "en"}).encode())
+            add("000000000007.bin", b"\x00opaque")  # extra modality
+            add("000000000008.txt", b"eight")       # no metadata at all
+            add("000000000009.json", b"{}")         # no text: skipped
+        rows = {r["doc_id"]: r for r in
+                read_webdataset(spark, str(tmp_path)).collect()}
+        assert set(rows) == {7, 8}
+        assert rows[7]["text"] == "seven" and rows[7]["lang"] == "en"
+        assert rows[8]["source"] == "webdataset"
+        assert rows[8]["n_chars"] == 5
