@@ -52,23 +52,18 @@ DOC_SCHEMA = StructType([
 ])
 
 
-def read_documents_jsonl(spark: SparkSession, path: str,
-                         strict: bool = True) -> DataFrame:
-    """Read a JSONL document dump into the conformed ``documents``
-    schema.  Returns (doc_id, text, lang, source, n_chars) with
-    n_chars recomputed from the text when the dump omits it."""
-    schema = DOC_SCHEMA
-    if not strict:
-        schema = StructType(
-            list(DOC_SCHEMA.fields) + [StructField("_corrupt", StringType())]
-        )
-    reader = (
-        spark.read.schema(schema)
-        .option("mode", "FAILFAST" if strict else "PERMISSIVE")
+def _read_schema(strict: bool) -> StructType:
+    if strict:
+        return DOC_SCHEMA
+    return StructType(
+        list(DOC_SCHEMA.fields) + [StructField("_corrupt", StringType())]
     )
-    if not strict:
-        reader = reader.option("columnNameOfCorruptRecord", "_corrupt")
-    df = reader.json(path)
+
+
+def _conform(df: DataFrame, strict: bool) -> DataFrame:
+    """Shared batch/streaming projection from the raw JSON read to the
+    conformed contract: drop corrupt + contract-violating lines, fill
+    the documented defaults, recompute n_chars when absent."""
     if not strict:
         df = df.filter(F.col("_corrupt").isNull()).drop("_corrupt")
     df = df.filter(F.col("doc_id").isNotNull() & F.col("text").isNotNull())
@@ -79,6 +74,20 @@ def read_documents_jsonl(spark: SparkSession, path: str,
         F.coalesce("n_chars", F.length("text").cast("long"))
         .alias("n_chars"),
     )
+
+
+def read_documents_jsonl(spark: SparkSession, path: str,
+                         strict: bool = True) -> DataFrame:
+    """Read a JSONL document dump into the conformed ``documents``
+    schema.  Returns (doc_id, text, lang, source, n_chars) with
+    n_chars recomputed from the text when the dump omits it."""
+    reader = (
+        spark.read.schema(_read_schema(strict))
+        .option("mode", "FAILFAST" if strict else "PERMISSIVE")
+    )
+    if not strict:
+        reader = reader.option("columnNameOfCorruptRecord", "_corrupt")
+    return _conform(reader.json(path), strict)
 
 
 def ingest_jsonl_corpus(spark: SparkSession, src: str, out_dir: str,
@@ -97,4 +106,47 @@ def ingest_jsonl_corpus(spark: SparkSession, src: str, out_dir: str,
         docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
         .write.mode("overwrite").parquet(dest)
     )
+    return out_dir
+
+
+def stream_documents_jsonl(spark: SparkSession, path: str,
+                           strict: bool = False) -> DataFrame:
+    """Unbounded counterpart of ``read_documents_jsonl``: a file-source
+    stream over a directory JSONL files keep landing in, conformed by
+    the SAME projection (shared ``_conform`` — the two modes cannot
+    drift).  Returns the unstarted streaming frame; the caller picks
+    sink/trigger, matching the other ``streaming/`` constructors.
+
+    Default is permissive, not strict: an unbounded ingest should
+    quarantine a bad line, not kill the query a week in."""
+    reader = (
+        spark.readStream.schema(_read_schema(strict))
+        .option("mode", "FAILFAST" if strict else "PERMISSIVE")
+    )
+    if not strict:
+        reader = reader.option("columnNameOfCorruptRecord", "_corrupt")
+    return _conform(reader.json(path), strict)
+
+
+def stream_ingest_jsonl_corpus(spark: SparkSession, src: str, out_dir: str,
+                               strict: bool = False):
+    """Incremental, exactly-once JSONL → corpus ingest: each call
+    processes only files not yet recorded in the checkpoint (file-source
+    offset log + parquet-sink commit log) and APPENDS them to
+    ``out_dir/documents.parquet`` — re-running after a crash or on a
+    schedule never duplicates a document, the property the batch
+    (overwrite-everything) ingest cannot give an append-only dump at
+    100 TB.  Blocks until the available backlog is drained
+    (``availableNow``) and returns ``out_dir``."""
+    dest = os.path.join(out_dir, "documents.parquet")
+    q = (
+        stream_documents_jsonl(spark, src, strict=strict)
+        .writeStream.format("parquet")
+        .option("path", dest)
+        .option("checkpointLocation", os.path.join(out_dir, "_checkpoint"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
     return out_dir

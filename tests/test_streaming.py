@@ -806,3 +806,50 @@ def test_gc_sessions_reorder_buffer_merges_late_bridge(spark, tmp_path):
         for r in spark.sql("SELECT * FROM late_sess_test0").collect()
     }
     assert (0, 0, 1) in got0, got0
+
+
+def test_stream_ingest_jsonl_is_incremental_exactly_once(spark, tmp_path):
+    """Incremental JSONL ingest: a second run over the same checkpoint
+    picks up only the newly landed files, never duplicating documents,
+    and the resulting corpus answers the engine's own queries like the
+    batch-read dump."""
+    import json
+
+    from astra_perseverance_spark.extensions.text_stats import q_text_stats
+    from astra_perseverance_spark.sources.corpus_jsonl import (
+        read_documents_jsonl,
+        stream_ingest_jsonl_corpus,
+    )
+
+    dump = tmp_path / "dump"
+    dump.mkdir()
+    corpus = str(tmp_path / "corpus")
+
+    def land(name, ids):
+        (dump / name).write_text("\n".join(
+            json.dumps({"doc_id": i, "text": f"body of document {i}",
+                        "lang": "en", "source": "drop"})
+            for i in ids))
+
+    land("part-0.jsonl", range(0, 40))
+    land("part-1.jsonl", range(40, 70))
+    stream_ingest_jsonl_corpus(spark, str(dump), corpus)
+    first = spark.read.parquet(f"{corpus}/documents.parquet")
+    assert first.count() == 70
+
+    # a new file lands; re-run with the same checkpoint → append only it
+    land("part-2.jsonl", range(70, 100))
+    stream_ingest_jsonl_corpus(spark, str(dump), corpus)
+    docs = spark.read.parquet(f"{corpus}/documents.parquet")
+    counts = {r["doc_id"]: r["n"] for r in
+              docs.groupBy("doc_id").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == set(range(100))
+    assert set(counts.values()) == {1}  # exactly once, across both runs
+
+    # the ingested corpus answers queries like the batch read of the dump
+    a = {tuple(r) for r in q_text_stats(spark, corpus).collect()}
+    batch_dir = str(tmp_path / "batch_corpus")
+    read_documents_jsonl(spark, str(dump)).write.parquet(
+        f"{batch_dir}/documents.parquet")
+    b = {tuple(r) for r in q_text_stats(spark, batch_dir).collect()}
+    assert a == b and a
