@@ -207,7 +207,8 @@ def export_training_shards(spark: SparkSession, sf_dir: str,
 
 
 def export_webdataset(spark: SparkSession, sf_dir: str, out_dir: str,
-                      shard_docs: int = 512) -> dict[str, object]:
+                      shard_docs: int = 512,
+                      docs: DataFrame | None = None) -> dict[str, object]:
     """Materialize the corpus as WebDataset-style tar shards — the
     sample-per-member layout streaming trainer loaders mount directly
     (each sample is ``{doc_id:012d}.txt`` + ``.json`` metadata members
@@ -223,7 +224,9 @@ def export_webdataset(spark: SparkSession, sf_dir: str, out_dir: str,
     written with zeroed mtime/uid/gid so shard bytes are reproducible.
 
     ``out_dir`` must be visible to the executors (local mode: any
-    local path; a cluster: a mounted/object store path).
+    local path; a cluster: a mounted/object store path).  ``docs``
+    overrides the corpus frame (same contract columns) — how the CLI
+    shards the CURATED corpus instead of the raw one.
 
     Returns {shards_path, manifest_path, n_shards, n_docs}."""
     import io as _io
@@ -239,9 +242,13 @@ def export_webdataset(spark: SparkSession, sf_dir: str, out_dir: str,
 
     shards_path = os.path.join(out_dir, "shards")
     os.makedirs(shards_path, exist_ok=True)
-    n = n_docs(spark, sf_dir)
+    if docs is None:
+        n = n_docs(spark, sf_dir)
+        docs = docs_frame(spark, sf_dir)
+    else:
+        n = docs.count()
     n_shards = max(1, math.ceil(n / shard_docs))
-    docs = docs_frame(spark, sf_dir).select(
+    docs = docs.select(
         "doc_id", "text", "lang", "source",
         F.pmod(h15(F.col("doc_id").cast("string")), F.lit(n_shards))
         .cast("int").alias("shard_id"),

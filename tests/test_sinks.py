@@ -550,3 +550,46 @@ class TestWebdatasetSource:
         assert rows[7]["text"] == "seven" and rows[7]["lang"] == "en"
         assert rows[8]["source"] == "webdataset"
         assert rows[8]["n_chars"] == 5
+
+
+class TestCorpusLifecycleCli:
+    def test_jsonl_in_webdataset_out(self, spark, tmp_path):
+        """Full lifecycle in one CLI call: a JSONL dump in, curated
+        WebDataset tar shards out — the shard set is exactly the
+        ledger's keep set."""
+        import json
+        import os
+        import sys
+        import tarfile
+
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "tools"))
+        import make_training_data
+
+        from tests.conftest import SF_SMALL
+
+        dump = str(tmp_path / "dump")
+        (
+            spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+            .write.mode("overwrite").json(dump)
+        )
+        out = tmp_path / "run"
+        rc = make_training_data.main([
+            dump, "-o", str(out), "--from", "jsonl",
+            "--webdataset", "--skip-shards"])
+        assert rc == 0
+        run = json.load(open(out / "run.json"))
+        assert os.path.isdir(os.path.join(run["ingested"],
+                                          "documents.parquet"))
+        assert run["webdataset"]["n_docs"] == run["corpus"]["n_kept"]
+
+        kept = {r["doc_id"] for r in
+                spark.read.parquet(run["corpus"]["kept_path"]).collect()}
+        sharded = set()
+        import glob
+        for path in glob.glob(os.path.join(
+                run["webdataset"]["shards_path"], "shard-*.tar")):
+            with tarfile.open(path) as tf:
+                sharded |= {int(m.name[:12]) for m in tf.getmembers()}
+        assert sharded == kept and kept

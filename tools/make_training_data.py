@@ -4,17 +4,25 @@ One command from a raw corpus directory to the artifacts a training
 run mounts:
 
     python tools/make_training_data.py <sf_dir> -o OUT_DIR
-        [--fmt parquet|jsonl] [--skip-shards] [--skip-corpus]
+        [--from jsonl|webdataset] [--fmt parquet|jsonl]
+        [--webdataset] [--skip-shards] [--skip-corpus]
 
 Stages (each is the engine's registered operator family, nothing
 CLI-specific):
 
+0. ``--from jsonl|webdataset`` — the input is a raw JSONL dump or a
+   directory of WebDataset tar shards instead of a corpus dir: it is
+   ingested once into ``OUT/ingested`` (columnar, conformed) and the
+   rest of the pipeline runs on that.
 1. ``export_curated_corpus`` — documents surviving the full curation
    ledger (quality rules + exact/near dedup + decontamination) plus
    the rejects audit ledger.
 2. ``export_training_shards`` — the seq_pack concat-and-cut layout as
    shard-partitioned parquet with a shard-grain manifest.
-3. ``run.json`` — one driver-readable summary of counts and paths.
+3. ``--webdataset`` — additionally materialize the run's corpus (the
+   CURATED documents when stage 1 ran, the raw corpus otherwise) as
+   WebDataset tar shards under ``OUT/wds``.
+4. ``run.json`` — one driver-readable summary of counts and paths.
 
 Everything data-sized is written by executors; the only driver-side
 values are the manifest/ledger count scalars in ``run.json``.  At a
@@ -35,10 +43,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
-    ap.add_argument("sf_dir", help="corpus directory (documents.parquet)")
+    ap.add_argument("sf_dir", help="corpus directory (documents.parquet), "
+                    "or with --from, a JSONL dump / WebDataset shard dir")
     ap.add_argument("-o", "--out", required=True, help="output directory")
+    ap.add_argument("--from", dest="src_fmt",
+                    choices=("jsonl", "webdataset"),
+                    help="ingest this input format into OUT/ingested first")
     ap.add_argument("--fmt", choices=("parquet", "jsonl"),
                     default="parquet", help="curated-corpus format")
+    ap.add_argument("--webdataset", action="store_true",
+                    help="also export the run's corpus as WebDataset "
+                    "tar shards under OUT/wds")
     ap.add_argument("--skip-corpus", action="store_true",
                     help="skip the curated-corpus materialization")
     ap.add_argument("--skip-shards", action="store_true",
@@ -50,17 +65,50 @@ def main(argv: list[str] | None = None) -> int:
         export_curated_corpus,
         export_training_shards,
     )
+    from astra_perseverance_spark.sinks.export import export_webdataset
 
     spark = get_spark("make-training-data")
     spark.sparkContext.setLogLevel("ERROR")
     os.makedirs(args.out, exist_ok=True)
 
     run: dict[str, object] = {"sf_dir": args.sf_dir, "out": args.out}
+    sf_dir = args.sf_dir
+    if args.src_fmt == "jsonl":
+        from astra_perseverance_spark.sources.corpus_jsonl import (
+            ingest_jsonl_corpus,
+        )
+
+        sf_dir = ingest_jsonl_corpus(
+            spark, args.sf_dir, os.path.join(args.out, "ingested"))
+        run["ingested"] = sf_dir
+    elif args.src_fmt == "webdataset":
+        from astra_perseverance_spark.sources.webdataset import (
+            ingest_webdataset_corpus,
+        )
+
+        sf_dir = ingest_webdataset_corpus(
+            spark, args.sf_dir, os.path.join(args.out, "ingested"))
+        run["ingested"] = sf_dir
     if not args.skip_corpus:
         run["corpus"] = export_curated_corpus(
-            spark, args.sf_dir, args.out, fmt=args.fmt)
+            spark, sf_dir, args.out, fmt=args.fmt)
     if not args.skip_shards:
-        run["shards"] = export_training_shards(spark, args.sf_dir, args.out)
+        run["shards"] = export_training_shards(spark, sf_dir, args.out)
+    if args.webdataset:
+        docs = None
+        if not args.skip_corpus:
+            # shard the curated corpus the run just wrote
+            kept_path = run["corpus"]["kept_path"]
+            if args.fmt == "jsonl":
+                from astra_perseverance_spark.sources.corpus_jsonl import (
+                    read_documents_jsonl,
+                )
+
+                docs = read_documents_jsonl(spark, kept_path)
+            else:
+                docs = spark.read.parquet(kept_path)
+        run["webdataset"] = export_webdataset(
+            spark, sf_dir, os.path.join(args.out, "wds"), docs=docs)
 
     run_path = os.path.join(args.out, "run.json")
     with open(run_path, "w") as fh:
