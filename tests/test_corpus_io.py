@@ -1,0 +1,78 @@
+"""Property-based roundtrip checks for the corpus interchange I/O.
+
+The fixture corpora are ASCII-heavy and well-formed, so the
+JSONL/WebDataset paths never see the text a real crawl dump carries:
+multibyte codepoints, embedded newlines/quotes/backslashes, empty
+documents.  Hypothesis generates such corpora and asserts the export →
+read composition is the identity on the conformed columns — for both
+container formats, through real Spark jobs.
+
+Example counts are small (each example is several Spark jobs); the
+value is in the adversarial text, not the volume.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+# Surrogates are excluded by hypothesis' default text alphabet; keep
+# control characters (newline, tab, NUL) — a crawl dump carries them.
+_text = st.text(max_size=120)
+_tag = st.text(
+    alphabet=st.characters(min_codepoint=97, max_codepoint=122),
+    min_size=1, max_size=8)
+
+_corpus = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=10**11), _text,
+              _tag, _tag),
+    min_size=1, max_size=8, unique_by=lambda t: t[0])
+
+
+def _docs_df(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, lg, src, len(t)) for i, t, lg, src in rows],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long")
+
+
+def _rows(df):
+    return {tuple(r) for r in
+            df.select("doc_id", "text", "lang", "source", "n_chars")
+            .collect()}
+
+
+@settings(max_examples=6, deadline=None)
+@given(rows=_corpus)
+def test_webdataset_roundtrip_is_identity(spark, rows):
+    from astra_perseverance_spark.sinks.export import export_webdataset
+    from astra_perseverance_spark.sources.webdataset import read_webdataset
+
+    docs = _docs_df(spark, rows)
+    tmp = tempfile.mkdtemp(prefix="wds_prop_")
+    try:
+        out = export_webdataset(spark, sf_dir="<unused>", out_dir=tmp,
+                                shard_docs=3, docs=docs)
+        assert out["n_docs"] == len(rows)
+        assert _rows(read_webdataset(spark, out["shards_path"])) == _rows(docs)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@settings(max_examples=6, deadline=None)
+@given(rows=_corpus)
+def test_jsonl_roundtrip_is_identity(spark, rows):
+    from astra_perseverance_spark.sources.corpus_jsonl import (
+        read_documents_jsonl,
+    )
+
+    docs = _docs_df(spark, rows)
+    tmp = tempfile.mkdtemp(prefix="jsonl_prop_")
+    try:
+        docs.write.mode("overwrite").json(tmp)
+        assert _rows(read_documents_jsonl(spark, tmp)) == _rows(docs)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
