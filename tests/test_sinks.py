@@ -593,3 +593,83 @@ class TestCorpusLifecycleCli:
             with tarfile.open(path) as tf:
                 sharded |= {int(m.name[:12]) for m in tf.getmembers()}
         assert sharded == kept and kept
+
+
+class TestCompaction:
+    def test_compact_preserves_rows_and_reduces_files(self, spark, tmp_path):
+        import glob
+
+        from astra_perseverance_spark.sinks.compact import compact_parquet
+
+        path = str(tmp_path / "frag.parquet")
+        df = spark.range(0, 5000).selectExpr(
+            "id", "concat('row ', id) AS payload")
+        df.repartition(50).write.parquet(path)
+        assert len(glob.glob(f"{path}/part-*")) == 50
+        before = {tuple(r) for r in spark.read.parquet(path).collect()}
+
+        stats = compact_parquet(spark, path, target_bytes=64 * 1024)
+        assert stats["files_before"] == 50
+        assert stats["files_after"] < 50
+        assert stats["rows"] == 5000
+        assert len(glob.glob(f"{path}/part-*")) == stats["files_after"]
+        assert {tuple(r) for r in spark.read.parquet(path).collect()} == before
+        assert not glob.glob(str(tmp_path / "*__compact*"))  # swap cleaned up
+
+        # converges to a fixpoint: re-runs only ever shrink, and once
+        # the file count matches the target the run is a no-op
+        again = compact_parquet(spark, path, target_bytes=64 * 1024)
+        assert again["files_after"] <= again["files_before"]
+        fixed = compact_parquet(spark, path, target_bytes=64 * 1024)
+        assert fixed["files_after"] == fixed["files_before"]
+        assert {tuple(r) for r in spark.read.parquet(path).collect()} == before
+
+    def test_compact_corpus_after_streaming_ingest(self, spark, tmp_path):
+        """The intended pairing: an incremental ingest leaves a file
+        per trigger; compaction tidies the corpus dir and the engine's
+        queries answer identically afterwards."""
+        import glob
+        import json
+
+        from astra_perseverance_spark.extensions.text_stats import (
+            q_text_stats,
+        )
+        from astra_perseverance_spark.sinks.compact import compact_corpus
+        from astra_perseverance_spark.sources.corpus_jsonl import (
+            stream_ingest_jsonl_corpus,
+        )
+
+        dump = tmp_path / "dump"
+        dump.mkdir()
+        corpus = str(tmp_path / "corpus")
+        for part in range(4):  # four landings → four ingest runs
+            (dump / f"part-{part}.jsonl").write_text("\n".join(
+                json.dumps({"doc_id": part * 25 + i,
+                            "text": f"document body {part}/{i}"})
+                for i in range(25)))
+            stream_ingest_jsonl_corpus(spark, str(dump), corpus)
+        docs_path = f"{corpus}/documents.parquet"
+        n_frag = len(glob.glob(f"{docs_path}/part-*"))
+        assert n_frag >= 4
+        want = {tuple(r) for r in q_text_stats(spark, corpus).collect()}
+
+        stats = compact_corpus(spark, corpus, target_bytes=1 << 30)
+        assert stats["documents.parquet"]["files_after"] == 1
+        assert stats["documents.parquet"]["rows"] == 100
+        got = {tuple(r) for r in q_text_stats(spark, corpus).collect()}
+        assert got == want and got
+
+    def test_compact_cli(self, tmp_path, spark):
+        import os
+        import sys
+
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "tools"))
+        import compact as compact_cli
+
+        path = str(tmp_path / "ds.parquet")
+        spark.range(0, 1000).repartition(20).write.parquet(path)
+        rc = compact_cli.main([path, "--target-mb", "1"])
+        assert rc == 0
+        assert spark.read.parquet(path).count() == 1000
