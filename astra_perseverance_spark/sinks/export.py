@@ -208,7 +208,8 @@ def export_training_shards(spark: SparkSession, sf_dir: str,
 
 def export_webdataset(spark: SparkSession, sf_dir: str, out_dir: str,
                       shard_docs: int = 512,
-                      docs: DataFrame | None = None) -> dict[str, object]:
+                      docs: DataFrame | None = None,
+                      media: bool = False) -> dict[str, object]:
     """Materialize the corpus as WebDataset-style tar shards — the
     sample-per-member layout streaming trainer loaders mount directly
     (each sample is ``{doc_id:012d}.txt`` + ``.json`` metadata members
@@ -228,8 +229,17 @@ def export_webdataset(spark: SparkSession, sf_dir: str, out_dir: str,
     overrides the corpus frame (same contract columns) — how the CLI
     shards the CURATED corpus instead of the raw one.
 
+    ``media=True`` makes the shards multimodal (the layout image/text
+    trainer loaders actually consume): each sample additionally
+    carries its binary payload as a ``.bin`` member and the media
+    metadata (media_type/width/height/n_frames) folded into the
+    ``.json`` member, joined from the multimodal family's media table
+    (doc_id equi-join between two frames clustered on doc_id — no
+    extra exchange).  Requires a real ``sf_dir``.
+
     Returns {shards_path, manifest_path, n_shards, n_docs}."""
     import io as _io
+    import itertools as _it
     import json as _json
     import math
     import tarfile
@@ -248,8 +258,16 @@ def export_webdataset(spark: SparkSession, sf_dir: str, out_dir: str,
     else:
         n = docs.count()
     n_shards = max(1, math.ceil(n / shard_docs))
+    cols = ["doc_id", "text", "lang", "source"]
+    if media:
+        from astra_perseverance_spark.extensions.multimodal import (
+            build_media_table,
+        )
+
+        docs = docs.join(build_media_table(spark, sf_dir), "doc_id")
+        cols += ["meta", "payload"]
     docs = docs.select(
-        "doc_id", "text", "lang", "source",
+        *cols,
         F.pmod(h15(F.col("doc_id").cast("string")), F.lit(n_shards))
         .cast("int").alias("shard_id"),
     )
@@ -269,22 +287,35 @@ def export_webdataset(spark: SparkSession, sf_dir: str, out_dir: str,
                 open_tar.update(sid=None, tar=None, n=0)
 
         for pdf in batches:
-            for doc_id, text, lang, source, sid in zip(
+            metas = pdf["meta"] if media else _it.repeat(None)
+            payloads = pdf["payload"] if media else _it.repeat(None)
+            for doc_id, text, lang, source, sid, m, p in zip(
                     pdf["doc_id"], pdf["text"], pdf["lang"],
-                    pdf["source"], pdf["shard_id"]):
+                    pdf["source"], pdf["shard_id"], metas, payloads):
                 sid = int(sid)
                 if open_tar["sid"] != sid:
                     close()
                     path = os.path.join(shards_path, f"shard-{sid:05d}.tar")
                     open_tar.update(
                         sid=sid, tar=tarfile.open(path, "w"), n=0)
-                for suffix, payload in (
+                meta = {"doc_id": int(doc_id), "lang": str(lang),
+                        "source": str(source)}
+                members = [
                     (".txt", str(text).encode("utf-8")),
-                    (".json", _json.dumps(
-                        {"doc_id": int(doc_id), "lang": str(lang),
-                         "source": str(source)},
-                        sort_keys=True).encode("utf-8")),
-                ):
+                ]
+                if media:
+                    # Arrow hands the struct over as a dict of numpy
+                    # scalars; re-type for JSON
+                    meta.update({
+                        "media_type": str(m["media_type"]),
+                        "width": int(m["width"]),
+                        "height": int(m["height"]),
+                        "n_frames": int(m["n_frames"]),
+                    })
+                    members.append((".bin", bytes(p)))
+                members.append((".json", _json.dumps(
+                    meta, sort_keys=True).encode("utf-8")))
+                for suffix, payload in members:
                     info = tarfile.TarInfo(f"{int(doc_id):012d}{suffix}")
                     info.size = len(payload)
                     info.mtime = 0

@@ -32,7 +32,8 @@ _TEXT_SUFFIX = ".txt"
 _META_SUFFIX = ".json"
 
 
-def read_webdataset(spark: SparkSession, shards_path: str) -> DataFrame:
+def read_webdataset(spark: SparkSession, shards_path: str,
+                    extra_members: tuple[str, ...] = ()) -> DataFrame:
     """Read a directory of ``shard-*.tar`` WebDataset shards into the
     conformed ``documents`` schema (doc_id, text, lang, source,
     n_chars).
@@ -41,7 +42,13 @@ def read_webdataset(spark: SparkSession, shards_path: str) -> DataFrame:
     everything before the first dot groups members of one sample);
     ``doc_id`` comes from the metadata member when present, else from
     the numeric key.  n_chars is recomputed from the text — the shard
-    is the source of truth, not whatever the metadata claims."""
+    is the source of truth, not whatever the metadata claims.
+
+    ``extra_members`` surfaces additional member suffixes as binary
+    columns named after the suffix (``(".bin",)`` → a ``bin`` column,
+    null where a sample lacks that member) — how a multimodal shard
+    set (``export_webdataset(media=True)``) reads back with its
+    payloads attached."""
     from collections.abc import Iterator
 
     import pandas as pd
@@ -91,14 +98,20 @@ def read_webdataset(spark: SparkSession, shards_path: str) -> DataFrame:
                         int(doc_id), text,
                         str(meta.get("lang", "und")),
                         str(meta.get("source", "webdataset")),
+                        *(parts.get(s) for s in extra_members),
                     ))
             yield pd.DataFrame(
-                rows, columns=["doc_id", "text", "lang", "source"])
+                rows, columns=["doc_id", "text", "lang", "source",
+                               *(s.lstrip(".") for s in extra_members)])
 
-    return shards.mapInPandas(
-        parse_shards,
-        "doc_id long, text string, lang string, source string",
-    ).withColumn("n_chars", F.length("text").cast("long"))
+    schema = "doc_id long, text string, lang string, source string"
+    for s in extra_members:
+        schema += f", {s.lstrip('.')} binary"
+    return shards.mapInPandas(parse_shards, schema).select(
+        "doc_id", "text", "lang", "source",
+        F.length("text").cast("long").alias("n_chars"),
+        *(s.lstrip(".") for s in extra_members),
+    )
 
 
 def ingest_webdataset_corpus(spark: SparkSession, shards_path: str,
