@@ -1,0 +1,115 @@
+"""Corpus QA: contract validation (with its DuckDB twin, proven here
+ahead of round-9 registration) and version diff."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+ROWS = [
+    # (doc_id, text, lang, source, n_chars)
+    (1, "a clean document", "en", "web", 16),
+    (2, "another clean one", "fr", "web", 17),
+    (2, "another clean one", "fr", "web", 17),   # duplicate doc_id (2 docs)
+    (3, "", "en", "web", 0),                     # empty text
+    (4, "stale metadata", "en", "web", 99),      # n_chars mismatch
+    (5, "bad lang tag", "English", "web", 12),   # lang_not_iso
+    (6, None, "en", "web", None),                # null text
+    (None, "orphan row", "en", "web", 10),       # null doc_id
+    (7, "fine with und", "und", "web", 13),
+]
+
+SCHEMA = ("doc_id long, text string, lang string, source string, "
+          "n_chars long")
+
+
+@pytest.fixture(scope="module")
+def qa_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("qa_corpus")
+    spark.createDataFrame(ROWS, SCHEMA).coalesce(1).write.parquet(
+        str(d / "documents.parquet"))
+    return str(d)
+
+
+class TestCorpusValidate:
+    def test_planted_violations_counted(self, spark, qa_dir):
+        from astra_perseverance_spark.extensions.qa import q_corpus_validate
+
+        got = {r["check"]: r["n_violations"]
+               for r in q_corpus_validate(spark, qa_dir).collect()}
+        assert got == {
+            "null_doc_id": 1,
+            "duplicate_doc_id": 2,  # both copies of doc 2 count
+            "null_text": 1,
+            "empty_text": 1,
+            "n_chars_mismatch": 1,
+            "lang_not_iso": 1,
+        }
+
+    def test_duckdb_twin_parity(self, spark, qa_dir):
+        from astra_perseverance_spark.extensions.qa import (
+            CORPUS_VALIDATE_SQL,
+            q_corpus_validate,
+        )
+
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{qa_dir}/documents.parquet/*.parquet'")
+        oracle = {r[0]: int(r[1])
+                  for r in con.sql(CORPUS_VALIDATE_SQL).fetchall()}
+        got = {r["check"]: r["n_violations"]
+               for r in q_corpus_validate(spark, qa_dir).collect()}
+        assert got == oracle
+
+    def test_clean_corpus_is_all_zero(self, spark, tmp_path):
+        from astra_perseverance_spark.extensions.qa import q_corpus_validate
+
+        clean = [(i, f"doc {i}", "en", "web", len(f"doc {i}"))
+                 for i in range(10)]
+        spark.createDataFrame(clean, SCHEMA).write.parquet(
+            str(tmp_path / "documents.parquet"))
+        got = q_corpus_validate(spark, str(tmp_path)).collect()
+        assert len(got) == 6
+        assert all(r["n_violations"] == 0 for r in got)
+
+
+class TestCorpusDiff:
+    def test_added_removed_changed(self, spark, tmp_path):
+        from astra_perseverance_spark.extensions.qa import corpus_diff
+
+        old = [(1, "same"), (2, "will change"), (3, "will vanish")]
+        new = [(1, "same"), (2, "has changed"), (4, "brand new")]
+        for name, rows in (("old", old), ("new", new)):
+            spark.createDataFrame(
+                [(i, t, "en", "web", len(t)) for i, t in rows], SCHEMA
+            ).write.parquet(str(tmp_path / name / "documents.parquet"))
+
+        got = {(r["doc_id"], r["status"]) for r in corpus_diff(
+            spark, str(tmp_path / "old"), str(tmp_path / "new")).collect()}
+        assert got == {(2, "changed"), (3, "removed"), (4, "added")}
+
+
+class TestCorpusQaCli:
+    def test_validate_gates_and_diff_counts(self, spark, qa_dir, tmp_path):
+        import json
+        import os
+        import sys
+
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "tools"))
+        import corpus_qa
+
+        # dirty fixture corpus → nonzero exit (the ingest gate)
+        assert corpus_qa.main(["validate", qa_dir]) == 1
+
+        clean = [(i, f"doc {i}", "en", "web", len(f"doc {i}"))
+                 for i in range(5)]
+        cdir = str(tmp_path / "clean")
+        spark.createDataFrame(clean, SCHEMA).write.parquet(
+            f"{cdir}/documents.parquet")
+        assert corpus_qa.main(["validate", cdir]) == 0
+
+        out = str(tmp_path / "diffout")
+        assert corpus_qa.main(["diff", cdir, cdir, "--out", out]) == 0
+        assert spark.read.parquet(out).count() == 0  # identical versions
