@@ -59,10 +59,32 @@ def compact_parquet(spark: SparkSession, path: str,
     {files_before, files_after, bytes, rows}.
 
     No-op (nothing rewritten) when the dataset already has no more
-    files than the target implies — safe to run on a schedule."""
+    files than the target implies — safe to run on a schedule.
+
+    A hive-partitioned dataset (``key=value`` subdirectories, e.g.
+    the training-shard layout) is compacted ONE PARTITION AT A TIME —
+    each leaf directory is itself a valid parquet dataset, so the
+    rewrite preserves the partition columns and the pruning they buy;
+    a whole-dataset rewrite would flatten them into file contents and
+    silently cost every downstream scan its partition pruning."""
     if target_bytes <= 0:
         raise ValueError(f"target_bytes must be positive: {target_bytes}")
     fs, jpath, jvm = _fs(spark, path)
+    part_dirs = [
+        st.getPath() for st in fs.listStatus(jpath)
+        if st.isDirectory() and "=" in st.getPath().getName()
+        and not st.getPath().getName().startswith(("_", "."))
+    ]
+    if part_dirs:
+        agg = {"files_before": 0, "files_after": 0, "bytes": 0, "rows": 0}
+        for pd in sorted(part_dirs, key=lambda p: p.getName()):
+            sub = compact_parquet(spark, pd.toString(),
+                                  target_bytes=target_bytes, audit=audit)
+            for k in agg:
+                agg[k] += sub[k]
+        if not audit:
+            agg["rows"] = -1
+        return agg
     files_before, total = _data_files(fs, jpath)
     n_out = max(1, -(-total // target_bytes))
     if files_before <= n_out:

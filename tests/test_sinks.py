@@ -726,3 +726,41 @@ class TestMultimodalWebdataset:
         got = {r["doc_id"]: bytes(r["bin"]) for r in read_webdataset(
             spark, out["shards_path"], extra_members=(".bin",)).collect()}
         assert got == {d: p for d, (p, _m) in media.items()}
+
+
+class TestPartitionedCompaction:
+    def test_hive_layout_preserved(self, spark, tmp_path):
+        """Compacting a partitioned dataset (the training-shard
+        layout) must keep the key=value directories — and therefore
+        partition pruning — while merging the files inside each."""
+        import glob
+
+        from astra_perseverance_spark.sinks.compact import compact_parquet
+
+        path = str(tmp_path / "parts.parquet")
+        df = spark.range(0, 3000).selectExpr(
+            "id", "id % 3 AS shard_id", "concat('row ', id) AS payload")
+        (
+            df.repartition(10)
+            .write.partitionBy("shard_id").parquet(path)
+        )
+        files_per_part = len(glob.glob(f"{path}/shard_id=0/part-*"))
+        assert files_per_part == 10
+        before = {tuple(r) for r in spark.read.parquet(path).collect()}
+
+        stats = compact_parquet(spark, path, target_bytes=1 << 30)
+        assert stats["files_before"] == 30 and stats["files_after"] == 3
+        assert stats["rows"] == 3000
+        for s in range(3):
+            assert len(glob.glob(f"{path}/shard_id={s}/part-*")) == 1
+        after_df = spark.read.parquet(path)
+        assert {tuple(r) for r in after_df.collect()} == before
+        # partition pruning still works: the filter lands in the
+        # scan's PartitionFilters, not a post-scan Filter
+        pruned = after_df.filter("shard_id = 1")
+        assert pruned.count() == 1000
+        plan = pruned._jdf.queryExecution().executedPlan().toString()
+        part_filters = [ln for ln in plan.splitlines()
+                        if "PartitionFilters" in ln]
+        assert part_filters and any("shard_id" in ln
+                                    for ln in part_filters), plan
