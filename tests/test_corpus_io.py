@@ -76,3 +76,32 @@ def test_jsonl_roundtrip_is_identity(spark, rows):
         assert _rows(read_documents_jsonl(spark, tmp)) == _rows(docs)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_gzip_jsonl_reads_per_file_parallel(spark, tmp_path):
+    """The documented gzip story: .jsonl.gz members read transparently
+    (one task per file — gzip is unsplittable, so parallelism comes
+    from file count, which this pins by checking partition count)."""
+    import gzip
+    import json
+
+    from astra_perseverance_spark.sources.corpus_jsonl import (
+        read_documents_jsonl,
+    )
+
+    for part in range(3):
+        with gzip.open(tmp_path / f"part-{part}.jsonl.gz", "wt") as fh:
+            for i in range(10):
+                fh.write(json.dumps(
+                    {"doc_id": part * 10 + i, "text": f"t{i}"}) + "\n")
+    df = read_documents_jsonl(spark, str(tmp_path))
+    assert df.count() == 30
+    assert df.rdd.getNumPartitions() == 3  # one unsplittable task per file
+
+
+def test_empty_shard_dir_yields_empty_frame(spark, tmp_path):
+    from astra_perseverance_spark.sources.webdataset import read_webdataset
+
+    df = read_webdataset(spark, str(tmp_path))
+    assert df.count() == 0
+    assert df.columns == ["doc_id", "text", "lang", "source", "n_chars"]
