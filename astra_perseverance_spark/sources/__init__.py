@@ -8,12 +8,20 @@ from astra_perseverance_spark.sources.corpus_jsonl import (
     stream_ingest_jsonl_corpus,
 )
 from astra_perseverance_spark.sources.diag import load_model_from_diag
+from astra_perseverance_spark.sources.events_jsonl import (
+    ingest_events_jsonl,
+    read_events_jsonl,
+    stream_events_jsonl,
+    stream_ingest_events_jsonl,
+)
 from astra_perseverance_spark.sources.webdataset import (
     ingest_webdataset_corpus,
     read_webdataset,
 )
 
-__all__ = ["ingest_jsonl_corpus", "ingest_webdataset_corpus",
-           "load_model_from_diag", "read_documents_jsonl",
+__all__ = ["ingest_events_jsonl", "ingest_jsonl_corpus",
+           "ingest_webdataset_corpus", "load_model_from_diag",
+           "read_documents_jsonl", "read_events_jsonl",
            "read_webdataset", "stream_documents_jsonl",
+           "stream_events_jsonl", "stream_ingest_events_jsonl",
            "stream_ingest_jsonl_corpus"]

@@ -105,3 +105,68 @@ def test_empty_shard_dir_yields_empty_frame(spark, tmp_path):
     df = read_webdataset(spark, str(tmp_path))
     assert df.count() == 0
     assert df.columns == ["doc_id", "text", "lang", "source", "n_chars"]
+
+
+def test_events_jsonl_ingest_feeds_the_timeseries_family(spark, tmp_path):
+    """Events dumped as JSONL (ts as epoch nanos), ingested, must
+    answer the sessionize and as-of queries identically to the
+    original parquet events table — the whole family runs on a JSON
+    event-log drop unchanged."""
+    from tests.conftest import SF_SMALL
+
+    from astra_perseverance_spark.conformed.model import _read
+    from astra_perseverance_spark.extensions.timeseries import (
+        q_events_asof,
+        q_events_sessionize,
+    )
+    from astra_perseverance_spark.sources.events_jsonl import (
+        ingest_events_jsonl,
+        stream_ingest_events_jsonl,
+    )
+
+    dump = str(tmp_path / "dump")
+    # full microsecond precision in the dump — the default JSON
+    # timestamp format truncates to millis, which would make this a
+    # precision test of the dump rather than of the ingest
+    (
+        _read(spark, SF_SMALL, "events").write.mode("overwrite")
+        .option("timestampNTZFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+        .json(dump)
+    )
+
+    batch_dir = ingest_events_jsonl(spark, dump, str(tmp_path / "batch"))
+    stream_dir = stream_ingest_events_jsonl(
+        spark, dump, str(tmp_path / "stream"))
+
+    for q in (q_events_sessionize, q_events_asof):
+        want = {tuple(r) for r in q(spark, SF_SMALL).collect()}
+        assert {tuple(r) for r in q(spark, batch_dir).collect()} == want
+        assert {tuple(r) for r in q(spark, stream_dir).collect()} == want
+        assert want
+
+
+def test_events_jsonl_required_fields_and_corrupt_lines(spark, tmp_path):
+    import json
+
+    import pytest as _pytest
+
+    from astra_perseverance_spark.sources.events_jsonl import (
+        read_events_jsonl,
+    )
+
+    p = tmp_path / "ev.jsonl"
+    p.write_text("\n".join([
+        json.dumps({"event_id": 1, "ts": 10, "user_id": 5,
+                    "event_type": "click"}),
+        json.dumps({"event_id": 2, "ts": 20, "user_id": None,
+                    "event_type": "view"}),     # missing required
+        "th{s is not json",
+        json.dumps({"event_id": 3, "ts": 30, "user_id": 6,
+                    "event_type": "purchase", "value": 9.5}),
+    ]))
+    with _pytest.raises(Exception):
+        read_events_jsonl(spark, str(p), strict=True).collect()
+    got = {r["event_id"]: r for r in
+           read_events_jsonl(spark, str(p), strict=False).collect()}
+    assert set(got) == {1, 3}
+    assert got[3]["value"] == 9.5 and got[1]["value"] is None
