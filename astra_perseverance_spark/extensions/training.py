@@ -897,7 +897,13 @@ def q_split_assign_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct(F.col("dup_of")).cast("long")
             .alias("n_anchors"),
             F.min_by("ex_split", "dup_of").alias("anchor_split"),
-            (F.count_distinct(F.col("ex_split")) > 1)
+            # "anchors span >1 split" — min!=max, NOT count_distinct:
+            # ex_split is non-null here (inner join on dup_of), so the
+            # two are equivalent, but a second distinct group would
+            # make RewriteDistinctAggregates' Expand fan out 3x and
+            # assign gids in nondeterministic order (the one query
+            # whose plan fingerprint recorded "unstable")
+            (F.min("ex_split") != F.max("ex_split"))
             .alias("split_conflict"),
         )
     )

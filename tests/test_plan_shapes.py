@@ -38,6 +38,26 @@ def test_no_smj_or_cartesian(name, fn, spark):
     assert "CartesianProduct" not in p, f"{name}: CartesianProduct in plan"
 
 
+@pytest.mark.parametrize("name,fn", _registry(), ids=[n for n, _ in _registry()])
+def test_plan_fingerprint_deterministic(name, fn, spark):
+    """Every registered query's optimized plan must fingerprint
+    identically across independent builds — otherwise the
+    jitter-vs-regression observability story (BENCH_DETAIL.json
+    ``plans`` + tools/plan_audit.py cross-check) records "unstable"
+    and that query is blind to plan regressions.  The one historical
+    offender was split_assign_incremental: two count_distinct
+    aggregates in one agg made RewriteDistinctAggregates assign
+    Expand gids in nondeterministic order (fixed by min!=max for the
+    split_conflict flag).  Three builds, not two, so a ~50%-flip
+    instability cannot slip through by luck."""
+    from astra_perseverance_spark.functions.planfp import (
+        plan_fingerprint,
+    )
+
+    fps = {plan_fingerprint(fn(spark, SF_SMALL)) for _ in range(3)}
+    assert len(fps) == 1, f"{name}: nondeterministic optimized plan"
+
+
 def test_plan_audit_doc_matches_registry():
     """docs/PLAN_AUDIT.md must cover exactly the live registry — a
     registered query missing from the audit doc means the doc was not
