@@ -494,6 +494,73 @@ def q_ann_recall_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         q_embedding_topk(spark, sf_dir), q_ann_ivf_kmeans(spark, sf_dir))
 
 
+# SemDeDup in-cluster prune threshold.  Production embedding dedup
+# uses ~0.95 on unit-norm model embeddings; the driver's synthetic
+# embeddings are near-orthogonal random vectors (in-cluster max
+# pairwise cosine ≈ 0.47 at sf0.001–0.01), so the staged query uses
+# 0.30 to keep a non-trivial prune set flowing end to end.
+SEMDEDUP_COSINE_MIN = 0.30
+
+
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023,
+    arXiv:2303.09540): k-means-cluster the embedding space, then prune
+    within each cluster the vectors whose cosine to another cluster
+    member exceeds a threshold, keeping one representative.  The
+    cheap deterministic keep rule is DIRECT DOMINANCE: a vector is
+    pruned iff a strictly-smaller-id vector within ``SEMDEDUP_
+    COSINE_MIN`` shares its cluster (so the kept set is a superset of
+    the per-component minima — chains a–b–c where cos(a,c) < τ keep
+    both endpoints, matching the paper's per-pair ε-ball pruning
+    rather than full transitive closure; the transitive variant is
+    ``q_embedding_dup_clusters``).
+
+    Scale shape: REUSES the memoized trained-IVF assignment
+    (``ivf_kmeans_lists`` — the same artifact ``q_ann_ivf_kmeans``
+    probes, so the Lloyd training is paid once per corpus build); the
+    only new work is a cid-equi self-join whose per-list width is
+    bounded by the √n-lists design — measured in-cluster pair count
+    is ~5.4k at BOTH sf0.001 and sf0.01 (constant expected list
+    width), so the stage scales linearly in list count, never
+    quadratically in corpus size.  shuffle_hash on cid: list
+    membership is corpus-sized, no broadcast.
+
+    Output: one row per PRUNED vector — (vec_id, cid, kept_by,
+    cosine) where kept_by is its highest-cosine smaller-id cluster
+    mate (ties → smallest id); exact integer cosine, so the frame is
+    engine-reproducible.  Staged for round-9 registration (the
+    round-8 driver window is full); the DuckDB twin is
+    ``oracle.ext_sqls.SEMDEDUP_CANDIDATE_SQL``, parity-proven in
+    ``tests/test_semdedup.py`` ahead of registration."""
+    ranked = memo_frame(spark, sf_dir, ("ivf_kmeans_lists",),
+                        lambda: _build_ivf_kmeans_lists(spark, sf_dir))
+    assign = ranked.filter(F.col("crank") == 1).select(
+        "vec_id", "eq", "n2", "cid"
+    )
+    pairs = (
+        assign.alias("x")
+        .join(assign.alias("y").hint("shuffle_hash"), "cid")
+        .filter(F.col("y.vec_id") < F.col("x.vec_id"))
+        .select(
+            F.col("x.vec_id").alias("vec_id"),
+            "cid",
+            F.col("y.vec_id").alias("kept_by"),
+            cosine(
+                dot_q(F.col("x.eq"), F.col("y.eq")),
+                F.col("x.n2"), F.col("y.n2"),
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= SEMDEDUP_COSINE_MIN)
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), "kept_by")
+    return (
+        pairs.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .drop("r")
+        .orderBy("vec_id")
+    )
+
+
 def q_embedding_label_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nearest-centroid label probe: the standard embedding-quality
     check ("do same-label vectors cluster?").  Per-label integer

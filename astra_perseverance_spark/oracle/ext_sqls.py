@@ -1063,6 +1063,46 @@ SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_exact,
 FROM hits GROUP BY query_id ORDER BY query_id
 """
 
+# STAGED round-9 candidate (extensions/similarity.py::q_semdedup) —
+# deliberately NOT in EXT_ORACLE_SQL yet: the round-8 driver window is
+# full, and a registered query must be inside the top-50 rotation
+# window.  Parity is proven ahead of registration in
+# tests/test_semdedup.py; round 9 moves this into the dict next to a
+# registry entry.  Same trained-kmeans assignment CTEs as
+# ann_ivf_kmeans (shared verbatim), then a cid-local dominance prune.
+from astra_perseverance_spark.extensions.similarity import (  # noqa: E402
+    SEMDEDUP_COSINE_MIN,
+)
+
+SEMDEDUP_CANDIDATE_SQL = f"""
+WITH {_VEC},
+c0 AS (SELECT vec_id AS cid, eq AS c_eq, n2 AS c_n2 FROM vn
+       WHERE vec_id % (SELECT stride FROM strd) = 0),
+{",".join(_KM_CTES)},
+af AS (
+  SELECT v.vec_id, v.eq, v.n2, c.cid,
+         ROW_NUMBER() OVER (PARTITION BY v.vec_id
+           ORDER BY v.n2 + c.c_n2 - 2*{dot_q_sql('v.eq', 'c.c_eq', ANN_DIM)},
+                    c.cid) AS crank
+  FROM vn v CROSS JOIN {_km_prev} c
+),
+assign AS (SELECT vec_id, eq, n2, cid FROM af WHERE crank = 1),
+p AS (
+  SELECT x.vec_id, x.cid, y.vec_id AS kept_by,
+         CAST({dot_q_sql('x.eq', 'y.eq', ANN_DIM)} AS DOUBLE)
+           / (sqrt(CAST(x.n2 AS DOUBLE)) * sqrt(CAST(y.n2 AS DOUBLE)))
+           AS cosine
+  FROM assign x JOIN assign y ON y.cid = x.cid AND y.vec_id < x.vec_id
+),
+r AS (
+  SELECT vec_id, cid, kept_by, cosine,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY cosine DESC, kept_by) AS rn
+  FROM p WHERE cosine >= {SEMDEDUP_COSINE_MIN}
+)
+SELECT vec_id, cid, kept_by, cosine FROM r WHERE rn = 1 ORDER BY vec_id
+"""
+
 EXT_ORACLE_SQL["embedding_label_probe"] = f"""
 WITH {_VEC},
 sums AS (
