@@ -523,7 +523,9 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     is ~5.4k at BOTH sf0.001 and sf0.01 (constant expected list
     width), so the stage scales linearly in list count, never
     quadratically in corpus size.  shuffle_hash on cid: list
-    membership is corpus-sized, no broadcast.
+    membership is corpus-sized, no broadcast.  8× dup-dense probe:
+    2.2× steady-state while the true prune set grows ~14×
+    (docs/SCALE_PROBE.md).
 
     Output: one row per PRUNED vector — (vec_id, cid, kept_by,
     cosine) where kept_by is its highest-cosine smaller-id cluster

@@ -115,7 +115,23 @@ OPS = [
     ("ann_recall_ivf_pq", "ann_ivf_pq + fixed-panel membership agg"),
     ("ann_incremental_pq",
      "O(batch·(√n + nprobe·n/lists)) probe, ADC vs int8 even store"),
+    ("semdedup",
+     "cid-local pairs over the memoized trained-kmeans lists (√n lists)"),
 ]
+
+
+def _resolve(name):
+    """Registry first; staged round-9 candidates (pytest-proven, not
+    yet registered — the driver window was full) resolve by import so
+    they carry probe rows before registration."""
+    from astra_perseverance_spark.queries import QUERY_REGISTRY
+
+    if name in QUERY_REGISTRY:
+        return QUERY_REGISTRY[name]
+    from astra_perseverance_spark.extensions.similarity import q_semdedup
+
+    return {"semdedup": q_semdedup}[name]
+
 
 # Events-family operators re-probed under a planted whale (one user
 # owning ~20% of all events): their Window.partitionBy(user_id) must
@@ -221,7 +237,7 @@ def main() -> int:
 
     rows = []
     for name, shape in ops:
-        fn = QUERY_REGISTRY[name]
+        fn = _resolve(name)
         # Isolate each op at each scale: drop every shared memo frame,
         # one untimed warm run (rebuilds the op's own memos + codegen),
         # then measure.  Without this, an op's 8x number silently
@@ -312,7 +328,7 @@ def main() -> int:
         )
         wrows = []
         for name in WHALE_OPS:
-            fn = QUERY_REGISTRY[name]
+            fn = _resolve(name)
             release_memos(spark)
             time_op(fn, spark, scratch)
             te = time_op(fn, spark, scratch, runs=2)   # even users
