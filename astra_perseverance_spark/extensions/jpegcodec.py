@@ -21,8 +21,9 @@ The encoder exists so the decoder is testable by ROUNDTRIP without
 any external codec: it writes legal baseline 4:4:4 or 4:2:0 streams
 with flat quantization tables and simple canonical Huffman tables of
 its own construction (any legal DHT is valid — the decoder is
-table-agnostic, which is exactly what real-world MJPEG requires,
-since every frame carries its own tables).
+table-agnostic); frames that carry NO tables at all — the common
+OpenDML MJPEG-in-AVI convention — decode through the Annex K typical
+tables (K.3.3) as the implied default.
 
 Deliberately NOT supported (declared, raises ValueError /
 NotImplementedError): progressive (SOF2) and arithmetic-coded
@@ -122,6 +123,76 @@ def _extend(v: int, s: int) -> int:
     if s == 0:
         return 0
     return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+# --- Annex K "typical" Huffman tables (ITU T.81 K.3.3) ----------------
+# MJPEG-in-AVI frames very often OMIT DHT segments entirely (the
+# OpenDML convention: the standard tables are implied), so a
+# table-agnostic decoder still needs these as the fallback when a scan
+# references a table id no DHT defined.  Transcribed from the public
+# spec; structural invariants (value counts, the spec's published code
+# lengths for EOB/ZRL) are pinned in tests/test_jpegcodec.py.
+
+_K_DC_LUMA_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_K_DC_LUMA_VALS = bytes(range(12))
+_K_DC_CHROMA_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+_K_DC_CHROMA_VALS = bytes(range(12))
+_K_AC_LUMA_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_K_AC_LUMA_VALS = bytes([
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+])
+_K_AC_CHROMA_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+_K_AC_CHROMA_VALS = bytes([
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+    0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+    0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+    0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+    0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+    0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+])
+
+_ANNEX_K = {
+    (0, 0): (_K_DC_LUMA_BITS, _K_DC_LUMA_VALS),
+    (0, 1): (_K_DC_CHROMA_BITS, _K_DC_CHROMA_VALS),
+    (1, 0): (_K_AC_LUMA_BITS, _K_AC_LUMA_VALS),
+    (1, 1): (_K_AC_CHROMA_BITS, _K_AC_CHROMA_VALS),
+}
+_DEFAULT_HUFF = {k: _build_huffman(b, v) for k, (b, v) in _ANNEX_K.items()}
 
 
 def _entropy_intervals(data: bytes, start: int):
@@ -283,8 +354,12 @@ def _decode_scan(frame, scan, qt, huff, intervals, restart) -> np.ndarray:
         my, mx = divmod(m, mcu_cols)
         for comp, tdc, tac in scan:
             q = qt[comp["tq"]]
-            dct = huff.get((0, tdc))
-            act = huff.get((1, tac))
+            # fall back to the Annex K typical tables when the frame
+            # carries no DHT for the referenced id — the OpenDML
+            # MJPEG-in-AVI convention (frames omit DHT, the standard
+            # tables are implied)
+            dct = huff.get((0, tdc)) or _DEFAULT_HUFF.get((0, tdc))
+            act = huff.get((1, tac)) or _DEFAULT_HUFF.get((1, tac))
             if dct is None or act is None:
                 raise ValueError("JPEG scan references missing DHT table")
             for by in range(comp["v"]):
@@ -398,11 +473,13 @@ def _mag(v: int) -> tuple[int, int]:
 
 
 def _encode_block(writer: _BitWriter, block: np.ndarray, q: np.ndarray,
-                  pred: int) -> int:
+                  pred: int, dc_enc=None, ac_enc=None) -> int:
+    dc_enc = _DC_ENC if dc_enc is None else dc_enc
+    ac_enc = _AC_ENC if ac_enc is None else ac_enc
     coeffs = np.round((_C @ (block - 128.0) @ _C.T) / q).astype(np.int32)
     zz = np.array([coeffs[r, c] for r, c in _ZIGZAG])
     s, mag = _mag(int(zz[0]) - pred)
-    code, length = _DC_ENC[s]
+    code, length = dc_enc[s]
     writer.write(code, length)
     if s:
         writer.write(mag, s)
@@ -413,27 +490,32 @@ def _encode_block(writer: _BitWriter, block: np.ndarray, q: np.ndarray,
             run += 1
             continue
         while run > 15:
-            c, ln = _AC_ENC[0xF0]
+            c, ln = ac_enc[0xF0]
             writer.write(c, ln)
             run -= 16
         s, mag = _mag(v)
-        c, ln = _AC_ENC[(run << 4) | s]
+        c, ln = ac_enc[(run << 4) | s]
         writer.write(c, ln)
         writer.write(mag, s)
         run = 0
     if run:
-        c, ln = _AC_ENC[0x00]
+        c, ln = ac_enc[0x00]
         writer.write(c, ln)
     return int(zz[0])
 
 
 def encode_baseline_jpeg(arr: np.ndarray, subsample: int = 1,
-                         restart_interval: int = 0) -> bytes:
+                         restart_interval: int = 0,
+                         default_tables: bool = False) -> bytes:
     """Encode (h, w) grayscale or (h, w, 3) RGB uint8 to a baseline
     JPEG; ``subsample=2`` emits 4:2:0 chroma (exercises the decoder's
     general MCU geometry), 1 emits 4:4:4; ``restart_interval=N``
     emits DRI + RSTn markers every N MCUs (exercises the decoder's
-    restart realignment + DC-prediction reset)."""
+    restart realignment + DC-prediction reset).
+    ``default_tables=True`` entropy-codes with the Annex K typical
+    tables and OMITS the DHT segments entirely — the OpenDML
+    MJPEG-in-AVI shape — so the decoder's default-table fallback is
+    roundtrip-testable without an external codec."""
     arr = np.asarray(arr)
     gray = arr.ndim == 2
     h, w = arr.shape[:2]
@@ -483,13 +565,23 @@ def encode_baseline_jpeg(arr: np.ndarray, subsample: int = 1,
     for i, (_name, _p, ch, cv, tq) in enumerate(comps):
         sof += bytes([i + 1, (ch << 4) | cv, tq])
     out += seg(_SOF0, sof)
-    out += dht(0, 0, _DC_BITS, _DC_VALS)
-    out += dht(1, 0, _AC_BITS, _AC_SYMBOLS)
+    if default_tables:
+        enc_for = {
+            0: (_encode_table(_K_DC_LUMA_BITS, _K_DC_LUMA_VALS),
+                _encode_table(_K_AC_LUMA_BITS, _K_AC_LUMA_VALS)),
+            1: (_encode_table(_K_DC_CHROMA_BITS, _K_DC_CHROMA_VALS),
+                _encode_table(_K_AC_CHROMA_BITS, _K_AC_CHROMA_VALS)),
+        }
+    else:
+        enc_for = {0: (_DC_ENC, _AC_ENC), 1: (_DC_ENC, _AC_ENC)}
+        out += dht(0, 0, _DC_BITS, _DC_VALS)
+        out += dht(1, 0, _AC_BITS, _AC_SYMBOLS)
     if restart_interval:
         out += seg(_DRI, struct.pack(">H", restart_interval))
     sos = bytes([len(comps)])
     for i in range(len(comps)):
-        sos += bytes([i + 1, 0x00])
+        tid = 1 if (default_tables and i > 0) else 0
+        sos += bytes([i + 1, (tid << 4) | tid])
     sos += bytes([0, 63, 0])
     out += seg(_SOS, sos)
     writer = _BitWriter()
@@ -504,12 +596,14 @@ def encode_baseline_jpeg(arr: np.ndarray, subsample: int = 1,
         my, mx = divmod(m, mcu_cols)
         for i, (_name, _p, ch, cv, tq) in enumerate(comps):
             q = _Q_LUMA if tq == 0 else _Q_CHROMA
+            dc_enc, ac_enc = enc_for[1 if (default_tables and i > 0) else 0]
             for by in range(cv):
                 for bx in range(ch):
                     py = (my * cv + by) * 8
                     px = (mx * ch + bx) * 8
                     block = padded[i][py:py + 8, px:px + 8]
-                    preds[i] = _encode_block(writer, block, q, preds[i])
+                    preds[i] = _encode_block(writer, block, q, preds[i],
+                                             dc_enc, ac_enc)
     out += writer.flush()
     out += b"\xff\xd9"
     return bytes(out)

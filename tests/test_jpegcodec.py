@@ -96,12 +96,79 @@ class TestStructure:
             decode_baseline_jpeg(bytes(enc))
 
     def test_missing_tables_raise(self):
-        """The header-only fixture JPEG (valid SOF, no DQT/DHT, fake
-        entropy) is a codec error, never garbage pixels."""
+        """The header-only fixture JPEG (valid SOF, no DQT, fake
+        entropy) is a codec error, never garbage pixels — missing DHT
+        now falls back to the Annex K defaults, but a missing
+        quantization table has no implied default."""
         from tests.test_multimodal import _mk_jpeg
 
         with pytest.raises((ValueError, KeyError)):
             decode_baseline_jpeg(_mk_jpeg(8, 8))
+
+
+class TestAnnexKDefaults:
+    """Table-less streams (the OpenDML MJPEG-in-AVI convention: DHT
+    omitted, ITU T.81 Annex K tables implied) must decode through the
+    built-in defaults."""
+
+    def test_tableless_stream_roundtrips(self):
+        import struct
+
+        from astra_perseverance_spark.extensions.jpegcodec import (
+            encode_baseline_jpeg,
+        )
+
+        rng = np.random.default_rng(7)
+        for shape, sub in (((24, 17), 1), ((16, 24, 3), 1),
+                           ((21, 13, 3), 2)):
+            img = rng.integers(0, 256, shape, dtype=np.uint8)
+            data = encode_baseline_jpeg(img, subsample=sub,
+                                        default_tables=True)
+            # the stream really is table-less: no DHT in the header
+            pos, has_dht = 2, False
+            while pos + 4 <= len(data):
+                m = data[pos + 1]
+                if m == 0xDA:
+                    break
+                (ln,) = struct.unpack(">H", data[pos + 2:pos + 4])
+                has_dht = has_dht or m == 0xC4
+                pos += 2 + ln
+            assert not has_dht
+            out = decode_baseline_jpeg(data)
+            ref = decode_baseline_jpeg(
+                encode_baseline_jpeg(img, subsample=sub))
+            # same quantized coefficients either way — the table
+            # choice is pure entropy coding and must not move a pixel
+            assert out.shape == img.shape
+            assert np.abs(out.astype(int) - ref.astype(int)).max() <= 1
+
+    def test_tables_match_published_spec_lengths(self):
+        """Cross-check the transcription against independently known
+        facts from the spec: value counts, value uniqueness, and the
+        published code lengths of the structurally important symbols
+        (EOB / ZRL / DC size 0)."""
+        from astra_perseverance_spark.extensions.jpegcodec import (
+            _DEFAULT_HUFF,
+            _K_AC_CHROMA_VALS,
+            _K_AC_LUMA_VALS,
+        )
+
+        assert len(_K_AC_LUMA_VALS) == len(set(_K_AC_LUMA_VALS)) == 162
+        assert len(_K_AC_CHROMA_VALS) == len(set(_K_AC_CHROMA_VALS)) == 162
+        # every (run 0-15, size 1-10) pair plus EOB and ZRL is codable
+        want = {0x00, 0xF0} | {(r << 4) | s
+                               for r in range(16) for s in range(1, 11)}
+        assert set(_K_AC_LUMA_VALS) == want
+        assert set(_K_AC_CHROMA_VALS) == want
+        lengths = {k: {v: ln for (ln, _c), v in t.items()}
+                   for k, t in _DEFAULT_HUFF.items()}
+        assert lengths[(1, 0)][0x00] == 4    # AC luma EOB
+        assert lengths[(1, 0)][0xF0] == 11   # AC luma ZRL
+        assert lengths[(1, 1)][0x00] == 2    # AC chroma EOB
+        assert lengths[(1, 1)][0xF0] == 10   # AC chroma ZRL
+        assert lengths[(0, 0)][0] == 2       # DC luma size-0
+        assert set(lengths[(0, 0)]) == set(range(12))
+        assert set(lengths[(0, 1)]) == set(range(12))
 
 
 class TestAgainstPillow:
