@@ -62,11 +62,26 @@ def _read_schema(strict: bool) -> StructType:
 
 def _conform(df: DataFrame, strict: bool) -> DataFrame:
     """Shared batch/streaming projection from the raw JSON read to the
-    conformed contract: drop corrupt + contract-violating lines, fill
-    the documented defaults, recompute n_chars when absent."""
+    conformed contract: corrupt + contract-violating lines are dropped
+    in permissive mode and fail the read in strict mode; fill the
+    documented defaults, recompute n_chars when absent."""
     if not strict:
         df = df.filter(F.col("_corrupt").isNull()).drop("_corrupt")
-    df = df.filter(F.col("doc_id").isNotNull() & F.col("text").isNotNull())
+    ok = F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+    if strict:
+        # FAILFAST only rejects malformed JSON; a valid-JSON document
+        # missing doc_id/text must also FAIL the read in strict mode,
+        # not silently vanish
+        df = df.withColumn(
+            "doc_id",
+            F.when(ok, F.col("doc_id")).otherwise(F.raise_error(F.concat(
+                F.lit("documents JSONL contract violation "
+                      "(strict mode): "),
+                F.to_json(F.struct("doc_id", "lang", "source",
+                                   "n_chars"))))),
+        )
+    else:
+        df = df.filter(ok)
     return df.select(
         "doc_id", "text",
         F.coalesce("lang", F.lit("und")).alias("lang"),

@@ -15,8 +15,11 @@ shapes event logs actually carry); both conform to epoch-nanos
 BIGINT ``ts`` — the representation the engine's parquet reads
 produce (``nanosAsLong``) and the type branch every consumer
 (``timeseries._events_ns``, ``conformed.model.build_gc_event``)
-already accepts, converted with the same microsecond-exact
-expression ``_events_ns`` uses for the ntz branch.
+already accepts.  ISO strings WITH an explicit UTC offset
+(``...Z`` / ``±HH:MM`` / ``±HHMM`` — RFC 3339) are honored as
+instants via the zone-aware cast; bare wall-time strings are treated
+as UTC via the same microsecond-exact ntz expression ``_events_ns``
+uses.  Session timezone never enters either branch.
 """
 
 from __future__ import annotations
@@ -55,27 +58,52 @@ def _read_schema(strict: bool) -> StructType:
     )
 
 
+# An explicit UTC offset (Z / ±HH:MM / ±HHMM) makes the string an
+# INSTANT; those route through the zone-aware cast — timestamp_ntz
+# would silently IGNORE the offset and shift every event by it.
+_OFFSET_RE = "(?i)(z|[+-][0-9]{2}:[0-9]{2}|[+-][0-9]{4})$"
+
+
 def _conform(df: DataFrame, strict: bool) -> DataFrame:
     if not strict:
         df = df.filter(F.col("_corrupt").isNull()).drop("_corrupt")
-    # epoch-nanos integers pass through; anything else parses as an
-    # ISO timestamp via the exact ntz-to-nanos expression the
-    # timeseries family uses (timeseries._events_ns) — an unparseable
-    # ts nulls out and the row is dropped as contract-violating
-    ns = F.when(
-        F.col("ts").rlike("^-?[0-9]+$"), F.col("ts").cast("long")
-    ).otherwise(
-        F.expr(
-            "timestampdiff(MICROSECOND,"
-            " to_timestamp_ntz('1970-01-01 00:00:00'),"
-            " try_cast(ts as timestamp_ntz))"
-        ).cast("long") * 1_000
+    # epoch-nanos integers pass through; offset-carrying ISO strings
+    # convert as instants (unix_micros of the zone-aware cast —
+    # session-timezone-independent because the offset is explicit);
+    # bare wall-time strings use the exact ntz-to-nanos expression the
+    # timeseries family uses (timeseries._events_ns).  An unparseable
+    # ts nulls out and the row is contract-violating.
+    ns = (
+        F.when(F.col("ts").rlike("^-?[0-9]+$"), F.col("ts").cast("long"))
+        .when(
+            F.col("ts").rlike(_OFFSET_RE),
+            F.expr("unix_micros(try_cast(ts as timestamp))").cast("long")
+            * 1_000,
+        )
+        .otherwise(
+            F.expr(
+                "timestampdiff(MICROSECOND,"
+                " to_timestamp_ntz('1970-01-01 00:00:00'),"
+                " try_cast(ts as timestamp_ntz))"
+            ).cast("long") * 1_000
+        )
     )
-    df = df.withColumn("ts", ns)
-    cond = F.lit(True)
+    ok = ns.isNotNull()
     for c in _REQUIRED:
-        cond = cond & F.col(c).isNotNull()
-    return df.filter(cond).select(
+        if c != "ts":
+            ok = ok & F.col(c).isNotNull()
+    if strict:
+        # FAILFAST only rejects malformed JSON; a valid-JSON event
+        # missing a required field (or with an unparseable ts) must
+        # also FAIL the read, not silently vanish
+        msg = F.concat(
+            F.lit("events JSONL contract violation (strict mode): "),
+            F.to_json(F.struct("event_id", "ts", "user_id", "event_type")),
+        )
+        df = df.withColumn("ts", F.when(ok, ns).otherwise(F.raise_error(msg)))
+    else:
+        df = df.filter(ok).withColumn("ts", ns)
+    return df.select(
         "event_id", "ts", "user_id", "event_type", "value", "props")
 
 
@@ -83,8 +111,11 @@ def read_events_jsonl(spark: SparkSession, path: str,
                       strict: bool = True) -> DataFrame:
     """Read a JSONL event dump into the ``events`` contract
     (event_id, ts-as-nanos, user_id, event_type, value, props);
-    corrupt lines and events missing a required field are dropped in
-    permissive mode, fail the read in strict mode."""
+    corrupt lines, events missing a required field, and unparseable
+    timestamps are dropped in permissive mode and FAIL the read in
+    strict mode (malformed JSON through FAILFAST; valid-JSON contract
+    violations through a ``raise_error`` gate on the conformed ts —
+    strict mode never silently loses an event)."""
     reader = (
         spark.read.schema(_read_schema(strict))
         .option("mode", "FAILFAST" if strict else "PERMISSIVE")

@@ -73,10 +73,16 @@ def read_webdataset(spark: SparkSession, shards_path: str,
                     for m in tf:
                         if not m.isfile():
                             continue
+                        dirname = os.path.dirname(m.name)
                         base = os.path.basename(m.name)
-                        key, dot, suffix = base.partition(".")
+                        stem, dot, suffix = base.partition(".")
                         if not dot:
                             continue
+                        # the WebDataset key is the member path up to
+                        # the first dot of the basename — DIRECTORY
+                        # INCLUDED, so a/0001.txt and b/0001.txt are
+                        # two samples, not a silent overwrite
+                        key = f"{dirname}/{stem}" if dirname else stem
                         samples.setdefault(key, {})["." + suffix] = (
                             tf.extractfile(m).read())
                 for key, parts in samples.items():
@@ -94,10 +100,16 @@ def read_webdataset(spark: SparkSession, shards_path: str,
                                 f"sample {key!r} in {path} has neither a "
                                 f"doc_id metadata field nor a numeric key")
                         doc_id = int(key)
+                    # explicit JSON null gets the same default as an
+                    # absent key (str(None) would be the literal
+                    # string 'None' — garbage that trips the
+                    # corpus_validate lang check)
+                    lang = meta.get("lang")
+                    source = meta.get("source")
                     rows.append((
                         int(doc_id), text,
-                        str(meta.get("lang", "und")),
-                        str(meta.get("source", "webdataset")),
+                        "und" if lang is None else str(lang),
+                        "webdataset" if source is None else str(source),
                         *(parts.get(s) for s in extra_members),
                     ))
             yield pd.DataFrame(

@@ -107,6 +107,98 @@ def test_empty_shard_dir_yields_empty_frame(spark, tmp_path):
     assert df.columns == ["doc_id", "text", "lang", "source", "n_chars"]
 
 
+def test_webdataset_subdir_samples_and_null_metadata(spark, tmp_path):
+    """Third-party shards nest samples in tar subdirectories and may
+    carry explicit JSON nulls: a/0001 and b/0001 are two samples (the
+    WebDataset key includes the directory), and ``"lang": null`` gets
+    the documented default, never the literal string 'None'."""
+    import io
+    import json
+    import tarfile
+
+    from astra_perseverance_spark.sources.webdataset import read_webdataset
+
+    shard = tmp_path / "shard-000000.tar"
+    with tarfile.open(shard, "w") as tf:
+        def add(name, payload: bytes):
+            info = tarfile.TarInfo(name)
+            info.size = len(payload)
+            tf.addfile(info, io.BytesIO(payload))
+
+        add("a/0001.txt", b"doc in dir a")
+        add("a/0001.json", json.dumps(
+            {"doc_id": 1, "lang": None, "source": None}).encode())
+        add("b/0001.txt", b"doc in dir b")
+        add("b/0001.json", json.dumps({"doc_id": 2, "lang": "fr"}).encode())
+
+    got = {r["doc_id"]: r for r in
+           read_webdataset(spark, str(tmp_path)).collect()}
+    assert set(got) == {1, 2}  # no silent basename collision
+    assert got[1]["text"] == "doc in dir a"
+    assert got[2]["text"] == "doc in dir b"
+    assert got[1]["lang"] == "und" and got[1]["source"] == "webdataset"
+    assert got[2]["lang"] == "fr"
+
+
+def test_events_jsonl_iso_offsets_are_instants(spark, tmp_path):
+    """RFC 3339 timestamps with an explicit UTC offset must convert as
+    instants — a +05:00 event is 5 hours EARLIER than the same wall
+    time at Z, and the compact ±HHMM shape is honored too."""
+    import json
+
+    from astra_perseverance_spark.sources.events_jsonl import (
+        read_events_jsonl,
+    )
+
+    p = tmp_path / "ev.jsonl"
+    utc_noon = 1704110400000000000  # 2024-01-01T12:00:00Z
+    p.write_text("\n".join(json.dumps(r) for r in [
+        {"event_id": 1, "ts": "2024-01-01T12:00:00+05:00",
+         "user_id": 1, "event_type": "a"},
+        {"event_id": 2, "ts": "2024-01-01T12:00:00Z",
+         "user_id": 1, "event_type": "a"},
+        {"event_id": 3, "ts": "2024-01-01T12:00:00",
+         "user_id": 1, "event_type": "a"},
+        {"event_id": 4, "ts": "2024-01-01T07:00:00-0500",
+         "user_id": 1, "event_type": "a"},
+    ]))
+    got = {r["event_id"]: r["ts"]
+           for r in read_events_jsonl(spark, str(p)).collect()}
+    assert got[2] == got[3] == got[4] == utc_noon
+    assert got[1] == utc_noon - 5 * 3600 * 10**9
+
+
+def test_jsonl_strict_mode_raises_on_contract_violations(spark, tmp_path):
+    """Strict mode must FAIL the read on valid-JSON contract
+    violations (missing required field, unparseable timestamp), not
+    silently drop them — FAILFAST alone only rejects malformed
+    JSON."""
+    import json
+
+    import pytest as _pytest
+
+    from astra_perseverance_spark.sources.corpus_jsonl import (
+        read_documents_jsonl,
+    )
+    from astra_perseverance_spark.sources.events_jsonl import (
+        read_events_jsonl,
+    )
+
+    ev = tmp_path / "ev.jsonl"
+    ev.write_text(json.dumps(
+        {"event_id": 9, "ts": "not-a-date", "user_id": 2,
+         "event_type": "x"}))
+    with _pytest.raises(Exception, match="contract violation"):
+        read_events_jsonl(spark, str(ev), strict=True).collect()
+    assert read_events_jsonl(spark, str(ev), strict=False).count() == 0
+
+    doc = tmp_path / "doc.jsonl"
+    doc.write_text(json.dumps({"doc_id": 1, "text": None, "lang": "en"}))
+    with _pytest.raises(Exception, match="contract violation"):
+        read_documents_jsonl(spark, str(doc), strict=True).collect()
+    assert read_documents_jsonl(spark, str(doc), strict=False).count() == 0
+
+
 def test_events_jsonl_ingest_feeds_the_timeseries_family(spark, tmp_path):
     """Events dumped as JSONL (ts as epoch nanos), ingested, must
     answer the sessionize and as-of queries identically to the
