@@ -626,10 +626,17 @@ class TestCompaction:
 
     def test_compact_corpus_after_streaming_ingest(self, spark, tmp_path):
         """The intended pairing: an incremental ingest leaves a file
-        per trigger; compaction tidies the corpus dir and the engine's
-        queries answer identically afterwards."""
+        per trigger; SEALING compaction (finalize_streaming_sink)
+        tidies the promoted corpus dir and the engine's queries answer
+        identically afterwards.  Without the flag the streaming-sink
+        dataset REFUSES to compact — an in-place rewrite cannot
+        rewrite the _spark_metadata commit log, and a resumed stream
+        would recreate it hiding every compacted row."""
         import glob
         import json
+        import os
+
+        import pytest as _pytest
 
         from astra_perseverance_spark.extensions.text_stats import (
             q_text_stats,
@@ -651,13 +658,69 @@ class TestCompaction:
         docs_path = f"{corpus}/documents.parquet"
         n_frag = len(glob.glob(f"{docs_path}/part-*"))
         assert n_frag >= 4
+        assert os.path.isdir(f"{docs_path}/_spark_metadata")
         want = {tuple(r) for r in q_text_stats(spark, corpus).collect()}
 
-        stats = compact_corpus(spark, corpus, target_bytes=1 << 30)
+        with _pytest.raises(ValueError, match="streaming-sink"):
+            compact_corpus(spark, corpus, target_bytes=1 << 30)
+
+        stats = compact_corpus(spark, corpus, target_bytes=1 << 30,
+                               finalize_streaming_sink=True)
         assert stats["documents.parquet"]["files_after"] == 1
         assert stats["documents.parquet"]["rows"] == 100
+        # sealed: the commit log is gone, reads are listing-based
+        assert not os.path.exists(f"{docs_path}/_spark_metadata")
         got = {tuple(r) for r in q_text_stats(spark, corpus).collect()}
         assert got == want and got
+
+    def test_compact_noop_skips_scan_and_counts_only_data_files(
+            self, spark, tmp_path):
+        """The no-op path returns the rows=-1 sentinel without reading
+        the dataset, and bookkeeping-directory CONTENTS (files inside
+        _spark_metadata are named like data files) never count toward
+        the file budget — else an already-compact streaming dataset
+        would be pointlessly rewritten on every scheduled run."""
+        import os
+
+        from astra_perseverance_spark.sinks.compact import compact_parquet
+
+        path = str(tmp_path / "ds.parquet")
+        spark.range(0, 100).coalesce(1).write.parquet(path)
+        meta = tmp_path / "ds.parquet" / "_spark_metadata"
+        meta.mkdir()
+        for name in ("0", "1", "9.compact"):
+            (meta / name).write_text("v1")
+        stats = compact_parquet(spark, path, target_bytes=1 << 30,
+                                finalize_streaming_sink=True)
+        assert stats["files_before"] == stats["files_after"] == 1
+        assert stats["rows"] == -1  # no-op: nothing rewritten, no scan
+        # no-op also leaves the directory untouched (not sealed)
+        assert os.path.isdir(str(meta))
+
+    def test_compact_rescues_files_landed_during_rewrite(
+            self, spark, tmp_path):
+        """A file committed by a concurrent writer between the read
+        snapshot and the directory swap must survive compaction — at
+        scale the scheduled compactor races live batch appends."""
+        import glob
+
+        from astra_perseverance_spark.sinks.compact import compact_parquet
+
+        path = str(tmp_path / "live.parquet")
+        spark.range(0, 1000).repartition(8).write.parquet(path)
+
+        def concurrent_commit():
+            spark.range(1000, 1100).coalesce(1).write.mode(
+                "append").parquet(path)
+
+        stats = compact_parquet(
+            spark, path, target_bytes=1 << 30,
+            _between_snapshot_and_swap=concurrent_commit)
+        assert stats["rows"] == 1000  # audit saw the snapshot
+        got = {r["id"] for r in spark.read.parquet(path).collect()}
+        assert got == set(range(1100))  # late file rescued, none lost
+        # files_after (listed post-rescue) = 1 compacted + 1 rescued
+        assert len(glob.glob(f"{path}/part-*")) == stats["files_after"] == 2
 
     def test_compact_cli(self, tmp_path, spark):
         import os

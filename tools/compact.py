@@ -26,6 +26,10 @@ def main(argv: list[str] | None = None) -> int:
                     help="target data-file size in MiB (default 128)")
     ap.add_argument("--no-audit", action="store_true",
                     help="skip the row-count audit before the swap")
+    ap.add_argument("--finalize-streaming-sink", action="store_true",
+                    help="seal streaming-ingested datasets "
+                    "(_spark_metadata dropped; the old stream must "
+                    "not resume into the directory)")
     args = ap.parse_args(argv)
 
     from astra_perseverance_spark import get_spark
@@ -37,7 +41,8 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark("compact")
     spark.sparkContext.setLogLevel("ERROR")
     kw = {"target_bytes": args.target_mb * 1024 * 1024,
-          "audit": not args.no_audit}
+          "audit": not args.no_audit,
+          "finalize_streaming_sink": args.finalize_streaming_sink}
     if args.path.rstrip("/").endswith(".parquet"):
         stats = compact_parquet(spark, args.path, **kw)
     else:
