@@ -48,12 +48,18 @@ def q_corpus_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     means a bad ingest (double-landed files / stale metadata).
 
     Shape: the scalar checks are SUMs in ONE aggregate pass; the
-    duplicate count needs the doc_id grain first (groupBy on the
-    corpus frames' existing doc_id clustering — no extra exchange)
-    and joins in as a second single-row frame.  Output is 6 rows."""
-    from astra_perseverance_spark.extensions.corpus import docs_frame
+    duplicate count needs the doc_id grain first and joins in as a
+    second single-row frame.  Output is 6 rows.
 
-    d = docs_frame(spark, sf_dir)
+    Reads ``sf_dir/documents.parquet`` DIRECTLY — never through
+    ``corpus.docs_frame`` — for two reasons: the gate's subject is
+    the freshly-landed directory it was asked about (docs_frame
+    silently redirects to the promoted bucketed warehouse when
+    ``SPARK_GRAFT_BUCKETED_DB`` is set, which would validate the
+    wrong data and green-light a corrupt ingest), and the raw read
+    sees the landed bytes before any conforming projection could
+    mask a violation."""
+    d = spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet")
     flags = d.agg(
         F.sum(F.col("doc_id").isNull().cast("long")).alias("null_doc_id"),
         F.sum(F.col("text").isNull().cast("long")).alias("null_text"),

@@ -72,6 +72,23 @@ class TestCorpusValidate:
         assert len(got) == 6
         assert all(r["n_violations"] == 0 for r in got)
 
+    def test_gates_the_asked_directory_even_in_bucketed_mode(
+            self, spark, qa_dir, monkeypatch):
+        """The gate's subject is the freshly-landed directory it was
+        asked about: with SPARK_GRAFT_BUCKETED_DB set (which redirects
+        docs_frame to the promoted warehouse) the validator must still
+        read ``sf_dir`` directly — validating already-promoted data
+        would green-light a corrupt ingest."""
+        from astra_perseverance_spark.extensions.corpus import (
+            BUCKETED_DB_ENV,
+        )
+        from astra_perseverance_spark.extensions.qa import q_corpus_validate
+
+        monkeypatch.setenv(BUCKETED_DB_ENV, "no_such_promoted_db")
+        got = {r["check"]: r["n_violations"]
+               for r in q_corpus_validate(spark, qa_dir).collect()}
+        assert got["null_doc_id"] == 1 and got["duplicate_doc_id"] == 2
+
 
 class TestCorpusDiff:
     def test_added_removed_changed(self, spark, tmp_path):
