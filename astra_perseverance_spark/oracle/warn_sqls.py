@@ -132,9 +132,10 @@ GROUP BY 1, 2 ORDER BY window_start, dc
 WARN_ORACLE_SQL["gc_sessions"] = CONFORMED_PRELUDE + """
 , gaps AS (
   SELECT node, ts, pause_ms,
-         CASE WHEN epoch(ts)::BIGINT
-                   - LAG(epoch(ts)::BIGINT, 1, 0) OVER
-                     (PARTITION BY node ORDER BY ts, pause_ms) >= 1800
+         CASE WHEN epoch_us(ts)
+                   - LAG(epoch_us(ts), 1, 0) OVER
+                     (PARTITION BY node ORDER BY ts, pause_ms)
+                   >= 1800000000
               THEN 1 ELSE 0 END AS new_session
   FROM gc_event
 ),

@@ -75,12 +75,13 @@ def stream_gc_minute_windows(spark: SparkSession, source_dir: str,
 
 
 SESSION_GAP_SEC = 1800
+SESSION_GAP_US = SESSION_GAP_SEC * 1_000_000
 
 _SESSION_OUT_SCHEMA = (
     "node string, session_start timestamp, session_end timestamp, "
     "pauses long, max_pause_ms long"
 )
-# open-session state: span extremes in epoch seconds + running stats,
+# open-session state: span extremes in epoch MICROS + running stats,
 # the node's event-time high-water mark, and — when a lateness budget
 # is configured — the reorder buffer of not-yet-finalized events.
 _SESSION_STATE_SCHEMA = (
@@ -95,13 +96,13 @@ REORDER_BUFFER_CAP = 4096
 
 
 def _merge_spans(spans):
-    """Fold sorted (start, end, pauses, max_pause) spans with the
-    ≥ SESSION_GAP_SEC gap rule — the batch semantics, shared by the
-    update path and the timeout flush."""
+    """Fold sorted (start, end, pauses, max_pause) epoch-MICROS spans
+    with the ≥ SESSION_GAP_SEC gap rule — the batch semantics, shared
+    by the update path and the timeout flush."""
     merged = [spans[0]]
     for s in spans[1:]:
         last = merged[-1]
-        if s[0] - last[1] >= SESSION_GAP_SEC:
+        if s[0] - last[1] >= SESSION_GAP_US:
             merged.append(s)
         else:
             merged[-1] = (last[0], max(last[1], s[1]),
@@ -144,10 +145,10 @@ def _make_session_update(lateness_sec: int):
             return pd.DataFrame({
                 "node": node,
                 "session_start": pd.to_datetime(
-                    [s[0] for s in spans], unit="s", utc=True
+                    [s[0] for s in spans], unit="us", utc=True
                 ).tz_localize(None),
                 "session_end": pd.to_datetime(
-                    [s[1] for s in spans], unit="s", utc=True
+                    [s[1] for s in spans], unit="us", utc=True
                 ).tz_localize(None),
                 "pauses": [s[2] for s in spans],
                 "max_pause_ms": [s[3] for s in spans],
@@ -182,13 +183,17 @@ def _make_session_update(lateness_sec: int):
 
         events = list(pending)
         for pdf in pdf_iter:
-            ep = (pdf["ts"].astype("int64") // 1_000_000_000).to_numpy()
+            # nanos -> exact epoch MICROS: flooring to whole seconds
+            # here would truncate emitted session bounds and diverge
+            # from the batch twin on sub-second timestamps
+            ep = (pdf["ts"].astype("int64") // 1_000).to_numpy()
             pm = pdf["pause_ms"].to_numpy()
             events.extend((int(e), int(p)) for e, p in zip(ep, pm))
         if events:
             batch_max = max(t for t, _p in events)
             max_ts = batch_max if max_ts is None else max(max_ts, batch_max)
-        wm = (max_ts - lateness_sec) if max_ts is not None else None
+        wm = (max_ts - lateness_sec * 1_000_000) \
+            if max_ts is not None else None
         events.sort()
         fin = [e for e in events if e[0] <= wm] if events else []
         pend = [e for e in events if e[0] > wm] if events else []
@@ -212,11 +217,12 @@ def _make_session_update(lateness_sec: int):
             [t for t, _p in pend],
             [p for _t, p in pend],
         ))
-        cands = [max_ts]
-        if open_span:
-            cands.append(open_span[1])
-        cands.extend(t for t, _p in pend)
-        state.setTimeoutTimestamp((max(cands) + SESSION_GAP_SEC) * 1000)
+        # max_ts already dominates every candidate: the open span's
+        # end is <= wm <= max_ts and every buffered event is <= max_ts
+        # by construction, so the timeout horizon is just max_ts + gap
+        # (ceil micros -> ms so the horizon never lands early)
+        state.setTimeoutTimestamp(
+            -(-max_ts // 1000) + SESSION_GAP_SEC * 1000)
         yield _emit(merged)
 
     return _session_update
@@ -278,10 +284,15 @@ def q_gc_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     gc = load_model(spark, sf_dir).gc_event
     w = Window.partitionBy("node").orderBy("ts", "pause_ms")
+    # exact MICROSECOND gap arithmetic (unix_micros is exact BIGINT);
+    # cast-to-long would truncate to whole seconds, so two events
+    # 1799.6 s apart would start a new session on sub-second data —
+    # the streaming twin and the DuckDB oracle (epoch_us) match this
     with_gap = gc.withColumn(
         "new_session",
-        (F.col("ts").cast("long")
-         - F.lag(F.col("ts").cast("long"), 1, 0).over(w) >= 1800).cast("int"),
+        (F.unix_micros(F.col("ts"))
+         - F.lag(F.unix_micros(F.col("ts")), 1, 0).over(w)
+         >= SESSION_GAP_SEC * 1_000_000).cast("int"),
     )
     sess = with_gap.withColumn(
         "session_no",

@@ -94,6 +94,47 @@ def test_stateful_sessions_match_batch(spark, gc_source, tmp_path):
     assert got == want and len(got) > 0
 
 
+def test_stateful_sessions_subsecond_precision(spark, tmp_path):
+    """The stream works in exact epoch MICROS, matching the batch
+    twin's unix_micros gap rule: a 1799.5 s gap keeps one session (a
+    whole-second floor would call it 1800 and split), and the emitted
+    session bounds preserve sub-second precision."""
+    import datetime as dt
+
+    from astra_perseverance_spark.streaming import stream_gc_sessions
+
+    def ts(us):
+        return dt.datetime(2024, 1, 1) + dt.timedelta(microseconds=us)
+
+    rows = [
+        ("n1", "dc1", ts(900_000), 10),             # t = 0.9 s
+        ("n1", "dc1", ts(1_800_400_000), 20),       # gap 1799.5 s: same
+        ("n1", "dc1", ts(3_601_000_000), 30),       # gap 1800.6 s: new
+        ("n1", "dc1", ts(10**13), 1),               # sentinel flush
+    ]
+    src = str(tmp_path / "subsec_src")
+    spark.createDataFrame(
+        rows, "node string, dc string, ts timestamp, pause_ms int"
+    ).coalesce(1).write.parquet(src)
+
+    q = (
+        stream_gc_sessions(spark, src)
+        .writeStream.format("memory").queryName("gc_subsec_test")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    got = sorted(
+        (r["session_start"], r["session_end"], r["pauses"],
+         r["max_pause_ms"])
+        for r in spark.sql("SELECT * FROM gc_subsec_test").collect()
+        if r["session_start"] < ts(10**13)
+    )
+    assert got == [
+        (ts(900_000), ts(1_800_400_000), 2, 20),
+        (ts(3_601_000_000), ts(3_601_000_000), 1, 30),
+    ]
+
+
 def test_sessions_close_on_gap(spark):
     from astra_perseverance_spark.queries import QUERY_REGISTRY
 
