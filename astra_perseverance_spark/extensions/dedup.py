@@ -58,6 +58,18 @@ def normalized_text(col: str = "text") -> F.Column:
     return F.regexp_replace(F.lower(F.trim(F.col(col))), r"\s+", " ")
 
 
+def content_digest(col: str = "text") -> F.Column:
+    """The exact-dedup digest EXPRESSION (md5 over normalized text) —
+    the single definition shared by the query side
+    (``content_digest_frame``) and the warehouse sink
+    (``sinks.warehouse.write_bucketed_corpus``'s persisted
+    ``doc_digests`` table).  The bucketed read path trusts that the
+    persisted digests used this exact expression; keeping one
+    definition makes digest drift (and the silent wrong-dedup-groups
+    it would cause) structurally impossible."""
+    return F.md5(normalized_text(col))
+
+
 def content_digest_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, content_md5) — the exact-dedup digest, memoized per
     session: ``q_dedup_exact``, the duplicate-graph edge build, and
@@ -78,7 +90,7 @@ def content_digest_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     return memo_frame(
         spark, sf_dir, ("content_digest",),
         lambda: _docs(spark, sf_dir).select(
-            "doc_id", F.md5(normalized_text()).alias("content_md5")
+            "doc_id", content_digest().alias("content_md5")
         ),
     )
 

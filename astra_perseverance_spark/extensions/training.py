@@ -629,15 +629,19 @@ def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     computation, not just the layout query it reads.  Shard-grain
     aggregate over ``q_seq_pack`` — the output is scheduler-sized (one
     row per shard) at any corpus scale."""
-    return (
-        q_seq_pack(spark, sf_dir)
-        .groupBy("shard_id")
-        .agg(
-            F.count("*").cast("long").alias("n_docs"),
-            F.sum("n_tok").cast("long").alias("n_tokens"),
-            (F.max("seq_last") + 1).cast("long").alias("n_seqs"),
-        )
-        .orderBy("shard_id")
+    return shard_manifest_agg(q_seq_pack(spark, sf_dir)).orderBy("shard_id")
+
+
+def shard_manifest_agg(layout: DataFrame) -> DataFrame:
+    """Shard-grain manifest aggregate over a ``q_seq_pack`` layout —
+    the SINGLE definition shared by ``q_shard_manifest`` (the
+    oracle-checked query) and ``sinks.export.export_training_shards``
+    (the artifact writer), so the hash cross-check can never silently
+    drift from what the sink actually writes."""
+    return layout.groupBy("shard_id").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+        (F.max("seq_last") + 1).cast("long").alias("n_seqs"),
     )
 
 

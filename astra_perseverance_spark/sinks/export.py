@@ -52,8 +52,14 @@ def export_views(spark: SparkSession, sf_dir: str, out_dir: str,
         # queries need documents/embeddings parquet, which a diag tree
         # does not carry — skip them there (explicitly requested names
         # still fail loudly)
-        has_corpus = os.path.exists(
-            os.path.join(sf_dir, "documents.parquet"))
+        # Hadoop FS exists, not os.path.exists — the latter is
+        # always False for object-store URIs (s3a://...), which would
+        # silently drop every corpus-family view from the export
+        jvm = spark._jvm
+        jp = jvm.org.apache.hadoop.fs.Path(
+            sf_dir.rstrip("/") + "/documents.parquet")
+        has_corpus = jp.getFileSystem(
+            spark._jsc.hadoopConfiguration()).exists(jp)
         names = [
             n for n, fn in QUERY_REGISTRY.items()
             if has_corpus or not fn.__module__.startswith(
@@ -148,7 +154,9 @@ def export_training_shards(spark: SparkSession, sf_dir: str,
     from astra_perseverance_spark.extensions.corpus import docs_frame
     from astra_perseverance_spark.extensions.training import (
         SEQ_BUDGET,
+        _idiv,
         q_seq_pack,
+        shard_manifest_agg,
     )
 
     layout = q_seq_pack(spark, sf_dir)
@@ -166,11 +174,9 @@ def export_training_shards(spark: SparkSession, sf_dir: str,
         .partitionBy("shard_id")
         .parquet(shards_path)
     )
-    manifest = layout.groupBy("shard_id").agg(
-        F.count("*").cast("long").alias("n_docs"),
-        F.sum("n_tok").cast("long").alias("n_tokens"),
-        (F.max("seq_last") + 1).cast("long").alias("n_seqs"),
-    )
+    # the SAME aggregate the oracle-checked q_shard_manifest runs —
+    # one shared definition, so the cross-check cannot drift
+    manifest = shard_manifest_agg(layout)
     manifest_path = os.path.join(out_dir, "manifest")
     manifest.write.mode("overwrite").parquet(manifest_path)
     totals = spark.read.parquet(manifest_path).agg(
@@ -183,11 +189,8 @@ def export_training_shards(spark: SparkSession, sf_dir: str,
         F.sum(
             F.when(
                 F.col("n_seqs")
-                != F.call_function(
-                    "div",
-                    F.col("n_tokens") + F.lit(SEQ_BUDGET - 1),
-                    F.lit(SEQ_BUDGET),
-                ),
+                != _idiv(F.col("n_tokens") + F.lit(SEQ_BUDGET - 1),
+                         F.lit(SEQ_BUDGET)),
                 1,
             ).otherwise(0)
         ).alias("bad"),
@@ -247,16 +250,27 @@ def export_webdataset(spark: SparkSession, sf_dir: str, out_dir: str,
 
     import pandas as _pd
 
-    from astra_perseverance_spark.extensions.corpus import docs_frame, n_docs
+    from astra_perseverance_spark.extensions.corpus import docs_frame
     from astra_perseverance_spark.functions.texthash import h15
 
     shards_path = os.path.join(out_dir, "shards")
     os.makedirs(shards_path, exist_ok=True)
+    # stale shards from a previous export of a larger corpus would
+    # survive a re-run (tar open("w") only overwrites same-named
+    # files) and feed dead documents to any loader that mounts the
+    # directory by glob rather than by manifest
+    import glob as _glob
+
+    for stale in _glob.glob(os.path.join(shards_path, "shard-*.tar")) + \
+            _glob.glob(os.path.join(shards_path, ".shard-*.inprogress")):
+        os.remove(stale)
     if docs is None:
-        n = n_docs(spark, sf_dir)
         docs = docs_frame(spark, sf_dir)
-    else:
-        n = docs.count()
+    # count the SAME frame being exported — counting a different
+    # source (the raw parquet) can diverge from docs_frame under the
+    # bucketed-warehouse redirect and fail late with a misleading
+    # totals assertion
+    n = docs.count()
     n_shards = max(1, math.ceil(n / shard_docs))
     cols = ["doc_id", "text", "lang", "source"]
     if media:
@@ -274,7 +288,14 @@ def export_webdataset(spark: SparkSession, sf_dir: str, out_dir: str,
 
     def write_shards(batches: Iterator[_pd.DataFrame]
                      ) -> Iterator[_pd.DataFrame]:
-        open_tar = {"sid": None, "tar": None, "n": 0}
+        # task-commit protocol: write to an attempt-unique hidden temp
+        # and rename into place on close — a speculative or retried
+        # task attempt then can NEVER interleave writes into the same
+        # tar (each attempt owns its temp; last complete rename wins),
+        # mirroring what Spark's file committers do for parquet
+        from uuid import uuid4
+
+        open_tar = {"sid": None, "tar": None, "n": 0, "tmp": None}
         rows = []
 
         def close():
@@ -282,9 +303,10 @@ def export_webdataset(spark: SparkSession, sf_dir: str, out_dir: str,
                 open_tar["tar"].close()
                 path = os.path.join(
                     shards_path, f"shard-{open_tar['sid']:05d}.tar")
+                os.replace(open_tar["tmp"], path)
                 rows.append((open_tar["sid"], open_tar["n"],
                              os.path.getsize(path), path))
-                open_tar.update(sid=None, tar=None, n=0)
+                open_tar.update(sid=None, tar=None, n=0, tmp=None)
 
         for pdf in batches:
             metas = pdf["meta"] if media else _it.repeat(None)
@@ -295,9 +317,11 @@ def export_webdataset(spark: SparkSession, sf_dir: str, out_dir: str,
                 sid = int(sid)
                 if open_tar["sid"] != sid:
                     close()
-                    path = os.path.join(shards_path, f"shard-{sid:05d}.tar")
+                    tmp = os.path.join(
+                        shards_path,
+                        f".shard-{sid:05d}.{uuid4().hex}.inprogress")
                     open_tar.update(
-                        sid=sid, tar=tarfile.open(path, "w"), n=0)
+                        sid=sid, tar=tarfile.open(tmp, "w"), n=0, tmp=tmp)
                 meta = {"doc_id": int(doc_id), "lang": str(lang),
                         "source": str(source)}
                 members = [
@@ -340,9 +364,10 @@ def export_webdataset(spark: SparkSession, sf_dir: str, out_dir: str,
         F.countDistinct("shard_id").alias("s"),
         F.sum("n_docs").alias("d"),
     ).collect()[0]
-    if totals["d"] != n:
+    if (totals["d"] or 0) != n:  # sum over an empty manifest is NULL
         raise AssertionError(
-            f"webdataset export wrote {totals['d']} docs, corpus has {n}")
+            f"webdataset export wrote {totals['d'] or 0} docs, "
+            f"corpus has {n}")
     return {
         "shards_path": shards_path,
         "manifest_path": manifest_path,

@@ -35,13 +35,13 @@ def write_bucketed_corpus(spark: SparkSession, sf_dir: str, database: str,
     tables bucketed+sorted by doc_id, plus ``embeddings`` bucketed by
     vec_id, under ``database`` (created at ``location``).  Returns
     table name → qualified name."""
-    from astra_perseverance_spark.extensions.dedup import normalized_text
+    from astra_perseverance_spark.extensions.dedup import content_digest
 
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {database} "
               f"LOCATION '{location}'")
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     digests = docs.select(
-        "doc_id", F.md5(normalized_text()).alias("content_md5"),
+        "doc_id", content_digest().alias("content_md5"),
         F.size(F.split(F.trim("text"), r"\s+")).cast("long")
         .alias("n_ws_tokens"),
     )
