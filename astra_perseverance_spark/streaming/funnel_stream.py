@@ -171,11 +171,15 @@ def stream_events_funnel(spark: SparkSession, source_dir: str,
     docstring); 0 keeps the pure greedy walk."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
+    from astra_perseverance_spark.streaming.source import (
+        event_file_stream,
+    )
+
     sch = schema or "event_id long, user_id long, event_type string, ns long"
-    reader = spark.readStream.schema(sch)
-    if max_files_per_trigger:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    stream = reader.parquet(source_dir)
+    stream = event_file_stream(
+        spark, source_dir, sch,
+        required=("event_id", "user_id", "event_type", "ns"),
+        max_files_per_trigger=max_files_per_trigger)
     return (
         stream.groupBy("user_id")
         .applyInPandasWithState(

@@ -251,11 +251,15 @@ def stream_gc_sessions(spark: SparkSession, source_dir: str,
     unstarted streaming DataFrame."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
+    from astra_perseverance_spark.streaming.source import (
+        event_file_stream,
+    )
+
     sch = schema or "node string, dc string, ts timestamp, pause_ms int"
-    reader = spark.readStream.schema(sch)
-    if max_files_per_trigger:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    stream = reader.parquet(source_dir).withWatermark("ts", WATERMARK)
+    stream = event_file_stream(
+        spark, source_dir, sch, required=("node", "ts", "pause_ms"),
+        max_files_per_trigger=max_files_per_trigger,
+    ).withWatermark("ts", WATERMARK)
     return (
         stream.groupBy("node")
         .applyInPandasWithState(

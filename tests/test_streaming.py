@@ -94,6 +94,56 @@ def test_stateful_sessions_match_batch(spark, gc_source, tmp_path):
     assert got == want and len(got) > 0
 
 
+def test_null_rows_quarantined_not_fatal(spark, tmp_path):
+    """A single row with a NULL required field must not kill the
+    stateful streams: pandas delivers the column as float64 with NaN,
+    int() raises, the task fails, the retry re-reads the same file —
+    a permanently dead query from one bad row.  The shared source
+    (streaming/source.py) drops contract-violating rows JVM-side; the
+    remaining rows still process."""
+    import datetime as dt
+
+    from astra_perseverance_spark.streaming import (
+        stream_events_asof,
+        stream_gc_sessions,
+    )
+
+    ev = str(tmp_path / "ev")
+    spark.createDataFrame(
+        [(1, 10, 100, "click"), (2, None, 100, "purchase"),
+         (None, 30, 100, "purchase"), (3, 40, None, "purchase"),
+         (4, 50, 100, "purchase")],
+        "event_id long, ns long, user_id long, event_type string",
+    ).coalesce(1).write.parquet(ev)
+    q = (
+        stream_events_asof(spark, ev)
+        .writeStream.format("memory").queryName("nullq_asof")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {(r["event_id"], r["asof_event_id"])
+           for r in spark.sql("SELECT * FROM nullq_asof").collect()}
+    assert got == {(4, 1)}  # null rows dropped, the query survived
+
+    gc = str(tmp_path / "gc")
+    base = dt.datetime(2024, 1, 1)
+    spark.createDataFrame(
+        [("n1", "dc1", base, 5), ("n1", "dc1", None, 7),
+         (None, "dc1", base, 9),
+         ("n1", "dc1", base + dt.timedelta(days=30), 1)],
+        "node string, dc string, ts timestamp, pause_ms int",
+    ).coalesce(1).write.parquet(gc)
+    q2 = (
+        stream_gc_sessions(spark, gc)
+        .writeStream.format("memory").queryName("nullq_sess")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q2.awaitTermination(120)
+    rows = [r for r in spark.sql("SELECT * FROM nullq_sess").collect()
+            if r["session_start"] == base]
+    assert len(rows) == 1 and rows[0]["pauses"] == 1
+
+
 def test_stateful_sessions_subsecond_precision(spark, tmp_path):
     """The stream works in exact epoch MICROS, matching the batch
     twin's unix_micros gap rule: a 1799.5 s gap keeps one session (a
