@@ -60,17 +60,24 @@ def q_corpus_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     sees the landed bytes before any conforming projection could
     mask a violation."""
     d = spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet")
+
+    def _n(col: F.Column) -> F.Column:
+        # SUM over a zero-row corpus is NULL, not 0 — an empty landing
+        # must read as six explicit zeros (and then fail whatever
+        # emptiness check the caller adds), never as six NULLs a
+        # `n_violations > 0` gate silently passes
+        return F.coalesce(F.sum(col.cast("long")), F.lit(0).cast("long"))
+
     flags = d.agg(
-        F.sum(F.col("doc_id").isNull().cast("long")).alias("null_doc_id"),
-        F.sum(F.col("text").isNull().cast("long")).alias("null_text"),
-        F.sum((F.col("text").isNotNull()
-               & (F.length("text") == 0)).cast("long")).alias("empty_text"),
-        F.sum((F.col("text").isNotNull()
-               & (F.coalesce("n_chars", F.lit(-1))
-                  != F.length("text"))).cast("long"))
+        _n(F.col("doc_id").isNull()).alias("null_doc_id"),
+        _n(F.col("text").isNull()).alias("null_text"),
+        _n(F.col("text").isNotNull()
+           & (F.length("text") == 0)).alias("empty_text"),
+        _n(F.col("text").isNotNull()
+           & (F.coalesce("n_chars", F.lit(-1)) != F.length("text")))
         .alias("n_chars_mismatch"),
-        F.sum((~F.coalesce("lang", F.lit("")).rlike(_LANG_RE))
-              .cast("long")).alias("lang_not_iso"),
+        _n(~F.coalesce("lang", F.lit("")).rlike(_LANG_RE))
+        .alias("lang_not_iso"),
     )
     dups = (
         d.filter(F.col("doc_id").isNotNull())
@@ -93,15 +100,18 @@ def q_corpus_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
 CORPUS_VALIDATE_SQL = """
 WITH flags AS (
   SELECT
-    SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS null_doc_id,
-    SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS null_text,
-    SUM(CASE WHEN text IS NOT NULL AND length(text) = 0
-        THEN 1 ELSE 0 END) AS empty_text,
-    SUM(CASE WHEN text IS NOT NULL
+    COALESCE(SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END), 0)
+      AS null_doc_id,
+    COALESCE(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END), 0)
+      AS null_text,
+    COALESCE(SUM(CASE WHEN text IS NOT NULL AND length(text) = 0
+        THEN 1 ELSE 0 END), 0) AS empty_text,
+    COALESCE(SUM(CASE WHEN text IS NOT NULL
         AND COALESCE(n_chars, -1) != length(text)
-        THEN 1 ELSE 0 END) AS n_chars_mismatch,
-    SUM(CASE WHEN NOT regexp_matches(COALESCE(lang, ''), '^[a-z]{2,3}$')
-        THEN 1 ELSE 0 END) AS lang_not_iso
+        THEN 1 ELSE 0 END), 0) AS n_chars_mismatch,
+    COALESCE(SUM(CASE WHEN NOT regexp_matches(
+        COALESCE(lang, ''), '^[a-z]{2,3}$')
+        THEN 1 ELSE 0 END), 0) AS lang_not_iso
   FROM documents
 ), dups AS (
   SELECT COALESCE(SUM(CASE WHEN cnt > 1 THEN cnt END), 0)
@@ -129,14 +139,28 @@ def corpus_diff(spark: SparkSession, old_dir: str,
     Unchanged documents — the overwhelming majority between adjacent
     versions — are filtered before anything leaves the join.
 
-    One full-outer doc_id equi-join of two digest projections; at
-    100 TB both sides are doc_id-clustered reads, so the join is the
-    single shuffle (or none, bucketed)."""
+    One full-outer doc_id equi-join of two doc_id-GRAIN digest
+    frames; at 100 TB both sides are doc_id-clustered reads, so the
+    join is the single shuffle (or none, bucketed).
+
+    Two contract edge cases are handled explicitly: a NULL text
+    digests to a sentinel distinct from the empty string (the two are
+    different violation states in ``q_corpus_validate``, so they must
+    diff as 'changed'), and a doc_id duplicated within one version
+    collapses to a single order-insensitive multiset digest before
+    the join — otherwise the full-outer join would emit m·n rows
+    with contradictory statuses for that id."""
     def digests(sf_dir: str, name: str) -> DataFrame:
-        return spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-            "doc_id",
-            F.md5(F.encode(F.coalesce("text", F.lit("")), "utf-8"))
-            .alias(name),
+        row_digest = F.coalesce(
+            F.md5(F.encode(F.col("text"), "utf-8")),
+            F.lit("<null-text>"),  # md5(NULL) is NULL; '' hashes real
+        )
+        return (
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", row_digest.alias("rd"))
+            .groupBy("doc_id")
+            .agg(F.md5(F.concat_ws(
+                "|", F.sort_array(F.collect_list("rd")))).alias(name))
         )
 
     old = digests(old_dir, "old_md5")

@@ -106,6 +106,68 @@ class TestCorpusDiff:
         assert got == {(2, "changed"), (3, "removed"), (4, "added")}
 
 
+    def test_empty_corpus_reports_zeros_not_nulls(self, spark, tmp_path):
+        """SUM over a zero-row corpus is NULL in both engines; the
+        gate must report six explicit zeros so a `n_violations > 0`
+        check cannot silently green-light an empty landing."""
+        import duckdb
+
+        from astra_perseverance_spark.extensions.qa import (
+            CORPUS_VALIDATE_SQL,
+            q_corpus_validate,
+        )
+
+        spark.createDataFrame([], SCHEMA).write.parquet(
+            str(tmp_path / "documents.parquet"))
+        got = {r["check"]: r["n_violations"]
+               for r in q_corpus_validate(spark, str(tmp_path)).collect()}
+        assert len(got) == 6 and all(v == 0 for v in got.values())
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{tmp_path}/documents.parquet/*.parquet'")
+        oracle = {r[0]: r[1] for r in con.sql(CORPUS_VALIDATE_SQL).fetchall()}
+        assert all(v == 0 for v in oracle.values())
+
+
+class TestCorpusDiffEdges:
+    def test_null_vs_empty_text_diffs_as_changed(self, spark, tmp_path):
+        """NULL text and empty text are distinct violation states in
+        the validator, so they must not digest identically."""
+        from astra_perseverance_spark.extensions.qa import corpus_diff
+
+        for name, text in (("old", None), ("new", "")):
+            spark.createDataFrame(
+                [(7, text, "en", "web", 0)], SCHEMA
+            ).write.parquet(str(tmp_path / name / "documents.parquet"))
+        got = [tuple(r) for r in corpus_diff(
+            spark, str(tmp_path / "old"), str(tmp_path / "new")).collect()]
+        assert got == [(7, "changed")]
+
+    def test_duplicated_doc_id_yields_one_verdict(self, spark, tmp_path):
+        """A doc_id landed twice in one version must produce ONE
+        deterministic diff row, not an m*n join explosion with
+        contradictory statuses."""
+        from astra_perseverance_spark.extensions.qa import corpus_diff
+
+        old = [(1, "t1"), (1, "t2"), (2, "same")]
+        new = [(1, "t1"), (2, "same")]
+        for name, rows in (("old", old), ("new", new)):
+            spark.createDataFrame(
+                [(i, t, "en", "web", len(t)) for i, t in rows], SCHEMA
+            ).write.parquet(str(tmp_path / name / "documents.parquet"))
+        got = [tuple(r) for r in corpus_diff(
+            spark, str(tmp_path / "old"), str(tmp_path / "new")).collect()]
+        assert got == [(1, "changed")]  # multiset {t1,t2} != {t1}
+        # and the multiset digest is order-insensitive: same rows,
+        # other landing order -> no diff at all
+        spark.createDataFrame(
+            [(1, "t2", "en", "web", 2), (1, "t1", "en", "web", 2),
+             (2, "same", "en", "web", 4)], SCHEMA
+        ).write.parquet(str(tmp_path / "old2" / "documents.parquet"))
+        assert corpus_diff(spark, str(tmp_path / "old"),
+                           str(tmp_path / "old2")).count() == 0
+
+
 class TestCorpusQaCli:
     def test_validate_gates_and_diff_counts(self, spark, qa_dir, tmp_path):
         import json
