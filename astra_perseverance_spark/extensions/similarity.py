@@ -163,6 +163,62 @@ def q_ann_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _topk(pairs)
 
 
+def _panel_probes(spark: SparkSession, sf_dir: str,
+                  ranked: DataFrame) -> DataFrame:
+    """Probe rows for the fixed query panel from a ranked IVF frame:
+    (query_id, q_eq, q_n2, cid) for each of the panel's nprobe lists
+    — shared by every panel-probing IVF variant."""
+    return (
+        ranked.join(F.broadcast(query_ids(spark, sf_dir)), "vec_id", "semi")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("eq").alias("q_eq"),
+            F.col("n2").alias("q_n2"),
+            "cid",
+        )
+    )
+
+
+def _batch_probes(new: DataFrame, cent: DataFrame) -> DataFrame:
+    """Probe rows for a NEW-vector batch against broadcast persisted
+    centroids: affinity-rank every batch vector's lists, keep the
+    ``IVF_NPROBE`` nearest — shared by both incremental variants."""
+    probe_aff = new.join(F.broadcast(cent)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("eq").alias("q_eq"),
+        F.col("n2").alias("q_n2"),
+        "cid",
+        cosine(dot_q(F.col("eq"), F.col("c_eq")), F.col("n2"),
+               F.col("c_n2")).alias("ccos"),
+    )
+    w_aff = Window.partitionBy("query_id").orderBy(F.desc("ccos"), "cid")
+    return (
+        probe_aff.withColumn("crank", F.row_number().over(w_aff))
+        .filter(F.col("crank") <= IVF_NPROBE)
+        .select("query_id", "q_eq", "q_n2", "cid")
+    )
+
+
+def _probe_score_topk(probes: DataFrame, assign: DataFrame,
+                      db_eq: str, db_n2: str,
+                      exclude_self: bool) -> DataFrame:
+    """The candidate-scoring tail every IVF variant shares: list-local
+    equi-join on cid (shuffle_hash — list membership is corpus-sized,
+    never broadcast), cosine of the exact-fixed-point query side
+    against the ``db_eq``/``db_n2`` store columns (full-precision or
+    int8-reconstructed ADC), exact top-k.  One definition, so a fix
+    to the join hint or the self-exclusion applies to all variants."""
+    pairs = probes.join(assign.hint("shuffle_hash"), "cid")
+    if exclude_self:
+        pairs = pairs.filter(F.col("vec_id") != F.col("query_id"))
+    return _topk(pairs.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        cosine(dot_q(F.col("q_eq"), F.col(db_eq)),
+               F.col("q_n2"), F.col(db_n2)).alias("cosine"),
+    ))
+
+
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: an inverted-file coarse quantizer as the second
     scale path next to LSH bucketing.
@@ -196,29 +252,9 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     assign = ranked.filter(F.col("crank") == 1).select(
         "vec_id", "eq", "n2", "cid"
     )
-    probes = (
-        ranked.join(F.broadcast(query_ids(spark, sf_dir)), "vec_id", "semi")
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("eq").alias("q_eq"),
-            F.col("n2").alias("q_n2"),
-            "cid",
-        )
-    )
-    # list-local candidate join: both sides hash-partition on cid; the
-    # hint picks shuffled-hash over sort-merge (no per-partition sort —
-    # the downstream top-k window re-sorts by query anyway)
-    pairs = (
-        probes.join(assign.hint("shuffle_hash"), "cid")
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            cosine(dot_q(F.col("q_eq"), F.col("eq")), F.col("q_n2"), F.col("n2"))
-            .alias("cosine"),
-        )
-    )
-    return _topk(pairs)
+    return _probe_score_topk(
+        _panel_probes(spark, sf_dir, ranked), assign,
+        db_eq="eq", db_n2="n2", exclude_self=True)
 
 
 def _build_ivf_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -463,26 +499,9 @@ def q_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     assign = ranked.filter(F.col("crank") == 1).select(
         "vec_id", "eq", "n2", "cid"
     )
-    probes = (
-        ranked.join(F.broadcast(query_ids(spark, sf_dir)), "vec_id", "semi")
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("eq").alias("q_eq"),
-            F.col("n2").alias("q_n2"),
-            "cid",
-        )
-    )
-    pairs = (
-        probes.join(assign.hint("shuffle_hash"), "cid")
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            cosine(dot_q(F.col("q_eq"), F.col("eq")), F.col("q_n2"), F.col("n2"))
-            .alias("cosine"),
-        )
-    )
-    return _topk(pairs)
+    return _probe_score_topk(
+        _panel_probes(spark, sf_dir, ranked), assign,
+        db_eq="eq", db_n2="n2", exclude_self=True)
 
 
 def q_ann_recall_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -508,12 +527,14 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     within each cluster the vectors whose cosine to another cluster
     member exceeds a threshold, keeping one representative.  The
     cheap deterministic keep rule is DIRECT DOMINANCE: a vector is
-    pruned iff a strictly-smaller-id vector within ``SEMDEDUP_
-    COSINE_MIN`` shares its cluster (so the kept set is a superset of
-    the per-component minima — chains a–b–c where cos(a,c) < τ keep
-    both endpoints, matching the paper's per-pair ε-ball pruning
-    rather than full transitive closure; the transitive variant is
-    ``q_embedding_dup_clusters``).
+    pruned iff ANY strictly-smaller-id vector within ``SEMDEDUP_
+    COSINE_MIN`` shares its cluster — dominance by existence, so a
+    vector can be pruned by a mate that is itself pruned (in a chain
+    a<b<c with cos(a,b) ≥ τ ≥ cos(b,c), both b and c are pruned even
+    though cos(a,c) < τ).  The kept set always contains each
+    τ-component's minimum id and additionally keeps any vector all of
+    whose direct τ-neighbors have larger ids; the fully transitive
+    keep-one-per-component variant is ``q_embedding_dup_clusters``.
 
     Scale shape: REUSES the memoized trained-IVF assignment
     (``ivf_kmeans_lists`` — the same artifact ``q_ann_ivf_kmeans``
@@ -647,30 +668,9 @@ def q_ann_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
                       lambda: _incremental_centroids(spark, sf_dir))
     new = _vectors(spark, sf_dir).drop("bucket").filter(
         F.col("vec_id") % 2 == 1)
-    probe_aff = new.join(F.broadcast(cent)).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("eq").alias("q_eq"),
-        F.col("n2").alias("q_n2"),
-        "cid",
-        cosine(dot_q(F.col("eq"), F.col("c_eq")), F.col("n2"),
-               F.col("c_n2")).alias("ccos"),
-    )
-    w_aff = Window.partitionBy("query_id").orderBy(F.desc("ccos"), "cid")
-    probes = (
-        probe_aff.withColumn("crank", F.row_number().over(w_aff))
-        .filter(F.col("crank") <= IVF_NPROBE)
-        .select("query_id", "q_eq", "q_n2", "cid")
-    )
-    pairs = (
-        probes.join(index.hint("shuffle_hash"), "cid")
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            cosine(dot_q(F.col("q_eq"), F.col("eq")), F.col("q_n2"),
-                   F.col("n2")).alias("cosine"),
-        )
-    )
-    return _topk(pairs)
+    return _probe_score_topk(
+        _batch_probes(new, cent), index,
+        db_eq="eq", db_n2="n2", exclude_self=False)
 
 
 def _incremental_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -732,26 +732,9 @@ def q_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "cid")
         .join(_recon_vectors(spark, sf_dir).hint("shuffle_hash"), "vec_id")
     )
-    probes = (
-        ranked.join(F.broadcast(query_ids(spark, sf_dir)), "vec_id", "semi")
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("eq").alias("q_eq"),
-            F.col("n2").alias("q_n2"),
-            "cid",
-        )
-    )
-    pairs = (
-        probes.join(assign.hint("shuffle_hash"), "cid")
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            cosine(dot_q(F.col("q_eq"), F.col("rq")),
-                   F.col("q_n2"), F.col("rn2")).alias("cosine"),
-        )
-    )
-    return _topk(pairs)
+    return _probe_score_topk(
+        _panel_probes(spark, sf_dir, ranked), assign,
+        db_eq="rq", db_n2="rn2", exclude_self=True)
 
 
 def q_ann_recall_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -797,14 +780,11 @@ def _even_dim_bounds(spark: SparkSession, sf_dir: str):
             lo[r["d"]] = r["lo"]
             hi[r["d"]] = r["hi"]
         _EVEN_DIM_STATS[key] = (lo, hi)
-    lo, hi = _EVEN_DIM_STATS[key]
-    lo_a = F.array(*[F.lit(int(x)) for x in lo])
-    hi_a = F.array(*[F.lit(int(x)) for x in hi])
+    from astra_perseverance_spark.extensions.training import (
+        bounds_accessors,
+    )
 
-    def at(arr):
-        return lambda i: F.element_at(arr, (i + 1).cast("int"))
-
-    return at(lo_a), at(hi_a)
+    return bounds_accessors(*_EVEN_DIM_STATS[key])
 
 
 def _recon_even_store(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -813,18 +793,10 @@ def _recon_even_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     BIGINT ``div``) applied to the even half with the even-corpus
     bounds.  This is the persisted artifact the incremental serving
     path scores against; a new batch never touches it."""
-    from astra_perseverance_spark.extensions.training import SQ_LEVELS, _idiv
+    from astra_perseverance_spark.extensions.training import sq_recon
     from astra_perseverance_spark.functions.vectors import dot_q as _dq
 
-    lo_at, hi_at = _even_dim_bounds(spark, sf_dir)
-
-    def recon(x, i):
-        span = hi_at(i) - lo_at(i)
-        code = _idiv((x - lo_at(i)) * SQ_LEVELS, span)
-        return F.when(
-            span > 0, lo_at(i) + _idiv(code * span, F.lit(SQ_LEVELS))
-        ).otherwise(lo_at(i))
-
+    recon = sq_recon(*_even_dim_bounds(spark, sf_dir))
     return (
         _vectors(spark, sf_dir)
         .filter(F.col("vec_id") % 2 == 0)
@@ -864,27 +836,6 @@ def q_ann_incremental_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     new = _vectors(spark, sf_dir).drop("bucket").filter(
         F.col("vec_id") % 2 == 1)
-    probe_aff = new.join(F.broadcast(cent)).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("eq").alias("q_eq"),
-        F.col("n2").alias("q_n2"),
-        "cid",
-        cosine(dot_q(F.col("eq"), F.col("c_eq")), F.col("n2"),
-               F.col("c_n2")).alias("ccos"),
-    )
-    w_aff = Window.partitionBy("query_id").orderBy(F.desc("ccos"), "cid")
-    probes = (
-        probe_aff.withColumn("crank", F.row_number().over(w_aff))
-        .filter(F.col("crank") <= IVF_NPROBE)
-        .select("query_id", "q_eq", "q_n2", "cid")
-    )
-    pairs = (
-        probes.join(assign.hint("shuffle_hash"), "cid")
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            cosine(dot_q(F.col("q_eq"), F.col("rq")), F.col("q_n2"),
-                   F.col("rn2")).alias("cosine"),
-        )
-    )
-    return _topk(pairs)
+    return _probe_score_topk(
+        _batch_probes(new, cent), assign,
+        db_eq="rq", db_n2="rn2", exclude_self=False)

@@ -73,6 +73,15 @@ def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output: event_id, user_id, purchase_ns, asof_ns (click time,
     NULL if the user never clicked before), asof_event_id, gap_ns."""
+    return _click_purchase_asof(spark, sf_dir, tolerance=None)
+
+
+def _click_purchase_asof(spark: SparkSession, sf_dir: str,
+                         tolerance: int | None) -> DataFrame:
+    """The one click->purchase attribution build shared by the
+    unbounded (``q_events_asof``) and tolerance-capped
+    (``q_events_asof_1h``) queries — the two differ ONLY in the
+    ``tolerance=`` argument to ``asof_backward``."""
     ev = _events_ns(spark, sf_dir)
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", F.col("ns").alias("purchase_ns"))
@@ -81,7 +90,7 @@ def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = asof_backward(
         purchases, clicks,
         keys=["user_id"], left_ts="purchase_ns", right_ts="ns",
-        payload=["event_id"],
+        payload=["event_id"], tolerance=tolerance,
     )
     return (
         joined.select(
@@ -112,25 +121,7 @@ def q_events_asof_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB native ASOF JOIN with the bound applied post-join, which
     is exactly the tolerance semantics (match-then-null, not
     match-next-older)."""
-    ev = _events_ns(spark, sf_dir)
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", F.col("ns").alias("purchase_ns"))
-    clicks = ev.filter(F.col("event_type") == "click").select(
-        "user_id", "ns", "event_id")
-    joined = asof_backward(
-        purchases, clicks,
-        keys=["user_id"], left_ts="purchase_ns", right_ts="ns",
-        payload=["event_id"], tolerance=ATTR_WINDOW_NS,
-    )
-    return (
-        joined.select(
-            "event_id", "user_id", "purchase_ns",
-            F.col("asof_ns"),
-            F.col("asof_event_id"),
-            (F.col("purchase_ns") - F.col("asof_ns")).alias("gap_ns"),
-        )
-        .orderBy("event_id")
-    )
+    return _click_purchase_asof(spark, sf_dir, tolerance=ATTR_WINDOW_NS)
 
 
 def q_events_window_attr(spark: SparkSession, sf_dir: str) -> DataFrame:

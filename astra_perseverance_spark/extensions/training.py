@@ -242,11 +242,13 @@ def _dim_stats(spark: SparkSession, sf_dir: str) -> tuple[list, list]:
     return lo, hi
 
 
-def _dim_bounds(spark: SparkSession, sf_dir: str):
+def bounds_accessors(lo: list, hi: list):
     """(lo_at, hi_at): per-dimension bound accessors — the collected
     stats folded into the plan as literal arrays, indexed by the
-    0-based transform-lambda position."""
-    lo, hi = _dim_stats(spark, sf_dir)
+    0-based transform-lambda position.  Takes the raw stat lists so
+    BOTH bound sources share it: the full-corpus stats here and the
+    frozen even-store stats of the incremental serving path
+    (``similarity._even_dim_bounds``)."""
     lo_a = F.array(*[F.lit(int(x)) for x in lo])
     hi_a = F.array(*[F.lit(int(x)) for x in hi])
 
@@ -254,6 +256,28 @@ def _dim_bounds(spark: SparkSession, sf_dir: str):
         return lambda i: F.element_at(arr, (i + 1).cast("int"))
 
     return at(lo_a), at(hi_a)
+
+
+def _dim_bounds(spark: SparkSession, sf_dir: str):
+    return bounds_accessors(*_dim_stats(spark, sf_dir))
+
+
+def sq_recon(lo_at, hi_at):
+    """The fused SQ encode∘decode lambda for ``F.transform`` — the
+    ONE definition of the scalar-quantization formula (code =
+    (q−lo)·SQ_LEVELS div span; recon = lo + code·span div SQ_LEVELS;
+    degenerate span reconstructs lo exactly).  Shared by the
+    full-store reconstruction below and the incremental path's frozen
+    even store, so the serving-side arithmetic can never drift from
+    the audited quantizer."""
+    def recon(x, i):
+        span = hi_at(i) - lo_at(i)
+        code = _idiv((x - lo_at(i)) * SQ_LEVELS, span)
+        return F.when(
+            span > 0, lo_at(i) + _idiv(code * span, F.lit(SQ_LEVELS))
+        ).otherwise(lo_at(i))
+
+    return recon
 
 
 def _idiv(a: F.Column, b: F.Column) -> F.Column:
@@ -507,17 +531,9 @@ def _recon_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     ships.  Encode and decode are fused into one exact-BIGINT
     per-row map (code = (q-lo)*255 div span; recon = lo + code*span
     div 255); degenerate dimensions reconstruct to lo exactly."""
-    lo_at, hi_at = _dim_bounds(spark, sf_dir)
-
-    def recon(x, i):
-        span = hi_at(i) - lo_at(i)
-        code = _idiv((x - lo_at(i)) * SQ_LEVELS, span)
-        return F.when(
-            span > 0, lo_at(i) + _idiv(code * span, F.lit(SQ_LEVELS))
-        ).otherwise(lo_at(i))
-
     from astra_perseverance_spark.functions.vectors import dot_q
 
+    recon = sq_recon(*_dim_bounds(spark, sf_dir))
     return (
         vectors_frame(spark, sf_dir)
         .select("vec_id", F.transform("eq", recon).alias("rq"))
