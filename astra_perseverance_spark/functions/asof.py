@@ -71,6 +71,10 @@ def _asof(
 ) -> DataFrame:
     carried = [right_ts] + payload
     _check_names(left, right, carried, prefix)
+    # a right row with an unknown timestamp can never be a valid
+    # match — unfiltered it would sort to one end of the carry walk
+    # and be CARRIED into real left rows as a spurious match
+    right = right.filter(F.col(right_ts).isNotNull())
     r = right.select(
         *keys,
         F.col(right_ts).alias("_ats"),
@@ -89,10 +93,15 @@ def _asof(
         *lextra,
     )
     u = r.select(*l.columns).unionByName(l)
+    # NULLS FIRST in BOTH walk directions: a left row with an unknown
+    # timestamp must sort before every (non-null, filtered-above)
+    # right row so its carry is empty and it emits a NULL match —
+    # desc's default nulls-LAST would instead hand a null-ts left row
+    # the walk's final carried right row as a spurious match
     if forward:
-        order = [F.desc("_ats"), F.asc("_side"), F.desc("_r")]
+        order = [F.desc_nulls_first("_ats"), F.asc("_side"), F.desc("_r")]
     else:
-        order = [F.asc("_ats"), F.asc("_side"), F.asc("_r")]
+        order = [F.asc_nulls_first("_ats"), F.asc("_side"), F.asc("_r")]
     w = (
         Window.partitionBy(*keys)
         .orderBy(*order)

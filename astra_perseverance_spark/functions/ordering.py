@@ -66,6 +66,15 @@ def salted_topk(df: DataFrame, group_cols: list[str], order_cols: list,
     """
     from pyspark.sql import Window, functions as F
 
+    # same loud-failure contract as asof._check_names: the spine
+    # columns (and the produced rank) must not silently overwrite a
+    # caller's data
+    clash = {"_salt", "_pr", "rank"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"salted_topk: column name(s) {sorted(clash)} collide with "
+            "internal spine/output columns; rename them first")
+
     salt = F.pmod(F.xxhash64(F.col(salt_on)), F.lit(TOPK_SALTS))
     w_partial = Window.partitionBy(*group_cols, "_salt").orderBy(*order_cols)
     w_final = Window.partitionBy(*group_cols).orderBy(*order_cols)

@@ -100,9 +100,17 @@ def norm2_q(a: Column) -> Column:
 
 
 def cosine(dot: Column, n2a: Column, n2b: Column) -> Column:
-    """dot / (sqrt(n2a) * sqrt(n2b)) — the single float expression."""
-    return dot.cast("double") / (
-        F.sqrt(n2a.cast("double")) * F.sqrt(n2b.cast("double"))
+    """dot / (sqrt(n2a) * sqrt(n2b)) — the single float expression.
+
+    ``try_divide``, not ``/``: a vector whose 64 components all
+    quantize to zero has n2 = 0, and under Spark 4's default ANSI
+    mode a plain division would raise DIVIDE_BY_ZERO and kill the
+    whole query on one degenerate row.  try_divide yields NULL there
+    — which is also what DuckDB's ``/`` returns, so the twins agree:
+    a zero-norm vector has no defined cosine and simply never ranks."""
+    return F.try_divide(
+        dot.cast("double"),
+        F.sqrt(n2a.cast("double")) * F.sqrt(n2b.cast("double")),
     )
 
 

@@ -192,6 +192,42 @@ class TestAsofNameCollisions:
                          right_ts="rts", payload=["rid"])
 
 
+class TestAsofNullTimestamps:
+    def test_null_right_ts_never_matches(self, spark):
+        """A right row with an unknown timestamp must not be carried
+        into real left rows: unfiltered, it sorts to the front of the
+        ascending walk and becomes a spurious match for everything."""
+        from astra_perseverance_spark.functions.asof import asof_backward
+
+        left = spark.createDataFrame([(1, 3)], "k long, ts long")
+        right = spark.createDataFrame(
+            [(1, None, 999), (1, 5, 100)], "k long, rts long, rid long")
+        got = asof_backward(left, right, keys=["k"], left_ts="ts",
+                            right_ts="rts", payload=["rid"]).collect()
+        assert len(got) == 1
+        assert got[0]["asof_rts"] is None and got[0]["asof_rid"] is None
+
+    def test_null_left_ts_emits_null_match_both_directions(self, spark):
+        """A left row with an unknown timestamp emits with a NULL
+        match — in the FORWARD walk desc ordering would otherwise sort
+        it after every right row and hand it the minimum right row."""
+        from astra_perseverance_spark.functions.asof import (
+            asof_backward,
+            asof_forward,
+        )
+
+        left = spark.createDataFrame(
+            [(1, None, 7)], "k long, ts long, tag long")
+        right = spark.createDataFrame(
+            [(1, 5, 100), (1, 9, 101)], "k long, rts long, rid long")
+        for fn in (asof_backward, asof_forward):
+            got = fn(left, right, keys=["k"], left_ts="ts",
+                     right_ts="rts", payload=["rid"]).collect()
+            assert len(got) == 1, fn.__name__
+            assert got[0]["tag"] == 7
+            assert got[0]["asof_rid"] is None, fn.__name__
+
+
 class TestWindowAttr:
     def test_python_recompute(self, spark):
         from astra_perseverance_spark.extensions.timeseries import (

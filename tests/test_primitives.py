@@ -123,6 +123,43 @@ class TestSaltedTopK:
         }
 
 
+class TestCosineZeroNorm:
+    def test_zero_norm_vector_yields_null_not_ansi_error(self, spark):
+        """An embedding whose components all quantize to zero has
+        n2 = 0; under Spark 4's default ANSI mode a plain division
+        would raise DIVIDE_BY_ZERO and kill the whole query on one
+        degenerate row.  cosine() must yield NULL there (DuckDB's /
+        does the same, so the twins agree)."""
+        import duckdb
+
+        from pyspark.sql import functions as F
+
+        from astra_perseverance_spark.functions.vectors import (
+            cosine,
+            dot_q,
+        )
+
+        df = spark.createDataFrame(
+            [(1, [2, 3], [0, 0]), (2, [2, 0], [2, 0])],
+            "id long, a array<long>, b array<long>")
+        got = {r["id"]: r["c"] for r in df.select(
+            "id",
+            cosine(dot_q(F.col("a"), F.col("b")),
+                   dot_q(F.col("a"), F.col("a")),
+                   dot_q(F.col("b"), F.col("b"))).alias("c"),
+        ).collect()}
+        assert got[1] is None
+        assert got[2] == pytest.approx(1.0)
+        assert duckdb.sql("SELECT 1.0 / 0.0").fetchone()[0] is None
+
+    def test_salted_topk_guards_reserved_columns(self, spark):
+        from astra_perseverance_spark.functions.ordering import salted_topk
+
+        df = spark.createDataFrame([(1, 2, 3)], "grp long, id long, rank long")
+        with pytest.raises(ValueError, match="rank"):
+            salted_topk(df, ["grp"], ["id"], 3, salt_on="id")
+
+
 class TestConnectedComponentsRandom:
     def test_random_graphs_match_union_find(self, spark):
         """30 random graphs (disjoint id spaces) unioned into ONE
