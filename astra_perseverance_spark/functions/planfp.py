@@ -37,6 +37,16 @@ _VOLATILE = [
     # higher-order-function variables draw from a session-global
     # counter (lambda x_70#L): normalize the ordinal away
     (re.compile(r"\blambda ([A-Za-z]+)_\d+"), r"lambda \1_"),
+    # AQE runtime artifacts inside cached physical subtrees that the
+    # depth walk in _strip_cached_subtrees does not always remove
+    # (multi-branch ':' continuation columns defeat the indentation
+    # heuristic): query-stage numbers and whole-stage-codegen ids are
+    # assigned per SESSION, so two processes print different numbers
+    # for the same plan — the round-8 cross-run fingerprint flips on
+    # dedup_recall_audit / curation_funnel were exactly this
+    (re.compile(r"\b(\w*QueryStage) \d+"), r"\1"),
+    (re.compile(r"\*\(\d+\)"), "*"),
+    (re.compile(r"isFinalPlan=(true|false)"), "isFinalPlan="),
 ]
 
 

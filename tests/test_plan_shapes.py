@@ -58,6 +58,37 @@ def test_plan_fingerprint_deterministic(name, fn, spark):
     assert len(fps) == 1, f"{name}: nondeterministic optimized plan"
 
 
+def test_fingerprint_normalizer_masks_per_session_tokens():
+    """Tokens assigned per SESSION — AQE query-stage numbers,
+    whole-stage-codegen ids, expression ids — must normalize away, or
+    the same plan fingerprints differently in different processes
+    (the cross-run flip the round-8 bench caught on
+    dedup_recall_audit).  Pure string check: two prints of the same
+    plan with different session numbering must hash identically."""
+    import hashlib
+
+    from astra_perseverance_spark.functions.planfp import _VOLATILE
+
+    def norm(s):
+        for pat, rep in _VOLATILE:
+            s = pat.sub(rep, s)
+        return hashlib.sha256(s.encode()).hexdigest()
+
+    a = (":  +- ShuffleQueryStage 10\n"
+         ":     +- *(3) HashAggregate(keys=[doc_id#123L])\n"
+         "+- BroadcastQueryStage 14, isFinalPlan=true\n"
+         "   +- TableCacheQueryStage 2, plan_id=55\n"
+         "      +- lambda x_70#L")
+    b = (":  +- ShuffleQueryStage 11\n"
+         ":     +- *(5) HashAggregate(keys=[doc_id#456L])\n"
+         "+- BroadcastQueryStage 15, isFinalPlan=false\n"
+         "   +- TableCacheQueryStage 9, plan_id=99\n"
+         "      +- lambda x_12#L")
+    assert norm(a) == norm(b)
+    # structurally different plans must still differ
+    assert norm(a) != norm(a.replace("HashAggregate", "SortAggregate"))
+
+
 def test_plan_audit_doc_matches_registry():
     """docs/PLAN_AUDIT.md must cover exactly the live registry — a
     registered query missing from the audit doc means the doc was not
