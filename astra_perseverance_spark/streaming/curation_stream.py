@@ -60,7 +60,10 @@ def curation_gate(docs: DataFrame) -> DataFrame:
 def stream_curation_gate(spark: SparkSession, source_dir: str) -> DataFrame:
     """The gate over a file-source stream; returns the unstarted
     streaming DataFrame (caller picks sink/trigger)."""
-    stream = spark.readStream.schema(DOC_SCHEMA).parquet(source_dir)
+    from astra_perseverance_spark.streaming.source import event_file_stream
+
+    stream = event_file_stream(spark, source_dir, DOC_SCHEMA,
+                               required=("doc_id", "text"))
     return curation_gate(stream)
 
 
@@ -85,5 +88,8 @@ def curated_dedup(docs: DataFrame) -> DataFrame:
 def stream_curated_dedup(spark: SparkSession, source_dir: str) -> DataFrame:
     """The full streaming intake pipeline (gate + dedup) over a
     file-source stream; returns the unstarted streaming DataFrame."""
-    stream = spark.readStream.schema(DOC_SCHEMA).parquet(source_dir)
+    from astra_perseverance_spark.streaming.source import event_file_stream
+
+    stream = event_file_stream(spark, source_dir, DOC_SCHEMA,
+                               required=("doc_id", "text"))
     return curated_dedup(stream)

@@ -63,7 +63,10 @@ def stream_dedup_exact(spark: SparkSession, source_dir: str) -> DataFrame:
     """First-seen documents from a file-source stream, one per
     content digest within the watermark horizon.  Returns the
     unstarted streaming DataFrame; the caller picks sink/trigger."""
-    stream = spark.readStream.schema(DOC_SCHEMA).parquet(source_dir)
+    from astra_perseverance_spark.streaming.source import event_file_stream
+
+    stream = event_file_stream(spark, source_dir, DOC_SCHEMA,
+                               required=("doc_id", "text"))
     return (
         doc_digest_frame(stream)
         .withWatermark("ts", DEDUP_HORIZON)
@@ -71,8 +74,13 @@ def stream_dedup_exact(spark: SparkSession, source_dir: str) -> DataFrame:
     )
 
 
-# Ingestion-rate window width.
+# Ingestion-rate window width, and the throughput stream's OWN
+# lateness bound — deliberately not DEDUP_HORIZON: how long the dedup
+# operator retains digest state and how late a row may arrive for the
+# monitoring windows are unrelated operational trade-offs, and tuning
+# one must not silently move the other.
 RATE_WINDOW = "1 minute"
+RATE_LATENESS = "1 hour"  # value unchanged from the previously shared constant
 
 
 def with_event_time(docs: DataFrame) -> DataFrame:
@@ -122,6 +130,9 @@ def q_doc_minute_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_doc_minute_tokens(spark: SparkSession, source_dir: str) -> DataFrame:
     """The same aggregation over a file-source stream with a
     watermark; returns the unstarted streaming DataFrame."""
-    stream = spark.readStream.schema(DOC_SCHEMA).parquet(source_dir)
+    from astra_perseverance_spark.streaming.source import event_file_stream
+
+    stream = event_file_stream(spark, source_dir, DOC_SCHEMA,
+                               required=("doc_id", "text"))
     return doc_minute_token_agg(
-        with_event_time(stream).withWatermark("ts", DEDUP_HORIZON))
+        with_event_time(stream).withWatermark("ts", RATE_LATENESS))
