@@ -89,20 +89,22 @@ _DOC_COUNT: dict[tuple, int] = {}
 
 
 def n_vectors(spark: SparkSession, sf_dir: str) -> int:
-    key = (spark.sparkContext.applicationId, sf_dir)
+    db = bucketed_db()
+    key = (spark.sparkContext.applicationId, sf_dir, db)
     if key not in _VEC_COUNT:
-        _VEC_COUNT[key] = (
-            spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
-        )
+        src = (spark.table(f"{db}.embeddings") if db else
+               spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+        _VEC_COUNT[key] = src.count()
     return _VEC_COUNT[key]
 
 
 def n_docs(spark: SparkSession, sf_dir: str) -> int:
-    key = (spark.sparkContext.applicationId, sf_dir)
+    db = bucketed_db()
+    key = (spark.sparkContext.applicationId, sf_dir, db)
     if key not in _DOC_COUNT:
-        _DOC_COUNT[key] = (
-            spark.read.parquet(f"{sf_dir}/documents.parquet").count()
-        )
+        src = (spark.table(f"{db}.documents") if db else
+               spark.read.parquet(f"{sf_dir}/documents.parquet"))
+        _DOC_COUNT[key] = src.count()
     return _DOC_COUNT[key]
 
 
@@ -120,10 +122,20 @@ def vectors_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     query side).  Caching the derived columns once cut the warm
     LSH-bucket queries ~3× and the broadcast top-k ~30%; the cache is
     MEMORY_AND_DISK, so at 100 TB it spills rather than OOMs."""
+    def base() -> DataFrame:
+        # the bucketed embeddings table (write_bucketed_corpus) is
+        # already vec_id-clustered — the module contract ("sf_dir is
+        # ignored while set") applies to the vector side too, so the
+        # persisted table finally has its reader
+        db = bucketed_db()
+        if db:
+            return spark.table(f"{db}.embeddings")
+        return spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(
+            spark.sparkContext.defaultParallelism, "vec_id")
+
     return memo_frame(
         spark, sf_dir, ("vectors_bucket",),
-        lambda: spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
+        lambda: base()
         .select("vec_id", "label", quantize(F.col("embedding")).alias("eq"))
         .withColumn("n2", norm2_q(F.col("eq")))
         .withColumn(

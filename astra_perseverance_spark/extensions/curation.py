@@ -285,9 +285,6 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation, exact-integer counts and a single division — so the
     DuckDB twin matches bitwise and at scale the cost is O(postings)
     with a doc-keyed map-side-combined shuffle."""
-    from astra_perseverance_spark.extensions.dedup import (
-        capped_shingle_rows,
-    )
 
     sh = capped_shingle_rows(spark, sf_dir)
     return (
@@ -311,15 +308,19 @@ def q_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     Gopher pass counts/rate, and PII incidence — the one table a
     curation run reports to decide which slices need attention.
 
-    One join of two doc-grain frames (both derived from the same
-    corpus scan) followed by a (lang, source)-grain aggregation with
-    map-side partial sums; output cardinality is |lang|×|source|, so
-    the result broadcasts anywhere downstream."""
-    sig = quality_signals_frame(_docs(spark, sf_dir)).select(
-        "doc_id", "gopher_pass")
-    pii = _docs(spark, sf_dir).select(
-        "doc_id", "lang", "source", *pii_count_columns())
-    joined = pii.join(sig, "doc_id").select(
+    ONE pass over the corpus scan — the signal expressions and the
+    PII counters are projected together (``quality_signals_frame``'s
+    ``keep`` carries lang/source/PII through), so there is no
+    doc-grain self-join and the only exchange is the final
+    (lang, source)-grain aggregation with map-side partial sums;
+    output cardinality is |lang|×|source|, so the result broadcasts
+    anywhere downstream."""
+    sig = quality_signals_frame(
+        _docs(spark, sf_dir).select(
+            "doc_id", "text", "lang", "source", *pii_count_columns()),
+        keep=("lang", "source", "n_email", "n_ipv4", "n_phone"),
+    )
+    joined = sig.select(
         "lang", "source", "gopher_pass",
         ((F.col("n_email") + F.col("n_ipv4") + F.col("n_phone")) > 0)
         .alias("has_pii"),

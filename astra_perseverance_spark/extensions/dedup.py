@@ -36,6 +36,7 @@ from astra_perseverance_spark.functions.texthash import (
     MINHASH_BUCKET_CAP,
     MINHASH_JACCARD_MIN,
     MINHASH_P,
+    MINHASH_BANDS,
     MINHASH_ROWS,
     NGRAM_DF_CAP,
     SIMHASH_BLOCKS,
@@ -136,10 +137,13 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     anti-join the same pair would appear under both kinds).
     ORDER BY doc_id, dup_of."""
     d = content_digest_frame(spark, sf_dir)
+    # EVERY existing member of the digest group is an exact match —
+    # pairing only the group minimum would report the other identical
+    # existing docs as kind='near' (they also pass shingle Jaccard at
+    # 1.0), misclassifying true exact collisions
     old = (
         d.filter(F.col("doc_id") % 2 == 0)
-        .groupBy("content_md5")
-        .agg(F.min("doc_id").alias("dup_of"))
+        .select("content_md5", F.col("doc_id").alias("dup_of"))
     )
     exact = (
         d.filter(F.col("doc_id") % 2 == 1)
@@ -356,7 +360,7 @@ def _build_minhash_postings(sh: DataFrame) -> DataFrame:
                           for r in range(MINHASH_ROWS)],
                     ).alias("key"),
                 )
-                for b in range(8)
+                for b in range(MINHASH_BANDS)
             ])
         ).alias("bk"),
     ).select("doc_id", "bk.band", "bk.key")

@@ -223,20 +223,26 @@ def q_repeated_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode(F.split("text", "\n")).alias("line"))
         .select("doc_id", F.trim("line").alias("line"))
         .filter(F.length("line") > 0)
+        # digest BEFORE the shuffle: grouping on the raw line would
+        # ship full boilerplate text (license headers, nav blobs) in
+        # every map-side partial — the digest key keeps shuffle rows
+        # fixed-width, which is the narrow-ledger property the
+        # docstring promises
+        .select(
+            "doc_id",
+            F.md5("line").alias("line_md5"),
+            F.length("line").cast("long").alias("line_len"),
+        )
     )
     return (
-        lines.groupBy("line")
+        lines.groupBy("line_md5", "line_len")
         .agg(
             F.countDistinct("doc_id").cast("long").alias("n_docs"),
             F.count("*").cast("long").alias("n_occ"),
             F.min("doc_id").alias("rep_doc"),
         )
         .filter(F.col("n_docs") >= BOILERPLATE_MIN_DOCS)
-        .select(
-            F.md5("line").alias("line_md5"),
-            F.length("line").cast("long").alias("line_len"),
-            "n_docs", "n_occ", "rep_doc",
-        )
+        .select("line_md5", "line_len", "n_docs", "n_occ", "rep_doc")
         .orderBy("rep_doc", "line_md5")
     )
 

@@ -185,7 +185,11 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     and recombined mod M = 2^61−1 using the Mersenne identity
     2^61 ≡ 1 (mod M): a·2^31 ≡ (a >> 30) + ((a & (2^30−1)) << 31),
     every intermediate < 2^63.  Exactly equal to sum-then-mod."""
-    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    from astra_perseverance_spark.extensions.dedup import normalized_text
+
+    # the ONE normalization definition (dedup.normalized_text) — a
+    # second inline copy could silently drift from the digest path
+    norm = normalized_text()
     n_grams = F.length("nt") - (FP_GRAM - 1)
     # Deliberately NOT the cached docs_frame: repartition on the doc
     # grain inside this plan so the downstream windows inherit the

@@ -100,8 +100,11 @@ WITH d AS (
   FROM documents
 ),
 old AS (
-  SELECT content_md5, MIN(doc_id) AS dup_of
-  FROM d WHERE doc_id % 2 = 0 GROUP BY content_md5
+  -- every existing member of the digest group, not just its minimum:
+  -- an exact duplicate of a non-representative existing doc is still
+  -- kind='exact'
+  SELECT content_md5, doc_id AS dup_of
+  FROM d WHERE doc_id % 2 = 0
 ),
 exact AS (
   SELECT d.doc_id, old.dup_of, 'exact' AS kind

@@ -418,19 +418,50 @@ class TestGraphAndPipeline:
 
     def test_incremental_dedup_consistent_with_pair_queries(self, q):
         """Every cross-parity ngram pair must appear as a 'near' row
-        (new=odd side, existing=even side) and vice versa."""
+        (new=odd side, existing=even side) — unless the pair is an
+        exact digest collision, in which case it is reported under
+        'exact' (for EVERY existing member of the digest group, not
+        just the group representative) and anti-joined out of near."""
+        got = {(r["doc_id"], r["dup_of"], r["kind"])
+               for r in q("dedup_incremental").collect()}
+        exact_pairs = {(d, o) for d, o, k in got if k == "exact"}
         want = set()
         for r in q("ngram_jaccard").collect():
             a, b = r["doc_a"], r["doc_b"]
             if a % 2 == 0 and b % 2 == 1:
-                want.add((b, a, "near"))
+                pair = (b, a)
             elif a % 2 == 1 and b % 2 == 0:
-                want.add((a, b, "near"))
-        got = {(r["doc_id"], r["dup_of"], r["kind"])
-               for r in q("dedup_incremental").collect()}
+                pair = (a, b)
+            else:
+                continue
+            if pair not in exact_pairs:
+                want.add((*pair, "near"))
         assert {g for g in got if g[2] == "near"} == want
         for doc_id, dup_of, _ in got:
             assert doc_id % 2 == 1 or dup_of % 2 == 0
+
+    def test_incremental_exact_covers_whole_digest_group(self, spark,
+                                                         tmp_path):
+        """A new doc identical to TWO existing docs must report BOTH
+        as kind='exact' — pairing only the group minimum would
+        misclassify the other identical existing doc as 'near'."""
+        from astra_perseverance_spark.extensions.dedup import (
+            q_dedup_incremental,
+        )
+
+        rows = [(2, "the same body of text here", "en", "web", 26),
+                (4, "the same body of text here", "en", "web", 26),
+                (5, "the same body of text here", "en", "web", 26),
+                (6, "a completely different document", "en", "web", 31),
+                (7, "yet another unrelated text", "en", "web", 26)]
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, "
+                  "n_chars long"
+        ).write.parquet(str(tmp_path / "documents.parquet"))
+        got = {(r["doc_id"], r["dup_of"], r["kind"])
+               for r in q_dedup_incremental(spark, str(tmp_path)).collect()}
+        assert {(5, 2, "exact"), (5, 4, "exact")} <= got
+        assert (5, 4, "near") not in got and (5, 2, "near") not in got
 
 
 class TestSaltedTopkExactness:
