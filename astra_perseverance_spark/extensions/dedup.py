@@ -159,8 +159,12 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("doc_a").alias("doc_id"), F.col("doc_b").alias("dup_of"))
         )
         .withColumn("kind", F.lit("near"))
-        .join(exact.select("doc_id", "dup_of"), ["doc_id", "dup_of"],
-              "left_anti")
+        # shuffle_hash: the exact-pair frame is batch-sized but its size
+        # ESTIMATE (projection of a join) exceeds the broadcast threshold,
+        # so without the hint this anti-join plans SortMergeJoin — a
+        # double sort the engine's plan gate forbids (r8 regression)
+        .join(exact.select("doc_id", "dup_of").hint("shuffle_hash"),
+              ["doc_id", "dup_of"], "left_anti")
     )
     return exact.unionByName(near).orderBy("doc_id", "dup_of")
 

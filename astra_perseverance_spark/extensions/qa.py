@@ -17,10 +17,10 @@ Both are single-shuffle shapes:
   sides read bucketed warehouses; output carries only the docs that
   differ, which is the review-sized set.
 
-Not yet registered (the round-8 driver window is full); slated for a
-round-9 registry slot with the DuckDB twin in ``oracle/ext_sqls.py``
-— the pytest suite already runs the twin via a local DuckDB
-connection so parity is proven ahead of registration.
+``q_corpus_validate`` is registered (round 9) with its DuckDB twin
+in ``oracle/ext_sqls.py`` (``EXT_ORACLE_SQL["corpus_validate"]``);
+the pytest suite additionally runs the twin via a local DuckDB
+connection on adversarial fixtures (``tests/test_qa.py``).
 """
 
 from __future__ import annotations
@@ -94,41 +94,6 @@ def q_corpus_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
             for c in VALIDATE_CHECKS
         ])).alias("kv")
     ).select("kv.check", "kv.n_violations")
-
-
-# DuckDB twin, pytest-proven now, registered with the query in round 9.
-CORPUS_VALIDATE_SQL = """
-WITH flags AS (
-  SELECT
-    COALESCE(SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END), 0)
-      AS null_doc_id,
-    COALESCE(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END), 0)
-      AS null_text,
-    COALESCE(SUM(CASE WHEN text IS NOT NULL AND length(text) = 0
-        THEN 1 ELSE 0 END), 0) AS empty_text,
-    COALESCE(SUM(CASE WHEN text IS NOT NULL
-        AND COALESCE(n_chars, -1) != length(text)
-        THEN 1 ELSE 0 END), 0) AS n_chars_mismatch,
-    COALESCE(SUM(CASE WHEN NOT regexp_matches(
-        COALESCE(lang, ''), '^[a-z]{2,3}$')
-        THEN 1 ELSE 0 END), 0) AS lang_not_iso
-  FROM documents
-), dups AS (
-  SELECT COALESCE(SUM(CASE WHEN cnt > 1 THEN cnt END), 0)
-         AS duplicate_doc_id
-  FROM (SELECT doc_id, COUNT(*) AS cnt FROM documents
-        WHERE doc_id IS NOT NULL GROUP BY doc_id)
-)
-SELECT "check", n_violations FROM (
-  SELECT 'null_doc_id' AS "check", null_doc_id AS n_violations,
-         1 AS ord FROM flags
-  UNION ALL SELECT 'duplicate_doc_id', duplicate_doc_id, 2 FROM dups
-  UNION ALL SELECT 'null_text', null_text, 3 FROM flags
-  UNION ALL SELECT 'empty_text', empty_text, 4 FROM flags
-  UNION ALL SELECT 'n_chars_mismatch', n_chars_mismatch, 5 FROM flags
-  UNION ALL SELECT 'lang_not_iso', lang_not_iso, 6 FROM flags
-) ORDER BY ord
-"""
 
 
 def corpus_diff(spark: SparkSession, old_dir: str,

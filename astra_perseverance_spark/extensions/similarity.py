@@ -551,10 +551,10 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: one row per PRUNED vector — (vec_id, cid, kept_by,
     cosine) where kept_by is its highest-cosine smaller-id cluster
     mate (ties → smallest id); exact integer cosine, so the frame is
-    engine-reproducible.  Staged for round-9 registration (the
-    round-8 driver window is full); the DuckDB twin is
-    ``oracle.ext_sqls.SEMDEDUP_CANDIDATE_SQL``, parity-proven in
-    ``tests/test_semdedup.py`` ahead of registration."""
+    engine-reproducible.  Registered round 9; the DuckDB twin is
+    ``oracle.ext_sqls.EXT_ORACLE_SQL["semdedup"]``, parity-proven in
+    ``tests/test_semdedup.py`` since round 8 (ahead of
+    registration)."""
     ranked = memo_frame(spark, sf_dir, ("ivf_kmeans_lists",),
                         lambda: _build_ivf_kmeans_lists(spark, sf_dir))
     assign = ranked.filter(F.col("crank") == 1).select(

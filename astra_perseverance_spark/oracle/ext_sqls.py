@@ -1066,18 +1066,15 @@ SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_exact,
 FROM hits GROUP BY query_id ORDER BY query_id
 """
 
-# STAGED round-9 candidate (extensions/similarity.py::q_semdedup) —
-# deliberately NOT in EXT_ORACLE_SQL yet: the round-8 driver window is
-# full, and a registered query must be inside the top-50 rotation
-# window.  Parity is proven ahead of registration in
-# tests/test_semdedup.py; round 9 moves this into the dict next to a
-# registry entry.  Same trained-kmeans assignment CTEs as
-# ann_ivf_kmeans (shared verbatim), then a cid-local dominance prune.
+# Twin of extensions/similarity.py::q_semdedup (registered round 9;
+# staged + parity-proven in tests/test_semdedup.py since round 8).
+# Same trained-kmeans assignment CTEs as ann_ivf_kmeans (shared
+# verbatim), then a cid-local dominance prune.
 from astra_perseverance_spark.extensions.similarity import (  # noqa: E402
     SEMDEDUP_COSINE_MIN,
 )
 
-SEMDEDUP_CANDIDATE_SQL = f"""
+EXT_ORACLE_SQL["semdedup"] = f"""
 WITH {_VEC},
 c0 AS (SELECT vec_id AS cid, eq AS c_eq, n2 AS c_n2 FROM vn
        WHERE vec_id % (SELECT stride FROM strd) = 0),
@@ -1104,6 +1101,42 @@ r AS (
   FROM p WHERE cosine >= {SEMDEDUP_COSINE_MIN}
 )
 SELECT vec_id, cid, kept_by, cosine FROM r WHERE rn = 1 ORDER BY vec_id
+"""
+
+# Twin of extensions/qa.py::q_corpus_validate (registered round 9;
+# staged + parity-proven in tests/test_qa.py since round 8).  Plain
+# string, not f-string — the lang regex needs literal {2,3}.
+EXT_ORACLE_SQL["corpus_validate"] = """
+WITH flags AS (
+  SELECT
+    COALESCE(SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END), 0)
+      AS null_doc_id,
+    COALESCE(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END), 0)
+      AS null_text,
+    COALESCE(SUM(CASE WHEN text IS NOT NULL AND length(text) = 0
+        THEN 1 ELSE 0 END), 0) AS empty_text,
+    COALESCE(SUM(CASE WHEN text IS NOT NULL
+        AND COALESCE(n_chars, -1) != length(text)
+        THEN 1 ELSE 0 END), 0) AS n_chars_mismatch,
+    COALESCE(SUM(CASE WHEN NOT regexp_matches(
+        COALESCE(lang, ''), '^[a-z]{2,3}$')
+        THEN 1 ELSE 0 END), 0) AS lang_not_iso
+  FROM documents
+), dups AS (
+  SELECT COALESCE(SUM(CASE WHEN cnt > 1 THEN cnt END), 0)
+         AS duplicate_doc_id
+  FROM (SELECT doc_id, COUNT(*) AS cnt FROM documents
+        WHERE doc_id IS NOT NULL GROUP BY doc_id)
+)
+SELECT "check", CAST(n_violations AS BIGINT) AS n_violations FROM (
+  SELECT 'null_doc_id' AS "check", null_doc_id AS n_violations,
+         1 AS ord FROM flags
+  UNION ALL SELECT 'duplicate_doc_id', duplicate_doc_id, 2 FROM dups
+  UNION ALL SELECT 'null_text', null_text, 3 FROM flags
+  UNION ALL SELECT 'empty_text', empty_text, 4 FROM flags
+  UNION ALL SELECT 'n_chars_mismatch', n_chars_mismatch, 5 FROM flags
+  UNION ALL SELECT 'lang_not_iso', lang_not_iso, 6 FROM flags
+) ORDER BY ord
 """
 
 EXT_ORACLE_SQL["embedding_label_probe"] = f"""

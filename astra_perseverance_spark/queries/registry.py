@@ -20,27 +20,24 @@ queries get a hard driver-side correctness row each round:
    local pytest oracle-parity gate (tests/test_oracle_parity.py
    parametrizes the full registry) and the bench suite.
 
-Round-8 rotation (freshness deadline first, then rule 2):
+Round-9 rotation (freshness deadline first, then rule 2):
 
-* Into the window: the 22 queries whose last driver row is r5
-  (ann_incremental, bpe_merges, bpe_token_count, corpus_rollup,
-  decontaminate, dedup_incremental, dedup_minhash_lsh, dedup_simhash,
-  doc_chunks, doc_fingerprint, dup_spans, html_extract, ngram_counts,
-  ngram_novelty, quality_filter, quality_report, quality_signals,
-  repeated_lines, script_profile, seq_pack, source_mix, token_rarity)
-  — r8 is the last round their K=3 freshness budget
-  (tests/test_rotation.py) allows, so they take the window wholesale.
-  Then the six NEW or code-changed entries: events_sessionize_capped
-  + ann_incremental_pq (new this round), events_sessionize (its body
-  moved into the shared ``_sessionize`` helper the capped variant
-  composes), multimodal_features + multimodal_frame_sample (the
-  ``_jpeg_dims`` fill-byte/bounds fix sits on their decode path), and
-  gc_sessions (its module gained the sessionization stream's lateness
-  reorder buffer; also r6-last, so this pre-pays one r9 slot).
-* To the tail, ordered for round 9: first the 17 remaining queries
-  whose last driver row is r6 (shard_manifest … embedding_dup_clusters
-  below) — they are due in r9 (22 parity + 17 = 39 slots, leaving 11
-  free); then the r7-green entries (due r10).
+* Into the window: the 17 queries whose last driver row is r6
+  (shard_manifest … embedding_dup_clusters) — r9 is the last round
+  their K=3 freshness budget (tests/test_rotation.py) allows, so they
+  take positions 23–39 wholesale.  Then the new/changed tier at
+  40–43: semdedup + corpus_validate (NEWLY REGISTERED this round —
+  both were staged + pytest-parity-proven in r8, window-blocked by the
+  r5 rotation), and dedup_incremental + split_assign_incremental
+  (their near-vs-exact anti-join gained the shuffle_hash hint that
+  fixes the r8 SortMergeJoin plan regression; split_assign_incremental
+  shares the lineage via q_dedup_incremental).  Positions 44–50
+  pre-pay the r10 squeeze with the 7 oldest r7-green entries
+  (text_stats … dedup_keep_list).
+* To the tail, ordered for round 10: first the 16 remaining r7-green
+  queries (doc_minute_tokens … ann_recall_ivf_pq below) — due in r10,
+  so r10's window is 22 parity + 16 = 38 rows, leaving 12 free; then
+  the 27 r8-green entries (due r11).
 """
 
 from __future__ import annotations
@@ -55,6 +52,7 @@ from astra_perseverance_spark.extensions import (
     multimodal,
     pipeline,
     prep,
+    qa,
     similarity,
     text_stats,
     timeseries,
@@ -101,40 +99,8 @@ QUERY_REGISTRY: dict[str, QueryFn] = {
     # Findings framework + Q20 nested summary
     "warnings": warnings.q_warnings,
     "summary_json": summary.q_summary_json,
-    # ---- Tier 2: the 22 r5-last queries — K=3 freshness deadline,
-    # r8 is the last round they can be refreshed (see docstring) ----
-    "ann_incremental": similarity.q_ann_incremental,
-    "bpe_merges": training.q_bpe_merges,
-    "bpe_token_count": training.q_bpe_token_count,
-    "corpus_rollup": pipeline.q_corpus_rollup,
-    "decontaminate": curation.q_decontaminate,
-    "dedup_incremental": dedup.q_dedup_incremental,
-    "dedup_minhash_lsh": dedup.q_dedup_minhash_lsh,
-    "dedup_simhash": dedup.q_dedup_simhash,
-    "doc_chunks": prep.q_doc_chunks,
-    "doc_fingerprint": text_stats.q_doc_fingerprint,
-    "dup_spans": training.q_dup_spans,
-    "html_extract": prep.q_html_extract,
-    "ngram_counts": pipeline.q_ngram_counts,
-    "ngram_novelty": curation.q_ngram_novelty,
-    "quality_filter": pipeline.q_quality_filter,
-    "quality_report": curation.q_quality_report,
-    "quality_signals": curation.q_quality_signals,
-    "repeated_lines": prep.q_repeated_lines,
-    "script_profile": prep.q_script_profile,
-    "seq_pack": training.q_seq_pack,
-    "source_mix": curation.q_source_mix,
-    "token_rarity": prep.q_token_rarity,
-    # ---- Tier 3: NEW or code changed this round ----
-    "events_sessionize_capped": timeseries.q_events_sessionize_capped,
-    "ann_incremental_pq": similarity.q_ann_incremental_pq,
-    "events_sessionize": timeseries.q_events_sessionize,
-    "multimodal_features": multimodal.q_multimodal_features,
-    "multimodal_frame_sample": multimodal.q_multimodal_frame_sample,
-    "gc_sessions": gc_stream.q_gc_sessions,
-    # ---- Tier 4: tail (>50) — first the 17 r6-last queries (due in
-    # the r9 window), then the r7-green entries (due r10); all still
-    # covered by the full-registry pytest oracle-parity gate + bench --
+    # ---- Tier 2: the 17 r6-last queries — K=3 freshness deadline,
+    # r9 is the last round they can be refreshed (see docstring) ----
     "shard_manifest": training.q_shard_manifest,
     "dedup_recall_audit": training.q_dedup_recall_audit,
     "curation_funnel": training.q_curation_funnel,
@@ -152,6 +118,13 @@ QUERY_REGISTRY: dict[str, QueryFn] = {
     "ann_recall_audit": similarity.q_ann_recall_audit,
     "embedding_cosine_dups": similarity.q_embedding_cosine_dups,
     "embedding_dup_clusters": similarity.q_embedding_dup_clusters,
+    # ---- Tier 3: NEW registrations or code changed this round ----
+    "semdedup": similarity.q_semdedup,
+    "corpus_validate": qa.q_corpus_validate,
+    "dedup_incremental": dedup.q_dedup_incremental,
+    "split_assign_incremental": training.q_split_assign_incremental,
+    # ---- Tier 4: r10 pre-pay — the 7 oldest r7-green entries take
+    # the window's remaining slots so r10 inherits 16 due, not 24 ----
     "text_stats": text_stats.q_text_stats,
     "embedding_topk": similarity.q_embedding_topk,
     "dedup_exact": dedup.q_dedup_exact,
@@ -159,6 +132,9 @@ QUERY_REGISTRY: dict[str, QueryFn] = {
     "ann_recall_ivf_kmeans": similarity.q_ann_recall_ivf_kmeans,
     "embedding_label_probe": similarity.q_embedding_label_probe,
     "dedup_keep_list": dedup.q_dedup_keep_list,
+    # ---- Tail (>50) — first the 16 remaining r7-green queries (due
+    # in the r10 window), then the 27 r8-green entries (due r11); all
+    # covered by the full-registry pytest oracle-parity gate + bench --
     "doc_minute_tokens": doc_stream.q_doc_minute_tokens,
     "lang_id": text_stats.q_lang_id,
     "token_count": text_stats.q_token_count,
@@ -167,7 +143,6 @@ QUERY_REGISTRY: dict[str, QueryFn] = {
     "corpus_sample": pipeline.q_corpus_sample,
     "corpus_sample_fixed": pipeline.q_corpus_sample_fixed,
     "user_skew_audit": timeseries.q_user_skew_audit,
-    "split_assign_incremental": training.q_split_assign_incremental,
     "split_assign": training.q_split_assign,
     "events_asof": timeseries.q_events_asof,
     "events_asof_1h": timeseries.q_events_asof_1h,
@@ -176,6 +151,34 @@ QUERY_REGISTRY: dict[str, QueryFn] = {
     "events_funnel": timeseries.q_events_funnel,
     "ann_ivf_pq": similarity.q_ann_ivf_pq,
     "ann_recall_ivf_pq": similarity.q_ann_recall_ivf_pq,
+    # r8-green (due r11)
+    "ann_incremental": similarity.q_ann_incremental,
+    "bpe_merges": training.q_bpe_merges,
+    "bpe_token_count": training.q_bpe_token_count,
+    "corpus_rollup": pipeline.q_corpus_rollup,
+    "decontaminate": curation.q_decontaminate,
+    "dedup_minhash_lsh": dedup.q_dedup_minhash_lsh,
+    "dedup_simhash": dedup.q_dedup_simhash,
+    "doc_chunks": prep.q_doc_chunks,
+    "doc_fingerprint": text_stats.q_doc_fingerprint,
+    "dup_spans": training.q_dup_spans,
+    "html_extract": prep.q_html_extract,
+    "ngram_counts": pipeline.q_ngram_counts,
+    "ngram_novelty": curation.q_ngram_novelty,
+    "quality_filter": pipeline.q_quality_filter,
+    "quality_report": curation.q_quality_report,
+    "quality_signals": curation.q_quality_signals,
+    "repeated_lines": prep.q_repeated_lines,
+    "script_profile": prep.q_script_profile,
+    "seq_pack": training.q_seq_pack,
+    "source_mix": curation.q_source_mix,
+    "token_rarity": prep.q_token_rarity,
+    "events_sessionize_capped": timeseries.q_events_sessionize_capped,
+    "ann_incremental_pq": similarity.q_ann_incremental_pq,
+    "events_sessionize": timeseries.q_events_sessionize,
+    "multimodal_features": multimodal.q_multimodal_features,
+    "multimodal_frame_sample": multimodal.q_multimodal_frame_sample,
+    "gc_sessions": gc_stream.q_gc_sessions,
 }
 
 # Queries with no SQL-expressible oracle (driver runs rows-only check).

@@ -75,7 +75,11 @@ def compact_parquet(spark: SparkSession, path: str,
     {files_before, files_after, bytes, rows}; ``rows`` is -1 when
     nothing was rewritten (the no-op path never scans — a scheduled
     run over an already-compact 100 TB dataset costs a listing, not a
-    read) or when ``audit=False``.
+    read) or when ``audit=False``.  ``rows`` is the SNAPSHOT count —
+    the rows the rewrite consumed and audited; rows rescued from a
+    concurrent writer after the snapshot (below) are in the dataset
+    but not in the count (re-count the directory if an exact
+    post-swap total matters).
 
     No-op (nothing rewritten) when the dataset already has no more
     files than the target implies — safe to run on a schedule.
@@ -189,8 +193,16 @@ def compact_parquet(spark: SparkSession, path: str,
         if _is_bookkeeping(old_root, p.toUri().getPath()):
             continue
         if p.getName() not in snapshot:
-            fs.rename(p, jvm.org.apache.hadoop.fs.Path(
-                path.rstrip("/") + "/" + p.getName()))
+            # preserve the file's path RELATIVE to the dataset root —
+            # a concurrent writer may have committed into a nested
+            # (e.g. hive-partition) subdirectory, and flattening to
+            # the basename would detach the row group from its
+            # partition key
+            rel = os.path.relpath(p.toUri().getPath(), old_root)
+            dest = jvm.org.apache.hadoop.fs.Path(
+                path.rstrip("/") + "/" + rel)
+            fs.mkdirs(dest.getParent())
+            fs.rename(p, dest)
     fs.delete(jold, True)
     files_after, _ = _data_files(fs, jpath)
     return {"files_before": files_before, "files_after": files_after,

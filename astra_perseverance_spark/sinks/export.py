@@ -227,8 +227,15 @@ def export_webdataset(spark: SparkSession, sf_dir: str, out_dir: str,
     function's output frame IS the shard manifest.  Tar members are
     written with zeroed mtime/uid/gid so shard bytes are reproducible.
 
-    ``out_dir`` must be visible to the executors (local mode: any
-    local path; a cluster: a mounted/object store path).  ``docs``
+    ``out_dir`` must be a POSIX path on a filesystem visible to BOTH
+    the driver and every executor (local mode: any local path; a
+    cluster: a shared mount such as NFS).  Object-store URIs are
+    rejected up front: shard-dir creation/cleanup runs driver-local
+    ``os`` calls and executors write tars via ``tarfile``/
+    ``os.replace``, so an ``s3a://`` path would silently create a
+    literal local ``s3a:`` directory — export to a mount, or copy the
+    finished shard dir to the object store afterwards (tar shards are
+    immutable once written, so a post-hoc copy is safe).  ``docs``
     overrides the corpus frame (same contract columns) — how the CLI
     shards the CURATED corpus instead of the raw one.
 
@@ -253,6 +260,12 @@ def export_webdataset(spark: SparkSession, sf_dir: str, out_dir: str,
     from astra_perseverance_spark.extensions.corpus import docs_frame
     from astra_perseverance_spark.functions.texthash import h15
 
+    if "://" in out_dir:
+        raise ValueError(
+            f"export_webdataset writes via driver/executor-local "
+            f"POSIX I/O; out_dir must be a shared-filesystem path, "
+            f"not a URI: {out_dir!r}"
+        )
     shards_path = os.path.join(out_dir, "shards")
     os.makedirs(shards_path, exist_ok=True)
     # stale shards from a previous export of a larger corpus would

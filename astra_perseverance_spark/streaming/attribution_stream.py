@@ -36,10 +36,28 @@ in-between rows are a documented change stream.  The state tracks
 the last emitted (asof_ns, asof_event_id) per still-buffered
 purchase so an unchanged provisional row is never re-emitted on
 buffer replay, and a finalization that matches the already-emitted
-provisional row is suppressed too.  A production deployment would add an inactivity
-TTL (event-time timeout) to drop dormant users' state; the operator
-keeps NoTimeout so attribution survives arbitrarily long user gaps
-on the test corpus.
+provisional row is suppressed too.  Dormant-user state GC: pass
+``inactivity_timeout_ms`` and the operator arms a per-user
+``ProcessingTimeTimeout`` — a user with no traffic for that long has
+their buffered purchases FINALIZED against everything already
+replayed (the reorder buffer exists to wait for in-budget
+stragglers; a user silent past the inactivity budget has, by
+declaration, none coming) and their state row dropped, so state
+stays bounded by the ACTIVE user set instead of growing with every
+user ever seen.  A user who returns later starts fresh — their next
+purchase attributes only against clicks from the new activity burst,
+the same declared monotone degradation as an over-budget late
+arrival.  The default (``None``) keeps NoTimeout so attribution
+survives arbitrarily long user gaps on the bounded test corpus.
+
+State-schema compatibility (STATE_FORMAT_VERSION): the state row
+widened in round 8 (em_eid/em_ans/em_aeid — the emitted-provisional
+ledger).  ``applyInPandasWithState`` persists state rows in the
+checkpoint, so a streaming query RESUMED from a checkpoint written
+by an earlier version fails on the schema mismatch; the supported
+upgrade is a fresh checkpoint (replay the source, or drain the old
+query to empty first).  Bump ``STATE_FORMAT_VERSION`` on any state
+schema/semantics change so deployments can gate resume-vs-fresh.
 """
 
 from __future__ import annotations
@@ -58,16 +76,25 @@ _STATE_SCHEMA = (
 
 REORDER_BUFFER_CAP = 4096
 
+# Bumped whenever _STATE_SCHEMA or the meaning of a state field
+# changes; a checkpoint from another version needs a fresh start
+# (see module docstring).  v2 = round-8 emitted-provisional ledger.
+STATE_FORMAT_VERSION = 2
+
 # NULL attribution (purchase with no prior click) inside the emitted-
 # provisional state arrays (event-time ns / event ids are non-negative).
 _NULL_NS = -1
 
 
-def _make_attr_update(lateness_ns: int):
+def _make_attr_update(lateness_ns: int, timeout_ms: int | None = None):
     def _attr_update(key, pdf_iter, state):
         import pandas as pd
 
         user = key[0]
+        # inactivity GC: the group fires with no input once the user
+        # has been quiet for timeout_ms — finalize the whole buffer
+        # and drop the state row (module docstring, round-9)
+        timed_out = timeout_ms is not None and bool(state.hasTimedOut)
         if state.exists:
             (ns0, eid0, max_ns, pend_ns, pend_eid, pend_click,
              em_eid, em_ans, em_aeid) = tuple(state.get)
@@ -91,6 +118,10 @@ def _make_attr_update(lateness_ns: int):
             batch_max = max(ns for ns, _e, _c in events)
             max_ns = batch_max if max_ns is None else max(max_ns, batch_max)
         wm = (max_ns - lateness_ns) if max_ns is not None else None
+        if timed_out and max_ns is not None:
+            # no in-budget straggler is coming from a user this quiet:
+            # the whole buffer finalizes (wm past every buffered ns)
+            wm = max_ns
         # (ns, clicks-first, event_id): an equal-ns click attributes
         # the purchase regardless of event_id — the batch twin's
         # inclusive right.ts <= left.ts semantics (functions.asof)
@@ -143,17 +174,22 @@ def _make_attr_update(lateness_ns: int):
                     emit(eid, ns, hit)
                 new_emitted[eid] = key_hit
         enc = (lambda x: _NULL_NS if x is None else int(x))
-        state.update((
-            latest[0] if latest else None,
-            latest[1] if latest else None,
-            max_ns,
-            [ns for ns, _k, _e in pend],
-            [e for _ns, _k, e in pend],
-            [k == 0 for _ns, k, _e in pend],
-            [int(e) for e in new_emitted],
-            [enc(a) for a, _ae in new_emitted.values()],
-            [enc(ae) for _a, ae in new_emitted.values()],
-        ))
+        if timed_out:
+            state.remove()
+        else:
+            state.update((
+                latest[0] if latest else None,
+                latest[1] if latest else None,
+                max_ns,
+                [ns for ns, _k, _e in pend],
+                [e for _ns, _k, e in pend],
+                [k == 0 for _ns, k, _e in pend],
+                [int(e) for e in new_emitted],
+                [enc(a) for a, _ae in new_emitted.values()],
+                [enc(ae) for _a, ae in new_emitted.values()],
+            ))
+            if timeout_ms is not None:
+                state.setTimeoutDuration(timeout_ms)
         yield pd.DataFrame({
             "event_id": pd.Series(out["event_id"], dtype="Int64"),
             "user_id": pd.Series([user] * len(out["event_id"]),
@@ -170,13 +206,22 @@ def _make_attr_update(lateness_ns: int):
 def stream_events_asof(spark: SparkSession, source_dir: str,
                        schema: str | None = None,
                        max_files_per_trigger: int | None = None,
-                       lateness_ns: int = 0):
+                       lateness_ns: int = 0,
+                       inactivity_timeout_ms: int | None = None):
     """Streaming as-of attribution over a file-source event stream
     (rows: event_id, user_id, event_type, ns).  Returns the unstarted
     streaming DataFrame; the batch twin is
     ``extensions.timeseries.q_events_asof``.  ``lateness_ns`` enables
     the watermark-bounded reorder buffer (see module docstring); 0
-    keeps immediate attribution."""
+    keeps immediate attribution.  ``inactivity_timeout_ms`` arms the
+    dormant-user GC: a user quiet for that long has their buffered
+    purchases finalized and their state row dropped (see module
+    docstring) — at 100-TB scale this is what keeps the state store
+    bounded by the active user set.  Caller note: with the timeout
+    armed Spark runs a no-data micro-batch every trigger to evaluate
+    timers, so ``processAllAvailable()`` never returns — synchronize
+    on the sink's contents (or ``awaitTermination`` with
+    ``availableNow``) instead."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     from astra_perseverance_spark.streaming.source import (
@@ -188,13 +233,16 @@ def stream_events_asof(spark: SparkSession, source_dir: str,
         spark, source_dir, sch,
         required=("event_id", "user_id", "event_type", "ns"),
         max_files_per_trigger=max_files_per_trigger)
+    timeout = (GroupStateTimeout.NoTimeout
+               if inactivity_timeout_ms is None
+               else GroupStateTimeout.ProcessingTimeTimeout)
     return (
         stream.groupBy("user_id")
         .applyInPandasWithState(
-            _make_attr_update(lateness_ns),
+            _make_attr_update(lateness_ns, inactivity_timeout_ms),
             outputStructType=_OUT_SCHEMA,
             stateStructType=_STATE_SCHEMA,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=timeout,
         )
     )

@@ -32,6 +32,13 @@ against that sequence — the longest common prefix was already
 emitted, so a pure replay (new events outside the buffered region)
 re-emits nothing, and a correction re-emits only from the first
 tuple that actually changed.
+
+State-schema compatibility (STATE_FORMAT_VERSION): the state row
+widened in round 8 (em_v/em_c/em_p — the emitted-provisional
+ledger).  A streaming query resumed from a checkpoint written by an
+earlier version fails on the state-schema mismatch; the supported
+upgrade is a fresh checkpoint (replay the source, or drain the old
+query to empty first).
 """
 
 from __future__ import annotations
@@ -52,6 +59,11 @@ _STATE_SCHEMA = (
 # Unreached funnel steps are None in the emitted tuples but state
 # arrays carry them as this sentinel (event-time ns are non-negative).
 _NULL_NS = -1
+
+# Bumped whenever _STATE_SCHEMA or the meaning of a state field
+# changes; a checkpoint from another version needs a fresh start
+# (see module docstring).  v2 = round-8 emitted-provisional ledger.
+STATE_FORMAT_VERSION = 2
 
 _STEP_PRIORITY = {"view": 0, "click": 1, "purchase": 2}
 # Defensive bound on the per-user reorder buffer: the lateness budget

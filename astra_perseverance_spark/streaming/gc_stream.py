@@ -89,6 +89,18 @@ _SESSION_STATE_SCHEMA = (
     "max_ts long, pend_ts array<long>, pend_pm array<long>"
 )
 
+# Bumped whenever _SESSION_STATE_SCHEMA or the MEANING of a state
+# field changes; a checkpoint from another version needs a fresh
+# start (replay the source or drain the old query first).  v2 =
+# round 8: gained max_ts/pend_ts/pend_pm (resume from v1 fails on
+# the schema mismatch — loud) AND switched start/end from epoch
+# SECONDS to MICROS.  The unit change alone would have been SILENT
+# on resume — seconds-valued state reinterpreted as micros — which
+# is exactly why this version marker exists: any future
+# same-shape/different-meaning change must bump it so deployments
+# gate resume-vs-fresh on the constant, not on a crash.
+STATE_FORMAT_VERSION = 2
+
 # Defensive bound on the per-node reorder buffer (the lateness budget
 # already bounds it by budget × event rate): oldest buffered events
 # finalize eagerly rather than growing state.

@@ -71,17 +71,32 @@ def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def _result_digest(df) -> int:
-    """Order-insensitive Spark-side digest of a result frame: bit_xor
-    of per-row xxhash64 over the name-sorted stringified columns — one
-    scalar crosses to the driver, the rows never do."""
+def _result_digest(df) -> str:
+    """Order-insensitive Spark-side digest of a result frame — three
+    scalars cross to the driver, the rows never do.  bit_xor alone
+    cancels rows with even multiplicity (a row appearing 2 vs 0 times
+    digests identically), so the digest combines COUNT + wrapping SUM
+    + XOR of the per-row xxhash64: a multiset difference now needs a
+    simultaneous xor- AND sum-collision to go unseen.  The NULL
+    sentinel is a \\x00-framed token no real cast-to-string value can
+    produce (the old literal 'NULL' collided with a real string)."""
     from pyspark.sql import functions as F
 
-    cols = [F.coalesce(F.col(c).cast("string"), F.lit("NULL"))
+    null_tok = "\x00N\x00"
+    cols = [F.coalesce(F.col(c).cast("string"), F.lit(null_tok))
             for c in sorted(df.columns)]
-    h = df.select(F.xxhash64(F.concat_ws("|", *cols)).alias("h"))
-    row = h.agg(F.expr("bit_xor(h)")).collect()[0][0]
-    return int(row) if row is not None else 0
+    h = df.select(
+        F.xxhash64(F.concat_ws("\x00|", *cols)).alias("h"))
+    cnt, s, x = h.agg(
+        F.count("h"),
+        # wrapping 64-bit sum: Spark's SUM(bigint) overflow would fail
+        # under ANSI mode, so sum in two 32-bit halves and recombine
+        F.sum(F.expr("h & 4294967295")),
+        F.expr("bit_xor(h)"),
+    ).collect()[0]
+    if not cnt:
+        return "0:0:0"
+    return f"{int(cnt)}:{int(s) & ((1 << 64) - 1)}:{int(x)}"
 
 
 # The query families the bucketed warehouse exists for: user_id-keyed
@@ -159,6 +174,11 @@ def main() -> int:
     repeat = int(os.environ.get("BENCH_REPEAT", "2"))
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else 0.0
+    # Run context (r8 postmortem: a concurrently-loaded machine
+    # inflated the driver's recorded suite ~1.44× uniformly and cost a
+    # round of adjudication).  loadavg before/after lets a reader
+    # discount a hot-machine recording without re-running anything.
+    load_before = os.getloadavg()
 
     from astra_perseverance_spark import get_spark
     from astra_perseverance_spark.extensions.corpus import BUCKETED_DB_ENV
@@ -235,6 +255,12 @@ def main() -> int:
         "sf_dir": sf_dir,
         "queries": timings,
         "plans": plans,
+        "run_context": {
+            "bench_repeat": repeat,
+            "loadavg_before": [round(x, 2) for x in load_before],
+            "loadavg_after": [round(x, 2) for x in os.getloadavg()],
+            "cpus": os.cpu_count(),
+        },
     }
     if bucketed is not None:
         detail["bucketed"] = bucketed

@@ -262,3 +262,64 @@ def test_events_jsonl_required_fields_and_corrupt_lines(spark, tmp_path):
            read_events_jsonl(spark, str(p), strict=False).collect()}
     assert set(got) == {1, 3}
     assert got[3]["value"] == 9.5 and got[1]["value"] is None
+
+
+def test_streamed_corpus_seal_compact_preserves_query_results(
+        spark, tmp_path):
+    """End-to-end ingest lifecycle (r8 verdict #7): JSONL lands in two
+    drops → exactly-once streaming ingest (twice, same checkpoint) →
+    sealing compaction (finalize_streaming_sink) → the compacted
+    corpus hash-matches the uncompacted streamed corpus on registered
+    queries spanning three shapes (digest groupBy, lang/source rollup,
+    bucketless doc_id join) — compaction must be invisible to every
+    reader, not just to a row count."""
+    import glob
+    import json
+
+    from astra_perseverance_spark.conformed.model import release_memos
+    from astra_perseverance_spark.queries import QUERY_REGISTRY
+    from astra_perseverance_spark.sinks.compact import compact_corpus
+    from astra_perseverance_spark.sources.corpus_jsonl import (
+        stream_ingest_jsonl_corpus,
+    )
+
+    dump = tmp_path / "dump"
+    dump.mkdir()
+    corpus = str(tmp_path / "corpus")
+
+    def land(name, ids):
+        (dump / name).write_text("\n".join(
+            json.dumps({"doc_id": i,
+                        # plant exact duplicates so dedup_exact has
+                        # real groups to find
+                        "text": f"body of document {i % 37}",
+                        "lang": ["en", "de", "fr"][i % 3],
+                        "source": ["web", "book"][i % 2]})
+            for i in ids))
+
+    land("part-0.jsonl", range(0, 60))
+    stream_ingest_jsonl_corpus(spark, str(dump), corpus)
+    land("part-1.jsonl", range(60, 120))
+    stream_ingest_jsonl_corpus(spark, str(dump), corpus)
+
+    names = ["dedup_exact", "corpus_rollup", "doc_digest_join"]
+    release_memos(spark)
+    before = {n: {tuple(r) for r in
+                  QUERY_REGISTRY[n](spark, corpus).collect()}
+              for n in names}
+    assert all(before[n] for n in names)  # non-trivial results
+
+    files_before = len(glob.glob(f"{corpus}/documents.parquet/part-*"))
+    stats = compact_corpus(spark, corpus, target_bytes=1 << 30,
+                           finalize_streaming_sink=True)
+    assert stats["documents.parquet"]["rows"] == 120
+    files_after = len(glob.glob(f"{corpus}/documents.parquet/part-*"))
+    assert files_after < files_before
+    # sealed: the streaming commit log is gone, plain batch dataset
+    assert not glob.glob(f"{corpus}/documents.parquet/_spark_metadata")
+
+    release_memos(spark)
+    after = {n: {tuple(r) for r in
+                 QUERY_REGISTRY[n](spark, corpus).collect()}
+             for n in names}
+    assert after == before

@@ -48,15 +48,16 @@ class TestCorpusValidate:
 
     def test_duckdb_twin_parity(self, spark, qa_dir):
         from astra_perseverance_spark.extensions.qa import (
-            CORPUS_VALIDATE_SQL,
             q_corpus_validate,
         )
+        from astra_perseverance_spark.oracle.ext_sqls import EXT_ORACLE_SQL
 
         con = duckdb.connect()
         con.sql(f"CREATE VIEW documents AS SELECT * FROM "
                 f"'{qa_dir}/documents.parquet/*.parquet'")
         oracle = {r[0]: int(r[1])
-                  for r in con.sql(CORPUS_VALIDATE_SQL).fetchall()}
+                  for r in con.sql(
+                      EXT_ORACLE_SQL["corpus_validate"]).fetchall()}
         got = {r["check"]: r["n_violations"]
                for r in q_corpus_validate(spark, qa_dir).collect()}
         assert got == oracle
@@ -113,9 +114,9 @@ class TestCorpusDiff:
         import duckdb
 
         from astra_perseverance_spark.extensions.qa import (
-            CORPUS_VALIDATE_SQL,
             q_corpus_validate,
         )
+        from astra_perseverance_spark.oracle.ext_sqls import EXT_ORACLE_SQL
 
         spark.createDataFrame([], SCHEMA).write.parquet(
             str(tmp_path / "documents.parquet"))
@@ -125,7 +126,8 @@ class TestCorpusDiff:
         con = duckdb.connect()
         con.sql(f"CREATE VIEW documents AS SELECT * FROM "
                 f"'{tmp_path}/documents.parquet/*.parquet'")
-        oracle = {r[0]: r[1] for r in con.sql(CORPUS_VALIDATE_SQL).fetchall()}
+        oracle = {r[0]: r[1] for r in con.sql(
+            EXT_ORACLE_SQL["corpus_validate"]).fetchall()}
         assert all(v == 0 for v in oracle.values())
 
 

@@ -31,14 +31,14 @@ class TestSemDeDup:
             q_semdedup,
         )
         from astra_perseverance_spark.oracle.ext_sqls import (
-            SEMDEDUP_CANDIDATE_SQL,
+            EXT_ORACLE_SQL,
         )
 
         sdf = q_semdedup(spark, SF_SMALL).toPandas()
         con = duckdb.connect()
         con.sql(f"CREATE VIEW embeddings AS SELECT * FROM "
                 f"'{SF_SMALL}/embeddings.parquet'")
-        odf = con.sql(SEMDEDUP_CANDIDATE_SQL).df()
+        odf = con.sql(EXT_ORACLE_SQL["semdedup"]).df()
         assert len(sdf) == len(odf) > 0
         assert sorted(sdf.columns) == sorted(odf.columns)
         assert canon(sdf) == canon(odf)

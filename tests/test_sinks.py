@@ -722,6 +722,39 @@ class TestCompaction:
         # files_after (listed post-rescue) = 1 compacted + 1 rescued
         assert len(glob.glob(f"{path}/part-*")) == stats["files_after"] == 2
 
+    def test_compact_rescue_preserves_nested_relative_path(
+            self, spark, tmp_path):
+        """r8 ADVICE: a concurrent writer that committed into a nested
+        subdirectory (e.g. a hive partition it was adding) must be
+        rescued AT its relative path — flattening to the basename
+        would detach the row group from its partition key."""
+        import glob
+        import os
+        import shutil
+
+        from astra_perseverance_spark.sinks.compact import compact_parquet
+
+        path = str(tmp_path / "nested.parquet")
+        spark.range(0, 1000).repartition(8).write.parquet(path)
+        staging = str(tmp_path / "staging")
+
+        def concurrent_commit():
+            spark.range(1000, 1100).coalesce(1).write.parquet(staging)
+            os.makedirs(os.path.join(path, "day=7"), exist_ok=True)
+            for f in glob.glob(f"{staging}/part-*"):
+                shutil.move(f, os.path.join(path, "day=7",
+                                            os.path.basename(f)))
+
+        compact_parquet(
+            spark, path, target_bytes=1 << 30,
+            _between_snapshot_and_swap=concurrent_commit)
+        rescued = glob.glob(f"{path}/day=7/part-*")
+        assert len(rescued) == 1, rescued  # relative path preserved
+        assert not glob.glob(str(tmp_path / "*__compact*"))
+        got = {r["id"] for r in spark.read.parquet(
+            f"{path}/day=7").collect()}
+        assert got == set(range(1000, 1100))
+
     def test_compact_cli(self, tmp_path, spark):
         import os
         import sys

@@ -787,6 +787,68 @@ def test_attribution_provisional_rows_not_reemitted_on_replay(
     assert got == [(2, 100, 50, 1, 50), (3, 120, 50, 1, 70)], got
 
 
+def test_attribution_inactivity_timeout_finalizes_and_drops_state(
+        spark, tmp_path):
+    """r8 ADVICE: dormant-user state GC.  With inactivity_timeout_ms
+    armed, a user quiet past the budget has their buffered purchases
+    finalized via ProcessingTimeTimeout and their state row DROPPED —
+    proven by (a) the finalization adding no duplicate of the
+    already-correct provisional row, and (b) the user's NEXT purchase
+    attributing NULL (the pre-timeout click is forgotten with the
+    state, the declared monotone degradation)."""
+    import time
+
+    from astra_perseverance_spark.streaming import stream_events_asof
+
+    sch = "event_id long, user_id long, event_type string, ns long"
+    src_dir = str(tmp_path / "timeout_attr_src")
+
+    def land(rows):
+        spark.createDataFrame(rows, sch).coalesce(1).write.mode(
+            "append").parquet(src_dir)
+
+    def wait_rows(n, timeout=60):
+        # NOTE: processAllAvailable() never returns under
+        # ProcessingTimeTimeout — Spark runs a no-data batch every
+        # trigger to evaluate timers, so "all available" never
+        # settles; poll the sink instead
+        deadline = time.time() + timeout
+        rows = []
+        while time.time() < deadline:
+            rows = [tuple(r) for r in spark.sql(
+                "SELECT event_id, purchase_ns, asof_ns, asof_event_id,"
+                " gap_ns FROM timeout_attr_test").collect()]
+            if len(rows) >= n:
+                return rows
+            time.sleep(0.5)
+        raise AssertionError(f"sink never reached {n} rows: {rows}")
+
+    land([(1, 7, "click", 50), (2, 7, "purchase", 100)])
+    sdf = stream_events_asof(
+        spark, src_dir, lateness_ns=1000, inactivity_timeout_ms=1000)
+    q = (
+        sdf.writeStream.format("memory").queryName("timeout_attr_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_timeout_attr"))
+        .trigger(processingTime="250 milliseconds").start()
+    )
+    try:
+        assert wait_rows(1) == [(2, 100, 50, 1, 50)]
+        # user 7 goes quiet past the 1s inactivity budget; the timer
+        # fires on one of the no-data batches during this sleep
+        time.sleep(4)
+        # a returning user-7 purchase sees FRESH state: click 1 was
+        # finalized + dropped with the state row, so no attribution
+        land([(3, 7, "purchase", 200)])
+        got = wait_rows(2)
+    finally:
+        q.stop()
+    # row 1: purchase 2's provisional attribution (already the batch
+    # answer, so the timeout finalization is suppressed — no dup);
+    # row 2: post-timeout purchase 3 starts from empty state
+    assert got == [(2, 100, 50, 1, 50), (3, 200, None, None, None)], got
+
+
 def test_funnel_provisional_replay_does_not_reemit(spark, tmp_path):
     """ADVICE r7: new events arriving while the reorder buffer is
     non-empty used to re-emit previously-superseded tuples (a

@@ -117,20 +117,16 @@ OPS = [
      "O(batch·(√n + nprobe·n/lists)) probe, ADC vs int8 even store"),
     ("semdedup",
      "cid-local pairs over the memoized trained-kmeans lists (√n lists)"),
+    ("corpus_validate", "O(n) one aggregate pass + doc_id-grain dup count"),
 ]
 
 
 def _resolve(name):
-    """Registry first; staged round-9 candidates (pytest-proven, not
-    yet registered — the driver window was full) resolve by import so
-    they carry probe rows before registration."""
+    """Registry lookup (every probed op is registered as of round 9;
+    the import fallback used while an op was staged is gone)."""
     from astra_perseverance_spark.queries import QUERY_REGISTRY
 
-    if name in QUERY_REGISTRY:
-        return QUERY_REGISTRY[name]
-    from astra_perseverance_spark.extensions.similarity import q_semdedup
-
-    return {"semdedup": q_semdedup}[name]
+    return QUERY_REGISTRY[name]
 
 
 # Events-family operators re-probed under a planted whale (one user
