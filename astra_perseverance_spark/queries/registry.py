@@ -20,24 +20,37 @@ queries get a hard driver-side correctness row each round:
    local pytest oracle-parity gate (tests/test_oracle_parity.py
    parametrizes the full registry) and the bench suite.
 
-Round-9 rotation (freshness deadline first, then rule 2):
+Round-10 rotation (freshness deadline first, then rule 2):
 
-* Into the window: the 17 queries whose last driver row is r6
-  (shard_manifest … embedding_dup_clusters) — r9 is the last round
+* Into the window: the 16 queries whose last driver row is r7
+  (doc_minute_tokens … ann_recall_ivf_pq) — r10 is the last round
   their K=3 freshness budget (tests/test_rotation.py) allows, so they
-  take positions 23–39 wholesale.  Then the new/changed tier at
-  40–43: semdedup + corpus_validate (NEWLY REGISTERED this round —
-  both were staged + pytest-parity-proven in r8, window-blocked by the
-  r5 rotation), and dedup_incremental + split_assign_incremental
-  (their near-vs-exact anti-join gained the shuffle_hash hint that
-  fixes the r8 SortMergeJoin plan regression; split_assign_incremental
-  shares the lineage via q_dedup_incremental).  Positions 44–50
-  pre-pay the r10 squeeze with the 7 oldest r7-green entries
-  (text_stats … dedup_keep_list).
-* To the tail, ordered for round 10: first the 16 remaining r7-green
-  queries (doc_minute_tokens … ann_recall_ivf_pq below) — due in r10,
-  so r10's window is 22 parity + 16 = 38 rows, leaving 12 free; then
-  the 27 r8-green entries (due r11).
+  take positions 23–38 wholesale.  No new registrations and no
+  registered-query code change this round (the round-10 diffs touch
+  the funnel STREAM twin, a sink, and bench instrumentation — all
+  pytest-gated, none registry-eligible), so rule 2 adds nothing.
+  Positions 39–50 pre-pay the r11 cliff with the 12 oldest r8-green
+  entries (ann_incremental … ngram_counts) — without this, r11 would
+  inherit 27 due against its 28 free slots (one slot of headroom,
+  i.e. ANY r11 registration or code change would force a policy
+  violation).
+* To the tail, ordered for round 11: first the 15 remaining r8-green
+  queries (ngram_novelty … gc_sessions below) — due in r11, so r11's
+  window is 22 parity + 15 = 37 rows, leaving 13 free; then the 28
+  r9-green entries (shard_manifest … dedup_keep_list, due r12).
+  r11 should spend its 13 free slots on the oldest r9-green entries
+  so r12 inherits 15 due — the rotation stays in this stable
+  ~15-due/13-free orbit as long as the registry holds at 93.
+
+Snapshot protocol (round-10, after two rounds of red snapshots): any
+commit that changes this registry, an oracle twin, or docs/ — and
+EVERY end-of-round snapshot — requires a green
+``python tools/preflight.py`` first (the Spark-free gate subset:
+plan-audit doc staleness, rotation policy, registry↔oracle key sync,
+bench-artifact freshness; ~5 s, no Spark session).  The full gate
+sequence is ``python tools/preflight.py --full`` (preflight +
+tools/check.py full-registry oracle parity + pytest).  A snapshot
+without a preflight pass is a protocol violation.
 """
 
 from __future__ import annotations
@@ -99,8 +112,58 @@ QUERY_REGISTRY: dict[str, QueryFn] = {
     # Findings framework + Q20 nested summary
     "warnings": warnings.q_warnings,
     "summary_json": summary.q_summary_json,
-    # ---- Tier 2: the 17 r6-last queries — K=3 freshness deadline,
-    # r9 is the last round they can be refreshed (see docstring) ----
+    # ---- Tier 2: the 16 r7-last queries — K=3 freshness deadline,
+    # r10 is the last round they can be refreshed (see docstring) ----
+    "doc_minute_tokens": doc_stream.q_doc_minute_tokens,
+    "lang_id": text_stats.q_lang_id,
+    "token_count": text_stats.q_token_count,
+    "vocab_top_terms": pipeline.q_vocab_top_terms,
+    "tfidf_top_terms": pipeline.q_tfidf_top_terms,
+    "corpus_sample": pipeline.q_corpus_sample,
+    "corpus_sample_fixed": pipeline.q_corpus_sample_fixed,
+    "user_skew_audit": timeseries.q_user_skew_audit,
+    "split_assign": training.q_split_assign,
+    "events_asof": timeseries.q_events_asof,
+    "events_asof_1h": timeseries.q_events_asof_1h,
+    "events_window_attr": timeseries.q_events_window_attr,
+    "events_next_error": timeseries.q_events_next_error,
+    "events_funnel": timeseries.q_events_funnel,
+    "ann_ivf_pq": similarity.q_ann_ivf_pq,
+    "ann_recall_ivf_pq": similarity.q_ann_recall_ivf_pq,
+    # ---- Tier 3: r11-cliff pre-pay — the 12 oldest r8-green entries
+    # take the window's remaining slots so r11 inherits 15 due, not
+    # 27 (see docstring arithmetic) ----
+    "ann_incremental": similarity.q_ann_incremental,
+    "bpe_merges": training.q_bpe_merges,
+    "bpe_token_count": training.q_bpe_token_count,
+    "corpus_rollup": pipeline.q_corpus_rollup,
+    "decontaminate": curation.q_decontaminate,
+    "dedup_minhash_lsh": dedup.q_dedup_minhash_lsh,
+    "dedup_simhash": dedup.q_dedup_simhash,
+    "doc_chunks": prep.q_doc_chunks,
+    "doc_fingerprint": text_stats.q_doc_fingerprint,
+    "dup_spans": training.q_dup_spans,
+    "html_extract": prep.q_html_extract,
+    "ngram_counts": pipeline.q_ngram_counts,
+    # ---- Tail (>50) — first the 15 remaining r8-green queries (due
+    # in the r11 window), then the 28 r9-green entries (due r12); all
+    # covered by the full-registry pytest oracle-parity gate + bench --
+    "ngram_novelty": curation.q_ngram_novelty,
+    "quality_filter": pipeline.q_quality_filter,
+    "quality_report": curation.q_quality_report,
+    "quality_signals": curation.q_quality_signals,
+    "repeated_lines": prep.q_repeated_lines,
+    "script_profile": prep.q_script_profile,
+    "seq_pack": training.q_seq_pack,
+    "source_mix": curation.q_source_mix,
+    "token_rarity": prep.q_token_rarity,
+    "events_sessionize_capped": timeseries.q_events_sessionize_capped,
+    "ann_incremental_pq": similarity.q_ann_incremental_pq,
+    "events_sessionize": timeseries.q_events_sessionize,
+    "multimodal_features": multimodal.q_multimodal_features,
+    "multimodal_frame_sample": multimodal.q_multimodal_frame_sample,
+    "gc_sessions": gc_stream.q_gc_sessions,
+    # r9-green (due r12)
     "shard_manifest": training.q_shard_manifest,
     "dedup_recall_audit": training.q_dedup_recall_audit,
     "curation_funnel": training.q_curation_funnel,
@@ -118,13 +181,10 @@ QUERY_REGISTRY: dict[str, QueryFn] = {
     "ann_recall_audit": similarity.q_ann_recall_audit,
     "embedding_cosine_dups": similarity.q_embedding_cosine_dups,
     "embedding_dup_clusters": similarity.q_embedding_dup_clusters,
-    # ---- Tier 3: NEW registrations or code changed this round ----
     "semdedup": similarity.q_semdedup,
     "corpus_validate": qa.q_corpus_validate,
     "dedup_incremental": dedup.q_dedup_incremental,
     "split_assign_incremental": training.q_split_assign_incremental,
-    # ---- Tier 4: r10 pre-pay — the 7 oldest r7-green entries take
-    # the window's remaining slots so r10 inherits 16 due, not 24 ----
     "text_stats": text_stats.q_text_stats,
     "embedding_topk": similarity.q_embedding_topk,
     "dedup_exact": dedup.q_dedup_exact,
@@ -132,53 +192,6 @@ QUERY_REGISTRY: dict[str, QueryFn] = {
     "ann_recall_ivf_kmeans": similarity.q_ann_recall_ivf_kmeans,
     "embedding_label_probe": similarity.q_embedding_label_probe,
     "dedup_keep_list": dedup.q_dedup_keep_list,
-    # ---- Tail (>50) — first the 16 remaining r7-green queries (due
-    # in the r10 window), then the 27 r8-green entries (due r11); all
-    # covered by the full-registry pytest oracle-parity gate + bench --
-    "doc_minute_tokens": doc_stream.q_doc_minute_tokens,
-    "lang_id": text_stats.q_lang_id,
-    "token_count": text_stats.q_token_count,
-    "vocab_top_terms": pipeline.q_vocab_top_terms,
-    "tfidf_top_terms": pipeline.q_tfidf_top_terms,
-    "corpus_sample": pipeline.q_corpus_sample,
-    "corpus_sample_fixed": pipeline.q_corpus_sample_fixed,
-    "user_skew_audit": timeseries.q_user_skew_audit,
-    "split_assign": training.q_split_assign,
-    "events_asof": timeseries.q_events_asof,
-    "events_asof_1h": timeseries.q_events_asof_1h,
-    "events_window_attr": timeseries.q_events_window_attr,
-    "events_next_error": timeseries.q_events_next_error,
-    "events_funnel": timeseries.q_events_funnel,
-    "ann_ivf_pq": similarity.q_ann_ivf_pq,
-    "ann_recall_ivf_pq": similarity.q_ann_recall_ivf_pq,
-    # r8-green (due r11)
-    "ann_incremental": similarity.q_ann_incremental,
-    "bpe_merges": training.q_bpe_merges,
-    "bpe_token_count": training.q_bpe_token_count,
-    "corpus_rollup": pipeline.q_corpus_rollup,
-    "decontaminate": curation.q_decontaminate,
-    "dedup_minhash_lsh": dedup.q_dedup_minhash_lsh,
-    "dedup_simhash": dedup.q_dedup_simhash,
-    "doc_chunks": prep.q_doc_chunks,
-    "doc_fingerprint": text_stats.q_doc_fingerprint,
-    "dup_spans": training.q_dup_spans,
-    "html_extract": prep.q_html_extract,
-    "ngram_counts": pipeline.q_ngram_counts,
-    "ngram_novelty": curation.q_ngram_novelty,
-    "quality_filter": pipeline.q_quality_filter,
-    "quality_report": curation.q_quality_report,
-    "quality_signals": curation.q_quality_signals,
-    "repeated_lines": prep.q_repeated_lines,
-    "script_profile": prep.q_script_profile,
-    "seq_pack": training.q_seq_pack,
-    "source_mix": curation.q_source_mix,
-    "token_rarity": prep.q_token_rarity,
-    "events_sessionize_capped": timeseries.q_events_sessionize_capped,
-    "ann_incremental_pq": similarity.q_ann_incremental_pq,
-    "events_sessionize": timeseries.q_events_sessionize,
-    "multimodal_features": multimodal.q_multimodal_features,
-    "multimodal_frame_sample": multimodal.q_multimodal_frame_sample,
-    "gc_sessions": gc_stream.q_gc_sessions,
 }
 
 # Queries with no SQL-expressible oracle (driver runs rows-only check).

@@ -110,6 +110,7 @@ def compact_parquet(spark: SparkSession, path: str,
     a whole-dataset rewrite would flatten them into file contents and
     silently cost every downstream scan its partition pruning."""
     import os
+    from urllib.parse import unquote, urlparse
 
     if target_bytes <= 0:
         raise ValueError(f"target_bytes must be positive: {target_bytes}")
@@ -156,8 +157,15 @@ def compact_parquet(spark: SparkSession, path: str,
     old = path.rstrip("/") + ".__compact_old__"
     df = spark.read.parquet(path)
     # the files the rewrite actually consumed — anything that lands
-    # after this snapshot is rescued across the swap below
-    snapshot = {os.path.basename(f) for f in df.inputFiles()}
+    # after this snapshot is rescued across the swap below.  Keyed by
+    # path RELATIVE to the dataset root, not basename: a late file in
+    # a nested subdir whose basename collides with any snapshot file
+    # (non-Spark writers use generic names) must still be rescued
+    data_root = jpath.toUri().getPath().rstrip("/")
+    snapshot = {
+        os.path.relpath(unquote(urlparse(f).path) or f, data_root)
+        for f in df.inputFiles()
+    }
     df.coalesce(int(n_out)).write.mode("overwrite").parquet(tmp)
     rows = -1
     if audit:
@@ -192,13 +200,13 @@ def compact_parquet(spark: SparkSession, path: str,
         p = st.getPath()
         if _is_bookkeeping(old_root, p.toUri().getPath()):
             continue
-        if p.getName() not in snapshot:
-            # preserve the file's path RELATIVE to the dataset root —
-            # a concurrent writer may have committed into a nested
-            # (e.g. hive-partition) subdirectory, and flattening to
-            # the basename would detach the row group from its
-            # partition key
-            rel = os.path.relpath(p.toUri().getPath(), old_root)
+        # preserve the file's path RELATIVE to the dataset root —
+        # a concurrent writer may have committed into a nested
+        # (e.g. hive-partition) subdirectory, and flattening to
+        # the basename would detach the row group from its
+        # partition key
+        rel = os.path.relpath(p.toUri().getPath(), old_root)
+        if rel not in snapshot:
             dest = jvm.org.apache.hadoop.fs.Path(
                 path.rstrip("/") + "/" + rel)
             fs.mkdirs(dest.getParent())

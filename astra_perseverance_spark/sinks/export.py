@@ -235,7 +235,16 @@ def export_webdataset(spark: SparkSession, sf_dir: str, out_dir: str,
     ``os.replace``, so an ``s3a://`` path would silently create a
     literal local ``s3a:`` directory — export to a mount, or copy the
     finished shard dir to the object store afterwards (tar shards are
-    immutable once written, so a post-hoc copy is safe).  ``docs``
+    immutable once written, so a post-hoc copy is safe).  A direct
+    object-store port through the Hadoop FS API (the way
+    ``sinks/compact.py`` renames) is a declared WONTFIX: the tar
+    bytes are produced inside the Python worker process, which has
+    no py4j gateway — the Hadoop ``FileSystem`` object is reachable
+    only from the driver, so an FS-API port would have to collect
+    shard bytes to the driver (unacceptable at corpus scale) or
+    bundle a Python-native object-store client (a new dependency
+    this environment forbids).  Mount-then-copy keeps the write
+    distributed and the shards immutable.  ``docs``
     overrides the corpus frame (same contract columns) — how the CLI
     shards the CURATED corpus instead of the raw one.
 

@@ -33,12 +33,33 @@ emitted, so a pure replay (new events outside the buffered region)
 re-emits nothing, and a correction re-emits only from the first
 tuple that actually changed.
 
+Dormant-user state GC: pass ``inactivity_timeout_ms`` and the
+operator arms a per-user ``ProcessingTimeTimeout`` — a user with no
+traffic for that long has their buffered events FINALIZED (the
+reorder buffer exists to wait for in-budget stragglers; a user
+silent past the inactivity budget has, by declaration, none coming)
+and their state row dropped, so state stays bounded by the ACTIVE
+user set instead of one funnel row per user-ever-seen.  Because the
+provisional replay already emitted the buffered walk's tuples, the
+timeout finalization re-walks to the same tuples and the LCP diff
+suppresses every duplicate — the timeout emits nothing new, it only
+releases the state.  A user who returns later starts a FRESH funnel
+(their earlier progression is forgotten with the state row) — the
+same declared monotone degradation as an over-budget late arrival,
+traded for bounded state.  The default (``None``) keeps NoTimeout so
+funnels survive arbitrarily long user gaps on the bounded test
+corpus.
+
 State-schema compatibility (STATE_FORMAT_VERSION): the state row
 widened in round 8 (em_v/em_c/em_p — the emitted-provisional
 ledger).  A streaming query resumed from a checkpoint written by an
 earlier version fails on the state-schema mismatch; the supported
 upgrade is a fresh checkpoint (replay the source, or drain the old
-query to empty first).
+query to empty first).  v3 (round 10) left the schema unchanged but
+added the inactivity-timeout GC — resuming a v2 checkpoint under a
+v3 binary parses, yet mixes timeout regimes (old rows never armed a
+timer, so they are GC'd only after their NEXT event arms one);
+deployments that enable the timeout should start fresh too.
 """
 
 from __future__ import annotations
@@ -62,8 +83,10 @@ _NULL_NS = -1
 
 # Bumped whenever _STATE_SCHEMA or the meaning of a state field
 # changes; a checkpoint from another version needs a fresh start
-# (see module docstring).  v2 = round-8 emitted-provisional ledger.
-STATE_FORMAT_VERSION = 2
+# (see module docstring).  v2 = round-8 emitted-provisional ledger;
+# v3 = round-10 dormant-user inactivity GC (schema unchanged, timeout
+# semantics added — see module docstring).
+STATE_FORMAT_VERSION = 3
 
 _STEP_PRIORITY = {"view": 0, "click": 1, "purchase": 2}
 # Defensive bound on the per-user reorder buffer: the lateness budget
@@ -93,11 +116,15 @@ def _walk(v, c, p, events):
     return v, c, p, steps
 
 
-def _make_funnel_update(lateness_ns: int):
+def _make_funnel_update(lateness_ns: int, timeout_ms: int | None = None):
     def _funnel_update(key, pdf_iter, state):
         import pandas as pd
 
         user = key[0]
+        # inactivity GC: the group fires with no input once the user
+        # has been quiet for timeout_ms — finalize the whole buffer
+        # and drop the state row (module docstring, round-10)
+        timed_out = timeout_ms is not None and bool(state.hasTimedOut)
         if state.exists:
             (v, c, p, lv, lc, lp, max_ns,
              pend_ns, pend_eid, pend_step,
@@ -120,6 +147,10 @@ def _make_funnel_update(lateness_ns: int):
             batch_max = max(ns for ns, _e, _s in events)
             max_ns = batch_max if max_ns is None else max(max_ns, batch_max)
         wm = (max_ns - lateness_ns) if max_ns is not None else None
+        if timed_out and max_ns is not None:
+            # no in-budget straggler is coming from a user this quiet:
+            # the whole buffer finalizes (wm past every buffered ns)
+            wm = max_ns
         # (ns, step-priority, event_id): view < click < purchase at
         # equal ns — the batch twin's inclusive >= tie semantics
         ordered = sorted((ns, st, eid) for ns, eid, st in events)
@@ -149,15 +180,20 @@ def _make_funnel_update(lateness_ns: int):
                 rows.append(tup)
                 lv, lc, lp = tup
         enc = (lambda x: _NULL_NS if x is None else int(x))
-        state.update((
-            v, c, p, lv, lc, lp, max_ns,
-            [ns for ns, _s, _e in pend],
-            [e for _ns, _s, e in pend],
-            [s for _ns, s, _e in pend],
-            [enc(t[0]) for t in psteps],
-            [enc(t[1]) for t in psteps],
-            [enc(t[2]) for t in psteps],
-        ))
+        if timed_out:
+            state.remove()
+        else:
+            state.update((
+                v, c, p, lv, lc, lp, max_ns,
+                [ns for ns, _s, _e in pend],
+                [e for _ns, _s, e in pend],
+                [s for _ns, s, _e in pend],
+                [enc(t[0]) for t in psteps],
+                [enc(t[1]) for t in psteps],
+                [enc(t[2]) for t in psteps],
+            ))
+            if timeout_ms is not None:
+                state.setTimeoutDuration(timeout_ms)
         yield pd.DataFrame({
             "user_id": pd.Series([user] * len(rows), dtype="Int64"),
             "view_ns": pd.Series([t[0] for t in rows], dtype="Int64"),
@@ -174,13 +210,23 @@ def _make_funnel_update(lateness_ns: int):
 def stream_events_funnel(spark: SparkSession, source_dir: str,
                          schema: str | None = None,
                          max_files_per_trigger: int | None = None,
-                         lateness_ns: int = 0):
+                         lateness_ns: int = 0,
+                         inactivity_timeout_ms: int | None = None):
     """Streaming funnel over a file-source event stream (rows:
     event_id, user_id, event_type, ns).  Returns the unstarted
     streaming DataFrame; the batch twin is
     ``extensions.timeseries.q_events_funnel``.  ``lateness_ns``
     enables the watermark-bounded reorder buffer (see module
-    docstring); 0 keeps the pure greedy walk."""
+    docstring); 0 keeps the pure greedy walk.
+    ``inactivity_timeout_ms`` arms the dormant-user GC: a user quiet
+    for that long has their buffered events finalized and their state
+    row dropped (see module docstring) — at 100-TB scale this is what
+    keeps the state store bounded by the active user set instead of
+    one row per user-ever-seen.  Caller note: with the timeout armed
+    Spark runs a no-data micro-batch every trigger to evaluate
+    timers, so ``processAllAvailable()`` never returns — synchronize
+    on the sink's contents (or ``awaitTermination`` with
+    ``availableNow``) instead."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     from astra_perseverance_spark.streaming.source import (
@@ -192,13 +238,16 @@ def stream_events_funnel(spark: SparkSession, source_dir: str,
         spark, source_dir, sch,
         required=("event_id", "user_id", "event_type", "ns"),
         max_files_per_trigger=max_files_per_trigger)
+    timeout = (GroupStateTimeout.NoTimeout
+               if inactivity_timeout_ms is None
+               else GroupStateTimeout.ProcessingTimeTimeout)
     return (
         stream.groupBy("user_id")
         .applyInPandasWithState(
-            _make_funnel_update(lateness_ns),
+            _make_funnel_update(lateness_ns, inactivity_timeout_ms),
             outputStructType=_OUT_SCHEMA,
             stateStructType=_STATE_SCHEMA,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=timeout,
         )
     )

@@ -87,16 +87,20 @@ def _result_digest(df) -> str:
             for c in sorted(df.columns)]
     h = df.select(
         F.xxhash64(F.concat_ws("\x00|", *cols)).alias("h"))
-    cnt, s, x = h.agg(
+    cnt, s_lo, s_hi, x = h.agg(
         F.count("h"),
         # wrapping 64-bit sum: Spark's SUM(bigint) overflow would fail
-        # under ANSI mode, so sum in two 32-bit halves and recombine
+        # under ANSI mode, so sum each 32-bit half separately (both
+        # fit a bigint sum at any realistic row count) and recombine
+        # mod 2^64 driver-side
         F.sum(F.expr("h & 4294967295")),
+        F.sum(F.expr("(h >> 32) & 4294967295")),
         F.expr("bit_xor(h)"),
     ).collect()[0]
     if not cnt:
         return "0:0:0"
-    return f"{int(cnt)}:{int(s) & ((1 << 64) - 1)}:{int(x)}"
+    s = (int(s_lo) + (int(s_hi) << 32)) & ((1 << 64) - 1)
+    return f"{int(cnt)}:{s}:{int(x)}"
 
 
 # The query families the bucketed warehouse exists for: user_id-keyed

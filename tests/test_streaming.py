@@ -883,6 +883,71 @@ def test_funnel_provisional_replay_does_not_reemit(spark, tmp_path):
                    (10, 20, 30, 3)], got
 
 
+def test_funnel_inactivity_timeout_finalizes_and_drops_state(
+        spark, tmp_path):
+    """r9 verdict #5: dormant-user state GC for the funnel stream.
+    With inactivity_timeout_ms armed, a user quiet past the budget has
+    their buffered steps finalized via ProcessingTimeTimeout and their
+    state row DROPPED — proven by (a) the finalization adding no
+    duplicate of the already-emitted provisional walk, and (b) the
+    returning user's view starting a FRESH funnel (a reached=1 row a
+    retained v=10 state would have suppressed)."""
+    import time
+
+    from astra_perseverance_spark.streaming import stream_events_funnel
+
+    sch = "event_id long, user_id long, event_type string, ns long"
+    src_dir = str(tmp_path / "timeout_funnel_src")
+
+    def land(rows):
+        spark.createDataFrame(rows, sch).coalesce(1).write.mode(
+            "append").parquet(src_dir)
+
+    def wait_rows(n, timeout=60):
+        # NOTE: processAllAvailable() never returns under
+        # ProcessingTimeTimeout — Spark runs a no-data batch every
+        # trigger to evaluate timers, so "all available" never
+        # settles; poll the sink instead
+        deadline = time.time() + timeout
+        rows = []
+        while time.time() < deadline:
+            rows = [tuple(r) for r in spark.sql(
+                "SELECT view_ns, click_ns, purchase_ns, reached "
+                "FROM timeout_funnel_test").collect()]
+            if len(rows) >= n:
+                return rows
+            time.sleep(0.5)
+        raise AssertionError(f"sink never reached {n} rows: {rows}")
+
+    # lateness budget keeps the whole walk buffered (provisional rows)
+    land([(1, 7, "view", 10), (2, 7, "click", 20), (3, 7, "purchase", 30)])
+    sdf = stream_events_funnel(
+        spark, src_dir, lateness_ns=1000, inactivity_timeout_ms=1000)
+    q = (
+        sdf.writeStream.format("memory").queryName("timeout_funnel_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_timeout_funnel"))
+        .trigger(processingTime="250 milliseconds").start()
+    )
+    try:
+        assert wait_rows(3) == [(10, None, None, 1), (10, 20, None, 2),
+                                (10, 20, 30, 3)]
+        # user 7 goes quiet past the 1s inactivity budget; the timer
+        # fires on a no-data batch, finalizes the buffer (re-walking
+        # to the already-emitted tuples — nothing re-emits) and drops
+        # the state row
+        time.sleep(4)
+        # returning user-7 view: with fresh state it opens a NEW
+        # funnel and emits reached=1; retained state (v=10) would
+        # have advanced nothing and emitted nothing
+        land([(4, 7, "view", 500)])
+        got = wait_rows(4)
+    finally:
+        q.stop()
+    assert got == [(10, None, None, 1), (10, 20, None, 2),
+                   (10, 20, 30, 3), (500, None, None, 1)], got
+
+
 def test_gc_sessions_reorder_buffer_merges_late_bridge(spark, tmp_path):
     """r7 verdict #3: a cross-batch late event that should MERGE two
     sessions.  Batch 1 carries pauses at t=0 and t=2000 (gap ≥ 1800 —

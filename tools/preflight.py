@@ -1,0 +1,130 @@
+"""Pre-snapshot preflight: the Spark-free gate subset, in seconds.
+
+Rounds 8 and 9 both shipped end-of-round snapshots with a red pytest
+that was detectable in under five seconds — a stale docs/PLAN_AUDIT.md
+after a registry change (r9), and un-updated plan-shape declarations
+(r8).  This tool exists so "did I just break a paper gate?" is one
+command with no Spark session, no oracle run, and no excuse to skip:
+
+    python tools/preflight.py            # Spark-free checks, ~5 s
+    python tools/preflight.py --full     # + check.py + full pytest
+
+Checks (each maps to the gate that would otherwise catch it a round
+too late):
+
+1. docs/PLAN_AUDIT.md rows == live registry (the r4 staleness gate,
+   tests/test_plan_shapes.py::test_plan_audit_doc_matches_registry).
+2. Rotation policy (tests/test_rotation.py — window leads with the
+   parity tier, every tail entry has a driver row within K rounds).
+3. Registry ↔ oracle key sync (every registered query has a DuckDB
+   twin or a declared NO_ORACLE exception).
+4. BENCH_DETAIL.json freshness: it must cover exactly the live
+   registry's queries and carry a ``run_context`` (the r9 lesson —
+   the committed artifact was verbatim the previous round's file).
+
+A snapshot (end-of-round commit, or any commit that touches the
+registry, an oracle, or docs/) without a green preflight is a
+protocol violation — see the registry docstring and the
+round-workflow notes.  ``--full`` chains the two slow gates for the
+single documented entry point: ``tools/check.py`` (full-registry
+Spark-vs-DuckDB hash parity, ~8 min) and ``pytest tests/`` (~15 min).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+# The Spark-free pytest targets (no SparkSession fixture is touched).
+PYTEST_TARGETS = [
+    "tests/test_rotation.py",
+    "tests/test_plan_shapes.py::test_plan_audit_doc_matches_registry",
+    "tests/test_plan_shapes.py::"
+    "test_fingerprint_normalizer_masks_per_session_tokens",
+    "tests/test_oracle_parity.py::"
+    "test_every_query_has_oracle_or_declared_exception",
+]
+
+
+def _fail(msgs: list[str], what: str) -> None:
+    msgs.append(what)
+    print(f"FAIL {what}")
+
+
+def check_artifacts() -> list[str]:
+    """Direct artifact checks (faster + more specific than the pytest
+    equivalents, and BENCH_DETAIL freshness has no pytest twin — a
+    fresh bench is a per-round protocol item, not a unit invariant)."""
+    from astra_perseverance_spark.queries import QUERY_REGISTRY
+
+    failures: list[str] = []
+    live = set(QUERY_REGISTRY)
+
+    audit = os.path.join(REPO, "docs", "PLAN_AUDIT.md")
+    with open(audit) as fh:
+        audited = set(re.findall(r"^\| (\w+) \| \d", fh.read(), re.M))
+    if audited != live:
+        _fail(failures,
+              f"docs/PLAN_AUDIT.md stale — missing "
+              f"{sorted(live - audited)}, extra {sorted(audited - live)} "
+              f"(re-run tools/plan_audit.py)")
+    else:
+        print(f"OK   docs/PLAN_AUDIT.md covers all {len(live)} queries")
+
+    detail = os.path.join(REPO, "BENCH_DETAIL.json")
+    with open(detail) as fh:
+        d = json.load(fh)
+    benched = set(d.get("queries", d.get("timings", {})))
+    if benched != live:
+        _fail(failures,
+              f"BENCH_DETAIL.json stale — missing "
+              f"{sorted(live - benched)}, extra {sorted(benched - live)} "
+              f"(re-run bench.py on an idle machine)")
+    elif "run_context" not in d:
+        _fail(failures,
+              "BENCH_DETAIL.json has no run_context — it predates the "
+              "r9 bench instrumentation; re-run bench.py")
+    else:
+        print(f"OK   BENCH_DETAIL.json covers all {len(live)} queries "
+              f"(run_context present)")
+    return failures
+
+
+def main() -> int:
+    failures = check_artifacts()
+    rc = subprocess.call(
+        [sys.executable, "-m", "pytest", "-q", "--no-header",
+         *PYTEST_TARGETS],
+        cwd=REPO)
+    if rc:
+        failures.append(f"spark-free pytest subset rc={rc}")
+    if failures:
+        print(f"\nPREFLIGHT RED ({len(failures)}): {failures}")
+        return 1
+    print("\nPREFLIGHT GREEN")
+    if "--full" in sys.argv[1:]:
+        sf = next((a for a in sys.argv[1:] if not a.startswith("--")),
+                  "/root/testdata/sf0.01")
+        rc = subprocess.call(
+            [sys.executable, os.path.join(REPO, "tools", "check.py"), sf],
+            cwd=REPO)
+        if rc:
+            print("FULL GATE RED: tools/check.py failed")
+            return rc
+        rc = subprocess.call(
+            [sys.executable, "-m", "pytest", "tests/", "-q"], cwd=REPO)
+        if rc:
+            print("FULL GATE RED: pytest failed")
+            return rc
+        print("FULL GATE GREEN (preflight + check.py + pytest)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
