@@ -1,0 +1,72 @@
+"""The pre-snapshot preflight gate must itself stay honest: each
+artifact check has to fire on the exact staleness class that shipped a
+red snapshot in rounds 8-9 (registry row missing from the plan-audit
+doc; bench artifact from a previous registry generation / without
+run_context), and stay green on a consistent tree.  Spark-free."""
+
+from __future__ import annotations
+
+import importlib.util
+import json
+import os
+
+_SPEC = importlib.util.spec_from_file_location(
+    "preflight",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 "tools", "preflight.py"))
+preflight = importlib.util.module_from_spec(_SPEC)
+_SPEC.loader.exec_module(preflight)
+
+
+def _write_tree(tmp_path, audited, benched, run_context=True):
+    (tmp_path / "docs").mkdir(exist_ok=True)
+    rows = "\n".join(f"| {q} | 1 | 0 | 0 | 0 | 2 | 1 |" for q in audited)
+    (tmp_path / "docs" / "PLAN_AUDIT.md").write_text(
+        f"# audit\n\n| query | BHJ | SMJ |\n|---|---|---|\n{rows}\n")
+    detail = {"queries": {q: 0.1 for q in benched}}
+    if run_context:
+        detail["run_context"] = {"loadavg_before": [0.0]}
+    (tmp_path / "BENCH_DETAIL.json").write_text(json.dumps(detail))
+
+
+def test_green_on_consistent_tree(tmp_path):
+    live = {"q_a", "q_b"}
+    _write_tree(tmp_path, live, live)
+    assert preflight.check_artifacts(str(tmp_path), live) == []
+
+
+def test_flags_registry_row_missing_from_audit_doc(tmp_path):
+    # the r9 snapshot failure: queries registered, doc not regenerated
+    live = {"q_a", "q_b", "q_new"}
+    _write_tree(tmp_path, {"q_a", "q_b"}, live)
+    fails = preflight.check_artifacts(str(tmp_path), live)
+    assert len(fails) == 1 and "PLAN_AUDIT" in fails[0]
+    assert "q_new" in fails[0]
+
+
+def test_flags_stale_audit_row_for_unregistered_query(tmp_path):
+    live = {"q_a"}
+    _write_tree(tmp_path, {"q_a", "q_gone"}, live)
+    fails = preflight.check_artifacts(str(tmp_path), live)
+    assert len(fails) == 1 and "q_gone" in fails[0]
+
+
+def test_flags_bench_artifact_from_previous_generation(tmp_path):
+    # the r9 snapshot's other half: BENCH_DETAIL.json verbatim from
+    # the prior round (missing the newly registered queries)
+    live = {"q_a", "q_new"}
+    _write_tree(tmp_path, live, {"q_a"})
+    fails = preflight.check_artifacts(str(tmp_path), live)
+    assert len(fails) == 1 and "BENCH_DETAIL" in fails[0]
+
+
+def test_flags_bench_artifact_without_run_context(tmp_path):
+    live = {"q_a"}
+    _write_tree(tmp_path, live, live, run_context=False)
+    fails = preflight.check_artifacts(str(tmp_path), live)
+    assert len(fails) == 1 and "run_context" in fails[0]
+
+
+def test_live_repo_is_green():
+    """The real tree must pass its own gate at all times."""
+    assert preflight.check_artifacts() == []

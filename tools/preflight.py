@@ -57,16 +57,19 @@ def _fail(msgs: list[str], what: str) -> None:
     print(f"FAIL {what}")
 
 
-def check_artifacts() -> list[str]:
+def check_artifacts(repo: str = REPO,
+                    live: set[str] | None = None) -> list[str]:
     """Direct artifact checks (faster + more specific than the pytest
     equivalents, and BENCH_DETAIL freshness has no pytest twin — a
-    fresh bench is a per-round protocol item, not a unit invariant)."""
-    from astra_perseverance_spark.queries import QUERY_REGISTRY
-
+    fresh bench is a per-round protocol item, not a unit invariant).
+    ``repo``/``live`` are injectable so the checks themselves are
+    testable against a doctored tree (tests/test_preflight.py)."""
     failures: list[str] = []
-    live = set(QUERY_REGISTRY)
+    if live is None:
+        from astra_perseverance_spark.queries import QUERY_REGISTRY
+        live = set(QUERY_REGISTRY)
 
-    audit = os.path.join(REPO, "docs", "PLAN_AUDIT.md")
+    audit = os.path.join(repo, "docs", "PLAN_AUDIT.md")
     with open(audit) as fh:
         audited = set(re.findall(r"^\| (\w+) \| \d", fh.read(), re.M))
     if audited != live:
@@ -77,7 +80,7 @@ def check_artifacts() -> list[str]:
     else:
         print(f"OK   docs/PLAN_AUDIT.md covers all {len(live)} queries")
 
-    detail = os.path.join(REPO, "BENCH_DETAIL.json")
+    detail = os.path.join(repo, "BENCH_DETAIL.json")
     with open(detail) as fh:
         d = json.load(fh)
     benched = set(d.get("queries", d.get("timings", {})))
