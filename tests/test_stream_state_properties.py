@@ -50,6 +50,9 @@ class FakeState:
     def setTimeoutTimestamp(self, ms):
         self.timeout_ms = ms
 
+    def setTimeoutDuration(self, ms):
+        self.timeout_ms = ms
+
 
 def _chunks(rows, rng, k):
     """Split rows into k non-empty chunks (arrival batches)."""
@@ -290,3 +293,80 @@ class TestGcSessionStateConvergence:
                                 int(c), int(m)))
             want = _sessions_ref(ts_pm, SESSION_GAP_SEC)
             assert sorted(got) == sorted(want), (seed, got, want)
+
+
+class TestFunnelTimeoutGC:
+    """Round-10 dormant-user GC (funnel_stream v3): the inactivity
+    timeout must be pure state RELEASE — every tuple the finalization
+    walk produces was already emitted provisionally, so a timeout call
+    emits nothing, drops the state row, and a returning user is
+    indistinguishable from a brand-new one."""
+
+    def test_timeout_emits_nothing_drops_state_converged(self):
+        from astra_perseverance_spark.streaming.funnel_stream import (
+            _make_funnel_update,
+        )
+
+        for seed in range(120):
+            rng = random.Random(3000 + seed)
+            events = _random_events(rng)
+            rows = events[:]
+            rng.shuffle(rows)
+            state = FakeState()
+            upd = _make_funnel_update(10**9, timeout_ms=5000)
+            emitted = []
+            for chunk in _chunks(rows, rng, rng.randrange(1, 5)):
+                for pdf in upd((7,), iter([_events_pdf(chunk)]), state):
+                    if len(pdf):
+                        emitted.append(pdf)
+            assert state.timeout_ms == 5000  # timer armed every batch
+            state.hasTimedOut = True
+            for pdf in upd((7,), iter([]), state):
+                assert not len(pdf), (
+                    f"seed {seed}: timeout finalization re-emitted rows")
+            assert not state.exists, f"seed {seed}: state row not dropped"
+            # convergence survives the timeout: the last provisional
+            # tuple (= the last emitted row overall) is the batch answer
+            want = _funnel_ref(events)
+            if want[0] is None:
+                assert not emitted, (seed, emitted)
+                continue
+            last = None
+            for pdf in emitted:
+                for t in zip(pdf["view_ns"], pdf["click_ns"],
+                             pdf["purchase_ns"]):
+                    last = tuple(
+                        None if pd.isna(x) else int(x) for x in t)
+            assert last == want, (seed, last, want)
+
+    def test_returning_user_matches_fresh_user(self):
+        from astra_perseverance_spark.streaming.funnel_stream import (
+            _make_funnel_update,
+        )
+
+        for seed in range(120):
+            rng = random.Random(4000 + seed)
+            before = _random_events(rng, n=8)
+            # distinct ids / later times for the post-timeout burst
+            after = [(eid + 100, et, ns + 10_000)
+                     for eid, et, ns in _random_events(rng, n=8)]
+            upd = _make_funnel_update(10**9, timeout_ms=5000)
+
+            state = FakeState()
+            for pdf in upd((7,), iter([_events_pdf(before)]), state):
+                pass
+            state.hasTimedOut = True
+            for pdf in upd((7,), iter([]), state):
+                pass
+            state.hasTimedOut = False
+            returned = [pdf for pdf in
+                        upd((7,), iter([_events_pdf(after)]), state)
+                        if len(pdf)]
+
+            fresh_state = FakeState()
+            fresh = [pdf for pdf in
+                     upd((7,), iter([_events_pdf(after)]), fresh_state)
+                     if len(pdf)]
+            canon = [pdf.to_dict("records") for pdf in returned]
+            canon_fresh = [pdf.to_dict("records") for pdf in fresh]
+            assert canon == canon_fresh, (seed, canon, canon_fresh)
