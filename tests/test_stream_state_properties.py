@@ -370,3 +370,75 @@ class TestFunnelTimeoutGC:
             canon = [pdf.to_dict("records") for pdf in returned]
             canon_fresh = [pdf.to_dict("records") for pdf in fresh]
             assert canon == canon_fresh, (seed, canon, canon_fresh)
+
+
+class TestAttributionTimeoutGC:
+    """Same contract as TestFunnelTimeoutGC for the attribution
+    stream's round-9 GC: a timeout call is pure state release (every
+    buffered purchase already emitted its provisional attribution, and
+    the finalization walk re-derives exactly that), and a returning
+    user is indistinguishable from a brand-new one."""
+
+    def test_timeout_emits_nothing_drops_state_converged(self):
+        from astra_perseverance_spark.streaming.attribution_stream import (
+            _make_attr_update,
+        )
+
+        for seed in range(120):
+            rng = random.Random(5000 + seed)
+            events = _random_events(rng)
+            rows = events[:]
+            rng.shuffle(rows)
+            state = FakeState()
+            upd = _make_attr_update(10**9, timeout_ms=5000)
+            emitted = []
+            for chunk in _chunks(rows, rng, rng.randrange(1, 5)):
+                for pdf in upd((7,), iter([_events_pdf(chunk)]), state):
+                    if len(pdf):
+                        emitted.append(pdf)
+            assert state.timeout_ms == 5000  # timer armed every batch
+            state.hasTimedOut = True
+            for pdf in upd((7,), iter([]), state):
+                assert not len(pdf), (
+                    f"seed {seed}: timeout finalization re-emitted rows")
+            assert not state.exists, f"seed {seed}: state row not dropped"
+            want = _attr_ref(events)
+            last: dict[int, tuple] = {}
+            for pdf in emitted:
+                for eid, ans, aeid in zip(pdf["event_id"], pdf["asof_ns"],
+                                          pdf["asof_event_id"]):
+                    last[int(eid)] = (
+                        None if pd.isna(ans) else int(ans),
+                        None if pd.isna(aeid) else int(aeid))
+            want_map = {
+                eid: (hit[0] if hit else None, hit[1] if hit else None)
+                for eid, hit in want.items()
+            }
+            assert last == want_map, (seed, last, want_map)
+
+    def test_returning_user_matches_fresh_user(self):
+        from astra_perseverance_spark.streaming.attribution_stream import (
+            _make_attr_update,
+        )
+
+        for seed in range(120):
+            rng = random.Random(6000 + seed)
+            before = _random_events(rng, n=8)
+            after = [(eid + 100, et, ns + 10_000)
+                     for eid, et, ns in _random_events(rng, n=8)]
+            upd = _make_attr_update(10**9, timeout_ms=5000)
+
+            state = FakeState()
+            for pdf in upd((7,), iter([_events_pdf(before)]), state):
+                pass
+            state.hasTimedOut = True
+            for pdf in upd((7,), iter([]), state):
+                pass
+            state.hasTimedOut = False
+            returned = [pdf.to_dict("records") for pdf in
+                        upd((7,), iter([_events_pdf(after)]), state)
+                        if len(pdf)]
+            fresh = [pdf.to_dict("records") for pdf in
+                     upd((7,), iter([_events_pdf(after)]), FakeState())
+                     if len(pdf)]
+            assert returned == fresh, (seed, returned, fresh)
