@@ -1,34 +1,43 @@
-"""Pure numpy/stdlib baseline JPEG codec (ITU T.81, public spec).
+"""Pure numpy/stdlib JPEG codec (ITU T.81, public spec): sequential
+baseline/extended AND progressive Huffman decode, with roundtrip
+encoders for both.
 
-Closes the last multimodal decode stub this container can close
-without optional dependencies: ``decode_media``'s MJPEG branch needs
-per-frame PIXELS, and Pillow/PyAV are absent here — so the baseline
-sequential-DCT Huffman path (the codec every MJPEG stream in the wild
-uses) is implemented directly from the public standard:
+Closes the multimodal decode stubs this container can close without
+optional dependencies: ``decode_media``'s MJPEG branch needs
+per-frame PIXELS, and Pillow/PyAV are absent here — so the Huffman
+DCT paths are implemented directly from the public standard:
 
 - marker walk (reusing the same segment grammar as
-  ``multimodal._jpeg_dims``): DQT, DHT, SOF0, DRI, SOS;
+  ``multimodal._jpeg_dims``): DQT, DHT, SOF0/1/2, DRI, SOS;
 - canonical Huffman table construction from BITS/HUFFVAL (F.2.2.3);
 - entropy decode with byte unstuffing (0xFF00) and restart-marker
   handling (DC-prediction reset + bit realignment, F.2.1.3.1);
-- DC prediction + AC run-length, EXTEND sign recovery (F.2.2.1),
-  dequantize, inverse zigzag, float IDCT-II (separable orthonormal
-  8×8 matrix — A.3.3), component assembly over general H/V sampling
-  factors with nearest-neighbor chroma upsampling, JFIF full-range
-  YCbCr→RGB (BT.601).
+- DC prediction + AC run-length, EXTEND sign recovery (F.2.2.1);
+- multi-scan coefficient accumulation (round 10): sequential
+  interleaved AND non-interleaved scans, progressive spectral
+  selection and successive approximation — DC first/refine
+  (G.1.2.1), AC first with EOBn end-of-band runs (G.1.2.2), AC
+  refinement with correction bits (G.1.2.3);
+- one vectorized finish: dequantize, inverse zigzag, float IDCT-II
+  (separable orthonormal 8×8 matrix — A.3.3), component assembly
+  over general H/V sampling factors with nearest-neighbor chroma
+  upsampling, JFIF full-range YCbCr→RGB (BT.601).
 
-The encoder exists so the decoder is testable by ROUNDTRIP without
-any external codec: it writes legal baseline 4:4:4 or 4:2:0 streams
-with flat quantization tables and simple canonical Huffman tables of
-its own construction (any legal DHT is valid — the decoder is
+The encoders exist so the decoder is testable by ROUNDTRIP without
+any external codec: legal baseline 4:4:4 / 4:2:0 streams with flat
+quantization tables and canonical Huffman tables of their own
+construction (any legal DHT is valid — the decoder is
 table-agnostic); frames that carry NO tables at all — the common
 OpenDML MJPEG-in-AVI convention — decode through the Annex K typical
-tables (K.3.3) as the implied default.
+tables (K.3.3) as the implied default; and a progressive encoder
+(``encode_progressive_jpeg``) whose quantized coefficients are
+bit-identical to the baseline encoder's, so the tests can assert
+EXACT pixel equality between the two decode paths.
 
 Deliberately NOT supported (declared, raises ValueError /
-NotImplementedError): progressive (SOF2) and arithmetic-coded
-streams, 12-bit precision, lossless hierarchies — the residue of the
-multimodal stub is now exactly those.
+NotImplementedError): arithmetic-coded streams, 12-bit precision,
+lossless hierarchies — the residue of the multimodal stub is now
+exactly those.
 """
 
 from __future__ import annotations
@@ -45,7 +54,8 @@ _DHT = 0xC4
 _DRI = 0xDD
 _SOF0 = 0xC0  # baseline sequential DCT
 _SOF1 = 0xC1  # extended sequential (same entropy layout, 8-bit OK)
-_UNSUPPORTED_SOF = {0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+_SOF2 = 0xC2  # progressive DCT, Huffman (Annex G)
+_UNSUPPORTED_SOF = {0xC3, 0xC5, 0xC6, 0xC7,
                     0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
 
 
@@ -226,14 +236,28 @@ def _entropy_intervals(data: bytes, start: int):
 
 
 def decode_baseline_jpeg(data: bytes) -> np.ndarray:
-    """Decode a baseline (or extended) sequential Huffman JPEG to a
-    (h, w) grayscale or (h, w, 3) RGB uint8 array."""
+    """Decode a sequential (SOF0/SOF1) or progressive (SOF2) Huffman
+    JPEG to a (h, w) grayscale or (h, w, 3) RGB uint8 array.
+
+    The name is historical (round 8 shipped the baseline path; round
+    10 added multi-scan decode): coefficients accumulate across scans
+    into per-component block arrays — sequential interleaved and
+    non-interleaved scans, progressive spectral selection (Ss..Se
+    bands) and successive approximation (DC first/refine per G.1.2.1,
+    AC first with EOBRUN per G.1.2.2, AC refinement with correction
+    bits per G.1.2.3) — and one vectorized dequantize + IDCT pass at
+    EOI materializes pixels.  Restart intervals reset DC prediction
+    and the EOB run in every scan kind.  Still declared unsupported
+    (arithmetic coding, 12-bit precision, lossless/hierarchical):
+    NotImplementedError."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict] = {}
     frame = None
     restart = 0
+    coeffs: dict[int, np.ndarray] = {}
+    scanned = False
     pos, n = 2, len(data)
     while pos + 2 <= n:
         if data[pos] != 0xFF:
@@ -254,8 +278,8 @@ def decode_baseline_jpeg(data: bytes) -> np.ndarray:
         body = data[pos + 2:pos + seglen]
         if marker in _UNSUPPORTED_SOF:
             raise NotImplementedError(
-                "only baseline/extended sequential Huffman JPEG is "
-                "supported (progressive/arithmetic/lossless need Pillow)")
+                "only sequential/progressive Huffman JPEG is supported "
+                "(arithmetic/lossless/hierarchical need Pillow)")
         if marker == _DQT:
             i = 0
             while i < len(body):
@@ -289,7 +313,7 @@ def decode_baseline_jpeg(data: bytes) -> np.ndarray:
                     raise ValueError("truncated JPEG DHT segment")
                 huff[(tc, th)] = _build_huffman(bits, vals)
                 i += 17 + nvals
-        elif marker in (_SOF0, _SOF1):
+        elif marker in (_SOF0, _SOF1, _SOF2):
             if len(body) < 6:
                 raise ValueError("truncated JPEG SOF segment")
             prec, h, w, nc = struct.unpack(">BHHB", body[:6])
@@ -303,100 +327,279 @@ def decode_baseline_jpeg(data: bytes) -> np.ndarray:
                     ">BBB", body[6 + 3 * ci:9 + 3 * ci])
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF,
                               "tq": tq})
-            frame = {"h": h, "w": w, "comps": comps}
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            if any(hmax % c["h"] or vmax % c["v"] for c in comps):
+                raise NotImplementedError(
+                    "non-integer JPEG sampling ratios need Pillow")
+            mcu_cols = -(-w // (8 * hmax))
+            mcu_rows = -(-h // (8 * vmax))
+            for c in comps:
+                # interleaved (MCU-padded) block grid, and the
+                # non-interleaved grid over the component's own
+                # sample dimensions (T.81 A.2.2)
+                c["nbw_mcu"] = mcu_cols * c["h"]
+                c["nbh_mcu"] = mcu_rows * c["v"]
+                comp_w = -(-w * c["h"] // hmax)
+                comp_h = -(-h * c["v"] // vmax)
+                c["nbw"] = -(-comp_w // 8)
+                c["nbh"] = -(-comp_h // 8)
+            frame = {"h": h, "w": w, "comps": comps,
+                     "hmax": hmax, "vmax": vmax,
+                     "mcu_cols": mcu_cols, "mcu_rows": mcu_rows,
+                     "progressive": marker == _SOF2}
+            coeffs = {
+                c["id"]: np.zeros((c["nbh_mcu"], c["nbw_mcu"], 64),
+                                  dtype=np.int32)
+                for c in comps
+            }
         elif marker == _DRI:
             (restart,) = struct.unpack(">H", body[:2])
         elif marker == _SOS:
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
-            if not body or len(body) < 1 + 2 * body[0]:
+            if not body or len(body) < 4 + 2 * body[0]:
                 raise ValueError("truncated JPEG SOS segment")
             ns = body[0]
-            if ns != len(frame["comps"]):
-                raise NotImplementedError(
-                    "non-interleaved JPEG scans need Pillow")
             scan = []
             for si in range(ns):
                 cs, tt = body[1 + 2 * si], body[2 + 2 * si]
                 comp = next(c for c in frame["comps"] if c["id"] == cs)
                 scan.append((comp, tt >> 4, tt & 0xF))
+            ss, se, ahal = body[1 + 2 * ns:4 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0xF
             intervals, pos = _entropy_intervals(data, pos + seglen)
-            return _decode_scan(frame, scan, qt, huff, intervals, restart)
+            _decode_scan_into(frame, scan, huff, intervals, restart,
+                              coeffs, ss, se, ah, al)
+            scanned = True
+            continue
         pos += seglen
-    raise ValueError("JPEG missing SOS/EOI structure")
+    if not scanned:
+        raise ValueError("JPEG missing SOS/EOI structure")
+    return _finish(frame, qt, coeffs)
 
 
-def _decode_scan(frame, scan, qt, huff, intervals, restart) -> np.ndarray:
-    h, w = frame["h"], frame["w"]
-    hmax = max(c["h"] for c in frame["comps"])
-    vmax = max(c["v"] for c in frame["comps"])
-    if any(hmax % c["h"] or vmax % c["v"] for c in frame["comps"]):
-        raise NotImplementedError(
-            "non-integer JPEG sampling ratios need Pillow")
-    mcu_cols = -(-w // (8 * hmax))
-    mcu_rows = -(-h // (8 * vmax))
-    planes = {
-        c["id"]: np.zeros((mcu_rows * c["v"] * 8, mcu_cols * c["h"] * 8))
-        for c, _dc, _ac in scan
-    }
-    preds = {c["id"]: 0 for c, _dc, _ac in scan}
-    n_mcus = mcu_rows * mcu_cols
-    per_interval = restart if restart else n_mcus
+# importable alias — the historical name above is the compatibility
+# surface (multimodal.decode_media, tests); this one says what it does
+decode_jpeg = decode_baseline_jpeg
+
+
+def _scan_blocks(frame, scan):
+    """Restart-countable decode units: interleaved scans yield one
+    MCU's blocks at a time (A.2.3 ordering); a single-component scan
+    yields one block at a time in raster order over the component's
+    own block grid (A.2.2)."""
+    if len(scan) > 1:
+        for m in range(frame["mcu_rows"] * frame["mcu_cols"]):
+            my, mx = divmod(m, frame["mcu_cols"])
+            unit = []
+            for comp, tdc, tac in scan:
+                for by in range(comp["v"]):
+                    for bx in range(comp["h"]):
+                        unit.append((comp, tdc, tac,
+                                     my * comp["v"] + by,
+                                     mx * comp["h"] + bx))
+            yield unit
+    else:
+        comp, tdc, tac = scan[0]
+        for by in range(comp["nbh"]):
+            for bx in range(comp["nbw"]):
+                yield [(comp, tdc, tac, by, bx)]
+
+
+def _n_units(frame, scan) -> int:
+    if len(scan) > 1:
+        return frame["mcu_rows"] * frame["mcu_cols"]
+    return scan[0][0]["nbh"] * scan[0][0]["nbw"]
+
+
+def _decode_scan_into(frame, scan, huff, intervals, restart,
+                      coeffs, ss, se, ah, al) -> None:
+    """Decode one scan's entropy data into the coefficient arrays.
+
+    Sequential frames always carry the full spectrum (the Ss/Se/Ah/Al
+    bytes are fixed 0/63/0/0 and ignored here); progressive frames
+    dispatch on the spectral-selection / successive-approximation
+    header per Annex G."""
+    progressive = frame["progressive"]
+    if progressive:
+        if ss == 0 and se != 0:
+            raise ValueError(
+                "progressive JPEG scan mixes DC and AC coefficients")
+        if ss > 0 and len(scan) != 1:
+            raise ValueError(
+                "progressive JPEG AC scan must be non-interleaved")
+        if ss > 63 or se > 63 or ss > se:
+            raise ValueError("bad JPEG spectral selection")
+    tables = []
+    for comp, tdc, tac in scan:
+        # fall back to the Annex K typical tables when the frame
+        # carries no DHT for the referenced id — the OpenDML
+        # MJPEG-in-AVI convention (frames omit DHT, the standard
+        # tables are implied)
+        need_dc = (not progressive) or (ss == 0 and ah == 0)
+        need_ac = (not progressive) or ss > 0
+        dct = huff.get((0, tdc)) or _DEFAULT_HUFF.get((0, tdc))
+        act = huff.get((1, tac)) or _DEFAULT_HUFF.get((1, tac))
+        if (need_dc and dct is None) or (need_ac and act is None):
+            raise ValueError("JPEG scan references missing DHT table")
+        tables.append((dct, act))
+    tbl = {id(c): t for (c, _d, _a), t in zip(scan, tables)}
+    n_units = _n_units(frame, scan)
+    per_interval = restart if restart else n_units
+    preds = {c["id"]: 0 for c, _d, _a in scan}
+    eobrun = 0
     reader = None
     interval_idx = -1
-    for m in range(n_mcus):
-        if m % per_interval == 0:
+    for u, unit in enumerate(_scan_blocks(frame, scan)):
+        if u % per_interval == 0:
             interval_idx += 1
             if interval_idx >= len(intervals):
                 raise ValueError("JPEG restart intervals exhausted")
             reader = _BitReader(intervals[interval_idx])
-            preds = {c["id"]: 0 for c, _dc, _ac in scan}
-        my, mx = divmod(m, mcu_cols)
-        for comp, tdc, tac in scan:
-            q = qt[comp["tq"]]
-            # fall back to the Annex K typical tables when the frame
-            # carries no DHT for the referenced id — the OpenDML
-            # MJPEG-in-AVI convention (frames omit DHT, the standard
-            # tables are implied)
-            dct = huff.get((0, tdc)) or _DEFAULT_HUFF.get((0, tdc))
-            act = huff.get((1, tac)) or _DEFAULT_HUFF.get((1, tac))
-            if dct is None or act is None:
-                raise ValueError("JPEG scan references missing DHT table")
-            for by in range(comp["v"]):
-                for bx in range(comp["h"]):
-                    coeffs = np.zeros(64, dtype=np.int32)
-                    s = reader.read_symbol(dct)
-                    diff = _extend(reader.read_bits(s), s)
-                    preds[comp["id"]] += diff
-                    coeffs[0] = preds[comp["id"]]
-                    k = 1
-                    while k < 64:
-                        rs = reader.read_symbol(act)
-                        r, size = rs >> 4, rs & 0xF
-                        if size == 0:
-                            if r == 15:  # ZRL
-                                k += 16
-                                continue
-                            break  # EOB
-                        k += r
-                        if k > 63:
-                            raise ValueError("JPEG AC index overrun")
-                        coeffs[k] = _extend(reader.read_bits(size), size)
-                        k += 1
-                    block = np.zeros((8, 8), dtype=np.float64)
-                    for z, (zr, zc) in enumerate(_ZIGZAG):
-                        block[zr, zc] = coeffs[z]
-                    block *= q
-                    spatial = _C.T @ block @ _C + 128.0
-                    py = (my * comp["v"] + by) * 8
-                    px = (mx * comp["h"] + bx) * 8
-                    planes[comp["id"]][py:py + 8, px:px + 8] = spatial
+            preds = {c["id"]: 0 for c, _d, _a in scan}
+            eobrun = 0
+        for comp, _tdc, _tac, by, bx in unit:
+            out64 = coeffs[comp["id"]][by, bx]
+            dct, act = tbl[id(comp)]
+            if not progressive:
+                _seq_block(reader, dct, act, comp["id"], preds, out64)
+            elif ss == 0 and ah == 0:
+                s = reader.read_symbol(dct)
+                diff = _extend(reader.read_bits(s), s)
+                preds[comp["id"]] += diff
+                out64[0] = preds[comp["id"]] << al
+            elif ss == 0:
+                # DC refinement (G.1.2.1): one appended magnitude bit
+                # per block, completing the two's-complement value
+                if reader.read_bit():
+                    out64[0] |= (1 << al)
+            elif ah == 0:
+                eobrun = _ac_first_block(
+                    reader, act, out64, ss, se, al, eobrun)
+            else:
+                eobrun = _ac_refine_block(
+                    reader, act, out64, ss, se, al, eobrun)
+
+
+def _seq_block(reader, dct, act, cid, preds, out64) -> None:
+    """Full-spectrum sequential block decode (F.2.2) into zigzag
+    coefficient storage."""
+    s = reader.read_symbol(dct)
+    diff = _extend(reader.read_bits(s), s)
+    preds[cid] += diff
+    out64[0] = preds[cid]
+    k = 1
+    while k < 64:
+        rs = reader.read_symbol(act)
+        r, size = rs >> 4, rs & 0xF
+        if size == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            raise ValueError("JPEG AC index overrun")
+        out64[k] = _extend(reader.read_bits(size), size)
+        k += 1
+
+
+def _ac_first_block(reader, act, out64, ss, se, al, eobrun) -> int:
+    """First AC scan of a band (G.1.2.2): run-length symbols with
+    EOBn end-of-band runs; decoded values arrive at magnitude << Al."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = reader.read_symbol(act)
+        r, size = rs >> 4, rs & 0xF
+        if size == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += reader.read_bits(r)
+            break
+        k += r
+        if k > se:
+            raise ValueError("JPEG AC index overrun")
+        out64[k] = _extend(reader.read_bits(size), size) << al
+        k += 1
+    return eobrun
+
+
+def _ac_refine_block(reader, act, out64, ss, se, al, eobrun) -> int:
+    """AC successive-approximation refinement (G.1.2.3): each symbol
+    positions one newly-nonzero ±1<<Al coefficient, and every
+    already-nonzero coefficient passed over contributes one
+    correction bit that may append 1<<Al to its magnitude."""
+    p1 = 1 << al
+
+    def refine(k):
+        v = int(out64[k])
+        if v and reader.read_bit() and (v & p1) == 0:
+            out64[k] = v + (p1 if v >= 0 else -p1)
+        return v != 0
+
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = reader.read_symbol(act)
+            r, size = rs >> 4, rs & 0xF
+            newval = 0
+            if size:
+                if size != 1:
+                    raise ValueError("invalid JPEG AC refinement symbol")
+                newval = p1 if reader.read_bit() else -p1
+            elif r != 15:
+                eobrun = 1 << r
+                if r:
+                    eobrun += reader.read_bits(r)
+                break
+            # advance past r zero-history coefficients (16 for ZRL),
+            # refining every nonzero-history coefficient on the way
+            while k <= se:
+                if not refine(k):
+                    r -= 1
+                    if r < 0:
+                        break
+                k += 1
+            if newval:
+                if k > se:
+                    raise ValueError("JPEG AC refinement overrun")
+                out64[k] = newval
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            refine(k)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+_ZZ_FLAT = [r * 8 + c for r, c in _ZIGZAG]
+
+
+def _finish(frame, qt, coeffs) -> np.ndarray:
+    """Dequantize + inverse-zigzag + IDCT every accumulated block and
+    assemble components into pixels (one vectorized pass per plane)."""
+    h, w = frame["h"], frame["w"]
+    hmax, vmax = frame["hmax"], frame["vmax"]
     out = []
-    for comp, _dc, _ac in scan:
-        p = planes[comp["id"]]
-        p = np.repeat(np.repeat(p, vmax // comp["v"], axis=0),
-                      hmax // comp["h"], axis=1)
-        out.append(p[:h, :w])
+    for comp in frame["comps"]:
+        q = qt[comp["tq"]]
+        c = coeffs[comp["id"]]
+        nat = np.zeros((c.shape[0], c.shape[1], 64), dtype=np.float64)
+        nat[:, :, _ZZ_FLAT] = c
+        blocks = nat.reshape(c.shape[0], c.shape[1], 8, 8) * q
+        spatial = np.einsum("ki,yxkl,lj->yxij", _C, blocks, _C) + 128.0
+        plane = spatial.transpose(0, 2, 1, 3).reshape(
+            c.shape[0] * 8, c.shape[1] * 8)
+        plane = np.repeat(np.repeat(plane, vmax // comp["v"], axis=0),
+                          hmax // comp["h"], axis=1)
+        out.append(plane[:h, :w])
     if len(out) == 1:
         return np.clip(out[0] + 0.5, 0, 255).astype(np.uint8)
     y, cb, cr = out[0], out[1] - 128.0, out[2] - 128.0
@@ -504,18 +707,10 @@ def _encode_block(writer: _BitWriter, block: np.ndarray, q: np.ndarray,
     return int(zz[0])
 
 
-def encode_baseline_jpeg(arr: np.ndarray, subsample: int = 1,
-                         restart_interval: int = 0,
-                         default_tables: bool = False) -> bytes:
-    """Encode (h, w) grayscale or (h, w, 3) RGB uint8 to a baseline
-    JPEG; ``subsample=2`` emits 4:2:0 chroma (exercises the decoder's
-    general MCU geometry), 1 emits 4:4:4; ``restart_interval=N``
-    emits DRI + RSTn markers every N MCUs (exercises the decoder's
-    restart realignment + DC-prediction reset).
-    ``default_tables=True`` entropy-codes with the Annex K typical
-    tables and OMITS the DHT segments entirely — the OpenDML
-    MJPEG-in-AVI shape — so the decoder's default-table fallback is
-    roundtrip-testable without an external codec."""
+def _mcu_geometry(arr: np.ndarray, subsample: int):
+    """Shared encoder prep: color transform, chroma subsampling, and
+    MCU-grid edge padding.  Returns (gray, h, w, comps, padded) where
+    comps rows are (name, plane, h_factor, v_factor, tq)."""
     arr = np.asarray(arr)
     gray = arr.ndim == 2
     h, w = arr.shape[:2]
@@ -546,25 +741,45 @@ def encode_baseline_jpeg(arr: np.ndarray, subsample: int = 1,
         p = np.pad(plane, ((0, th - plane.shape[0]),
                            (0, tw - plane.shape[1])), mode="edge")
         padded.append(p)
+    return gray, h, w, comps, padded, hmax, vmax, mcu_cols, mcu_rows
 
-    def seg(marker: int, body: bytes) -> bytes:
-        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
 
-    def dqt(tq: int, t: np.ndarray) -> bytes:
-        zz = bytes(int(t[r, c]) for r, c in _ZIGZAG)
-        return seg(_DQT, bytes([tq]) + zz)
+def _seg(marker: int, body: bytes) -> bytes:
+    return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
 
-    def dht(tc: int, th: int, bits: list[int], vals: bytes) -> bytes:
-        return seg(_DHT, bytes([(tc << 4) | th]) + bytes(bits) + vals)
+
+def _dqt_seg(tq: int, t: np.ndarray) -> bytes:
+    zz = bytes(int(t[r, c]) for r, c in _ZIGZAG)
+    return _seg(_DQT, bytes([tq]) + zz)
+
+
+def _dht_seg(tc: int, th: int, bits: list[int], vals: bytes) -> bytes:
+    return _seg(_DHT, bytes([(tc << 4) | th]) + bytes(bits) + vals)
+
+
+def encode_baseline_jpeg(arr: np.ndarray, subsample: int = 1,
+                         restart_interval: int = 0,
+                         default_tables: bool = False) -> bytes:
+    """Encode (h, w) grayscale or (h, w, 3) RGB uint8 to a baseline
+    JPEG; ``subsample=2`` emits 4:2:0 chroma (exercises the decoder's
+    general MCU geometry), 1 emits 4:4:4; ``restart_interval=N``
+    emits DRI + RSTn markers every N MCUs (exercises the decoder's
+    restart realignment + DC-prediction reset).
+    ``default_tables=True`` entropy-codes with the Annex K typical
+    tables and OMITS the DHT segments entirely — the OpenDML
+    MJPEG-in-AVI shape — so the decoder's default-table fallback is
+    roundtrip-testable without an external codec."""
+    (gray, h, w, comps, padded,
+     _hmax, _vmax, mcu_cols, mcu_rows) = _mcu_geometry(arr, subsample)
 
     out = bytearray(b"\xff\xd8")
-    out += dqt(0, _Q_LUMA)
+    out += _dqt_seg(0, _Q_LUMA)
     if not gray:
-        out += dqt(1, _Q_CHROMA)
+        out += _dqt_seg(1, _Q_CHROMA)
     sof = bytes([8]) + struct.pack(">HHB", h, w, len(comps))
     for i, (_name, _p, ch, cv, tq) in enumerate(comps):
         sof += bytes([i + 1, (ch << 4) | cv, tq])
-    out += seg(_SOF0, sof)
+    out += _seg(_SOF0, sof)
     if default_tables:
         enc_for = {
             0: (_encode_table(_K_DC_LUMA_BITS, _K_DC_LUMA_VALS),
@@ -574,16 +789,16 @@ def encode_baseline_jpeg(arr: np.ndarray, subsample: int = 1,
         }
     else:
         enc_for = {0: (_DC_ENC, _AC_ENC), 1: (_DC_ENC, _AC_ENC)}
-        out += dht(0, 0, _DC_BITS, _DC_VALS)
-        out += dht(1, 0, _AC_BITS, _AC_SYMBOLS)
+        out += _dht_seg(0, 0, _DC_BITS, _DC_VALS)
+        out += _dht_seg(1, 0, _AC_BITS, _AC_SYMBOLS)
     if restart_interval:
-        out += seg(_DRI, struct.pack(">H", restart_interval))
+        out += _seg(_DRI, struct.pack(">H", restart_interval))
     sos = bytes([len(comps)])
     for i in range(len(comps)):
         tid = 1 if (default_tables and i > 0) else 0
         sos += bytes([i + 1, (tid << 4) | tid])
     sos += bytes([0, 63, 0])
-    out += seg(_SOS, sos)
+    out += _seg(_SOS, sos)
     writer = _BitWriter()
     preds = [0] * len(comps)
     n_mcus = mcu_rows * mcu_cols
@@ -605,5 +820,236 @@ def encode_baseline_jpeg(arr: np.ndarray, subsample: int = 1,
                     preds[i] = _encode_block(writer, block, q, preds[i],
                                              dc_enc, ac_enc)
     out += writer.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# --- progressive encoder (Annex G; the decoder's roundtrip source) ----
+#
+# Fixed scan script exercising every progressive decode path: DC first
+# at Al=1 (interleaved), per-component AC first over two spectral
+# bands at Al=1, then the successive-approximation refinements (DC
+# bit-completion, AC correction-bit scans) down to Al=0.  End-of-band
+# runs are emitted per block (EOB0 only) — legal, just less compressed
+# than cross-block EOBRUN accumulation.
+
+_PROG_BANDS = [(1, 5), (6, 63)]
+
+
+def _quantized_zigzag(padded, comps):
+    """Per component: (nbh, nbw, 64) int32 quantized coefficients in
+    zigzag order over the MCU-padded plane."""
+    out = []
+    for (_name, _p, _ch, _cv, tq), plane in zip(comps, padded):
+        q = _Q_LUMA if tq == 0 else _Q_CHROMA
+        nbh, nbw = plane.shape[0] // 8, plane.shape[1] // 8
+        nat = np.zeros((nbh, nbw, 64), dtype=np.int32)
+        for by in range(nbh):
+            for bx in range(nbw):
+                block = plane[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8]
+                # the EXACT per-block expression _encode_block uses —
+                # a vectorized einsum changes float summation order
+                # and can flip round-half ties, breaking the tests'
+                # baseline-equals-progressive pixel assertion
+                co = np.round((_C @ (block - 128.0) @ _C.T) / q)
+                nat[by, bx] = co.astype(np.int32).ravel()
+        # gather through the same natural-index permutation the
+        # decoder's _finish scatters through
+        out.append(nat[:, :, _ZZ_FLAT])
+    return out
+
+
+def _enc_ac_first_block(writer, band, ac_enc) -> None:
+    """First-scan band encode: sequential-style RLE of the
+    point-transformed values, EOB0 for the zero tail."""
+    last = -1
+    for i in range(len(band) - 1, -1, -1):
+        if band[i]:
+            last = i
+            break
+    run = 0
+    for i in range(last + 1):
+        v = int(band[i])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            c, ln = ac_enc[0xF0]
+            writer.write(c, ln)
+            run -= 16
+        s, mag = _mag(v)
+        c, ln = ac_enc[(run << 4) | s]
+        writer.write(c, ln)
+        writer.write(mag, s)
+        run = 0
+    if last < len(band) - 1:
+        c, ln = ac_enc[0x00]
+        writer.write(c, ln)
+
+
+def _enc_ac_refine_block(writer, band_full, al, ac_enc) -> None:
+    """Refinement band encode (the encoder dual of G.1.2.3):
+    newly-nonzero coefficients emit (zero-history run, size 1) +
+    sign; already-nonzero coefficients buffer their next magnitude
+    bit, flushed after the symbol whose span covers them."""
+    p1 = 1 << al
+    absv = [abs(int(v)) >> al for v in band_full]
+    eob = -1
+    for i, t in enumerate(absv):
+        if t == 1:
+            eob = i
+    run = 0
+    buffered: list[int] = []
+    for i, t in enumerate(absv):
+        if t == 0:
+            run += 1
+            continue
+        while run > 15 and i <= eob:
+            c, ln = ac_enc[0xF0]
+            writer.write(c, ln)
+            run -= 16
+            for b in buffered:
+                writer.write(b, 1)
+            buffered = []
+        if t > 1:  # already nonzero at coarser precision
+            buffered.append(t & 1)
+            continue
+        c, ln = ac_enc[(run << 4) | 1]
+        writer.write(c, ln)
+        writer.write(1 if int(band_full[i]) > 0 else 0, 1)
+        for b in buffered:
+            writer.write(b, 1)
+        buffered = []
+        run = 0
+    if run > 0 or buffered:
+        c, ln = ac_enc[0x00]
+        writer.write(c, ln)
+        for b in buffered:
+            writer.write(b, 1)
+
+
+def encode_progressive_jpeg(arr: np.ndarray, subsample: int = 1,
+                            restart_interval: int = 0) -> bytes:
+    """Encode (h, w) grayscale or (h, w, 3) RGB uint8 to a progressive
+    (SOF2) JPEG — the decoder's roundtrip source for spectral
+    selection + successive approximation, no external codec needed.
+    Quantized coefficients are identical to ``encode_baseline_jpeg``'s
+    (same tables, same forward path), so the decoded pixels of the
+    two encodings must match exactly — the strongest cross-check the
+    tests assert.  ``restart_interval`` plants DRI + RSTn in every
+    scan (MCU units in the interleaved DC scans, block units in the
+    non-interleaved AC scans, per A.2.2/A.2.3)."""
+    (gray, h, w, comps, padded,
+     _hmax, _vmax, mcu_cols, mcu_rows) = _mcu_geometry(arr, subsample)
+    zz = _quantized_zigzag(padded, comps)
+
+    out = bytearray(b"\xff\xd8")
+    out += _dqt_seg(0, _Q_LUMA)
+    if not gray:
+        out += _dqt_seg(1, _Q_CHROMA)
+    sof = bytes([8]) + struct.pack(">HHB", h, w, len(comps))
+    for i, (_name, _p, ch, cv, tq) in enumerate(comps):
+        sof += bytes([i + 1, (ch << 4) | cv, tq])
+    out += _seg(_SOF2, sof)
+    out += _dht_seg(0, 0, _DC_BITS, _DC_VALS)
+    out += _dht_seg(1, 0, _AC_BITS, _AC_SYMBOLS)
+    if restart_interval:
+        out += _seg(_DRI, struct.pack(">H", restart_interval))
+
+    def sos(comp_ids, ss, se, ah, al) -> bytes:
+        body = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            body += bytes([cid, 0x00])  # DC/AC table id 0
+        return _seg(_SOS, body + bytes([ss, se, (ah << 4) | al]))
+
+    def run_scan(header, units, encode_unit):
+        nonlocal out
+        out += header
+        writer = _BitWriter()
+        for u, unit in enumerate(units):
+            if restart_interval and u and u % restart_interval == 0:
+                out += writer.flush()
+                out += bytes([
+                    0xFF, 0xD0 + ((u // restart_interval - 1) % 8)])
+                writer = _BitWriter()
+                encode_unit.reset()
+            encode_unit(writer, unit)
+        out += writer.flush()
+
+    def mcu_units():
+        for m in range(mcu_rows * mcu_cols):
+            my, mx = divmod(m, mcu_cols)
+            unit = []
+            for i, (_name, _p, ch, cv, _tq) in enumerate(comps):
+                for by in range(cv):
+                    for bx in range(ch):
+                        unit.append((i, my * cv + by, mx * ch + bx))
+            yield unit
+
+    all_ids = [i + 1 for i in range(len(comps))]
+
+    class _DCFirst:
+        def __init__(self):
+            self.reset()
+
+        def reset(self):
+            self.preds = [0] * len(comps)
+
+        def __call__(self, writer, unit):
+            for i, by, bx in unit:
+                dc = int(zz[i][by, bx, 0]) >> 1  # Al=1 point transform
+                s, mag = _mag(dc - self.preds[i])
+                code, ln = _DC_ENC[s]
+                writer.write(code, ln)
+                if s:
+                    writer.write(mag, s)
+                self.preds[i] = dc
+
+    class _DCRefine:
+        def reset(self):
+            pass
+
+        def __call__(self, writer, unit):
+            for i, by, bx in unit:
+                writer.write(int(zz[i][by, bx, 0]) & 1, 1)
+
+    run_scan(sos(all_ids, 0, 0, 0, 1), mcu_units(), _DCFirst())
+    def comp_blocks(i):
+        # non-interleaved AC scans cover the component's own block
+        # grid (A.2.2) — may be smaller than the MCU-padded grid
+        _name, _p, ch, cv, _tq = comps[i]
+        comp_w = -(-w * ch // _hmax)
+        comp_h = -(-h * cv // _vmax)
+        nbw, nbh = -(-comp_w // 8), -(-comp_h // 8)
+        return [(i, by, bx) for by in range(nbh) for bx in range(nbw)]
+
+    for i in range(len(comps)):
+        blocks = comp_blocks(i)
+        for ss, se in _PROG_BANDS:
+            class _ACFirst:
+                def reset(self):
+                    pass
+
+                def __call__(self, writer, unit, _ss=ss, _se=se):
+                    ci, by, bx = unit
+                    band = zz[ci][by, bx, _ss:_se + 1]
+                    v1 = np.sign(band) * (np.abs(band) >> 1)
+                    _enc_ac_first_block(writer, v1, _AC_ENC)
+
+            run_scan(sos([i + 1], ss, se, 0, 1), iter(blocks), _ACFirst())
+    run_scan(sos(all_ids, 0, 0, 1, 0), mcu_units(), _DCRefine())
+    for i in range(len(comps)):
+        blocks = comp_blocks(i)
+        for ss, se in _PROG_BANDS:
+            class _ACRefine:
+                def reset(self):
+                    pass
+
+                def __call__(self, writer, unit, _ss=ss, _se=se):
+                    ci, by, bx = unit
+                    _enc_ac_refine_block(
+                        writer, zz[ci][by, bx, _ss:_se + 1], 0, _AC_ENC)
+
+            run_scan(sos([i + 1], ss, se, 1, 0), iter(blocks), _ACRefine())
     out += b"\xff\xd9"
     return bytes(out)

@@ -29,8 +29,8 @@ the whole round-trip under the driver's hash-match gate.  MJPEG
 streams (``##dc`` chunks holding JPEG) get per-frame codec-header
 stats (``_jpeg_dims`` → ``avi_frame_stats``) AND real pixel decode
 through the baseline codec; what remains ``NotImplementedError`` is
-only progressive/arithmetic/12-bit JPEG without Pillow and non-AVI
-containers without PyAV.
+only arithmetic/12-bit JPEG without Pillow and non-AVI containers
+without PyAV (progressive JPEG decodes natively as of round 10).
 """
 
 from __future__ import annotations
@@ -249,7 +249,8 @@ def decode_media(payload: bytes, media_type: str) -> np.ndarray:
     JPEG codec, and returns raw frame-chunk bytes for uncompressed
     DIB streams (literal pixel data).  The remaining
     ``NotImplementedError`` surface: non-AVI video without PyAV, and
-    progressive/arithmetic/12-bit JPEG frames without Pillow."""
+    arithmetic/12-bit JPEG frames without Pillow (progressive
+    decodes natively)."""
     if media_type == "image":
         try:
             from PIL import Image  # optional dependency
@@ -283,7 +284,7 @@ def decode_media(payload: bytes, media_type: str) -> np.ndarray:
                 # MJPEG: per-frame pixel decode — Pillow when
                 # importable (any JPEG flavor), else the built-in
                 # baseline codec (extensions.jpegcodec, pure
-                # numpy/stdlib per ITU T.81; progressive/arithmetic
+                # numpy/stdlib per ITU T.81, incl. progressive; arithmetic
                 # frames raise NotImplementedError there)
                 try:
                     from PIL import Image  # optional dependency

@@ -88,10 +88,23 @@ class TestStructure:
         with pytest.raises(ValueError):
             decode_baseline_jpeg(enc[: len(enc) // 2])
 
-    def test_progressive_marker_raises_not_implemented(self):
+    def test_sof2_rewrite_of_baseline_scan_rejected(self):
+        """Flipping a baseline stream's SOF0 marker to SOF2 leaves a
+        full-spectrum (Ss=0, Se=63) scan header, which is illegal in
+        progressive mode (a DC scan must have Se=0) — a codec error,
+        never garbage pixels.  (Until round 10 ALL of SOF2 raised
+        NotImplementedError; real progressive streams now decode —
+        see TestProgressive.)"""
         enc = bytearray(encode_baseline_jpeg(_gradient(16, 16)))
         sof = enc.find(b"\xff\xc0")
         enc[sof + 1] = 0xC2  # rewrite SOF0 → SOF2 (progressive)
+        with pytest.raises(ValueError):
+            decode_baseline_jpeg(bytes(enc))
+
+    def test_arithmetic_marker_raises_not_implemented(self):
+        enc = bytearray(encode_baseline_jpeg(_gradient(16, 16)))
+        sof = enc.find(b"\xff\xc0")
+        enc[sof + 1] = 0xC9  # SOF9: arithmetic-coded sequential
         with pytest.raises(NotImplementedError):
             decode_baseline_jpeg(bytes(enc))
 
@@ -169,6 +182,109 @@ class TestAnnexKDefaults:
         assert lengths[(0, 0)][0] == 2       # DC luma size-0
         assert set(lengths[(0, 0)]) == set(range(12))
         assert set(lengths[(0, 1)]) == set(range(12))
+
+
+class TestProgressive:
+    """Progressive (SOF2) decode — spectral selection + successive
+    approximation per ITU T.81 Annex G, roundtripped against the
+    built-in progressive encoder.  The strong assertion: the
+    progressive encoder quantizes with the SAME tables and forward
+    path as the baseline encoder, so the decoded pixels of the two
+    encodings of one image must be EXACTLY equal — any drift in the
+    multi-scan coefficient accumulation (DC bit completion, EOB runs,
+    AC correction bits) breaks bit-equality long before it breaks a
+    tolerance check."""
+
+    @pytest.mark.parametrize("subsample", [1, 2])
+    @pytest.mark.parametrize("restart", [0, 3])
+    def test_matches_baseline_decode_exactly(self, subsample, restart):
+        from astra_perseverance_spark.extensions.jpegcodec import (
+            encode_progressive_jpeg,
+        )
+
+        img = _gradient(33, 41)
+        base = decode_baseline_jpeg(
+            encode_baseline_jpeg(img, subsample=subsample,
+                                 restart_interval=restart))
+        prog = decode_baseline_jpeg(
+            encode_progressive_jpeg(img, subsample=subsample,
+                                    restart_interval=restart))
+        assert prog.shape == img.shape
+        assert np.array_equal(prog, base), (subsample, restart)
+        err = np.abs(prog.astype(int) - img.astype(int))
+        assert err.mean() < 3, (subsample, restart)
+
+    def test_noise_exercises_refinement_paths(self):
+        """Random pixels populate every band with coefficients whose
+        magnitudes straddle the Al=1 point transform — newly-nonzero
+        positioning, correction bits, ZRL-in-refinement, and EOB
+        folds all fire (and must still be bit-exact vs baseline)."""
+        from astra_perseverance_spark.extensions.jpegcodec import (
+            encode_progressive_jpeg,
+        )
+
+        rng = np.random.default_rng(11)
+        for shape, sub, rst in (((24, 24, 3), 1, 0), ((21, 13, 3), 2, 2),
+                                ((16, 24, 3), 1, 1)):
+            img = rng.integers(0, 256, shape, dtype=np.uint8)
+            base = decode_baseline_jpeg(
+                encode_baseline_jpeg(img, subsample=sub,
+                                     restart_interval=rst))
+            prog = decode_baseline_jpeg(
+                encode_progressive_jpeg(img, subsample=sub,
+                                        restart_interval=rst))
+            assert np.array_equal(prog, base), (shape, sub, rst)
+
+    def test_grayscale_progressive(self):
+        from astra_perseverance_spark.extensions.jpegcodec import (
+            encode_progressive_jpeg,
+        )
+
+        yy, xx = np.mgrid[0:17, 0:26]
+        g = ((yy * 5 + xx * 3) % 256).astype(np.uint8)
+        prog = decode_baseline_jpeg(encode_progressive_jpeg(g))
+        base = decode_baseline_jpeg(encode_baseline_jpeg(g))
+        assert prog.ndim == 2 and np.array_equal(prog, base)
+
+    def test_stream_is_really_progressive_and_multi_scan(self):
+        import struct
+
+        from astra_perseverance_spark.extensions.jpegcodec import (
+            encode_progressive_jpeg,
+        )
+
+        data = encode_progressive_jpeg(_gradient(16, 16))
+        assert b"\xff\xc2" in data and b"\xff\xc0" not in data
+        # count SOS markers via a marker walk (entropy data can
+        # contain FF DA only behind a stuffed FF 00, so a raw scan
+        # overcounts; walk segments up to the first SOS instead)
+        n_sos = data.count(b"\xff\xda")
+        # 1 DC first + 3 comps × 2 bands AC first + 1 DC refine +
+        # 3 × 2 AC refine = 14 scans
+        assert n_sos >= 14, n_sos
+        (h, w) = struct.unpack(">HH", data[data.find(b"\xff\xc2") + 5:
+                                           data.find(b"\xff\xc2") + 9])
+        assert (h, w) == (16, 16)
+
+    def test_dims_walker_reads_progressive_sof(self):
+        from astra_perseverance_spark.extensions.jpegcodec import (
+            encode_progressive_jpeg,
+        )
+        from astra_perseverance_spark.extensions.multimodal import (
+            _jpeg_dims,
+        )
+
+        assert _jpeg_dims(encode_progressive_jpeg(_gradient(21, 34))) \
+            == (21, 34)
+
+    def test_truncated_progressive_raises(self):
+        from astra_perseverance_spark.extensions.jpegcodec import (
+            encode_progressive_jpeg,
+        )
+
+        enc = encode_progressive_jpeg(_gradient(16, 16))
+        with pytest.raises(ValueError):
+            decode_baseline_jpeg(enc[: len(enc) // 2])
 
 
 class TestAgainstPillow:
