@@ -34,10 +34,14 @@ tables (K.3.3) as the implied default; and a progressive encoder
 bit-identical to the baseline encoder's, so the tests can assert
 EXACT pixel equality between the two decode paths.
 
+12-bit precision (round 10) decodes to uint16 via the same
+multi-scan machinery (extended sequential SOF1 and progressive,
+level shift 2048, widened symbol alphabets, roundtrip-tested).
+
 Deliberately NOT supported (declared, raises ValueError /
-NotImplementedError): arithmetic-coded streams, 12-bit precision,
-lossless hierarchies — the residue of the multimodal stub is now
-exactly those.
+NotImplementedError): arithmetic-coded streams and
+lossless/hierarchical modes — the residue of the multimodal stub is
+now exactly those.
 """
 
 from __future__ import annotations
@@ -247,9 +251,9 @@ def decode_baseline_jpeg(data: bytes) -> np.ndarray:
     AC first with EOBRUN per G.1.2.2, AC refinement with correction
     bits per G.1.2.3) — and one vectorized dequantize + IDCT pass at
     EOI materializes pixels.  Restart intervals reset DC prediction
-    and the EOB run in every scan kind.  Still declared unsupported
-    (arithmetic coding, 12-bit precision, lossless/hierarchical):
-    NotImplementedError."""
+    and the EOB run in every scan kind.  8-bit frames return uint8,
+    12-bit frames uint16.  Still declared unsupported (arithmetic
+    coding, lossless/hierarchical): NotImplementedError."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     qt: dict[int, np.ndarray] = {}
@@ -317,8 +321,11 @@ def decode_baseline_jpeg(data: bytes) -> np.ndarray:
             if len(body) < 6:
                 raise ValueError("truncated JPEG SOF segment")
             prec, h, w, nc = struct.unpack(">BHHB", body[:6])
-            if prec != 8:
-                raise NotImplementedError("12-bit JPEG needs Pillow")
+            if prec not in (8, 12):
+                raise NotImplementedError(
+                    f"unsupported JPEG sample precision {prec}")
+            if prec == 12 and marker == _SOF0:
+                raise ValueError("baseline JPEG must be 8-bit (B.2.2)")
             if len(body) < 6 + 3 * nc:
                 raise ValueError("truncated JPEG SOF segment")
             comps = []
@@ -344,7 +351,7 @@ def decode_baseline_jpeg(data: bytes) -> np.ndarray:
                 comp_h = -(-h * c["v"] // vmax)
                 c["nbw"] = -(-comp_w // 8)
                 c["nbh"] = -(-comp_h // 8)
-            frame = {"h": h, "w": w, "comps": comps,
+            frame = {"h": h, "w": w, "comps": comps, "prec": prec,
                      "hmax": hmax, "vmax": vmax,
                      "mcu_cols": mcu_cols, "mcu_rows": mcu_rows,
                      "progressive": marker == _SOF2}
@@ -584,9 +591,14 @@ _ZZ_FLAT = [r * 8 + c for r, c in _ZIGZAG]
 
 def _finish(frame, qt, coeffs) -> np.ndarray:
     """Dequantize + inverse-zigzag + IDCT every accumulated block and
-    assemble components into pixels (one vectorized pass per plane)."""
+    assemble components into pixels (one vectorized pass per plane).
+    8-bit frames return uint8; 12-bit frames (level shift 2048, range
+    0..4095 per A.3.1) return uint16."""
     h, w = frame["h"], frame["w"]
     hmax, vmax = frame["hmax"], frame["vmax"]
+    level = 1 << (frame["prec"] - 1)
+    vmaxval = (1 << frame["prec"]) - 1
+    dtype = np.uint8 if frame["prec"] == 8 else np.uint16
     out = []
     for comp in frame["comps"]:
         q = qt[comp["tq"]]
@@ -594,21 +606,21 @@ def _finish(frame, qt, coeffs) -> np.ndarray:
         nat = np.zeros((c.shape[0], c.shape[1], 64), dtype=np.float64)
         nat[:, :, _ZZ_FLAT] = c
         blocks = nat.reshape(c.shape[0], c.shape[1], 8, 8) * q
-        spatial = np.einsum("ki,yxkl,lj->yxij", _C, blocks, _C) + 128.0
+        spatial = np.einsum("ki,yxkl,lj->yxij", _C, blocks, _C) + level
         plane = spatial.transpose(0, 2, 1, 3).reshape(
             c.shape[0] * 8, c.shape[1] * 8)
         plane = np.repeat(np.repeat(plane, vmax // comp["v"], axis=0),
                           hmax // comp["h"], axis=1)
         out.append(plane[:h, :w])
     if len(out) == 1:
-        return np.clip(out[0] + 0.5, 0, 255).astype(np.uint8)
-    y, cb, cr = out[0], out[1] - 128.0, out[2] - 128.0
+        return np.clip(out[0] + 0.5, 0, vmaxval).astype(dtype)
+    y, cb, cr = out[0], out[1] - level, out[2] - level
     rgb = np.stack([
         y + 1.402 * cr,
         y - 0.344136 * cb - 0.714136 * cr,
         y + 1.772 * cb,
     ], axis=-1)
-    return np.clip(rgb + 0.5, 0, 255).astype(np.uint8)
+    return np.clip(rgb + 0.5, 0, vmaxval).astype(dtype)
 
 
 # --- encoder (tests' roundtrip source; any legal stream is fine) ------
@@ -626,6 +638,16 @@ _AC_SYMBOLS = bytes(
     [0x00, 0xF0] + [(r << 4) | s for r in range(16) for s in range(1, 11)])
 _AC_BITS = [0, 0, 0, 0, 0, 0, 0, len(_AC_SYMBOLS)] + [0] * 8
 
+# 12-bit precision widens the symbol alphabets (F.1.2.1.1: DC sizes to
+# 15, here 0..15; F.1.2.2.1: AC sizes to 14) — 16 DC symbols at 5 bits
+# and 226 AC symbols at 8 bits, both Kraft-satisfying with the
+# all-ones code unused.
+_DC_BITS12 = [0, 0, 0, 0, 16] + [0] * 11
+_DC_VALS12 = bytes(range(16))
+_AC_SYMBOLS12 = bytes(
+    [0x00, 0xF0] + [(r << 4) | s for r in range(16) for s in range(1, 15)])
+_AC_BITS12 = [0, 0, 0, 0, 0, 0, 0, len(_AC_SYMBOLS12)] + [0] * 8
+
 
 def _encode_table(bits: list[int], vals: bytes) -> dict[int, tuple[int, int]]:
     """symbol → (code, length) from the canonical construction."""
@@ -641,6 +663,8 @@ def _encode_table(bits: list[int], vals: bytes) -> dict[int, tuple[int, int]]:
 
 _DC_ENC = _encode_table(_DC_BITS, _DC_VALS)
 _AC_ENC = _encode_table(_AC_BITS, _AC_SYMBOLS)
+_DC_ENC12 = _encode_table(_DC_BITS12, _DC_VALS12)
+_AC_ENC12 = _encode_table(_AC_BITS12, _AC_SYMBOLS12)
 
 
 class _BitWriter:
@@ -676,10 +700,11 @@ def _mag(v: int) -> tuple[int, int]:
 
 
 def _encode_block(writer: _BitWriter, block: np.ndarray, q: np.ndarray,
-                  pred: int, dc_enc=None, ac_enc=None) -> int:
+                  pred: int, dc_enc=None, ac_enc=None,
+                  level: float = 128.0) -> int:
     dc_enc = _DC_ENC if dc_enc is None else dc_enc
     ac_enc = _AC_ENC if ac_enc is None else ac_enc
-    coeffs = np.round((_C @ (block - 128.0) @ _C.T) / q).astype(np.int32)
+    coeffs = np.round((_C @ (block - level) @ _C.T) / q).astype(np.int32)
     zz = np.array([coeffs[r, c] for r, c in _ZIGZAG])
     s, mag = _mag(int(zz[0]) - pred)
     code, length = dc_enc[s]
@@ -707,13 +732,15 @@ def _encode_block(writer: _BitWriter, block: np.ndarray, q: np.ndarray,
     return int(zz[0])
 
 
-def _mcu_geometry(arr: np.ndarray, subsample: int):
-    """Shared encoder prep: color transform, chroma subsampling, and
-    MCU-grid edge padding.  Returns (gray, h, w, comps, padded) where
-    comps rows are (name, plane, h_factor, v_factor, tq)."""
+def _mcu_geometry(arr: np.ndarray, subsample: int, precision: int = 8):
+    """Shared encoder prep: color transform (chroma centered at
+    2^(precision−1)), chroma subsampling, and MCU-grid edge padding.
+    Returns (gray, h, w, comps, padded) where comps rows are
+    (name, plane, h_factor, v_factor, tq)."""
     arr = np.asarray(arr)
     gray = arr.ndim == 2
     h, w = arr.shape[:2]
+    level = float(1 << (precision - 1))
     if gray:
         comps = [("Y", arr.astype(np.float64), 1, 1, 0)]
         subsample = 1
@@ -721,8 +748,8 @@ def _mcu_geometry(arr: np.ndarray, subsample: int):
         a = arr.astype(np.float64)
         r, g, b = a[..., 0], a[..., 1], a[..., 2]
         y = 0.299 * r + 0.587 * g + 0.114 * b
-        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
-        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + level
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + level
         if subsample == 2:
             ph, pw = -(-h // 2) * 2, -(-w // 2) * 2
             cbp = np.pad(cb, ((0, ph - h), (0, pw - w)), mode="edge")
@@ -759,8 +786,9 @@ def _dht_seg(tc: int, th: int, bits: list[int], vals: bytes) -> bytes:
 
 def encode_baseline_jpeg(arr: np.ndarray, subsample: int = 1,
                          restart_interval: int = 0,
-                         default_tables: bool = False) -> bytes:
-    """Encode (h, w) grayscale or (h, w, 3) RGB uint8 to a baseline
+                         default_tables: bool = False,
+                         precision: int = 8) -> bytes:
+    """Encode (h, w) grayscale or (h, w, 3) RGB uint8 to a sequential
     JPEG; ``subsample=2`` emits 4:2:0 chroma (exercises the decoder's
     general MCU geometry), 1 emits 4:4:4; ``restart_interval=N``
     emits DRI + RSTn markers every N MCUs (exercises the decoder's
@@ -768,18 +796,27 @@ def encode_baseline_jpeg(arr: np.ndarray, subsample: int = 1,
     ``default_tables=True`` entropy-codes with the Annex K typical
     tables and OMITS the DHT segments entirely — the OpenDML
     MJPEG-in-AVI shape — so the decoder's default-table fallback is
-    roundtrip-testable without an external codec."""
+    roundtrip-testable without an external codec.  ``precision=12``
+    takes uint16 samples in 0..4095 and emits an EXTENDED sequential
+    frame (SOF1 — baseline is 8-bit by definition, B.2.2) with the
+    widened DC/AC symbol alphabets."""
+    if precision not in (8, 12):
+        raise ValueError(f"precision must be 8 or 12: {precision}")
+    if precision == 12 and default_tables:
+        raise ValueError("the Annex K tables are 8-bit alphabets")
     (gray, h, w, comps, padded,
-     _hmax, _vmax, mcu_cols, mcu_rows) = _mcu_geometry(arr, subsample)
+     _hmax, _vmax, mcu_cols, mcu_rows) = _mcu_geometry(
+        arr, subsample, precision)
+    level = float(1 << (precision - 1))
 
     out = bytearray(b"\xff\xd8")
     out += _dqt_seg(0, _Q_LUMA)
     if not gray:
         out += _dqt_seg(1, _Q_CHROMA)
-    sof = bytes([8]) + struct.pack(">HHB", h, w, len(comps))
+    sof = bytes([precision]) + struct.pack(">HHB", h, w, len(comps))
     for i, (_name, _p, ch, cv, tq) in enumerate(comps):
         sof += bytes([i + 1, (ch << 4) | cv, tq])
-    out += _seg(_SOF0, sof)
+    out += _seg(_SOF0 if precision == 8 else _SOF1, sof)
     if default_tables:
         enc_for = {
             0: (_encode_table(_K_DC_LUMA_BITS, _K_DC_LUMA_VALS),
@@ -787,6 +824,10 @@ def encode_baseline_jpeg(arr: np.ndarray, subsample: int = 1,
             1: (_encode_table(_K_DC_CHROMA_BITS, _K_DC_CHROMA_VALS),
                 _encode_table(_K_AC_CHROMA_BITS, _K_AC_CHROMA_VALS)),
         }
+    elif precision == 12:
+        enc_for = {0: (_DC_ENC12, _AC_ENC12), 1: (_DC_ENC12, _AC_ENC12)}
+        out += _dht_seg(0, 0, _DC_BITS12, _DC_VALS12)
+        out += _dht_seg(1, 0, _AC_BITS12, _AC_SYMBOLS12)
     else:
         enc_for = {0: (_DC_ENC, _AC_ENC), 1: (_DC_ENC, _AC_ENC)}
         out += _dht_seg(0, 0, _DC_BITS, _DC_VALS)
@@ -818,7 +859,7 @@ def encode_baseline_jpeg(arr: np.ndarray, subsample: int = 1,
                     px = (mx * ch + bx) * 8
                     block = padded[i][py:py + 8, px:px + 8]
                     preds[i] = _encode_block(writer, block, q, preds[i],
-                                             dc_enc, ac_enc)
+                                             dc_enc, ac_enc, level)
     out += writer.flush()
     out += b"\xff\xd9"
     return bytes(out)
@@ -836,7 +877,7 @@ def encode_baseline_jpeg(arr: np.ndarray, subsample: int = 1,
 _PROG_BANDS = [(1, 5), (6, 63)]
 
 
-def _quantized_zigzag(padded, comps):
+def _quantized_zigzag(padded, comps, level: float = 128.0):
     """Per component: (nbh, nbw, 64) int32 quantized coefficients in
     zigzag order over the MCU-padded plane."""
     out = []
@@ -851,7 +892,7 @@ def _quantized_zigzag(padded, comps):
                 # a vectorized einsum changes float summation order
                 # and can flip round-half ties, breaking the tests'
                 # baseline-equals-progressive pixel assertion
-                co = np.round((_C @ (block - 128.0) @ _C.T) / q)
+                co = np.round((_C @ (block - level) @ _C.T) / q)
                 nat[by, bx] = co.astype(np.int32).ravel()
         # gather through the same natural-index permutation the
         # decoder's _finish scatters through
@@ -929,7 +970,8 @@ def _enc_ac_refine_block(writer, band_full, al, ac_enc) -> None:
 
 
 def encode_progressive_jpeg(arr: np.ndarray, subsample: int = 1,
-                            restart_interval: int = 0) -> bytes:
+                            restart_interval: int = 0,
+                            precision: int = 8) -> bytes:
     """Encode (h, w) grayscale or (h, w, 3) RGB uint8 to a progressive
     (SOF2) JPEG — the decoder's roundtrip source for spectral
     selection + successive approximation, no external codec needed.
@@ -938,21 +980,32 @@ def encode_progressive_jpeg(arr: np.ndarray, subsample: int = 1,
     two encodings must match exactly — the strongest cross-check the
     tests assert.  ``restart_interval`` plants DRI + RSTn in every
     scan (MCU units in the interleaved DC scans, block units in the
-    non-interleaved AC scans, per A.2.2/A.2.3)."""
+    non-interleaved AC scans, per A.2.2/A.2.3).  ``precision=12``
+    takes uint16 samples in 0..4095 (level shift 2048, widened
+    symbol alphabets)."""
+    if precision not in (8, 12):
+        raise ValueError(f"precision must be 8 or 12: {precision}")
     (gray, h, w, comps, padded,
-     _hmax, _vmax, mcu_cols, mcu_rows) = _mcu_geometry(arr, subsample)
-    zz = _quantized_zigzag(padded, comps)
+     _hmax, _vmax, mcu_cols, mcu_rows) = _mcu_geometry(
+        arr, subsample, precision)
+    zz = _quantized_zigzag(padded, comps, float(1 << (precision - 1)))
+    dc_enc = _DC_ENC if precision == 8 else _DC_ENC12
+    ac_enc = _AC_ENC if precision == 8 else _AC_ENC12
 
     out = bytearray(b"\xff\xd8")
     out += _dqt_seg(0, _Q_LUMA)
     if not gray:
         out += _dqt_seg(1, _Q_CHROMA)
-    sof = bytes([8]) + struct.pack(">HHB", h, w, len(comps))
+    sof = bytes([precision]) + struct.pack(">HHB", h, w, len(comps))
     for i, (_name, _p, ch, cv, tq) in enumerate(comps):
         sof += bytes([i + 1, (ch << 4) | cv, tq])
     out += _seg(_SOF2, sof)
-    out += _dht_seg(0, 0, _DC_BITS, _DC_VALS)
-    out += _dht_seg(1, 0, _AC_BITS, _AC_SYMBOLS)
+    if precision == 12:
+        out += _dht_seg(0, 0, _DC_BITS12, _DC_VALS12)
+        out += _dht_seg(1, 0, _AC_BITS12, _AC_SYMBOLS12)
+    else:
+        out += _dht_seg(0, 0, _DC_BITS, _DC_VALS)
+        out += _dht_seg(1, 0, _AC_BITS, _AC_SYMBOLS)
     if restart_interval:
         out += _seg(_DRI, struct.pack(">H", restart_interval))
 
@@ -999,7 +1052,7 @@ def encode_progressive_jpeg(arr: np.ndarray, subsample: int = 1,
             for i, by, bx in unit:
                 dc = int(zz[i][by, bx, 0]) >> 1  # Al=1 point transform
                 s, mag = _mag(dc - self.preds[i])
-                code, ln = _DC_ENC[s]
+                code, ln = dc_enc[s]
                 writer.write(code, ln)
                 if s:
                     writer.write(mag, s)
@@ -1034,7 +1087,7 @@ def encode_progressive_jpeg(arr: np.ndarray, subsample: int = 1,
                     ci, by, bx = unit
                     band = zz[ci][by, bx, _ss:_se + 1]
                     v1 = np.sign(band) * (np.abs(band) >> 1)
-                    _enc_ac_first_block(writer, v1, _AC_ENC)
+                    _enc_ac_first_block(writer, v1, ac_enc)
 
             run_scan(sos([i + 1], ss, se, 0, 1), iter(blocks), _ACFirst())
     run_scan(sos(all_ids, 0, 0, 1, 0), mcu_units(), _DCRefine())
@@ -1048,7 +1101,7 @@ def encode_progressive_jpeg(arr: np.ndarray, subsample: int = 1,
                 def __call__(self, writer, unit, _ss=ss, _se=se):
                     ci, by, bx = unit
                     _enc_ac_refine_block(
-                        writer, zz[ci][by, bx, _ss:_se + 1], 0, _AC_ENC)
+                        writer, zz[ci][by, bx, _ss:_se + 1], 0, ac_enc)
 
             run_scan(sos([i + 1], ss, se, 1, 0), iter(blocks), _ACRefine())
     out += b"\xff\xd9"

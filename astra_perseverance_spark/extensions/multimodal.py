@@ -29,8 +29,9 @@ the whole round-trip under the driver's hash-match gate.  MJPEG
 streams (``##dc`` chunks holding JPEG) get per-frame codec-header
 stats (``_jpeg_dims`` → ``avi_frame_stats``) AND real pixel decode
 through the baseline codec; what remains ``NotImplementedError`` is
-only arithmetic/12-bit JPEG without Pillow and non-AVI containers
-without PyAV (progressive JPEG decodes natively as of round 10).
+only arithmetic-coded JPEG without Pillow and non-AVI containers
+without PyAV (progressive and 12-bit JPEG decode natively as of
+round 10).
 """
 
 from __future__ import annotations
@@ -249,8 +250,8 @@ def decode_media(payload: bytes, media_type: str) -> np.ndarray:
     JPEG codec, and returns raw frame-chunk bytes for uncompressed
     DIB streams (literal pixel data).  The remaining
     ``NotImplementedError`` surface: non-AVI video without PyAV, and
-    arithmetic/12-bit JPEG frames without Pillow (progressive
-    decodes natively)."""
+    arithmetic-coded JPEG frames without Pillow (progressive and
+    12-bit decode natively)."""
     if media_type == "image":
         try:
             from PIL import Image  # optional dependency

@@ -287,6 +287,72 @@ class TestProgressive:
             decode_baseline_jpeg(enc[: len(enc) // 2])
 
 
+class Test12Bit:
+    """12-bit precision (round 10): extended sequential (SOF1 —
+    baseline is 8-bit by definition, B.2.2) and progressive frames,
+    level shift 2048, widened DC/AC symbol alphabets, uint16 out."""
+
+    def test_sequential_roundtrip_gray_and_rgb(self):
+        from astra_perseverance_spark.extensions.jpegcodec import (
+            encode_baseline_jpeg,
+        )
+
+        yy, xx = np.mgrid[0:33, 0:41]
+        g = ((yy * 97 + xx * 61) % 4096).astype(np.uint16)
+        dec = decode_baseline_jpeg(encode_baseline_jpeg(g, precision=12))
+        assert dec.dtype == np.uint16 and dec.shape == g.shape
+        # flat q=8: absolute coefficient error is precision-
+        # independent, so the pixel bound stays single-digit
+        assert np.abs(dec.astype(int) - g.astype(int)).max() <= 16
+        rgb = np.stack([g, (g * 3) % 4096, 4095 - g], -1).astype(np.uint16)
+        dec3 = decode_baseline_jpeg(
+            encode_baseline_jpeg(rgb, precision=12))
+        assert dec3.dtype == np.uint16 and dec3.shape == rgb.shape
+        err = np.abs(dec3.astype(int) - rgb.astype(int))
+        assert err.mean() < 32, err.mean()
+
+    def test_progressive_matches_sequential_exactly(self):
+        from astra_perseverance_spark.extensions.jpegcodec import (
+            encode_progressive_jpeg,
+        )
+
+        rng = np.random.default_rng(9)
+        for shape, sub, rst in (((24, 24, 3), 1, 2), ((17, 26), 1, 0),
+                                ((21, 13, 3), 2, 3)):
+            img = rng.integers(0, 4096, shape).astype(np.uint16)
+            seq = decode_baseline_jpeg(
+                encode_baseline_jpeg(img, subsample=sub,
+                                     restart_interval=rst, precision=12))
+            prog = decode_baseline_jpeg(
+                encode_progressive_jpeg(img, subsample=sub,
+                                        restart_interval=rst,
+                                        precision=12))
+            assert np.array_equal(seq, prog), (shape, sub, rst)
+
+    def test_12bit_stream_is_sof1_never_sof0(self):
+        from astra_perseverance_spark.extensions.jpegcodec import (
+            encode_baseline_jpeg,
+        )
+
+        g = (np.mgrid[0:16, 0:16][0] * 100 % 4096).astype(np.uint16)
+        data = encode_baseline_jpeg(g, precision=12)
+        assert b"\xff\xc1" in data and b"\xff\xc0" not in data
+        # and a hand-built SOF0 12-bit stream is rejected as illegal
+        bad = bytearray(data)
+        bad[bad.find(b"\xff\xc1") + 1] = 0xC0
+        with pytest.raises(ValueError):
+            decode_baseline_jpeg(bytes(bad))
+
+    def test_default_tables_rejected_at_12_bits(self):
+        from astra_perseverance_spark.extensions.jpegcodec import (
+            encode_baseline_jpeg,
+        )
+
+        g = np.zeros((8, 8), dtype=np.uint16)
+        with pytest.raises(ValueError):
+            encode_baseline_jpeg(g, precision=12, default_tables=True)
+
+
 class TestAgainstPillow:
     def test_pillow_crosscheck_if_available(self):
         try:
