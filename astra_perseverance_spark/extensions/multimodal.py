@@ -55,51 +55,28 @@ FEATURE_SCHEMA = (
 )
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
-# PNG color type → channel count (8-bit, non-interlaced support only).
-_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+# PNG color type → channel count (3 = palette: one index channel).
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+# Adam7 interlace pass grid: (x0, y0, dx, dy) per pass.
+_ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
 
 
-def _png_decode(data: bytes) -> np.ndarray:
-    """Pure-Python/numpy PNG decode (public spec, RFC 2083): 8-bit
-    depth, non-interlaced, grey/RGB/grey+alpha/RGBA.
-
-    This is the dependency-free fallback when Pillow is absent — it
-    makes the decode path REAL and testable in a container with no
-    imaging library, at the cost of supporting only the common PNG
-    subset.  Production deployments install Pillow and never reach it.
-    Returns an (h, w, channels) uint8 array."""
-    if data[:8] != _PNG_SIG:
-        raise ValueError("not a PNG payload")
-    pos, idat, meta = 8, b"", None
-    while pos + 8 <= len(data):
-        (length,), ctype = struct.unpack(">I", data[pos:pos + 4]), data[pos + 4:pos + 8]
-        chunk = data[pos + 8:pos + 8 + length]
-        pos += 12 + length
-        if ctype == b"IHDR":
-            meta = struct.unpack(">IIBBBBB", chunk)
-        elif ctype == b"IDAT":
-            idat += chunk
-        elif ctype == b"IEND":
-            break
-    if meta is None:
-        raise ValueError("PNG missing IHDR")
-    w, h, depth, color, _comp, _filt, interlace = meta
-    if depth != 8 or interlace != 0 or color not in _PNG_CHANNELS:
-        raise NotImplementedError(
-            f"PNG subset decoder handles 8-bit non-interlaced "
-            f"grey/RGB/LA/RGBA only (depth={depth}, color={color}, "
-            f"interlace={interlace}); install Pillow for full coverage")
-    ch = _PNG_CHANNELS[color]
-    stride = w * ch
-    raw = zlib.decompress(idat)
-    if len(raw) != h * (stride + 1):
+def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int,
+                  offset: int) -> tuple[np.ndarray, int]:
+    """Reverse the per-scanline filters over ``h`` lines of ``stride``
+    bytes starting at ``raw[offset]`` (filters operate on BYTES with a
+    ``bpp``-byte left neighbor, whatever the sample layout).  Returns
+    ((h, stride) uint8, offset past the consumed lines)."""
+    if len(raw) - offset < h * (stride + 1):
         raise ValueError("PNG data length mismatch")
     out = np.zeros((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
     for y in range(h):
-        ftype = raw[y * (stride + 1)]
+        base = offset + y * (stride + 1)
+        ftype = raw[base]
         line = np.frombuffer(
-            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+            raw, dtype=np.uint8, count=stride, offset=base + 1
         ).astype(np.int32)
         if ftype == 0:
             cur = line
@@ -109,14 +86,14 @@ def _png_decode(data: bytes) -> np.ndarray:
             cur = line.copy()
             pv = prev.astype(np.int32)
             for i in range(stride):
-                a = cur[i - ch] if i >= ch else 0
+                a = cur[i - bpp] if i >= bpp else 0
                 b = pv[i]
                 if ftype == 1:
                     cur[i] = (cur[i] + a) & 0xFF
                 elif ftype == 3:
                     cur[i] = (cur[i] + (a + b) // 2) & 0xFF
                 else:
-                    c = pv[i - ch] if i >= ch else 0
+                    c = pv[i - bpp] if i >= bpp else 0
                     p = a + b - c
                     pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                     pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
@@ -125,18 +102,121 @@ def _png_decode(data: bytes) -> np.ndarray:
             raise ValueError(f"bad PNG filter type {ftype}")
         out[y] = cur.astype(np.uint8)
         prev = out[y]
-    return out.reshape(h, w, ch)
+    return out, offset + h * (stride + 1)
+
+
+def _png_samples(lines: np.ndarray, w: int, ch: int,
+                 depth: int) -> np.ndarray:
+    """(h, stride) unfiltered bytes → (h, w, ch) samples (uint8, or
+    uint16 for depth 16; sub-byte depths unpack MSB-first)."""
+    h = lines.shape[0]
+    if depth == 8:
+        return lines[:, :w * ch].reshape(h, w, ch)
+    if depth == 16:
+        return np.frombuffer(lines.tobytes(), dtype=">u2").reshape(
+            h, -1)[:, :w * ch].reshape(h, w, ch).astype(np.uint16)
+    # depth 1/2/4 — single-channel (grey or palette indices)
+    bits = np.unpackbits(lines, axis=1)
+    vals = np.zeros((h, bits.shape[1] // depth), dtype=np.uint8)
+    for b in range(depth):
+        vals = (vals << 1) | bits[:, b::depth]
+    return vals[:, :w].reshape(h, w, 1)
+
+
+def _png_decode(data: bytes) -> np.ndarray:
+    """Pure-Python/numpy PNG decode (public spec, RFC 2083 / W3C
+    PNG): grey / RGB / grey+alpha / RGBA / palette color types, bit
+    depths 1/2/4/8/16, sequential AND Adam7-interlaced.
+
+    This is the dependency-free fallback when Pillow is absent — it
+    makes the decode path REAL and testable in a container with no
+    imaging library.  Production deployments install Pillow and never
+    reach it.  Returns (h, w, channels) uint8 — or uint16 for 16-bit
+    depth; palette images resolve through PLTE (+ tRNS alpha when
+    present) to RGB/RGBA.  A tRNS color-key on non-palette images is
+    ignored (Pillow territory)."""
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, idat, meta, plte, trns = 8, b"", None, None, None
+    while pos + 8 <= len(data):
+        (length,), ctype = struct.unpack(">I", data[pos:pos + 4]), data[pos + 4:pos + 8]
+        chunk = data[pos + 8:pos + 8 + length]
+        pos += 12 + length
+        if ctype == b"IHDR":
+            meta = struct.unpack(">IIBBBBB", chunk)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(chunk, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"tRNS":
+            trns = np.frombuffer(chunk, dtype=np.uint8)
+        elif ctype == b"IDAT":
+            idat += chunk
+        elif ctype == b"IEND":
+            break
+    if meta is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, color, _comp, _filt, interlace = meta
+    ok = (color in _PNG_CHANNELS and depth in (1, 2, 4, 8, 16)
+          and interlace in (0, 1)
+          and not (depth < 8 and color not in (0, 3))
+          and not (depth == 16 and color == 3))
+    if not ok:
+        raise NotImplementedError(
+            f"PNG subset decoder: unsupported combination "
+            f"(depth={depth}, color={color}, interlace={interlace}); "
+            f"install Pillow for full coverage")
+    if color == 3 and plte is None:
+        raise ValueError("palette PNG missing PLTE")
+    ch = _PNG_CHANNELS[color]
+    raw = zlib.decompress(idat)
+    bpp = max(1, ch * depth // 8)
+    dtype = np.uint16 if depth == 16 else np.uint8
+    samples = np.zeros((h, w, ch), dtype=dtype)
+    offset = 0
+    for x0, y0, dx, dy in (_ADAM7 if interlace else [(0, 0, 1, 1)]):
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        stride = (pw * ch * depth + 7) // 8
+        lines, offset = _png_unfilter(raw, ph, stride, bpp, offset)
+        samples[y0::dy, x0::dx] = _png_samples(lines, pw, ch, depth)
+    if offset != len(raw):
+        raise ValueError("PNG data length mismatch")
+    if color == 3:
+        idx = samples[:, :, 0]
+        if int(idx.max()) >= len(plte):
+            raise ValueError("PNG palette index out of range")
+        rgb = plte[idx]
+        if trns is None:
+            return rgb
+        alpha = np.full(len(plte), 255, dtype=np.uint8)
+        alpha[: len(trns)] = trns
+        return np.concatenate([rgb, alpha[idx][..., None]], axis=-1)
+    if depth < 8:  # grey 1/2/4 → 8-bit range
+        samples = (samples * (255 // ((1 << depth) - 1))).astype(np.uint8)
+    return samples
 
 
 def _wav_decode(data: bytes) -> np.ndarray:
     """PCM WAV decode via the stdlib ``wave`` module — returns an
-    (n_frames, n_channels) int16/uint8 sample array."""
+    (n_frames, n_channels) sample array: uint8 (8-bit), int16
+    (16-bit), or int32 (24-bit — sign-extended little-endian triples
+    assembled into the high 3 bytes of an int32 then shifted, the
+    standard WAV int24 layout — and 32-bit PCM).  Non-PCM encodings
+    (float, ADPCM, ...) are the ``wave`` module's declared residue."""
     import wave
 
     with wave.open(io.BytesIO(data), "rb") as f:
         n, chans, width = f.getnframes(), f.getnchannels(), f.getsampwidth()
         frames = f.readframes(n)
-    dtype = {1: np.uint8, 2: np.dtype("<i2")}.get(width)
+    if width == 3:
+        b = np.frombuffer(frames, dtype=np.uint8).reshape(-1, 3)
+        out = np.zeros(len(b), dtype=np.int32)
+        out |= b[:, 0].astype(np.int32) << 8
+        out |= b[:, 1].astype(np.int32) << 16
+        out |= b[:, 2].astype(np.int32) << 24
+        return (out >> 8).reshape(-1, chans)  # arithmetic: sign extends
+    dtype = {1: np.uint8, 2: np.dtype("<i2"), 4: np.dtype("<i4")}.get(width)
     if dtype is None:
         raise NotImplementedError(f"WAV sample width {width} unsupported")
     return np.frombuffer(frames, dtype=dtype).reshape(-1, chans)

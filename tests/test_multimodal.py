@@ -456,3 +456,126 @@ class TestMjpeg:
         assert np.array_equal(
             decode_media(avi, "video"),
             np.frombuffer(raw, dtype=np.uint8))
+
+
+class TestExtendedPngWav:
+    """Round-10 widening of the dependency-free decoders: palette /
+    16-bit / sub-byte-depth / Adam7-interlaced PNG, and 24/32-bit PCM
+    WAV.  All payloads are hand-built from the public specs."""
+
+    @staticmethod
+    def _chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data)))
+
+    def _png(self, ihdr, idat_raw, extra=b""):
+        return (b"\x89PNG\r\n\x1a\n" + self._chunk(b"IHDR", ihdr) + extra
+                + self._chunk(b"IDAT", zlib.compress(idat_raw))
+                + self._chunk(b"IEND", b""))
+
+    def test_palette_png_with_and_without_trns(self):
+        from astra_perseverance_spark.extensions.multimodal import _png_decode
+
+        plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 7, 8, 9])
+        idx = np.array([[0, 1, 2, 3], [3, 2, 1, 0]], dtype=np.uint8)
+        raw = b"".join(bytes([0]) + bytes(row) for row in idx)
+        ihdr = struct.pack(">IIBBBBB", 4, 2, 8, 3, 0, 0, 0)
+        got = _png_decode(self._png(ihdr, raw,
+                                    extra=self._chunk(b"PLTE", plte)))
+        want = np.frombuffer(plte, np.uint8).reshape(4, 3)[idx]
+        assert got.shape == (2, 4, 3) and np.array_equal(got, want)
+        # tRNS: alpha per palette entry (missing entries default 255)
+        got_a = _png_decode(self._png(
+            ihdr, raw, extra=self._chunk(b"PLTE", plte)
+            + self._chunk(b"tRNS", bytes([10, 200]))))
+        assert got_a.shape == (2, 4, 4)
+        assert np.array_equal(got_a[..., :3], want)
+        assert got_a[..., 3].tolist() == [[10, 200, 255, 255],
+                                          [255, 255, 200, 10]]
+
+    def test_16bit_png_returns_uint16(self):
+        from astra_perseverance_spark.extensions.multimodal import _png_decode
+
+        px = np.array([[1, 65535, 4096], [300, 0, 2]], dtype=np.uint16)
+        raw = b"".join(bytes([0]) + row.astype(">u2").tobytes()
+                       for row in px)
+        ihdr = struct.pack(">IIBBBBB", 3, 2, 16, 0, 0, 0, 0)
+        got = _png_decode(self._png(ihdr, raw))
+        assert got.dtype == np.uint16
+        assert np.array_equal(got.reshape(2, 3), px)
+
+    def test_depth4_grey_png_scales_to_8bit(self):
+        from astra_perseverance_spark.extensions.multimodal import _png_decode
+
+        # 5 px wide at 4 bits: 2.5 bytes → 3 bytes with pad bits
+        rows = [[0, 15, 8, 1, 7], [15, 0, 3, 12, 5]]
+        raw = b""
+        for r in rows:
+            packed = bytearray()
+            for i in range(0, 6, 2):
+                hi = r[i] if i < 5 else 0
+                lo = r[i + 1] if i + 1 < 5 else 0
+                packed.append((hi << 4) | lo)
+            raw += bytes([0]) + bytes(packed)
+        ihdr = struct.pack(">IIBBBBB", 5, 2, 4, 0, 0, 0, 0)
+        got = _png_decode(self._png(ihdr, raw))
+        want = (np.array(rows, dtype=np.uint8) * 17).reshape(2, 5, 1)
+        assert np.array_equal(got, want)  # 255 // 15 == 17
+
+    def test_adam7_interlaced_png(self):
+        from astra_perseverance_spark.extensions.multimodal import _png_decode
+
+        ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+                 (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+        rng = np.random.default_rng(21)
+        for h, w in ((9, 10), (8, 8), (3, 5), (1, 1), (2, 9)):
+            px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            raw = b""
+            for x0, y0, dx, dy in ADAM7:
+                sub = px[y0::dy, x0::dx]
+                if sub.size == 0:
+                    continue
+                for row in sub:
+                    raw += bytes([0]) + row.astype(np.uint8).tobytes()
+            ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1)
+            got = _png_decode(self._png(ihdr, raw))
+            assert np.array_equal(got, px), (h, w)
+
+    def test_wav_24bit_sign_extension(self):
+        from astra_perseverance_spark.extensions.multimodal import _wav_decode
+
+        vals = np.array([[0], [1], [-1], [8_388_607], [-8_388_608],
+                         [-42]], dtype=np.int32)
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as f:
+            f.setnchannels(1)
+            f.setsampwidth(3)
+            f.setframerate(8000)
+            le = vals.astype("<i4").tobytes()
+            f.writeframes(b"".join(le[i:i + 3] for i in range(0, len(le), 4)))
+        got = _wav_decode(buf.getvalue())
+        assert got.dtype == np.int32
+        assert np.array_equal(got, vals)
+
+    def test_wav_32bit_pcm(self):
+        from astra_perseverance_spark.extensions.multimodal import _wav_decode
+
+        vals = np.array([[2_000_000_000, -2_000_000_000],
+                         [0, -1]], dtype=np.int32)
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as f:
+            f.setnchannels(2)
+            f.setsampwidth(4)
+            f.setframerate(8000)
+            f.writeframes(vals.astype("<i4").tobytes())
+        got = _wav_decode(buf.getvalue())
+        assert got.dtype == np.int32 and np.array_equal(got, vals)
+
+    def test_unsupported_combinations_still_declared(self):
+        from astra_perseverance_spark.extensions.multimodal import _png_decode
+
+        # 16-bit palette is illegal per spec; depth-2 RGB unsupported
+        for depth, color in ((16, 3), (2, 2)):
+            ihdr = struct.pack(">IIBBBBB", 2, 2, depth, color, 0, 0, 0)
+            with pytest.raises(NotImplementedError):
+                _png_decode(self._png(ihdr, b"\x00\x00\x00"))
