@@ -614,6 +614,11 @@ def _finish(frame, qt, coeffs) -> np.ndarray:
         out.append(plane[:h, :w])
     if len(out) == 1:
         return np.clip(out[0] + 0.5, 0, vmaxval).astype(dtype)
+    if len(out) != 3:
+        # 4-component Adobe CMYK/YCCK (or a 2-component oddity) must
+        # not silently decode as YCbCr-with-extras — declared residue
+        raise NotImplementedError(
+            f"{len(out)}-component JPEG (CMYK/YCCK) needs Pillow")
     y, cb, cr = out[0], out[1] - level, out[2] - level
     rgb = np.stack([
         y + 1.402 * cr,

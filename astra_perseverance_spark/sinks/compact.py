@@ -51,8 +51,10 @@ def _is_bookkeeping(root: str, file_path: str) -> bool:
 
 def _data_files(fs, jpath):
     """(n_files, total_bytes) over the dataset's data files (hidden /
-    _-prefixed bookkeeping excluded component-wise, recursively)."""
-    root = jpath.toUri().getPath().rstrip("/")
+    _-prefixed bookkeeping excluded component-wise, recursively).
+    Root is FS-qualified so a caller-relative path still aligns with
+    the qualified paths ``listFiles`` returns."""
+    root = fs.makeQualified(jpath).toUri().getPath().rstrip("/")
     n = 0
     total = 0
     it = fs.listFiles(jpath, True)
@@ -160,8 +162,14 @@ def compact_parquet(spark: SparkSession, path: str,
     # after this snapshot is rescued across the swap below.  Keyed by
     # path RELATIVE to the dataset root, not basename: a late file in
     # a nested subdir whose basename collides with any snapshot file
-    # (non-Spark writers use generic names) must still be rescued
-    data_root = jpath.toUri().getPath().rstrip("/")
+    # (non-Spark writers use generic names) must still be rescued.
+    # The root must be FS-QUALIFIED before relpath: inputFiles()
+    # returns fully-qualified URIs, while a caller-relative ``path``
+    # leaves jpath relative (HDFS would prepend /user/<name>), and a
+    # misaligned root would turn every snapshot key into ../ garbage
+    # — the rescue below would then "rescue" every consumed old file
+    # back in, silently duplicating the dataset
+    data_root = fs.makeQualified(jpath).toUri().getPath().rstrip("/")
     snapshot = {
         os.path.relpath(unquote(urlparse(f).path) or f, data_root)
         for f in df.inputFiles()
@@ -193,7 +201,7 @@ def compact_parquet(spark: SparkSession, path: str,
     # files after the snapshot; move them into the compacted tree
     # (bookkeeping — including a sealed _spark_metadata — stays
     # behind and is dropped with the old tree)
-    old_root = jold.toUri().getPath().rstrip("/")
+    old_root = fs.makeQualified(jold).toUri().getPath().rstrip("/")
     it = fs.listFiles(jold, True)
     while it.hasNext():
         st = it.next()

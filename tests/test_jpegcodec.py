@@ -366,3 +366,25 @@ class TestAgainstPillow:
         ours = decode_baseline_jpeg(enc)
         theirs = np.asarray(Image.open(io.BytesIO(enc)).convert("RGB"))
         assert np.abs(ours.astype(int) - theirs.astype(int)).max() <= 2
+
+
+class TestComponentCountGuard:
+    """Round-10 review finding: a 4-component Adobe CMYK/YCCK frame
+    must not silently decode its first three planes as YCbCr, and a
+    2-component oddity must raise the declared error instead of a
+    bare IndexError."""
+
+    @pytest.mark.parametrize("nc", [2, 4])
+    def test_non_1_or_3_component_frames_declared(self, nc):
+        from astra_perseverance_spark.extensions.jpegcodec import (
+            _Q_LUMA, _finish,
+        )
+
+        comps = [{"id": i + 1, "h": 1, "v": 1, "tq": 0, "nbw_mcu": 1,
+                  "nbh_mcu": 1, "nbw": 1, "nbh": 1} for i in range(nc)]
+        frame = {"h": 8, "w": 8, "comps": comps, "prec": 8,
+                 "hmax": 1, "vmax": 1, "mcu_cols": 1, "mcu_rows": 1}
+        coeffs = {c["id"]: np.zeros((1, 1, 64), dtype=np.int32)
+                  for c in comps}
+        with pytest.raises(NotImplementedError):
+            _finish(frame, {0: _Q_LUMA}, coeffs)

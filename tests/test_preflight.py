@@ -70,3 +70,21 @@ def test_flags_bench_artifact_without_run_context(tmp_path):
 def test_live_repo_is_green():
     """The real tree must pass its own gate at all times."""
     assert preflight.check_artifacts() == []
+
+
+def test_unreadable_artifacts_fail_cleanly(tmp_path):
+    """Round-10 review finding: a missing or corrupt artifact must
+    produce a FAIL line (so the remaining checks still run), not a
+    raw traceback out of the gate."""
+    live = {"q_a"}
+    # nothing on disk at all
+    (tmp_path / "docs").mkdir()
+    fails = preflight.check_artifacts(str(tmp_path), live)
+    assert len(fails) == 2
+    assert any("PLAN_AUDIT" in f and "unreadable" in f for f in fails)
+    assert any("BENCH_DETAIL" in f and "unreadable" in f for f in fails)
+    # corrupt JSON
+    _write_tree(tmp_path, live, live)
+    (tmp_path / "BENCH_DETAIL.json").write_text("{not json")
+    fails = preflight.check_artifacts(str(tmp_path), live)
+    assert len(fails) == 1 and "BENCH_DETAIL" in fails[0]

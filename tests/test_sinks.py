@@ -755,6 +755,53 @@ class TestCompaction:
             f"{path}/day=7").collect()}
         assert got == set(range(1000, 1100))
 
+    def test_compact_relative_path_does_not_duplicate(
+            self, spark, tmp_path, monkeypatch):
+        """Round-10 review finding: the rescue snapshot keys are
+        root-relative, and with a caller-RELATIVE dataset path an
+        unqualified root misaligns against the fully-qualified
+        ``inputFiles()`` URIs whenever Python's cwd differs from the
+        JVM's (os.path.relpath absolutizes a relative start against
+        PYTHON's cwd; Spark resolves the path against the JVM's) —
+        every consumed old file then misses the snapshot and is
+        'rescued' back, silently duplicating the dataset.  The roots
+        are now FS-qualified first.  The relative path resolves
+        against the JVM working directory, so the dataset lives under
+        the gitignored .scratch/; Python's cwd is moved elsewhere to
+        force the divergence the fix closes."""
+        import os
+        import shutil
+
+        from astra_perseverance_spark.sinks.compact import compact_parquet
+
+        jvm_cwd = os.getcwd()
+        rel = ".scratch/compact_rel_test.parquet"
+        abs_path = os.path.join(jvm_cwd, rel)
+        shutil.rmtree(abs_path, ignore_errors=True)
+        os.makedirs(os.path.join(jvm_cwd, ".scratch"), exist_ok=True)
+
+        def concurrent_commit():
+            # a genuine late file makes the key comparison decisive:
+            # misaligned roots turn its rescue into data loss
+            spark.range(500, 600).coalesce(1).write.mode(
+                "append").parquet(rel)
+
+        try:
+            spark.range(0, 500).repartition(8).write.parquet(rel)
+            monkeypatch.chdir(tmp_path)  # Python cwd != JVM cwd
+            compact_parquet(spark, rel, target_bytes=1 << 30,
+                            _between_snapshot_and_swap=concurrent_commit)
+            got = {r["id"] for r in spark.read.parquet(rel).collect()}
+            # late file rescued, nothing duplicated, nothing lost
+            assert got == set(range(600))
+        finally:
+            monkeypatch.undo()
+            shutil.rmtree(abs_path, ignore_errors=True)
+            shutil.rmtree(abs_path + ".__compact_old__",
+                          ignore_errors=True)
+            shutil.rmtree(abs_path + ".__compact_tmp__",
+                          ignore_errors=True)
+
     def test_compact_cli(self, tmp_path, spark):
         import os
         import sys

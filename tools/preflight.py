@@ -70,9 +70,16 @@ def check_artifacts(repo: str = REPO,
         live = set(QUERY_REGISTRY)
 
     audit = os.path.join(repo, "docs", "PLAN_AUDIT.md")
-    with open(audit) as fh:
-        audited = set(re.findall(r"^\| (\w+) \| \d", fh.read(), re.M))
-    if audited != live:
+    try:
+        with open(audit) as fh:
+            audited = set(re.findall(r"^\| (\w+) \| \d", fh.read(), re.M))
+    except OSError as exc:
+        _fail(failures, f"docs/PLAN_AUDIT.md unreadable ({exc}) — "
+                        "run tools/plan_audit.py")
+        audited = None
+    if audited is None:
+        pass
+    elif audited != live:
         _fail(failures,
               f"docs/PLAN_AUDIT.md stale — missing "
               f"{sorted(live - audited)}, extra {sorted(audited - live)} "
@@ -81,8 +88,13 @@ def check_artifacts(repo: str = REPO,
         print(f"OK   docs/PLAN_AUDIT.md covers all {len(live)} queries")
 
     detail = os.path.join(repo, "BENCH_DETAIL.json")
-    with open(detail) as fh:
-        d = json.load(fh)
+    try:
+        with open(detail) as fh:
+            d = json.load(fh)
+    except (OSError, ValueError) as exc:
+        _fail(failures, f"BENCH_DETAIL.json unreadable ({exc}) — "
+                        "re-run bench.py")
+        return failures
     benched = set(d.get("queries", d.get("timings", {})))
     if benched != live:
         _fail(failures,
