@@ -1020,7 +1020,9 @@ def encode_progressive_jpeg(arr: np.ndarray, subsample: int = 1,
             body += bytes([cid, 0x00])  # DC/AC table id 0
         return _seg(_SOS, body + bytes([ss, se, (ah << 4) | al]))
 
-    def run_scan(header, units, encode_unit):
+    def run_scan(header, units, encode_unit, reset=None):
+        """Entropy-code one scan; ``reset`` (when given) re-seeds the
+        cross-unit state (DC predictions) at each restart marker."""
         nonlocal out
         out += header
         writer = _BitWriter()
@@ -1030,7 +1032,8 @@ def encode_progressive_jpeg(arr: np.ndarray, subsample: int = 1,
                 out += bytes([
                     0xFF, 0xD0 + ((u // restart_interval - 1) % 8)])
                 writer = _BitWriter()
-                encode_unit.reset()
+                if reset is not None:
+                    reset()
             encode_unit(writer, unit)
         out += writer.flush()
 
@@ -1044,34 +1047,6 @@ def encode_progressive_jpeg(arr: np.ndarray, subsample: int = 1,
                         unit.append((i, my * cv + by, mx * ch + bx))
             yield unit
 
-    all_ids = [i + 1 for i in range(len(comps))]
-
-    class _DCFirst:
-        def __init__(self):
-            self.reset()
-
-        def reset(self):
-            self.preds = [0] * len(comps)
-
-        def __call__(self, writer, unit):
-            for i, by, bx in unit:
-                dc = int(zz[i][by, bx, 0]) >> 1  # Al=1 point transform
-                s, mag = _mag(dc - self.preds[i])
-                code, ln = dc_enc[s]
-                writer.write(code, ln)
-                if s:
-                    writer.write(mag, s)
-                self.preds[i] = dc
-
-    class _DCRefine:
-        def reset(self):
-            pass
-
-        def __call__(self, writer, unit):
-            for i, by, bx in unit:
-                writer.write(int(zz[i][by, bx, 0]) & 1, 1)
-
-    run_scan(sos(all_ids, 0, 0, 0, 1), mcu_units(), _DCFirst())
     def comp_blocks(i):
         # non-interleaved AC scans cover the component's own block
         # grid (A.2.2) — may be smaller than the MCU-padded grid
@@ -1081,33 +1056,51 @@ def encode_progressive_jpeg(arr: np.ndarray, subsample: int = 1,
         nbw, nbh = -(-comp_w // 8), -(-comp_h // 8)
         return [(i, by, bx) for by in range(nbh) for bx in range(nbw)]
 
+    all_ids = [i + 1 for i in range(len(comps))]
+    preds = [0] * len(comps)
+
+    def reset_preds():
+        preds[:] = [0] * len(comps)
+
+    def dc_first(writer, unit):
+        for i, by, bx in unit:
+            dc = int(zz[i][by, bx, 0]) >> 1  # Al=1 point transform
+            s, mag = _mag(dc - preds[i])
+            code, ln = dc_enc[s]
+            writer.write(code, ln)
+            if s:
+                writer.write(mag, s)
+            preds[i] = dc
+
+    def dc_refine(writer, unit):
+        for i, by, bx in unit:
+            writer.write(int(zz[i][by, bx, 0]) & 1, 1)
+
+    def ac_first(ss, se):
+        def enc(writer, unit):
+            ci, by, bx = unit
+            band = zz[ci][by, bx, ss:se + 1]
+            v1 = np.sign(band) * (np.abs(band) >> 1)
+            _enc_ac_first_block(writer, v1, ac_enc)
+        return enc
+
+    def ac_refine(ss, se):
+        def enc(writer, unit):
+            ci, by, bx = unit
+            _enc_ac_refine_block(writer, zz[ci][by, bx, ss:se + 1],
+                                 0, ac_enc)
+        return enc
+
+    run_scan(sos(all_ids, 0, 0, 0, 1), mcu_units(), dc_first,
+             reset=reset_preds)
     for i in range(len(comps)):
-        blocks = comp_blocks(i)
         for ss, se in _PROG_BANDS:
-            class _ACFirst:
-                def reset(self):
-                    pass
-
-                def __call__(self, writer, unit, _ss=ss, _se=se):
-                    ci, by, bx = unit
-                    band = zz[ci][by, bx, _ss:_se + 1]
-                    v1 = np.sign(band) * (np.abs(band) >> 1)
-                    _enc_ac_first_block(writer, v1, ac_enc)
-
-            run_scan(sos([i + 1], ss, se, 0, 1), iter(blocks), _ACFirst())
-    run_scan(sos(all_ids, 0, 0, 1, 0), mcu_units(), _DCRefine())
+            run_scan(sos([i + 1], ss, se, 0, 1), comp_blocks(i),
+                     ac_first(ss, se))
+    run_scan(sos(all_ids, 0, 0, 1, 0), mcu_units(), dc_refine)
     for i in range(len(comps)):
-        blocks = comp_blocks(i)
         for ss, se in _PROG_BANDS:
-            class _ACRefine:
-                def reset(self):
-                    pass
-
-                def __call__(self, writer, unit, _ss=ss, _se=se):
-                    ci, by, bx = unit
-                    _enc_ac_refine_block(
-                        writer, zz[ci][by, bx, _ss:_se + 1], 0, ac_enc)
-
-            run_scan(sos([i + 1], ss, se, 1, 0), iter(blocks), _ACRefine())
+            run_scan(sos([i + 1], ss, se, 1, 0), comp_blocks(i),
+                     ac_refine(ss, se))
     out += b"\xff\xd9"
     return bytes(out)

@@ -77,15 +77,16 @@ def check_artifacts(repo: str = REPO,
         _fail(failures, f"docs/PLAN_AUDIT.md unreadable ({exc}) — "
                         "run tools/plan_audit.py")
         audited = None
-    if audited is None:
-        pass
-    elif audited != live:
-        _fail(failures,
-              f"docs/PLAN_AUDIT.md stale — missing "
-              f"{sorted(live - audited)}, extra {sorted(audited - live)} "
-              f"(re-run tools/plan_audit.py)")
-    else:
-        print(f"OK   docs/PLAN_AUDIT.md covers all {len(live)} queries")
+    if audited is not None:
+        if audited != live:
+            _fail(failures,
+                  f"docs/PLAN_AUDIT.md stale — missing "
+                  f"{sorted(live - audited)}, extra "
+                  f"{sorted(audited - live)} "
+                  f"(re-run tools/plan_audit.py)")
+        else:
+            print(f"OK   docs/PLAN_AUDIT.md covers all "
+                  f"{len(live)} queries")
 
     detail = os.path.join(repo, "BENCH_DETAIL.json")
     try:
