@@ -20,26 +20,26 @@ queries get a hard driver-side correctness row each round:
    local pytest oracle-parity gate (tests/test_oracle_parity.py
    parametrizes the full registry) and the bench suite.
 
-Round-10 rotation (freshness deadline first, then rule 2):
+Round-11 rotation (freshness deadline first, then rule 2):
 
-* Into the window: the 16 queries whose last driver row is r7
-  (doc_minute_tokens … ann_recall_ivf_pq) — r10 is the last round
-  their K=3 freshness budget (tests/test_rotation.py) allows, so they
-  take positions 23–38 wholesale.  No new registrations and no
-  registered-query code change this round (the round-10 diffs touch
-  the funnel STREAM twin, a sink, and bench instrumentation — all
-  pytest-gated, none registry-eligible), so rule 2 adds nothing.
-  Positions 39–50 pre-pay the r11 cliff with the 12 oldest r8-green
-  entries (ann_incremental … ngram_counts) — without this, r11 would
-  inherit 27 due against its 28 free slots (one slot of headroom,
-  i.e. ANY r11 registration or code change would force a policy
-  violation).
-* To the tail, ordered for round 11: first the 15 remaining r8-green
-  queries (ngram_novelty … gc_sessions below) — due in r11, so r11's
+* Into the window: the 15 queries whose last driver row is r8
+  (ngram_novelty … gc_sessions) — r11 is the last round their K=3
+  freshness budget (tests/test_rotation.py) allows, so they take
+  positions 23–37 wholesale.  No new registrations and no
+  registered-query code change this round (the round-11 diffs touch
+  index-artifact persistence plumbing behind an env toggle, stream
+  tests, a sink, and tools — none changes a registered query's
+  default-path plan or output), so rule 2 adds nothing.  Positions
+  38–50 pre-pay the r12 cliff with the 13 oldest r9-green entries
+  (shard_manifest … ann_lsh_bucket) — without this, r12 would
+  inherit all 28 r9-green entries against its 28 free slots (zero
+  headroom).
+* To the tail, ordered for round 12: first the 15 remaining r9-green
+  queries (ann_ivf … dedup_keep_list below) — due in r12, so r12's
   window is 22 parity + 15 = 37 rows, leaving 13 free; then the 28
-  r9-green entries (shard_manifest … dedup_keep_list, due r12).
-  r11 should spend its 13 free slots on the oldest r9-green entries
-  so r12 inherits 15 due — the rotation stays in this stable
+  r10-green entries (doc_minute_tokens … ngram_counts, due r13).
+  r12 should spend its 13 free slots on the oldest r10-green entries
+  so r13 inherits 15 due — the rotation stays in this stable
   ~15-due/13-free orbit as long as the registry holds at 93.
 
 Snapshot protocol (round-10, after two rounds of red snapshots): any
@@ -112,8 +112,58 @@ QUERY_REGISTRY: dict[str, QueryFn] = {
     # Findings framework + Q20 nested summary
     "warnings": warnings.q_warnings,
     "summary_json": summary.q_summary_json,
-    # ---- Tier 2: the 16 r7-last queries — K=3 freshness deadline,
-    # r10 is the last round they can be refreshed (see docstring) ----
+    # ---- Tier 2: the 15 r8-last queries — K=3 freshness deadline,
+    # r11 is the last round they can be refreshed (see docstring) ----
+    "ngram_novelty": curation.q_ngram_novelty,
+    "quality_filter": pipeline.q_quality_filter,
+    "quality_report": curation.q_quality_report,
+    "quality_signals": curation.q_quality_signals,
+    "repeated_lines": prep.q_repeated_lines,
+    "script_profile": prep.q_script_profile,
+    "seq_pack": training.q_seq_pack,
+    "source_mix": curation.q_source_mix,
+    "token_rarity": prep.q_token_rarity,
+    "events_sessionize_capped": timeseries.q_events_sessionize_capped,
+    "ann_incremental_pq": similarity.q_ann_incremental_pq,
+    "events_sessionize": timeseries.q_events_sessionize,
+    "multimodal_features": multimodal.q_multimodal_features,
+    "multimodal_frame_sample": multimodal.q_multimodal_frame_sample,
+    "gc_sessions": gc_stream.q_gc_sessions,
+    # ---- Tier 3: r12-cliff pre-pay — the 13 oldest r9-green entries
+    # take the window's remaining slots so r12 inherits 15 due, not
+    # 28 (see docstring arithmetic) ----
+    "shard_manifest": training.q_shard_manifest,
+    "dedup_recall_audit": training.q_dedup_recall_audit,
+    "curation_funnel": training.q_curation_funnel,
+    "doc_digest_join": pipeline.q_doc_digest_join,
+    "corpus_curate": curation.q_corpus_curate,
+    "embedding_quantize": training.q_embedding_quantize,
+    "ann_quantized_recall": training.q_ann_quantized_recall,
+    "pii_scan": curation.q_pii_scan,
+    "dedup_tokenset": dedup.q_dedup_tokenset,
+    "ngram_jaccard": dedup.q_ngram_jaccard,
+    "dedup_clusters": dedup.q_dedup_clusters,
+    "ann_ivf_kmeans": similarity.q_ann_ivf_kmeans,
+    "ann_lsh_bucket": similarity.q_ann_lsh_bucket,
+    # ---- Tail (>50) — first the 15 remaining r9-green queries (due
+    # in the r12 window), then the 28 r10-green entries (due r13); all
+    # covered by the full-registry pytest oracle-parity gate + bench --
+    "ann_ivf": similarity.q_ann_ivf,
+    "ann_recall_audit": similarity.q_ann_recall_audit,
+    "embedding_cosine_dups": similarity.q_embedding_cosine_dups,
+    "embedding_dup_clusters": similarity.q_embedding_dup_clusters,
+    "semdedup": similarity.q_semdedup,
+    "corpus_validate": qa.q_corpus_validate,
+    "dedup_incremental": dedup.q_dedup_incremental,
+    "split_assign_incremental": training.q_split_assign_incremental,
+    "text_stats": text_stats.q_text_stats,
+    "embedding_topk": similarity.q_embedding_topk,
+    "dedup_exact": dedup.q_dedup_exact,
+    "gc_minute_windows": gc_stream.q_gc_minute_windows,
+    "ann_recall_ivf_kmeans": similarity.q_ann_recall_ivf_kmeans,
+    "embedding_label_probe": similarity.q_embedding_label_probe,
+    "dedup_keep_list": dedup.q_dedup_keep_list,
+    # r10-green (due r13; r12 spends its 13 free slots on the head)
     "doc_minute_tokens": doc_stream.q_doc_minute_tokens,
     "lang_id": text_stats.q_lang_id,
     "token_count": text_stats.q_token_count,
@@ -130,9 +180,6 @@ QUERY_REGISTRY: dict[str, QueryFn] = {
     "events_funnel": timeseries.q_events_funnel,
     "ann_ivf_pq": similarity.q_ann_ivf_pq,
     "ann_recall_ivf_pq": similarity.q_ann_recall_ivf_pq,
-    # ---- Tier 3: r11-cliff pre-pay — the 12 oldest r8-green entries
-    # take the window's remaining slots so r11 inherits 15 due, not
-    # 27 (see docstring arithmetic) ----
     "ann_incremental": similarity.q_ann_incremental,
     "bpe_merges": training.q_bpe_merges,
     "bpe_token_count": training.q_bpe_token_count,
@@ -145,53 +192,6 @@ QUERY_REGISTRY: dict[str, QueryFn] = {
     "dup_spans": training.q_dup_spans,
     "html_extract": prep.q_html_extract,
     "ngram_counts": pipeline.q_ngram_counts,
-    # ---- Tail (>50) — first the 15 remaining r8-green queries (due
-    # in the r11 window), then the 28 r9-green entries (due r12); all
-    # covered by the full-registry pytest oracle-parity gate + bench --
-    "ngram_novelty": curation.q_ngram_novelty,
-    "quality_filter": pipeline.q_quality_filter,
-    "quality_report": curation.q_quality_report,
-    "quality_signals": curation.q_quality_signals,
-    "repeated_lines": prep.q_repeated_lines,
-    "script_profile": prep.q_script_profile,
-    "seq_pack": training.q_seq_pack,
-    "source_mix": curation.q_source_mix,
-    "token_rarity": prep.q_token_rarity,
-    "events_sessionize_capped": timeseries.q_events_sessionize_capped,
-    "ann_incremental_pq": similarity.q_ann_incremental_pq,
-    "events_sessionize": timeseries.q_events_sessionize,
-    "multimodal_features": multimodal.q_multimodal_features,
-    "multimodal_frame_sample": multimodal.q_multimodal_frame_sample,
-    "gc_sessions": gc_stream.q_gc_sessions,
-    # r9-green (due r12)
-    "shard_manifest": training.q_shard_manifest,
-    "dedup_recall_audit": training.q_dedup_recall_audit,
-    "curation_funnel": training.q_curation_funnel,
-    "doc_digest_join": pipeline.q_doc_digest_join,
-    "corpus_curate": curation.q_corpus_curate,
-    "embedding_quantize": training.q_embedding_quantize,
-    "ann_quantized_recall": training.q_ann_quantized_recall,
-    "pii_scan": curation.q_pii_scan,
-    "dedup_tokenset": dedup.q_dedup_tokenset,
-    "ngram_jaccard": dedup.q_ngram_jaccard,
-    "dedup_clusters": dedup.q_dedup_clusters,
-    "ann_ivf_kmeans": similarity.q_ann_ivf_kmeans,
-    "ann_lsh_bucket": similarity.q_ann_lsh_bucket,
-    "ann_ivf": similarity.q_ann_ivf,
-    "ann_recall_audit": similarity.q_ann_recall_audit,
-    "embedding_cosine_dups": similarity.q_embedding_cosine_dups,
-    "embedding_dup_clusters": similarity.q_embedding_dup_clusters,
-    "semdedup": similarity.q_semdedup,
-    "corpus_validate": qa.q_corpus_validate,
-    "dedup_incremental": dedup.q_dedup_incremental,
-    "split_assign_incremental": training.q_split_assign_incremental,
-    "text_stats": text_stats.q_text_stats,
-    "embedding_topk": similarity.q_embedding_topk,
-    "dedup_exact": dedup.q_dedup_exact,
-    "gc_minute_windows": gc_stream.q_gc_minute_windows,
-    "ann_recall_ivf_kmeans": similarity.q_ann_recall_ivf_kmeans,
-    "embedding_label_probe": similarity.q_embedding_label_probe,
-    "dedup_keep_list": dedup.q_dedup_keep_list,
 }
 
 # Queries with no SQL-expressible oracle (driver runs rows-only check).
