@@ -129,14 +129,16 @@ _FRAME_MEMO: Dict[tuple, DataFrame] = {}
 def memo_frame(spark: SparkSession, sf_dir: str, tag: tuple, build) -> DataFrame:
     """Session-scoped memo: ``build()`` once, ``.cache()``, reuse.
 
-    The bucketed-warehouse mode is part of the key: toggling
-    ``SPARK_GRAFT_BUCKETED_DB`` mid-session must never serve a frame
-    memoized from the other mode (a parquet-derived artifact silently
-    standing in for the bucketed table, or vice versa)."""
+    The bucketed-warehouse and index-store modes are part of the key:
+    toggling ``SPARK_GRAFT_BUCKETED_DB`` / ``SPARK_GRAFT_INDEX_DB``
+    mid-session must never serve a frame memoized from the other mode
+    (a parquet-derived artifact silently standing in for the persisted
+    table, or vice versa)."""
     import os as _os
 
     key = (_session_key(spark, sf_dir),
-           _os.environ.get("SPARK_GRAFT_BUCKETED_DB") or None, tag)
+           _os.environ.get("SPARK_GRAFT_BUCKETED_DB") or None,
+           _os.environ.get("SPARK_GRAFT_INDEX_DB") or None, tag)
     if key not in _FRAME_MEMO:
         _tune_session(spark)  # extension queries enter here, not load_model
         _FRAME_MEMO[key] = build().cache()

@@ -39,9 +39,40 @@ from astra_perseverance_spark.functions.vectors import (
 # switch, not a per-query knob.
 BUCKETED_DB_ENV = "SPARK_GRAFT_BUCKETED_DB"
 
+# Opt-in durable INDEX artifacts: set to a database written by
+# ``sinks.index_store.write_index_store`` and the incremental-serving
+# queries (ann_incremental, ann_incremental_pq, dedup_incremental,
+# split_assign_incremental) probe persisted tables — IVF centroids +
+# list assignments, the int8 store + frozen quantization bounds, the
+# content-digest dim, the capped shingle postings, and the
+# existing-corpus component frame — instead of rebuilding them from
+# the corpus per application.  Without it those artifacts are
+# session-scoped ``memo_frame`` caches: correct, but rebuilt by every
+# new Spark application, which is not the "batch-sized work against a
+# persisted index" cost model a continuously ingesting pipeline needs.
+# Like the bucketed toggle, this binds the session to one corpus and
+# is a deployment switch, not a per-query knob.
+INDEX_DB_ENV = "SPARK_GRAFT_INDEX_DB"
+
 
 def bucketed_db() -> str | None:
     return os.environ.get(BUCKETED_DB_ENV) or None
+
+
+def index_db() -> str | None:
+    return os.environ.get(INDEX_DB_ENV) or None
+
+
+def index_artifact(spark: SparkSession, name: str) -> DataFrame | None:
+    """The persisted index table ``name`` when the index-store toggle
+    is set, else None (caller falls back to the session-memo build).
+    The branch binds at plan-build time, exactly like ``bucketed_db``:
+    with the env unset the consuming query's plan is bit-identical to
+    the memo-only code."""
+    db = index_db()
+    if db:
+        return spark.table(f"{db}.{name}")
+    return None
 
 
 def docs_frame(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -49,6 +49,7 @@ from astra_perseverance_spark.functions.texthash import (
 
 
 from astra_perseverance_spark.extensions.corpus import bucketed_db as _bucketed_db
+from astra_perseverance_spark.extensions.corpus import index_artifact
 from astra_perseverance_spark.extensions.corpus import clustered_docs as _cdocs
 from astra_perseverance_spark.extensions.corpus import docs_frame as _docs
 from astra_perseverance_spark.extensions.corpus import n_docs as _n_docs
@@ -83,11 +84,18 @@ def content_digest_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     the digest is not computed at all: ``doc_digests`` is a persisted
     ingest artifact bucket-co-located with ``documents``, so digest ⋈
     documents joins plan with no Exchange (same md5-over-normalized
-    expression at write time, ``sinks/warehouse.py``)."""
+    expression at write time, ``sinks/warehouse.py``).  The
+    index-store opt-in (``corpus.INDEX_DB_ENV``) persists the same
+    dim as ``digest_dim`` (md5-bucketed — the groupBy/join key of its
+    hot consumers) so the incremental-dedup probe reads a durable
+    artifact instead of re-digesting the corpus per application."""
     db = _bucketed_db()
     if db:
         return spark.table(f"{db}.doc_digests").select(
             "doc_id", "content_md5")
+    art = index_artifact(spark, "digest_dim")
+    if art is not None:
+        return art
     return memo_frame(
         spark, sf_dir, ("content_digest",),
         lambda: _docs(spark, sf_dir).select(
@@ -491,7 +499,15 @@ def capped_shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``df`` ≤ ``NGRAM_DF_CAP`` and ``n`` = the doc's *surviving*
     distinct-shingle count (Jaccard on this path is declared over the
     capped sets).  Memoized: candidate generation, verification, and
-    every ``ngram_pairs`` consumer read it."""
+    every ``ngram_pairs`` consumer read it.  With the index store
+    (``corpus.INDEX_DB_ENV``) this is the persisted
+    ``shingle_postings`` table — the inverted index
+    ``dedup_incremental`` calls its persisted artifact, durable
+    across applications instead of rebuilt per session."""
+    art = index_artifact(spark, "shingle_postings")
+    if art is not None:
+        return art
+
     def build() -> DataFrame:
         sh = shingle_rows(spark, sf_dir).select("doc_id", "lang", "g")
         return (

@@ -38,6 +38,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from astra_perseverance_spark.conformed.model import memo_frame
+from astra_perseverance_spark.extensions.corpus import (
+    index_artifact,
+    index_db,
+)
 from astra_perseverance_spark.extensions.corpus import vectors_frame as _vectors
 from astra_perseverance_spark.functions.ordering import salted_topk
 from astra_perseverance_spark.functions.texthash import h15
@@ -674,6 +678,9 @@ def q_ann_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _incremental_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    art = index_artifact(spark, "ann_centroids")
+    if art is not None:
+        return art
     stride = ivf_stride(_n_indexed(spark, sf_dir))
     return (
         _vectors(spark, sf_dir).drop("bucket")
@@ -689,7 +696,13 @@ def _incremental_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _build_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(cid, vec_id, eq, n2): each indexed (even) vector in its
-    nearest-centroid list — the persisted artifact a batch probes."""
+    nearest-centroid list — the persisted artifact a batch probes.
+    With ``SPARK_GRAFT_INDEX_DB`` set this IS a persisted table
+    (cid-bucketed, ``sinks.index_store``) rather than a session memo —
+    a fresh application probes it without touching the corpus."""
+    art = index_artifact(spark, "ann_ivf_lists")
+    if art is not None:
+        return art
     old = _vectors(spark, sf_dir).drop("bucket").filter(
         F.col("vec_id") % 2 == 0)
     cent = _incremental_centroids(spark, sf_dir)
@@ -753,38 +766,47 @@ def q_ann_recall_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 _EVEN_DIM_STATS: dict[tuple, tuple[list, list]] = {}
 
 
-def _even_dim_bounds(spark: SparkSession, sf_dir: str):
-    """(lo_at, hi_at) accessors over the INDEXED (even vec_id) corpus
-    only.  Deliberately NOT ``training._dim_bounds``: the quantized
-    store's bounds are frozen when the index is built — before any
-    new batch exists — so the incremental serving path must not let
-    odd (new-batch) vectors widen them.  Same 64-group aggregate →
-    2×64 driver scalars → literal-array fold as the training helper
-    (the sanctioned dim-stats collect; at production scale these
-    ship with the store's metadata)."""
+def _even_dim_stats(spark: SparkSession, sf_dir: str) -> tuple[list, list]:
+    """(lo, hi) lists over the INDEXED (even vec_id) corpus only.
+    Deliberately NOT ``training._dim_stats``: the quantized store's
+    bounds are frozen when the index is built — before any new batch
+    exists — so the incremental serving path must not let odd
+    (new-batch) vectors widen them.  Same 64-group aggregate → 2×64
+    driver scalars as the training helper (the sanctioned dim-stats
+    collect); with ``SPARK_GRAFT_INDEX_DB`` set they are READ from the
+    persisted ``ann_sq_bounds`` table — the store's metadata — exactly
+    as the docstrings have always claimed production would."""
     from astra_perseverance_spark.functions.vectors import ANN_DIM
 
-    key = (spark.sparkContext.applicationId, sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir, index_db())
     if key not in _EVEN_DIM_STATS:
-        rows = (
-            _vectors(spark, sf_dir)
-            .filter(F.col("vec_id") % 2 == 0)
-            .select(F.posexplode("eq").alias("d", "q"))
-            .groupBy("d")
-            .agg(F.min("q").alias("lo"), F.max("q").alias("hi"))
-            .collect()
-        )
+        art = index_artifact(spark, "ann_sq_bounds")
+        if art is None:
+            art = (
+                _vectors(spark, sf_dir)
+                .filter(F.col("vec_id") % 2 == 0)
+                .select(F.posexplode("eq").alias("d", "q"))
+                .groupBy("d")
+                .agg(F.min("q").alias("lo"), F.max("q").alias("hi"))
+            )
+        rows = art.collect()
         lo = [0] * ANN_DIM
         hi = [0] * ANN_DIM
         for r in rows:
             lo[r["d"]] = r["lo"]
             hi[r["d"]] = r["hi"]
         _EVEN_DIM_STATS[key] = (lo, hi)
+    return _EVEN_DIM_STATS[key]
+
+
+def _even_dim_bounds(spark: SparkSession, sf_dir: str):
+    """(lo_at, hi_at) literal-array accessors over ``_even_dim_stats``
+    (see there for the frozen-bounds contract)."""
     from astra_perseverance_spark.extensions.training import (
         bounds_accessors,
     )
 
-    return bounds_accessors(*_EVEN_DIM_STATS[key])
+    return bounds_accessors(*_even_dim_stats(spark, sf_dir))
 
 
 def _recon_even_store(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -792,10 +814,25 @@ def _recon_even_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``training._recon_vectors``'s encode∘decode fused map (exact
     BIGINT ``div``) applied to the even half with the even-corpus
     bounds.  This is the persisted artifact the incremental serving
-    path scores against; a new batch never touches it."""
-    from astra_perseverance_spark.extensions.training import sq_recon
+    path scores against; a new batch never touches it.  With
+    ``SPARK_GRAFT_INDEX_DB`` set the int8 CODES are the persisted
+    table (``ann_sq_store``) and only the decode half runs here —
+    ``training.sq_decode`` over the frozen persisted bounds, which
+    reproduces the fused map bit-for-bit (``tests/test_index_store``
+    asserts the equivalence frame-for-frame)."""
+    from astra_perseverance_spark.extensions.training import (
+        sq_decode,
+        sq_recon,
+    )
     from astra_perseverance_spark.functions.vectors import dot_q as _dq
 
+    art = index_artifact(spark, "ann_sq_store")
+    if art is not None:
+        decode = sq_decode(*_even_dim_bounds(spark, sf_dir))
+        return (
+            art.select("vec_id", F.transform("codes", decode).alias("rq"))
+            .withColumn("rn2", _dq(F.col("rq"), F.col("rq")))
+        )
     recon = sq_recon(*_even_dim_bounds(spark, sf_dir))
     return (
         _vectors(spark, sf_dir)

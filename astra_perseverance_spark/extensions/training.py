@@ -280,6 +280,36 @@ def sq_recon(lo_at, hi_at):
     return recon
 
 
+def sq_code(lo_at, hi_at):
+    """Encode-only half of the SQ formula, for PERSISTING the int8
+    store (``sinks.index_store``): code = (q−lo)·SQ_LEVELS div span
+    (0 on a degenerate dimension).  ``sq_recon`` stays the fused
+    single-expression form the registered queries plan with — its
+    arithmetic and this pair's MUST stay in lockstep, which
+    ``tests/test_index_store.py`` asserts frame-for-frame (decode∘code
+    == recon on the whole store)."""
+    def code(x, i):
+        span = hi_at(i) - lo_at(i)
+        return F.when(
+            span > 0, _idiv((x - lo_at(i)) * SQ_LEVELS, span)
+        ).otherwise(F.lit(0))
+
+    return code
+
+
+def sq_decode(lo_at, hi_at):
+    """Decode-only half: recon = lo + code·span div SQ_LEVELS — what
+    the index-store LOAD path applies to persisted codes.  See
+    ``sq_code`` for the lockstep contract with ``sq_recon``."""
+    def decode(c, i):
+        span = hi_at(i) - lo_at(i)
+        return F.when(
+            span > 0, lo_at(i) + _idiv(c * span, F.lit(SQ_LEVELS))
+        ).otherwise(lo_at(i))
+
+    return decode
+
+
 def _idiv(a: F.Column, b: F.Column) -> F.Column:
     """True BIGINT integral division (SQL ``div``): truncates toward
     zero on exact integers, matching DuckDB's ``//`` for every BIGINT
@@ -832,39 +862,29 @@ def _split_name(bucket: F.Column) -> F.Column:
     )
 
 
-def q_split_assign_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Leakage-safe split assignment for a NEW ingestion batch against
-    an EXISTING corpus (doc_id parity split, the
-    ``dedup_incremental`` fixture convention: even = existing, odd =
-    new): a new document that duplicates or near-duplicates an
-    existing document INHERITS the split of its anchor (the matched
-    existing doc with the smallest id), so fresh crawl data can never
-    drop a near-copy of a training document into the eval set;
-    unmatched new docs hash their own id.
-
-    The existing corpus's splits are what ``split_assign`` would have
-    produced on that corpus alone: connected components of the
-    EXISTING-ONLY duplicate subgraph (memoized — at production scale
-    a persisted artifact of the prior corpus build), rep-hash
-    bucketed.  Matches come from the persisted-artifact probes of
-    ``dedup_incremental`` — batch-sized work, not a corpus re-dedup.
-
-    Output: doc_id (new batch), anchor_doc (NULL if unmatched),
-    n_anchors, split, split_conflict (TRUE when the doc's anchors
-    span more than one split — the signal to quarantine a document
-    that bridges existing clusters across the split boundary)."""
+def even_components_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(node, component): connected components of the EXISTING-ONLY
+    (even doc_id) duplicate subgraph — the split-anchor artifact of
+    the prior corpus build that ``q_split_assign_incremental`` probes.
+    Session-memoized; with ``SPARK_GRAFT_INDEX_DB`` set it is the
+    persisted ``even_components`` table (``sinks.index_store``), so a
+    fresh application inherits the anchors without re-walking the
+    duplicate graph."""
     from astra_perseverance_spark.conformed.model import memo_frame
-    from astra_perseverance_spark.extensions.corpus import docs_frame
+    from astra_perseverance_spark.extensions.corpus import index_artifact
     from astra_perseverance_spark.extensions.dedup import (
         content_digest_frame,
         ngram_pairs,
-        q_dedup_incremental,
     )
     from astra_perseverance_spark.functions.graph import (
         connected_components,
     )
 
-    def build_even_components() -> DataFrame:
+    art = index_artifact(spark, "even_components")
+    if art is not None:
+        return art
+
+    def build() -> DataFrame:
         # Exact edges must be REBUILT over the even subcorpus, not
         # parity-filtered from the global graph: the global exact
         # edges are star-shaped around the GLOBAL min doc_id, so when
@@ -893,9 +913,37 @@ def q_split_assign_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return connected_components(exact.union(near).distinct())
 
-    comp = memo_frame(
-        spark, sf_dir, ("even_components",), build_even_components
-    ).select(F.col("node").alias("doc_id"), "component")
+    return memo_frame(spark, sf_dir, ("even_components",), build)
+
+
+def q_split_assign_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe split assignment for a NEW ingestion batch against
+    an EXISTING corpus (doc_id parity split, the
+    ``dedup_incremental`` fixture convention: even = existing, odd =
+    new): a new document that duplicates or near-duplicates an
+    existing document INHERITS the split of its anchor (the matched
+    existing doc with the smallest id), so fresh crawl data can never
+    drop a near-copy of a training document into the eval set;
+    unmatched new docs hash their own id.
+
+    The existing corpus's splits are what ``split_assign`` would have
+    produced on that corpus alone: connected components of the
+    EXISTING-ONLY duplicate subgraph (memoized — at production scale
+    a persisted artifact of the prior corpus build), rep-hash
+    bucketed.  Matches come from the persisted-artifact probes of
+    ``dedup_incremental`` — batch-sized work, not a corpus re-dedup.
+
+    Output: doc_id (new batch), anchor_doc (NULL if unmatched),
+    n_anchors, split, split_conflict (TRUE when the doc's anchors
+    span more than one split — the signal to quarantine a document
+    that bridges existing clusters across the split boundary)."""
+    from astra_perseverance_spark.extensions.corpus import docs_frame
+    from astra_perseverance_spark.extensions.dedup import (
+        q_dedup_incremental,
+    )
+
+    comp = even_components_frame(spark, sf_dir).select(
+        F.col("node").alias("doc_id"), "component")
 
     docs = docs_frame(spark, sf_dir).select("doc_id")
     existing = (

@@ -1,0 +1,187 @@
+"""Durable index store for the incremental-serving queries.
+
+``ann_incremental``, ``ann_incremental_pq``, ``dedup_incremental`` and
+``split_assign_incremental`` all probe "persisted corpus artifacts" —
+but without this sink those artifacts are session-scoped ``memo_frame``
+caches, rebuilt from the corpus by every new Spark application.  That
+is correct (the rebuild is deterministic) but it is not the cost model
+the queries claim: a continuously ingesting pipeline amortizes index
+construction across MANY applications, and a probe batch must cost
+batch-sized work against tables that already exist on disk.
+
+``write_index_store`` materializes the artifacts once, as tables in a
+dedicated database (the ``sinks.warehouse`` pattern — with a metastore
+the bucketing metadata outlives the session; with Spark's default
+in-memory catalog the on-disk layout is identical and a fresh session
+re-registers it by calling this module's ``register_index_store``):
+
+======================  =============================================
+table                   contents (producer — the SAME builder the
+                        memo path uses, so arithmetic cannot drift)
+======================  =============================================
+``ann_centroids``       (cid, c_eq, c_n2) IVF coarse centroids of the
+                        indexed (even vec_id) corpus
+                        (``similarity._incremental_centroids``)
+``ann_ivf_lists``       (cid, vec_id, eq, n2) every indexed vector in
+                        its nearest-centroid list, BUCKETED by cid —
+                        the probe equi-join's store side scans
+                        hash-clustered
+                        (``similarity._build_incremental_index``)
+``ann_sq_bounds``       (d, lo, hi) per-dimension quantization bounds
+                        FROZEN over the indexed corpus
+                        (``similarity._even_dim_stats``)
+``ann_sq_store``        (vec_id, codes array<smallint>) the int8
+                        codes (``training.sq_code`` with the frozen
+                        bounds), BUCKETED by vec_id — 4x smaller than
+                        the fixed-point vectors; the load path decodes
+                        with ``training.sq_decode`` (bit-identical to
+                        the fused ``sq_recon`` map)
+``digest_dim``          (doc_id, content_md5) exact-dedup digest dim,
+                        BUCKETED by content_md5 (the groupBy/join key)
+                        (``dedup.content_digest_frame``)
+``shingle_postings``    (doc_id, lang, g, df, n) the stop-shingle-
+                        capped inverted index, BUCKETED by doc_id
+                        (``dedup.capped_shingle_rows``)
+``even_components``     (node, component) connected components of the
+                        existing-corpus duplicate subgraph — the
+                        split-anchor frame
+                        (``training.even_components_frame``)
+======================  =============================================
+
+Setting ``SPARK_GRAFT_INDEX_DB`` to the database name routes the four
+incremental queries' artifact reads through these tables
+(``corpus.index_artifact``); with it unset every consuming query's
+plan is bit-identical to the memo-only code (the branch binds at plan
+build, like the bucketed-warehouse toggle).  The cross-application
+pytest (``tests/test_index_store.py``) builds the store under one
+application, stops it, probes from a fresh application and asserts
+hash-identical output.
+
+Write-side idempotence: the env toggle is suppressed while the source
+plans are built, exactly like ``warehouse.write_bucketed_events`` — a
+refresh run must rebuild from the corpus, not read the tables it is
+about to overwrite.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from astra_perseverance_spark.extensions.corpus import INDEX_DB_ENV
+
+# table name -> bucket key (None = plain parquet table; tiny frames)
+_LAYOUT: dict[str, str | None] = {
+    "ann_centroids": None,
+    "ann_ivf_lists": "cid",
+    "ann_sq_bounds": None,
+    "ann_sq_store": "vec_id",
+    "digest_dim": "content_md5",
+    "shingle_postings": "doc_id",
+    "even_components": None,
+}
+
+DEFAULT_BUCKETS = 16
+
+
+def write_index_store(spark: SparkSession, sf_dir: str, database: str,
+                      location: str,
+                      n_buckets: int = DEFAULT_BUCKETS) -> dict[str, str]:
+    """Build every incremental-serving artifact from the corpus at
+    ``sf_dir`` and persist it under ``database`` (created at
+    ``location``).  Returns table name → qualified name."""
+    from astra_perseverance_spark.extensions import similarity
+    from astra_perseverance_spark.extensions.dedup import (
+        capped_shingle_rows,
+        content_digest_frame,
+    )
+    from astra_perseverance_spark.extensions.training import (
+        even_components_frame,
+        sq_code,
+    )
+    from astra_perseverance_spark.functions.vectors import ANN_DIM
+
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {database} "
+              f"LOCATION '{location}'")
+    prior = os.environ.pop(INDEX_DB_ENV, None)
+    try:
+        lo, hi = similarity._even_dim_stats(spark, sf_dir)
+        bounds = spark.createDataFrame(
+            [(d, int(lo[d]), int(hi[d])) for d in range(ANN_DIM)],
+            "d INT, lo BIGINT, hi BIGINT",
+        )
+        code = sq_code(*similarity._even_dim_bounds(spark, sf_dir))
+        store = (
+            similarity._vectors(spark, sf_dir)
+            .filter(F.col("vec_id") % 2 == 0)
+            .select(
+                "vec_id",
+                F.transform(
+                    "eq", lambda x, i: code(x, i).cast("smallint")
+                ).alias("codes"),
+            )
+        )
+        frames = {
+            "ann_centroids": similarity._incremental_centroids(
+                spark, sf_dir),
+            "ann_ivf_lists": similarity._build_incremental_index(
+                spark, sf_dir),
+            "ann_sq_bounds": bounds,
+            "ann_sq_store": store,
+            "digest_dim": content_digest_frame(spark, sf_dir),
+            "shingle_postings": capped_shingle_rows(spark, sf_dir),
+            "even_components": even_components_frame(spark, sf_dir),
+        }
+        out: dict[str, str] = {}
+        for name, df in frames.items():
+            qualified = f"{database}.{name}"
+            writer = df.write.mode("overwrite").format("parquet")
+            key = _LAYOUT[name]
+            if key is not None:
+                writer = writer.bucketBy(n_buckets, key).sortBy(key)
+            writer.saveAsTable(qualified)
+            out[name] = qualified
+        return out
+    finally:
+        if prior is not None:
+            os.environ[INDEX_DB_ENV] = prior
+
+
+def register_index_store(spark: SparkSession, database: str,
+                         location: str,
+                         n_buckets: int = DEFAULT_BUCKETS) -> None:
+    """Re-attach an on-disk index store to a FRESH application.
+
+    With a real metastore this is unnecessary — the tables never left
+    the catalog.  Spark's default in-memory catalog forgets table
+    metadata at ``spark.stop()``, so a new application re-registers
+    each table as an external table over the written files, declaring
+    the same bucketing (``CLUSTERED BY ... INTO n BUCKETS``) so the
+    scan stays hash-clustered: Spark resolves a file's bucket id from
+    its ``_NNNNN`` filename component, which ``saveAsTable`` wrote, so
+    re-registered buckets prune and co-locate exactly like the
+    originals.  ``n_buckets`` must match the write (it is catalog
+    metadata, not derivable from the files — a metastore would have
+    remembered it).  Schemas are inferred from the parquet footers,
+    never guessed."""
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {database} "
+              f"LOCATION '{location}'")
+    for name, key in _LAYOUT.items():
+        path = os.path.join(location, name)
+        if not os.path.isdir(path):
+            raise ValueError(
+                f"index store at {location} has no {name} table — "
+                f"was write_index_store interrupted?")
+        if spark.catalog.tableExists(f"{database}.{name}"):
+            continue
+        sch = spark.read.parquet(path).schema
+        cols = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in sch.fields)
+        bucket_ddl = (
+            f"CLUSTERED BY ({key}) SORTED BY ({key}) "
+            f"INTO {n_buckets} BUCKETS " if key else "")
+        spark.sql(
+            f"CREATE TABLE {database}.{name} ({cols}) USING PARQUET "
+            f"{bucket_ddl}LOCATION '{path}'")

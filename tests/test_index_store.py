@@ -1,0 +1,145 @@
+"""Durable index-store gates (round-11): the incremental-serving
+artifacts must be literally persistent — built once, written as
+tables, and probed by the four incremental queries with output
+hash-identical to the session-memo path.
+
+The heavyweight stop-the-application proof lives in
+``tools/index_store_roundtrip.py`` (run here as a subprocess so the
+pytest-shared session survives); the in-process tests cover value
+identity per query, the sq code/decode lockstep contract, and that the
+load path actually engages (a silent fallback to the memo build would
+pass every value test while persisting nothing).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import os
+import subprocess
+import sys
+
+import pytest
+
+from tests.conftest import SF_SMALL
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+DATABASE = "idxstore_t"
+
+INCREMENTAL_QUERIES = (
+    "ann_incremental",
+    "ann_incremental_pq",
+    "dedup_incremental",
+    "split_assign_incremental",
+)
+
+
+@pytest.fixture(scope="module")
+def index_store(spark, tmp_path_factory):
+    from astra_perseverance_spark.sinks.index_store import write_index_store
+
+    loc = tmp_path_factory.mktemp("idxstore")
+    tables = write_index_store(spark, SF_SMALL, DATABASE, str(loc))
+    yield tables
+    for t in tables.values():
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    spark.sql(f"DROP DATABASE IF EXISTS {DATABASE}")
+
+
+@pytest.fixture()
+def store_env(index_store, monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DB", DATABASE)
+
+
+def _rows(df) -> list[tuple]:
+    return [tuple(r) for r in df.collect()]
+
+
+@pytest.mark.parametrize("name", INCREMENTAL_QUERIES)
+def test_store_path_output_identical(spark, index_store, monkeypatch, name):
+    """Each incremental query's output over the persisted tables is
+    row-identical (values AND order) to the session-memo build."""
+    from astra_perseverance_spark.queries import QUERY_REGISTRY
+
+    monkeypatch.delenv("SPARK_GRAFT_INDEX_DB", raising=False)
+    expected = _rows(QUERY_REGISTRY[name](spark, SF_SMALL))
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DB", DATABASE)
+    actual = _rows(QUERY_REGISTRY[name](spark, SF_SMALL))
+    assert actual == expected
+    assert expected, f"{name} returned no rows — vacuous comparison"
+
+
+def test_load_path_engages(spark, store_env):
+    """With the toggle set the query plan must SCAN the persisted
+    tables — a silent fallback to the memo build would pass the value
+    tests while persisting nothing."""
+    from astra_perseverance_spark.extensions.similarity import (
+        q_ann_incremental_pq,
+    )
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        q_ann_incremental_pq(spark, SF_SMALL).explain("formatted")
+    plan = buf.getvalue()
+    assert "ann_ivf_lists" in plan, plan
+    assert "ann_sq_store" in plan, plan
+
+
+def test_sq_code_decode_matches_fused_recon(spark, index_store, monkeypatch):
+    """decode∘code over the persisted int8 codes reproduces the fused
+    ``sq_recon`` store bit-for-bit — the lockstep contract that lets
+    ``sq_code``/``sq_decode`` exist as separate halves."""
+    from astra_perseverance_spark.extensions.similarity import (
+        _recon_even_store,
+    )
+
+    monkeypatch.delenv("SPARK_GRAFT_INDEX_DB", raising=False)
+    fused = _rows(_recon_even_store(spark, SF_SMALL).orderBy("vec_id"))
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DB", DATABASE)
+    split = _rows(_recon_even_store(spark, SF_SMALL).orderBy("vec_id"))
+    assert split == fused
+    assert fused
+
+
+def test_store_codes_are_int8_sized(spark, index_store):
+    """The persisted store holds SMALLINT codes in [0, 255] — the 4x
+    compression is real, not BIGINT vectors under another name."""
+    from pyspark.sql import functions as F
+
+    store = spark.table(f"{DATABASE}.ann_sq_store")
+    assert dict(store.dtypes)["codes"] == "array<smallint>"
+    bad = store.filter(
+        F.exists("codes", lambda c: (c < 0) | (c > 255))
+    ).count()
+    assert bad == 0
+
+
+def test_default_path_untouched_by_module(spark, index_store, monkeypatch):
+    """With the env unset the incremental queries must not reference
+    the store tables anywhere in their plans (the branch binds at plan
+    build; default plans stay bit-identical to the memo-only code)."""
+    from astra_perseverance_spark.extensions.similarity import (
+        q_ann_incremental,
+    )
+
+    monkeypatch.delenv("SPARK_GRAFT_INDEX_DB", raising=False)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        q_ann_incremental(spark, SF_SMALL).explain("formatted")
+    assert "ann_ivf_lists" not in buf.getvalue()
+
+
+def test_cross_application_roundtrip():
+    """The verdict's done-criterion: build the store in one Spark
+    application, STOP it, probe from a fresh application, get
+    hash-identical output.  Subprocess so the stop cannot disturb the
+    shared pytest session."""
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools",
+                                      "index_store_roundtrip.py"),
+         SF_SMALL],
+        capture_output=True, text=True, timeout=600, cwd=REPO,
+        env={**os.environ, "SPARK_GRAFT_CPUS": "8"},
+    )
+    assert proc.returncode == 0, proc.stdout[-3000:] + proc.stderr[-3000:]
+    assert "ROUNDTRIP OK" in proc.stdout
