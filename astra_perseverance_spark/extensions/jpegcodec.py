@@ -601,7 +601,13 @@ def _finish(frame, qt, coeffs) -> np.ndarray:
     dtype = np.uint8 if frame["prec"] == 8 else np.uint16
     out = []
     for comp in frame["comps"]:
-        q = qt[comp["tq"]]
+        # ValueError, not KeyError: a malformed stream (SOF referencing
+        # a table no DQT defined) must surface through the codec's
+        # ValueError convention, like the missing-DHT path
+        q = qt.get(comp["tq"])
+        if q is None:
+            raise ValueError(
+                f"JPEG frame references missing DQT table {comp['tq']}")
         c = coeffs[comp["id"]]
         nat = np.zeros((c.shape[0], c.shape[1], 64), dtype=np.float64)
         nat[:, :, _ZZ_FLAT] = c

@@ -112,7 +112,6 @@ def compact_parquet(spark: SparkSession, path: str,
     a whole-dataset rewrite would flatten them into file contents and
     silently cost every downstream scan its partition pruning."""
     import os
-    from urllib.parse import unquote, urlparse
 
     if target_bytes <= 0:
         raise ValueError(f"target_bytes must be positive: {target_bytes}")
@@ -170,8 +169,16 @@ def compact_parquet(spark: SparkSession, path: str,
     # — the rescue below would then "rescue" every consumed old file
     # back in, silently duplicating the dataset
     data_root = fs.makeQualified(jpath).toUri().getPath().rstrip("/")
+    # decode through Hadoop Path on BOTH sides: inputFiles() strings
+    # ARE Path.toString() output, so Path(f).toUri().getPath() inverts
+    # exactly the encoding the listFiles-side keys below use — a
+    # Python-side unquote() would instead mis-key a file whose name
+    # contains a literal percent-escape-looking sequence that Spark
+    # never encoded (part-a%41.parquet), wrongly "rescuing" that
+    # consumed file back after the swap and duplicating its rows
     snapshot = {
-        os.path.relpath(unquote(urlparse(f).path) or f, data_root)
+        os.path.relpath(
+            jvm.org.apache.hadoop.fs.Path(f).toUri().getPath(), data_root)
         for f in df.inputFiles()
     }
     df.coalesce(int(n_out)).write.mode("overwrite").parquet(tmp)

@@ -78,8 +78,13 @@ REORDER_BUFFER_CAP = 4096
 
 # Bumped whenever _STATE_SCHEMA or the meaning of a state field
 # changes; a checkpoint from another version needs a fresh start
-# (see module docstring).  v2 = round-8 emitted-provisional ledger.
-STATE_FORMAT_VERSION = 2
+# (see module docstring).  v2 = round-8 emitted-provisional ledger;
+# v3 = inactivity-timeout GC (schema unchanged, timeout semantics
+# added — the same class of change that bumped the funnel twin to 3:
+# a v2 checkpoint resumed under a v3 binary parses, but pre-existing
+# rows never armed a timer and are GC'd only after their next event
+# arms one, so deployments enabling the timeout should start fresh).
+STATE_FORMAT_VERSION = 3
 
 # NULL attribution (purchase with no prior click) inside the emitted-
 # provisional state arrays (event-time ns / event ids are non-negative).

@@ -115,8 +115,24 @@ class TestStructure:
         quantization table has no implied default."""
         from tests.test_multimodal import _mk_jpeg
 
-        with pytest.raises((ValueError, KeyError)):
+        with pytest.raises(ValueError):
             decode_baseline_jpeg(_mk_jpeg(8, 8))
+
+    def test_missing_dqt_raises_valueerror_not_keyerror(self):
+        """A stream whose SOF references a quantization table no DQT
+        segment defined must surface through the codec's ValueError
+        convention (like missing DHT), never a raw KeyError at EOI —
+        a corrupt MJPEG frame reaches decode_media callers with an
+        idiomatic error."""
+        enc = bytearray(encode_baseline_jpeg(_gradient(16, 16)))
+        # retarget every SOF component's Tq to an undefined table id
+        sof = enc.find(b"\xff\xc0")
+        ncomp = enc[sof + 9]
+        for c in range(ncomp):
+            # component c: id at +10+3c, HV at +11+3c, Tq at +12+3c
+            enc[sof + 12 + 3 * c] = 3  # Tq=3: never defined by DQT
+        with pytest.raises(ValueError, match="DQT"):
+            decode_baseline_jpeg(bytes(enc))
 
 
 class TestAnnexKDefaults:
