@@ -57,9 +57,11 @@ SPARK_GRAFT_BENCH_BUCKETED (default on; 0 disables).
 
 from __future__ import annotations
 
+import getpass
 import json
 import os
 import re
+import socket
 import sys
 import time
 
@@ -264,6 +266,12 @@ def main() -> int:
             "loadavg_before": [round(x, 2) for x in load_before],
             "loadavg_after": [round(x, 2) for x in os.getloadavg()],
             "cpus": os.cpu_count(),
+            # provenance: lets preflight's loaded-recording warning
+            # name WHOSE run is in the working tree (builder clean-room
+            # vs driver per-round) — override via env for CI identities
+            "recorded_by": os.environ.get(
+                "SPARK_GRAFT_BENCH_RECORDER",
+                f"{getpass.getuser()}@{socket.gethostname()}"),
         },
     }
     if bucketed is not None:

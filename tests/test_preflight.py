@@ -18,14 +18,16 @@ preflight = importlib.util.module_from_spec(_SPEC)
 _SPEC.loader.exec_module(preflight)
 
 
-def _write_tree(tmp_path, audited, benched, run_context=True):
+def _write_tree(tmp_path, audited, benched, run_context=True,
+                loadavg=0.0):
     (tmp_path / "docs").mkdir(exist_ok=True)
     rows = "\n".join(f"| {q} | 1 | 0 | 0 | 0 | 2 | 1 |" for q in audited)
     (tmp_path / "docs" / "PLAN_AUDIT.md").write_text(
         f"# audit\n\n| query | BHJ | SMJ |\n|---|---|---|\n{rows}\n")
     detail = {"queries": {q: 0.1 for q in benched}}
     if run_context:
-        detail["run_context"] = {"loadavg_before": [0.0]}
+        detail["run_context"] = {"loadavg_before": [loadavg],
+                                 "recorded_by": "tester@doctored"}
     (tmp_path / "BENCH_DETAIL.json").write_text(json.dumps(detail))
 
 
@@ -65,6 +67,26 @@ def test_flags_bench_artifact_without_run_context(tmp_path):
     _write_tree(tmp_path, live, live, run_context=False)
     fails = preflight.check_artifacts(str(tmp_path), live)
     assert len(fails) == 1 and "run_context" in fails[0]
+
+
+def test_warns_but_does_not_fail_on_loaded_recording(tmp_path, capsys):
+    """r10 verdict #4: a bench artifact recorded under load (the
+    driver's per-round runs keep landing with loadavg ≳ 5) must draw a
+    visible WARN with its provenance — but stay a warning, never a
+    failure, since timings are adjudicated by plan fingerprint."""
+    live = {"q_a"}
+    _write_tree(tmp_path, live, live, loadavg=5.9)
+    fails = preflight.check_artifacts(str(tmp_path), live)
+    assert fails == []
+    out = capsys.readouterr().out
+    assert "WARN" in out and "5.9" in out and "tester@doctored" in out
+
+
+def test_no_load_warning_on_idle_recording(tmp_path, capsys):
+    live = {"q_a"}
+    _write_tree(tmp_path, live, live, loadavg=0.3)
+    assert preflight.check_artifacts(str(tmp_path), live) == []
+    assert "WARN" not in capsys.readouterr().out
 
 
 def test_live_repo_is_green():

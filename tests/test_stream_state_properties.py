@@ -294,6 +294,118 @@ class TestGcSessionStateConvergence:
             want = _sessions_ref(ts_pm, SESSION_GAP_SEC)
             assert sorted(got) == sorted(want), (seed, got, want)
 
+    def test_ordered_arrival_converges_with_zero_budget(self):
+        """The pre-buffer contract: event-time-ordered arrival with
+        lateness 0 converges to the batch sessionizer (every event
+        finalizes on arrival; the greedy walk IS the batch walk)."""
+        from astra_perseverance_spark.streaming.gc_stream import (
+            SESSION_GAP_SEC,
+            _make_session_update,
+        )
+
+        for seed in range(120):
+            rng = random.Random(2000 + seed)
+            n = rng.randrange(3, 12)
+            ts_pm = [(rng.randrange(0, 6) * 1500, rng.randrange(1, 99))
+                     for _ in range(n)]
+            rows = sorted(ts_pm)
+            state = FakeState()
+            upd = _make_session_update(0)
+            emitted = []
+            for chunk in _chunks(rows, rng, rng.randrange(1, 4)):
+                pdf = pd.DataFrame({
+                    "ts": pd.to_datetime([t for t, _ in chunk], unit="s"),
+                    "pause_ms": [p for _, p in chunk],
+                })
+                for out in upd(("n1",), iter([pdf]), state):
+                    emitted.append(out)
+            state.hasTimedOut = True
+            for out in upd(("n1",), iter([]), state):
+                emitted.append(out)
+            got = []
+            for pdf in emitted:
+                for s, e, c, m in zip(pdf["session_start"],
+                                      pdf["session_end"],
+                                      pdf["pauses"], pdf["max_pause_ms"]):
+                    got.append((int(s.timestamp()), int(e.timestamp()),
+                                int(c), int(m)))
+            want = _sessions_ref(ts_pm, SESSION_GAP_SEC)
+            # ordered arrival closes sessions in order — compare as-is
+            assert got == want, (seed, got, want)
+
+    def test_late_bridge_merges_two_provisional_sessions(self):
+        """The r7 gap the reorder buffer exists to close: two events
+        ≥ gap apart look like two sessions until a LATE event lands
+        between them inside the budget — the final output must be ONE
+        merged session, never the two provisional halves."""
+        from astra_perseverance_spark.streaming.gc_stream import (
+            _make_session_update,
+        )
+
+        state = FakeState()
+        upd = _make_session_update(10**9)
+        emitted = []
+        # 0 s and 3000 s are ≥ 1800 s apart (two provisional
+        # sessions); the late 1500 s event bridges both halves
+        for batch_ts in ([0], [3000], [1500]):
+            pdf = pd.DataFrame({
+                "ts": pd.to_datetime(batch_ts, unit="s"),
+                "pause_ms": [10] * len(batch_ts),
+            })
+            for out in upd(("n1",), iter([pdf]), state):
+                if len(out):
+                    emitted.append(out)
+        state.hasTimedOut = True
+        for out in upd(("n1",), iter([]), state):
+            if len(out):
+                emitted.append(out)
+        got = [
+            (int(s.timestamp()), int(e.timestamp()), int(c))
+            for pdf in emitted
+            for s, e, c in zip(pdf["session_start"], pdf["session_end"],
+                               pdf["pauses"])
+        ]
+        assert got == [(0, 3000, 3)], got
+
+    def test_bridge_outside_budget_degrades_monotone(self):
+        """The declared degradation: a bridge OLDER than the lateness
+        budget cannot reopen an already-closed session — the early
+        half stays emitted as-is and the bridge merges forward only.
+        This pins the documented semantics (append mode can never
+        retract) so a refactor cannot silently change them."""
+        from astra_perseverance_spark.streaming.gc_stream import (
+            _make_session_update,
+        )
+
+        state = FakeState()
+        upd = _make_session_update(1000)  # 1000 s budget
+        emitted = []
+        # batch 2 pushes the finalization watermark to 2100 s: the 0 s
+        # and 2000 s events are both FINAL, their ≥ 1800 s gap closes
+        # and emits [0,0].  The 1500 s bridge in batch 3 is already
+        # older than the watermark (outside the budget), so it cannot
+        # reopen the emitted session — it merges forward into the open
+        # 2000 s span only
+        for batch_ts in ([0], [2000, 3100], [1500]):
+            pdf = pd.DataFrame({
+                "ts": pd.to_datetime(batch_ts, unit="s"),
+                "pause_ms": [10] * len(batch_ts),
+            })
+            for out in upd(("n1",), iter([pdf]), state):
+                if len(out):
+                    emitted.append(out)
+        state.hasTimedOut = True
+        for out in upd(("n1",), iter([]), state):
+            if len(out):
+                emitted.append(out)
+        got = [
+            (int(s.timestamp()), int(e.timestamp()), int(c))
+            for pdf in emitted
+            for s, e, c in zip(pdf["session_start"], pdf["session_end"],
+                               pdf["pauses"])
+        ]
+        assert got == [(0, 0, 1), (1500, 3100, 3)], got
+
 
 class TestFunnelTimeoutGC:
     """Round-10 dormant-user GC (funnel_stream v3): the inactivity

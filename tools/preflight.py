@@ -109,6 +109,19 @@ def check_artifacts(repo: str = REPO,
     else:
         print(f"OK   BENCH_DETAIL.json covers all {len(live)} queries "
               f"(run_context present)")
+        # Provenance WARNING, deliberately non-fatal (r10 verdict #4):
+        # the driver's per-round bench runs on a loaded machine and
+        # overwrites the working-tree artifact; a loaded recording
+        # must not be COMMITTED silently as the reference numbers,
+        # but it is not a gate failure either — timings are
+        # adjudicated by plan fingerprint, not wall-clock.
+        ctx = d["run_context"]
+        la = (ctx.get("loadavg_before") or [0.0])[0]
+        if la > 2:
+            print(f"WARN BENCH_DETAIL.json was recorded under load "
+                  f"(loadavg_before {la}, recorded_by "
+                  f"{ctx.get('recorded_by', '<unrecorded>')}) — re-run "
+                  f"bench.py on an idle machine before committing it")
     return failures
 
 
