@@ -38,10 +38,21 @@ EXACT pixel equality between the two decode paths.
 multi-scan machinery (extended sequential SOF1 and progressive,
 level shift 2048, widened symbol alphabets, roundtrip-tested).
 
-Deliberately NOT supported (declared, raises ValueError /
-NotImplementedError): arithmetic-coded streams and
-lossless/hierarchical modes — the residue of the multimodal stub is
-now exactly those.
+Adobe 4-component frames (round 11) decode through the APP14
+transform flag: plain CMYK (transform 0 / marker absent) and YCCK
+(transform 2) composite to RGB per ITU-T T.872 §6.1 with the Adobe
+inverted-ink convention — roundtrip-tested against a 4-channel
+encoder mode that emits the APP14 marker.
+
+Deliberately NOT supported — a WONTFIX, not a TODO: arithmetic-coded
+streams (SOF9/10, declared NotImplementedError).  Arithmetic coding
+was patent-encumbered through the format's entire adoption window,
+so encoders essentially never emit it (libjpeg shipped decode-only
+support late and off by default); a Huffman-only decoder covers the
+JPEGs that exist in the wild, and implementing the QM-coder here
+would be hundreds of lines guarding against a corpus that is
+effectively empty.  Lossless/hierarchical modes (SOF3/5-7/11/13-15)
+are equally absent from real corpora and equally declared.
 """
 
 from __future__ import annotations
@@ -262,6 +273,7 @@ def decode_baseline_jpeg(data: bytes) -> np.ndarray:
     restart = 0
     coeffs: dict[int, np.ndarray] = {}
     scanned = False
+    adobe_transform = None
     pos, n = 2, len(data)
     while pos + 2 <= n:
         if data[pos] != 0xFF:
@@ -360,6 +372,10 @@ def decode_baseline_jpeg(data: bytes) -> np.ndarray:
                                   dtype=np.int32)
                 for c in comps
             }
+        elif marker == 0xEE and body[:5] == b"Adobe" and len(body) >= 12:
+            # APP14 Adobe: 'Adobe', version(2), flags0(2), flags1(2),
+            # transform(1) — 0 = CMYK/unknown, 1 = YCbCr, 2 = YCCK
+            adobe_transform = body[11]
         elif marker == _DRI:
             (restart,) = struct.unpack(">H", body[:2])
         elif marker == _SOS:
@@ -383,6 +399,7 @@ def decode_baseline_jpeg(data: bytes) -> np.ndarray:
         pos += seglen
     if not scanned:
         raise ValueError("JPEG missing SOS/EOI structure")
+    frame["adobe_transform"] = adobe_transform
     return _finish(frame, qt, coeffs)
 
 
@@ -620,18 +637,40 @@ def _finish(frame, qt, coeffs) -> np.ndarray:
         out.append(plane[:h, :w])
     if len(out) == 1:
         return np.clip(out[0] + 0.5, 0, vmaxval).astype(dtype)
-    if len(out) != 3:
-        # 4-component Adobe CMYK/YCCK (or a 2-component oddity) must
-        # not silently decode as YCbCr-with-extras — declared residue
+    if len(out) not in (3, 4):
+        # a 2-component frame has no defined color model anywhere
         raise NotImplementedError(
-            f"{len(out)}-component JPEG (CMYK/YCCK) needs Pillow")
+            f"{len(out)}-component JPEG needs Pillow")
+    if len(out) == 4:
+        # Adobe 4-component frames (ITU-T T.872 §6.1 and the APP14
+        # convention libjpeg documents): transform 2 = YCCK (the first
+        # three planes are the YCbCr encoding of inverted CMY), 0 or
+        # no marker = plain CMYK.  Adobe writers store the ink values
+        # INVERTED (x' = maxval − x), so compositing on white reduces
+        # to R = C'·K'/maxval per channel; the result is returned as
+        # (h, w, 3) RGB like every other color frame — downstream
+        # (decode_media feature extraction) consumes pixels, not inks.
+        if frame.get("adobe_transform") == 2:
+            y, cb, cr = out[0], out[1] - level, out[2] - level
+            cmy_inv = _ycc_to_rgb(y, cb, cr)
+        else:
+            cmy_inv = np.stack(out[:3], axis=-1)
+        k_inv = np.clip(out[3], 0, vmaxval)
+        rgb = np.clip(cmy_inv, 0, vmaxval) * (k_inv / vmaxval)[..., None]
+        return np.clip(rgb + 0.5, 0, vmaxval).astype(dtype)
     y, cb, cr = out[0], out[1] - level, out[2] - level
-    rgb = np.stack([
+    return np.clip(_ycc_to_rgb(y, cb, cr) + 0.5, 0, vmaxval).astype(dtype)
+
+
+def _ycc_to_rgb(y, cb, cr) -> np.ndarray:
+    """The T.871 full-range YCbCr→RGB matrix (unclipped float planes
+    stacked channel-last) — shared by the 3-component path and the
+    YCCK→inverted-CMY step of the Adobe 4-component path."""
+    return np.stack([
         y + 1.402 * cr,
         y - 0.344136 * cb - 0.714136 * cr,
         y + 1.772 * cb,
     ], axis=-1)
-    return np.clip(rgb + 0.5, 0, vmaxval).astype(dtype)
 
 
 # --- encoder (tests' roundtrip source; any legal stream is fine) ------
@@ -743,11 +782,15 @@ def _encode_block(writer: _BitWriter, block: np.ndarray, q: np.ndarray,
     return int(zz[0])
 
 
-def _mcu_geometry(arr: np.ndarray, subsample: int, precision: int = 8):
+def _mcu_geometry(arr: np.ndarray, subsample: int, precision: int = 8,
+                  ycck: bool = False):
     """Shared encoder prep: color transform (chroma centered at
     2^(precision−1)), chroma subsampling, and MCU-grid edge padding.
     Returns (gray, h, w, comps, padded) where comps rows are
-    (name, plane, h_factor, v_factor, tq)."""
+    (name, plane, h_factor, v_factor, tq).  A 4-channel input is
+    Adobe-convention INVERTED CMYK; ``ycck=True`` additionally runs
+    the first three planes through the forward YCbCr transform
+    (T.872 YCCK)."""
     arr = np.asarray(arr)
     gray = arr.ndim == 2
     h, w = arr.shape[:2]
@@ -755,6 +798,16 @@ def _mcu_geometry(arr: np.ndarray, subsample: int, precision: int = 8):
     if gray:
         comps = [("Y", arr.astype(np.float64), 1, 1, 0)]
         subsample = 1
+    elif arr.shape[-1] == 4:
+        a = arr.astype(np.float64)
+        c, m, ye, k = a[..., 0], a[..., 1], a[..., 2], a[..., 3]
+        if ycck:
+            y = 0.299 * c + 0.587 * m + 0.114 * ye
+            cb = -0.168736 * c - 0.331264 * m + 0.5 * ye + level
+            cr = 0.5 * c - 0.418688 * m - 0.081312 * ye + level
+            c, m, ye = y, cb, cr
+        comps = [("C", c, 1, 1, 0), ("M", m, 1, 1, 0),
+                 ("Y", ye, 1, 1, 0), ("K", k, 1, 1, 0)]
     else:
         a = arr.astype(np.float64)
         r, g, b = a[..., 0], a[..., 1], a[..., 2]
@@ -798,7 +851,8 @@ def _dht_seg(tc: int, th: int, bits: list[int], vals: bytes) -> bytes:
 def encode_baseline_jpeg(arr: np.ndarray, subsample: int = 1,
                          restart_interval: int = 0,
                          default_tables: bool = False,
-                         precision: int = 8) -> bytes:
+                         precision: int = 8,
+                         ycck: bool = False) -> bytes:
     """Encode (h, w) grayscale or (h, w, 3) RGB uint8 to a sequential
     JPEG; ``subsample=2`` emits 4:2:0 chroma (exercises the decoder's
     general MCU geometry), 1 emits 4:4:4; ``restart_interval=N``
@@ -810,17 +864,23 @@ def encode_baseline_jpeg(arr: np.ndarray, subsample: int = 1,
     roundtrip-testable without an external codec.  ``precision=12``
     takes uint16 samples in 0..4095 and emits an EXTENDED sequential
     frame (SOF1 — baseline is 8-bit by definition, B.2.2) with the
-    widened DC/AC symbol alphabets."""
+    widened DC/AC symbol alphabets.  A 4-channel input is Adobe
+    INVERTED CMYK and emits the APP14 Adobe marker (transform 0, or 2
+    with ``ycck=True`` — the YCCK layout)."""
     if precision not in (8, 12):
         raise ValueError(f"precision must be 8 or 12: {precision}")
     if precision == 12 and default_tables:
         raise ValueError("the Annex K tables are 8-bit alphabets")
     (gray, h, w, comps, padded,
      _hmax, _vmax, mcu_cols, mcu_rows) = _mcu_geometry(
-        arr, subsample, precision)
+        arr, subsample, precision, ycck=ycck)
     level = float(1 << (precision - 1))
 
     out = bytearray(b"\xff\xd8")
+    if len(comps) == 4:
+        # APP14 Adobe: version 100, flags 0/0, transform byte
+        out += _seg(0xEE, b"Adobe"
+                    + struct.pack(">HHHB", 100, 0, 0, 2 if ycck else 0))
     out += _dqt_seg(0, _Q_LUMA)
     if not gray:
         out += _dqt_seg(1, _Q_CHROMA)

@@ -385,22 +385,90 @@ class TestAgainstPillow:
 
 
 class TestComponentCountGuard:
-    """Round-10 review finding: a 4-component Adobe CMYK/YCCK frame
-    must not silently decode its first three planes as YCbCr, and a
-    2-component oddity must raise the declared error instead of a
-    bare IndexError."""
+    """Round-10 review finding (narrowed in round 11 by the CMYK
+    decode): a 2-component oddity must raise the declared error
+    instead of a bare IndexError — 4-component frames now decode."""
 
-    @pytest.mark.parametrize("nc", [2, 4])
-    def test_non_1_or_3_component_frames_declared(self, nc):
+    def test_two_component_frame_declared(self):
         from astra_perseverance_spark.extensions.jpegcodec import (
             _Q_LUMA, _finish,
         )
 
         comps = [{"id": i + 1, "h": 1, "v": 1, "tq": 0, "nbw_mcu": 1,
-                  "nbh_mcu": 1, "nbw": 1, "nbh": 1} for i in range(nc)]
+                  "nbh_mcu": 1, "nbw": 1, "nbh": 1} for i in range(2)]
         frame = {"h": 8, "w": 8, "comps": comps, "prec": 8,
                  "hmax": 1, "vmax": 1, "mcu_cols": 1, "mcu_rows": 1}
         coeffs = {c["id"]: np.zeros((1, 1, 64), dtype=np.int32)
                   for c in comps}
         with pytest.raises(NotImplementedError):
             _finish(frame, {0: _Q_LUMA}, coeffs)
+
+
+class TestAdobeCmyk:
+    """Round-11: Adobe 4-component decode (APP14 transform flag,
+    T.872 §6.1).  Inputs are the Adobe INVERTED ink convention; the
+    decoder composites on white to (h, w, 3) RGB: R = C'·K'/maxval."""
+
+    @staticmethod
+    def _cmyk(h, w):
+        # flat planes: near-exact through the flat-quantizer roundtrip
+        a = np.zeros((h, w, 4), dtype=np.uint8)
+        a[..., 0], a[..., 1], a[..., 2], a[..., 3] = 200, 150, 100, 250
+        return a
+
+    def _expected_rgb(self, a):
+        return (a[..., :3].astype(float)
+                * (a[..., 3:].astype(float) / 255.0))
+
+    def test_cmyk_transform0_roundtrip(self):
+        a = self._cmyk(24, 16)
+        enc = encode_baseline_jpeg(a)
+        assert b"Adobe" in enc
+        dec = decode_baseline_jpeg(enc)
+        assert dec.shape == (24, 16, 3)
+        err = np.abs(dec.astype(float) - self._expected_rgb(a)).max()
+        assert err <= 2, err
+
+    def test_ycck_transform2_roundtrip(self):
+        a = self._cmyk(24, 16)
+        enc = encode_baseline_jpeg(a, ycck=True)
+        dec = decode_baseline_jpeg(enc)
+        err = np.abs(dec.astype(float) - self._expected_rgb(a)).max()
+        assert err <= 3, err
+
+    def test_ycck_and_cmyk_agree(self):
+        """transform 2 is an invertible re-encoding of the same inks —
+        both layouts must decode to the same RGB (up to rounding)."""
+        rng = np.random.default_rng(11)
+        a = (rng.integers(60, 196, size=(16, 16, 4))
+             .astype(np.uint8))
+        d0 = decode_baseline_jpeg(encode_baseline_jpeg(a))
+        d2 = decode_baseline_jpeg(encode_baseline_jpeg(a, ycck=True))
+        assert np.abs(d0.astype(int) - d2.astype(int)).max() <= 12
+
+    def test_cmyk_without_app14_decodes_as_cmyk(self):
+        """Marker stripped: 4 components default to plain CMYK (the
+        libjpeg convention for unknown transform)."""
+        a = self._cmyk(16, 16)
+        enc = bytearray(encode_baseline_jpeg(a))
+        i = enc.find(b"\xff\xee")
+        (seglen,) = __import__("struct").unpack(
+            ">H", bytes(enc[i + 2:i + 4]))
+        del enc[i:i + 2 + seglen]
+        dec = decode_baseline_jpeg(bytes(enc))
+        err = np.abs(dec.astype(float) - self._expected_rgb(a)).max()
+        assert err <= 2, err
+
+    def test_pillow_crosscheck_if_available(self):
+        try:
+            from PIL import Image
+        except ImportError:
+            pytest.skip("Pillow not installed")
+        import io
+
+        a = self._cmyk(16, 16)
+        enc = encode_baseline_jpeg(a)
+        ours = decode_baseline_jpeg(enc)
+        theirs = np.asarray(
+            Image.open(io.BytesIO(enc)).convert("RGB"))
+        assert np.abs(ours.astype(int) - theirs.astype(int)).max() <= 3
