@@ -226,8 +226,9 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
 
     scratch = os.path.join(REPO, ".scratch", f"probe_rep{rep}")
-    print(f"replicating {sf_dir} x{rep} -> {scratch}", file=sys.stderr)
-    replicate(spark, sf_dir, rep, scratch)
+    if ops or not only or "whale" in only:
+        print(f"replicating {sf_dir} x{rep} -> {scratch}", file=sys.stderr)
+        replicate(spark, sf_dir, rep, scratch)
 
     from astra_perseverance_spark.conformed.model import release_memos
 
@@ -360,14 +361,161 @@ def main() -> int:
         for name, te, tw, wratio in wrows:
             lines.append(f"| {name} | {te:.2f} | {tw:.2f} | {wratio:.1f} |")
 
+    # ---- funnel dormant-user GC: state rows, not wall time ----------
+    gc_lines = None
+    if not only or "funnel_gc" in only:
+        gc_lines = probe_funnel_gc(spark)
+        lines += gc_lines
+
     if only:
-        print("(subset run: docs/SCALE_PROBE.md not rewritten)", file=sys.stderr)
+        if gc_lines is not None:
+            _patch_section(OUT_MD, gc_lines)
+            print(f"patched funnel-GC section of {OUT_MD} (state-row "
+                  "counts are load-insensitive; timing rows untouched)",
+                  file=sys.stderr)
+        else:
+            print("(subset run: docs/SCALE_PROBE.md not rewritten)",
+                  file=sys.stderr)
     else:
         with open(OUT_MD, "w") as f:
             f.write("\n".join(lines) + "\n")
         print(f"wrote {OUT_MD}", file=sys.stderr)
     shutil.rmtree(scratch, ignore_errors=True)
     return 0
+
+
+GC_SECTION_HEADER = "## Funnel dormant-user GC probe"
+
+
+def _patch_section(path: str, section_lines: list[str]) -> None:
+    """Replace (or append) the funnel-GC section in the probe doc —
+    the one probe whose measurement (state-store row counts) is
+    load-insensitive, so a subset run may legitimately refresh it
+    without invalidating the timing rows around it."""
+    with open(path) as f:
+        text = f.read()
+    body = "\n".join(section_lines).strip("\n") + "\n"
+    start = text.find(GC_SECTION_HEADER)
+    if start == -1:
+        text = text.rstrip("\n") + "\n\n" + body
+    else:
+        nxt = text.find("\n## ", start + len(GC_SECTION_HEADER))
+        end = len(text) if nxt == -1 else nxt + 1
+        text = text[:start].rstrip("\n") + "\n\n" + body + text[end:]
+    with open(path, "w") as f:
+        f.write(text)
+
+
+def probe_funnel_gc(spark, n_users: int = 4000, n_active: int = 100,
+                    timeout_ms: int = 3000) -> list[str]:
+    """Measure the state-store row count of the streaming funnel with
+    and without the dormant-user inactivity GC (round-10 landing,
+    round-11 verdict #6: the GC shipped with property tests but no
+    measured entry).
+
+    Scenario: ``n_users`` users each open a funnel in batch 1; only
+    ``n_active`` of them stay active.  After the inactivity budget
+    passes, batch 2 delivers the active users' next step.  Without the
+    timeout the state store holds one row per user-ever-seen; with it
+    the dormant majority's rows are finalized and DROPPED, so the
+    count converges to the active set.  The number reported is
+    ``numRowsTotal`` from the state operator's own progress metrics —
+    a row count, not a timing, so machine load cannot skew it."""
+    import json
+    import tempfile
+    import time as _time
+
+    from astra_perseverance_spark.streaming import stream_events_funnel
+
+    def run(timeout):
+        root = tempfile.mkdtemp(prefix="funnel_gc_probe_")
+        src = os.path.join(root, "src")
+        os.makedirs(src)
+        spark.range(n_users).selectExpr(
+            "id AS event_id", "id AS user_id",
+            "'view' AS event_type", "CAST(1000 AS LONG) AS ns",
+        ).coalesce(1).write.mode("append").parquet(src)
+        sdf = stream_events_funnel(spark, src,
+                                   inactivity_timeout_ms=timeout)
+        qname = f"funnel_gc_probe_{'on' if timeout else 'off'}"
+        q = (sdf.writeStream.format("memory").queryName(qname)
+             .outputMode("append")
+             .option("checkpointLocation", os.path.join(root, "ckpt"))
+             .trigger(processingTime="1 second")
+             .start())
+        try:
+            deadline = _time.time() + 120
+            # batch 1 fully absorbed: every user emitted its view row
+            while (spark.sql(f"SELECT count(*) c FROM {qname}")
+                   .collect()[0][0] < n_users):
+                if _time.time() > deadline:
+                    raise TimeoutError("batch 1 never drained")
+                _time.sleep(0.5)
+            # let the inactivity budget expire in processing time
+            _time.sleep((timeout or timeout_ms) / 1000 + 1.5)
+            # view+click pair: emits ≥ n_active rows in BOTH modes —
+            # with the GC on the active users were dropped too (they
+            # were just as quiet), so a returning user restarts a
+            # fresh funnel (the documented v3 semantics) and the view
+            # is what re-opens it
+            spark.range(n_active).selectExpr(
+                "id + 1000000 AS event_id", "id AS user_id",
+                "'view' AS event_type", "CAST(2000 AS LONG) AS ns",
+            ).union(spark.range(n_active).selectExpr(
+                "id + 2000000 AS event_id", "id AS user_id",
+                "'click' AS event_type", "CAST(2001 AS LONG) AS ns",
+            )).coalesce(1).write.mode("append").parquet(src)
+            while (spark.sql(f"SELECT count(*) c FROM {qname}")
+                   .collect()[0][0] < n_users + n_active):
+                if _time.time() > deadline:
+                    raise TimeoutError("batch 2 never drained")
+                _time.sleep(0.5)
+            if timeout:
+                # timers fire on subsequent (possibly no-data) micro-
+                # batches; poll the state operator's row count down
+                rows = None
+                while _time.time() < deadline:
+                    p = q.lastProgress
+                    ops = (p or {}).get("stateOperators") or []
+                    if ops:
+                        rows = ops[0].get("numRowsTotal")
+                        if rows is not None and rows <= n_active:
+                            break
+                    _time.sleep(0.5)
+            else:
+                _time.sleep(3)  # a couple more triggers for metrics
+                p = q.lastProgress
+                rows = (p.get("stateOperators") or [{}])[0].get(
+                    "numRowsTotal")
+            print(f"funnel_gc timeout={timeout}: state rows={rows} "
+                  f"(users={n_users}, active={n_active})",
+                  file=sys.stderr)
+            assert rows is not None, json.dumps(q.lastProgress)
+            return int(rows)
+        finally:
+            q.stop()
+            shutil.rmtree(root, ignore_errors=True)
+
+    rows_off = run(None)
+    rows_on = run(timeout_ms)
+    return [
+        "",
+        GC_SECTION_HEADER,
+        "",
+        f"Generated by `tools/scale_probe.py funnel_gc` — {n_users}",
+        f"users open a funnel; only {n_active} stay active; the second",
+        "batch arrives after the inactivity budget.  The metric is the",
+        "state operator's own `numRowsTotal` (a row count — machine",
+        "load cannot skew it), so a subset run may refresh this",
+        "section without re-recording the timing rows.",
+        "",
+        "| inactivity_timeout_ms | state rows after batch 2 | bound |",
+        "|---|---|---|",
+        f"| None | {rows_off} | one row per user-ever-seen "
+        f"({n_users}) |",
+        f"| {timeout_ms} | {rows_on} | ACTIVE user set "
+        f"({n_active}) |",
+    ]
 
 
 if __name__ == "__main__":
