@@ -165,9 +165,18 @@ def register_index_store(spark: SparkSession, database: str,
     originals.  ``n_buckets`` must match the write (it is catalog
     metadata, not derivable from the files — a metastore would have
     remembered it).  Schemas are inferred from the parquet footers,
-    never guessed."""
-    spark.sql(f"CREATE DATABASE IF NOT EXISTS {database} "
-              f"LOCATION '{location}'")
+    never guessed (``warehouse.register_external_bucketed``, shared
+    with the bucketed-corpus re-registration).
+
+    The database is created WITHOUT ``LOCATION`` — the tables are
+    external over the store's own paths, and an in-memory-catalog
+    ``DROP DATABASE`` deletes the database directory, so anchoring it
+    at ``location`` would let a drop destroy the persisted index."""
+    from astra_perseverance_spark.sinks.warehouse import (
+        register_external_bucketed,
+    )
+
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {database}")
     for name, key in _LAYOUT.items():
         path = os.path.join(location, name)
         if not os.path.isdir(path):
@@ -176,12 +185,14 @@ def register_index_store(spark: SparkSession, database: str,
                 f"was write_index_store interrupted?")
         if spark.catalog.tableExists(f"{database}.{name}"):
             continue
-        sch = spark.read.parquet(path).schema
-        cols = ", ".join(
-            f"{f.name} {f.dataType.simpleString()}" for f in sch.fields)
-        bucket_ddl = (
-            f"CLUSTERED BY ({key}) SORTED BY ({key}) "
-            f"INTO {n_buckets} BUCKETS " if key else "")
-        spark.sql(
-            f"CREATE TABLE {database}.{name} ({cols}) USING PARQUET "
-            f"{bucket_ddl}LOCATION '{path}'")
+        if key is None:
+            sch = spark.read.parquet(path).schema
+            cols = ", ".join(
+                f"{f.name} {f.dataType.simpleString()}"
+                for f in sch.fields)
+            spark.sql(
+                f"CREATE TABLE {database}.{name} ({cols}) "
+                f"USING PARQUET LOCATION '{path}'")
+        else:
+            register_external_bucketed(
+                spark, database, name, path, key, (key,), n_buckets)

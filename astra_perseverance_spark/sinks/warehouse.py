@@ -22,10 +22,72 @@ the same sizing rule as shuffle partitions, but durable.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 DEFAULT_BUCKETS = 16
+
+# table -> (bucket key, sort keys) as written by the two writers below
+_WAREHOUSE_LAYOUT: dict[str, tuple[str, tuple[str, ...]]] = {
+    "documents": ("doc_id", ("doc_id",)),
+    "doc_digests": ("doc_id", ("doc_id",)),
+    "embeddings": ("vec_id", ("vec_id",)),
+    "events": ("user_id", ("user_id", "ns", "event_id")),
+}
+
+
+def register_external_bucketed(spark: SparkSession, database: str,
+                               name: str, path: str, bucket_key: str,
+                               sort_keys: tuple[str, ...],
+                               n_buckets: int) -> None:
+    """Re-attach one on-disk bucketed table to a FRESH application as
+    an external table.  Spark's default in-memory catalog forgets
+    table metadata at ``spark.stop()`` while the data files (with
+    their ``_NNNNN`` bucket-id filename components) survive — an
+    external CREATE TABLE with the same CLUSTERED/SORTED BY DDL
+    restores the hash-clustered scan exactly.  ``n_buckets`` must
+    match the write (catalog metadata, not derivable from the files —
+    a real metastore would have remembered it); the schema is
+    inferred from the parquet footers, never guessed."""
+    if spark.catalog.tableExists(f"{database}.{name}"):
+        return
+    sch = spark.read.parquet(path).schema
+    cols = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in sch.fields)
+    sort_ddl = ", ".join(sort_keys)
+    spark.sql(
+        f"CREATE TABLE {database}.{name} ({cols}) USING PARQUET "
+        f"CLUSTERED BY ({bucket_key}) SORTED BY ({sort_ddl}) "
+        f"INTO {n_buckets} BUCKETS LOCATION '{path}'")
+
+
+def register_warehouse(spark: SparkSession, database: str, location: str,
+                       n_buckets: int = DEFAULT_BUCKETS) -> list[str]:
+    """Re-attach an on-disk bucketed warehouse (written by
+    ``write_bucketed_corpus`` / ``write_bucketed_events``) to a fresh
+    application, so ``SPARK_GRAFT_BUCKETED_DB`` keeps its shuffle-free
+    joins across Spark applications — the same cross-application story
+    the index store has (``sinks.index_store.register_index_store``).
+    Tables whose directory is absent are skipped (``events`` is
+    written by a separate ingest).  Returns the registered names.
+
+    The database is deliberately created WITHOUT ``LOCATION``: the
+    tables are external and carry their own paths, and anchoring the
+    catalog entry at the data directory would make a later
+    ``DROP DATABASE`` (whose in-memory-catalog semantics DELETE the
+    database directory) silently destroy the warehouse files."""
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {database}")
+    out = []
+    for name, (key, sort_keys) in _WAREHOUSE_LAYOUT.items():
+        path = os.path.join(location, name)
+        if not os.path.isdir(path):
+            continue
+        register_external_bucketed(
+            spark, database, name, path, key, sort_keys, n_buckets)
+        out.append(name)
+    return out
 
 
 def write_bucketed_corpus(spark: SparkSession, sf_dir: str, database: str,

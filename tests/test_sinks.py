@@ -345,6 +345,43 @@ class TestTrainingDataCli:
         assert run["shards"]["n_docs"] > 0
         assert run["shards"]["n_seqs"] > 0
 
+    def test_cli_index_store(self, spark, tmp_path):
+        """--index-store persists the incremental-serving artifacts
+        under OUT/index_store and run.json records the binding; the
+        tables are readable back via the recorded database."""
+        import json
+        import os
+        import sys
+
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "tools"))
+        import make_training_data
+
+        from tests.conftest import SF_SMALL
+
+        rc = make_training_data.main(
+            [SF_SMALL, "-o", str(tmp_path), "--skip-corpus",
+             "--skip-shards", "--index-store"])
+        assert rc == 0
+        run = json.load(open(tmp_path / "run.json"))
+        info = run["index_store"]
+        assert os.path.isdir(info["location"])
+        assert set(info["tables"]) == {
+            "ann_centroids", "ann_ivf_lists", "ann_sq_bounds",
+            "ann_sq_store", "digest_dim", "shingle_postings",
+            "even_components",
+        }
+        try:
+            # the CLI's session wrote managed tables into this shared
+            # JVM's catalog — every artifact must be non-empty
+            for t in info["tables"].values():
+                assert spark.table(t).count() > 0, t
+        finally:
+            for t in info["tables"].values():
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
+            spark.sql(f"DROP DATABASE IF EXISTS {info['database']}")
+
 
 class TestWebdatasetExport:
     def test_tar_shards_roundtrip(self, spark, tmp_path):

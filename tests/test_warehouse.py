@@ -62,6 +62,47 @@ def test_colocated_join_values_match_plain_join(spark, warehouse):
     assert s == want
 
 
+def test_register_warehouse_reattaches_bucketed_tables(spark, warehouse):
+    """Cross-application story (round 11, symmetric with the index
+    store): a fresh application re-registers the on-disk warehouse as
+    external tables with the same bucketing DDL — the co-located join
+    must still plan with NO Exchange and the values must match the
+    managed originals.  Registered here under a second database over
+    the same files, which is exactly what a fresh in-memory catalog
+    would do."""
+    from astra_perseverance_spark.sinks.warehouse import (
+        colocated_doc_join,
+        register_warehouse,
+    )
+
+    loc = spark.catalog.getDatabase("bucketdemo").locationUri
+    path = loc[5:] if loc.startswith("file:") else loc
+    names = register_warehouse(spark, "bucketdemo_reg", path)
+    try:
+        assert set(names) == {"documents", "doc_digests", "embeddings"}
+        sess = spark.newSession()
+        sess.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plan = _plan(colocated_doc_join(sess, "bucketdemo_reg"))
+        finally:
+            sess.conf.set("spark.sql.autoBroadcastJoinThreshold",
+                          "10485760")
+        assert "Exchange" not in plan, plan
+        assert "SelectedBucketsCount" in plan
+        a = sorted(map(tuple,
+                       spark.table("bucketdemo.doc_digests").collect()))
+        b = sorted(map(tuple,
+                       spark.table("bucketdemo_reg.doc_digests")
+                       .collect()))
+        assert a == b
+    finally:
+        # external tables: dropping them leaves the managed originals'
+        # files untouched
+        for t in names:
+            spark.sql(f"DROP TABLE IF EXISTS bucketdemo_reg.{t}")
+        spark.sql("DROP DATABASE IF EXISTS bucketdemo_reg")
+
+
 def test_registered_query_join_exchange_free_when_bucketed(
         spark, warehouse, monkeypatch):
     """With SPARK_GRAFT_BUCKETED_DB set, the registered

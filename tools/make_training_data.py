@@ -22,7 +22,13 @@ CLI-specific):
 3. ``--webdataset`` — additionally materialize the run's corpus (the
    CURATED documents when stage 1 ran, the raw corpus otherwise) as
    WebDataset tar shards under ``OUT/wds``.
-4. ``run.json`` — one driver-readable summary of counts and paths.
+4. ``--index-store`` — persist the incremental-serving index
+   artifacts (IVF centroids/lists, int8 codes + frozen bounds, digest
+   dim, shingle postings, split anchors) as tables under
+   ``OUT/index_store``; later applications set
+   ``SPARK_GRAFT_INDEX_DB`` and probe new batches against them with
+   batch-sized work instead of rebuilding the index per run.
+5. ``run.json`` — one driver-readable summary of counts and paths.
 
 Everything data-sized is written by executors; the only driver-side
 values are the manifest/ledger count scalars in ``run.json``.  At a
@@ -58,6 +64,10 @@ def main(argv: list[str] | None = None) -> int:
                     help="skip the curated-corpus materialization")
     ap.add_argument("--skip-shards", action="store_true",
                     help="skip the training-shard layout")
+    ap.add_argument("--index-store", action="store_true",
+                    help="persist the incremental-serving index "
+                    "artifacts under OUT/index_store (probe them later "
+                    "via SPARK_GRAFT_INDEX_DB)")
     args = ap.parse_args(argv)
 
     from astra_perseverance_spark import get_spark
@@ -109,6 +119,16 @@ def main(argv: list[str] | None = None) -> int:
                 docs = spark.read.parquet(kept_path)
         run["webdataset"] = export_webdataset(
             spark, sf_dir, os.path.join(args.out, "wds"), docs=docs)
+
+    if args.index_store:
+        from astra_perseverance_spark.sinks.index_store import (
+            write_index_store,
+        )
+
+        loc = os.path.abspath(os.path.join(args.out, "index_store"))
+        tables = write_index_store(spark, sf_dir, "training_index", loc)
+        run["index_store"] = {"location": loc, "database": "training_index",
+                              "tables": tables}
 
     run_path = os.path.join(args.out, "run.json")
     with open(run_path, "w") as fh:
