@@ -658,6 +658,13 @@ def _finish(frame, qt, coeffs) -> np.ndarray:
         k_inv = np.clip(out[3], 0, vmaxval)
         rgb = np.clip(cmy_inv, 0, vmaxval) * (k_inv / vmaxval)[..., None]
         return np.clip(rgb + 0.5, 0, vmaxval).astype(dtype)
+    if frame.get("adobe_transform") == 0:
+        # Adobe APP14 transform 0 on a 3-component frame: the planes
+        # are raw R,G,B (T.872 §6.5.3 / the libjpeg convention) —
+        # running them through the YCbCr matrix would scramble the
+        # channels silently
+        return np.clip(
+            np.stack(out, axis=-1) + 0.5, 0, vmaxval).astype(dtype)
     y, cb, cr = out[0], out[1] - level, out[2] - level
     return np.clip(_ycc_to_rgb(y, cb, cr) + 0.5, 0, vmaxval).astype(dtype)
 
@@ -783,14 +790,15 @@ def _encode_block(writer: _BitWriter, block: np.ndarray, q: np.ndarray,
 
 
 def _mcu_geometry(arr: np.ndarray, subsample: int, precision: int = 8,
-                  ycck: bool = False):
+                  ycck: bool = False, adobe_rgb: bool = False):
     """Shared encoder prep: color transform (chroma centered at
     2^(precision−1)), chroma subsampling, and MCU-grid edge padding.
     Returns (gray, h, w, comps, padded) where comps rows are
     (name, plane, h_factor, v_factor, tq).  A 4-channel input is
     Adobe-convention INVERTED CMYK; ``ycck=True`` additionally runs
     the first three planes through the forward YCbCr transform
-    (T.872 YCCK)."""
+    (T.872 YCCK).  ``adobe_rgb=True`` stores a 3-channel input as
+    raw R,G,B planes (APP14 transform 0 — T.872 §6.5.3)."""
     arr = np.asarray(arr)
     gray = arr.ndim == 2
     h, w = arr.shape[:2]
@@ -798,6 +806,10 @@ def _mcu_geometry(arr: np.ndarray, subsample: int, precision: int = 8,
     if gray:
         comps = [("Y", arr.astype(np.float64), 1, 1, 0)]
         subsample = 1
+    elif adobe_rgb and arr.shape[-1] == 3:
+        a = arr.astype(np.float64)
+        comps = [("R", a[..., 0], 1, 1, 0), ("G", a[..., 1], 1, 1, 0),
+                 ("B", a[..., 2], 1, 1, 0)]
     elif arr.shape[-1] == 4:
         a = arr.astype(np.float64)
         c, m, ye, k = a[..., 0], a[..., 1], a[..., 2], a[..., 3]
@@ -852,7 +864,8 @@ def encode_baseline_jpeg(arr: np.ndarray, subsample: int = 1,
                          restart_interval: int = 0,
                          default_tables: bool = False,
                          precision: int = 8,
-                         ycck: bool = False) -> bytes:
+                         ycck: bool = False,
+                         adobe_rgb: bool = False) -> bytes:
     """Encode (h, w) grayscale or (h, w, 3) RGB uint8 to a sequential
     JPEG; ``subsample=2`` emits 4:2:0 chroma (exercises the decoder's
     general MCU geometry), 1 emits 4:4:4; ``restart_interval=N``
@@ -866,18 +879,19 @@ def encode_baseline_jpeg(arr: np.ndarray, subsample: int = 1,
     frame (SOF1 — baseline is 8-bit by definition, B.2.2) with the
     widened DC/AC symbol alphabets.  A 4-channel input is Adobe
     INVERTED CMYK and emits the APP14 Adobe marker (transform 0, or 2
-    with ``ycck=True`` — the YCCK layout)."""
+    with ``ycck=True`` — the YCCK layout); ``adobe_rgb=True`` stores
+    a 3-channel input as raw R,G,B planes with APP14 transform 0."""
     if precision not in (8, 12):
         raise ValueError(f"precision must be 8 or 12: {precision}")
     if precision == 12 and default_tables:
         raise ValueError("the Annex K tables are 8-bit alphabets")
     (gray, h, w, comps, padded,
      _hmax, _vmax, mcu_cols, mcu_rows) = _mcu_geometry(
-        arr, subsample, precision, ycck=ycck)
+        arr, subsample, precision, ycck=ycck, adobe_rgb=adobe_rgb)
     level = float(1 << (precision - 1))
 
     out = bytearray(b"\xff\xd8")
-    if len(comps) == 4:
+    if len(comps) == 4 or (adobe_rgb and len(comps) == 3):
         # APP14 Adobe: version 100, flags 0/0, transform byte
         out += _seg(0xEE, b"Adobe"
                     + struct.pack(">HHHB", 100, 0, 0, 2 if ycck else 0))

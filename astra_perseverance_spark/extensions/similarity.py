@@ -694,18 +694,23 @@ def _incremental_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _build_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _build_incremental_index(spark: SparkSession, sf_dir: str,
+                             cent: DataFrame | None = None) -> DataFrame:
     """(cid, vec_id, eq, n2): each indexed (even) vector in its
     nearest-centroid list — the persisted artifact a batch probes.
     With ``SPARK_GRAFT_INDEX_DB`` set this IS a persisted table
     (cid-bucketed, ``sinks.index_store``) rather than a session memo —
-    a fresh application probes it without touching the corpus."""
+    a fresh application probes it without touching the corpus.
+    ``cent`` lets the index-store WRITER feed the centroid table it
+    just persisted instead of re-deriving the centroids a second
+    time (same deterministic rows either way)."""
     art = index_artifact(spark, "ann_ivf_lists")
     if art is not None:
         return art
     old = _vectors(spark, sf_dir).drop("bucket").filter(
         F.col("vec_id") % 2 == 0)
-    cent = _incremental_centroids(spark, sf_dir)
+    if cent is None:
+        cent = _incremental_centroids(spark, sf_dir)
     aff = old.join(F.broadcast(cent)).select(
         "vec_id", "eq", "n2", "cid",
         cosine(dot_q(F.col("eq"), F.col("c_eq")), F.col("n2"),

@@ -300,11 +300,20 @@ def sq_code(lo_at, hi_at):
 def sq_decode(lo_at, hi_at):
     """Decode-only half: recon = lo + code·span div SQ_LEVELS — what
     the index-store LOAD path applies to persisted codes.  See
-    ``sq_code`` for the lockstep contract with ``sq_recon``."""
+    ``sq_code`` for the lockstep contract with ``sq_recon``.
+
+    The code column is SMALLINT (the persisted store) and the bounds
+    literals are INT whenever they fit, so ``c * span`` would be
+    32-bit arithmetic — any dimension whose span exceeds
+    ⌊2³¹/255⌋ ≈ 8.4e6 on the fixed-point domain would overflow
+    (ANSI mode: a crash; non-ANSI: silent wraparound diverging from
+    the BIGINT-column ``sq_recon``).  The explicit cast keeps the
+    multiply in BIGINT like every other quantizer expression."""
     def decode(c, i):
         span = hi_at(i) - lo_at(i)
         return F.when(
-            span > 0, lo_at(i) + _idiv(c * span, F.lit(SQ_LEVELS))
+            span > 0,
+            lo_at(i) + _idiv(c.cast("bigint") * span, F.lit(SQ_LEVELS)),
         ).otherwise(lo_at(i))
 
     return decode

@@ -123,19 +123,9 @@ def write_index_store(spark: SparkSession, sf_dir: str, database: str,
                 ).alias("codes"),
             )
         )
-        frames = {
-            "ann_centroids": similarity._incremental_centroids(
-                spark, sf_dir),
-            "ann_ivf_lists": similarity._build_incremental_index(
-                spark, sf_dir),
-            "ann_sq_bounds": bounds,
-            "ann_sq_store": store,
-            "digest_dim": content_digest_frame(spark, sf_dir),
-            "shingle_postings": capped_shingle_rows(spark, sf_dir),
-            "even_components": even_components_frame(spark, sf_dir),
-        }
         out: dict[str, str] = {}
-        for name, df in frames.items():
+
+        def save(name: str, df) -> None:
             qualified = f"{database}.{name}"
             writer = df.write.mode("overwrite").format("parquet")
             key = _LAYOUT[name]
@@ -143,6 +133,20 @@ def write_index_store(spark: SparkSession, sf_dir: str, database: str,
                 writer = writer.bucketBy(n_buckets, key).sortBy(key)
             writer.saveAsTable(qualified)
             out[name] = qualified
+
+        # centroids first: the list assignment reads the PERSISTED
+        # centroid table rather than re-deriving the centroids a
+        # second time (same deterministic rows; half the build cost,
+        # and the two artifacts can never disagree)
+        save("ann_centroids",
+             similarity._incremental_centroids(spark, sf_dir))
+        save("ann_ivf_lists", similarity._build_incremental_index(
+            spark, sf_dir, cent=spark.table(out["ann_centroids"])))
+        save("ann_sq_bounds", bounds)
+        save("ann_sq_store", store)
+        save("digest_dim", content_digest_frame(spark, sf_dir))
+        save("shingle_postings", capped_shingle_rows(spark, sf_dir))
+        save("even_components", even_components_frame(spark, sf_dir))
         return out
     finally:
         if prior is not None:
@@ -183,16 +187,6 @@ def register_index_store(spark: SparkSession, database: str,
             raise ValueError(
                 f"index store at {location} has no {name} table — "
                 f"was write_index_store interrupted?")
-        if spark.catalog.tableExists(f"{database}.{name}"):
-            continue
-        if key is None:
-            sch = spark.read.parquet(path).schema
-            cols = ", ".join(
-                f"{f.name} {f.dataType.simpleString()}"
-                for f in sch.fields)
-            spark.sql(
-                f"CREATE TABLE {database}.{name} ({cols}) "
-                f"USING PARQUET LOCATION '{path}'")
-        else:
-            register_external_bucketed(
-                spark, database, name, path, key, (key,), n_buckets)
+        register_external_bucketed(
+            spark, database, name, path, key,
+            (key,) if key else (), n_buckets)

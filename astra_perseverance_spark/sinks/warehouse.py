@@ -39,28 +39,34 @@ _WAREHOUSE_LAYOUT: dict[str, tuple[str, tuple[str, ...]]] = {
 
 
 def register_external_bucketed(spark: SparkSession, database: str,
-                               name: str, path: str, bucket_key: str,
+                               name: str, path: str,
+                               bucket_key: str | None,
                                sort_keys: tuple[str, ...],
                                n_buckets: int) -> None:
-    """Re-attach one on-disk bucketed table to a FRESH application as
-    an external table.  Spark's default in-memory catalog forgets
-    table metadata at ``spark.stop()`` while the data files (with
-    their ``_NNNNN`` bucket-id filename components) survive — an
-    external CREATE TABLE with the same CLUSTERED/SORTED BY DDL
-    restores the hash-clustered scan exactly.  ``n_buckets`` must
-    match the write (catalog metadata, not derivable from the files —
-    a real metastore would have remembered it); the schema is
-    inferred from the parquet footers, never guessed."""
+    """Re-attach one on-disk table to a FRESH application as an
+    external table.  Spark's default in-memory catalog forgets table
+    metadata at ``spark.stop()`` while the data files (with their
+    ``_NNNNN`` bucket-id filename components) survive — an external
+    CREATE TABLE with the same CLUSTERED/SORTED BY DDL restores the
+    hash-clustered scan exactly.  ``bucket_key=None`` registers a
+    plain (unbucketed) table.  ``n_buckets`` must match the write
+    (catalog metadata, not derivable from the files — a real
+    metastore would have remembered it); the schema is inferred from
+    the parquet footers, never guessed."""
     if spark.catalog.tableExists(f"{database}.{name}"):
         return
     sch = spark.read.parquet(path).schema
     cols = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in sch.fields)
-    sort_ddl = ", ".join(sort_keys)
+    bucket_ddl = ""
+    if bucket_key is not None:
+        sort_ddl = ", ".join(sort_keys)
+        bucket_ddl = (f"CLUSTERED BY ({bucket_key}) "
+                      f"SORTED BY ({sort_ddl}) "
+                      f"INTO {n_buckets} BUCKETS ")
     spark.sql(
         f"CREATE TABLE {database}.{name} ({cols}) USING PARQUET "
-        f"CLUSTERED BY ({bucket_key}) SORTED BY ({sort_ddl}) "
-        f"INTO {n_buckets} BUCKETS LOCATION '{path}'")
+        f"{bucket_ddl}LOCATION '{path}'")
 
 
 def register_warehouse(spark: SparkSession, database: str, location: str,

@@ -65,6 +65,17 @@ import socket
 import sys
 import time
 
+
+def _username() -> str:
+    """Best-effort user for run_context provenance: ``getpass`` raises
+    in containers with no USER/LOGNAME env and no passwd entry, and
+    this runs AFTER the whole timed suite — a provenance nicety must
+    never lose the results."""
+    try:
+        return getpass.getuser()
+    except (KeyError, OSError):
+        return f"uid{os.getuid()}" if hasattr(os, "getuid") else "unknown"
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
@@ -271,7 +282,7 @@ def main() -> int:
             # vs driver per-round) — override via env for CI identities
             "recorded_by": os.environ.get(
                 "SPARK_GRAFT_BENCH_RECORDER",
-                f"{getpass.getuser()}@{socket.gethostname()}"),
+                f"{_username()}@{socket.gethostname()}"),
         },
     }
     if bucketed is not None:

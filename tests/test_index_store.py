@@ -101,6 +101,37 @@ def test_sq_code_decode_matches_fused_recon(spark, index_store, monkeypatch):
     assert fused
 
 
+def test_sq_decode_wide_span_is_bigint_safe(spark):
+    """Regression (round-11 review, CONFIRMED overflow): the decode
+    half multiplies the SMALLINT code by the span, and with INT
+    bounds literals a span > ⌊2³¹/255⌋ made that multiply 32-bit —
+    ANSI mode crashes, non-ANSI silently diverges from sq_recon.
+    The cast keeps it BIGINT; decode∘code must equal the fused recon
+    on a deliberately wide dimension."""
+    from pyspark.sql import functions as F
+
+    from astra_perseverance_spark.extensions.training import (
+        bounds_accessors,
+        sq_code,
+        sq_decode,
+        sq_recon,
+    )
+
+    la, ha = bounds_accessors([-10_000_000], [10_000_000])  # span 2e7
+    df = spark.createDataFrame(
+        [([9_999_999],)], "eq array<bigint>")
+    code = sq_code(la, ha)
+    enc = df.select(F.transform(
+        "eq", lambda x, i: code(x, i).cast("smallint")).alias("codes"))
+    got = enc.select(
+        F.transform("codes", sq_decode(la, ha)).alias("rq")
+    ).collect()[0][0]
+    want = df.select(
+        F.transform("eq", sq_recon(la, ha)).alias("rq")
+    ).collect()[0][0]
+    assert got == want
+
+
 def test_store_codes_are_int8_sized(spark, index_store):
     """The persisted store holds SMALLINT codes in [0, 255] — the 4x
     compression is real, not BIGINT vectors under another name."""

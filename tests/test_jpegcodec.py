@@ -472,3 +472,25 @@ class TestAdobeCmyk:
         theirs = np.asarray(
             Image.open(io.BytesIO(enc)).convert("RGB"))
         assert np.abs(ours.astype(int) - theirs.astype(int)).max() <= 3
+
+    def test_adobe_rgb_transform0_on_three_components(self):
+        """Round-11 review finding: APP14 transform 0 on a THREE
+        component frame means raw R,G,B planes (T.872 §6.5.3) — the
+        decoder must not run them through the YCbCr matrix.  The flag
+        is load-bearing: the same stream with APP14 stripped decodes
+        scrambled."""
+        import struct
+
+        a = _gradient(16, 16)
+        enc = encode_baseline_jpeg(a, adobe_rgb=True)
+        assert b"Adobe" in enc
+        dec = decode_baseline_jpeg(enc)
+        err = np.abs(dec.astype(int) - a.astype(int)).max()
+        assert err <= 2, err
+        # strip APP14: planes get misread as YCbCr -> scrambled
+        raw = bytearray(enc)
+        i = raw.find(b"\xff\xee")
+        (seglen,) = struct.unpack(">H", bytes(raw[i + 2:i + 4]))
+        del raw[i:i + 2 + seglen]
+        scrambled = decode_baseline_jpeg(bytes(raw))
+        assert np.abs(scrambled.astype(int) - a.astype(int)).max() > 16

@@ -475,18 +475,27 @@ def probe_funnel_gc(spark, n_users: int = 4000, n_active: int = 100,
                 # batches; poll the state operator's row count down
                 rows = None
                 while _time.time() < deadline:
-                    p = q.lastProgress
-                    ops = (p or {}).get("stateOperators") or []
+                    ops = (q.lastProgress or {}).get(
+                        "stateOperators") or []
                     if ops:
                         rows = ops[0].get("numRowsTotal")
                         if rows is not None and rows <= n_active:
                             break
                     _time.sleep(0.5)
+                if rows is None or rows > n_active:
+                    # never publish a stale count as the "bounded"
+                    # row — the doc row's whole point is the bound
+                    raise TimeoutError(
+                        f"state rows never converged to the active "
+                        f"set before the deadline (last={rows})")
             else:
-                _time.sleep(3)  # a couple more triggers for metrics
-                p = q.lastProgress
-                rows = (p.get("stateOperators") or [{}])[0].get(
-                    "numRowsTotal")
+                rows = None
+                while rows is None and _time.time() < deadline:
+                    ops = (q.lastProgress or {}).get(
+                        "stateOperators") or []
+                    if ops:
+                        rows = ops[0].get("numRowsTotal")
+                    _time.sleep(0.5)
             print(f"funnel_gc timeout={timeout}: state rows={rows} "
                   f"(users={n_users}, active={n_active})",
                   file=sys.stderr)
