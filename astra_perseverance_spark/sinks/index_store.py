@@ -67,7 +67,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from astra_perseverance_spark.extensions.corpus import INDEX_DB_ENV
@@ -151,6 +151,94 @@ def write_index_store(spark: SparkSession, sf_dir: str, database: str,
     finally:
         if prior is not None:
             os.environ[INDEX_DB_ENV] = prior
+
+
+def extend_index_store(spark: SparkSession, database: str,
+                       batch: DataFrame,
+                       n_buckets: int = DEFAULT_BUCKETS) -> dict[str, int]:
+    """Fold a NEW ingestion batch into the persisted ANN index — the
+    standard IVF append (no retraining): each new vector is routed to
+    its nearest PERSISTED centroid (the exact affinity rule the probe
+    path uses: cosine DESC, cid ASC) and appended to ``ann_ivf_lists``;
+    its int8 codes — encoded with the FROZEN persisted bounds,
+    saturating to [0, SQ_LEVELS] where a new value falls outside the
+    index-build range (the standard SQ overflow behavior; the bounds
+    are deliberately never widened, see ``similarity._even_dim_stats``)
+    — append to ``ann_sq_store``.  ``batch``: (vec_id, eq, n2).
+
+    After the append, probe batches see the new vectors as index
+    members with NO rebuild — batch-sized write, batch-sized probe.
+    The centroid set and quantization bounds stay fixed (production
+    systems retrain/re-bound on a slow cadence, not per batch); list
+    sizes therefore drift as the corpus grows — monitor and retrain
+    when the largest list violates the √n sizing.
+
+    The near-dup artifacts extend differently and deliberately are
+    NOT appended here: ``digest_dim`` rows are per-doc and append
+    trivially, but ``shingle_postings`` is df-CAPPED over the whole
+    corpus — appending a batch's postings without recomputing
+    document frequencies would let stop-shingles sneak back under the
+    cap.  Postings maintenance is a periodic rebuild
+    (``write_index_store``), the same cadence as centroid retraining.
+
+    Returns {"ivf_rows": n, "sq_rows": n} appended."""
+    from pyspark.sql import Window
+
+    from astra_perseverance_spark.extensions.training import (
+        SQ_LEVELS,
+        sq_code,
+    )
+    from astra_perseverance_spark.functions.vectors import (
+        cosine,
+        dot_q,
+    )
+    from astra_perseverance_spark.functions.vectors import ANN_DIM
+
+    cent = spark.table(f"{database}.ann_centroids")
+    aff = batch.join(F.broadcast(cent)).select(
+        "vec_id", "eq", "n2", "cid",
+        cosine(dot_q(F.col("eq"), F.col("c_eq")), F.col("n2"),
+               F.col("c_n2")).alias("ccos"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), "cid")
+    assigned = (
+        aff.withColumn("crank", F.row_number().over(w))
+        .filter(F.col("crank") == 1)
+        .select("cid", "vec_id", "eq", "n2")
+    )
+    n = assigned.count()
+    (
+        assigned.write.mode("append").format("parquet")
+        .bucketBy(n_buckets, "cid").sortBy("cid")
+        .saveAsTable(f"{database}.ann_ivf_lists")
+    )
+
+    brows = spark.table(f"{database}.ann_sq_bounds").collect()
+    lo = [0] * ANN_DIM
+    hi = [0] * ANN_DIM
+    for r in brows:
+        lo[r["d"]] = r["lo"]
+        hi[r["d"]] = r["hi"]
+    from astra_perseverance_spark.extensions.training import (
+        bounds_accessors,
+    )
+
+    code = sq_code(*bounds_accessors(lo, hi))
+    codes = batch.select(
+        "vec_id",
+        F.transform(
+            "eq",
+            lambda x, i: F.greatest(
+                F.lit(0), F.least(F.lit(SQ_LEVELS), code(x, i))
+            ).cast("smallint"),
+        ).alias("codes"),
+    )
+    (
+        codes.write.mode("append").format("parquet")
+        .bucketBy(n_buckets, "vec_id").sortBy("vec_id")
+        .saveAsTable(f"{database}.ann_sq_store")
+    )
+    return {"ivf_rows": n, "sq_rows": n}
 
 
 def register_index_store(spark: SparkSession, database: str,

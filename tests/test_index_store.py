@@ -160,6 +160,70 @@ def test_default_path_untouched_by_module(spark, index_store, monkeypatch):
     assert "ann_ivf_lists" not in buf.getvalue()
 
 
+def test_extend_index_store_appends_batch(spark, tmp_path_factory,
+                                          monkeypatch):
+    """IVF append: a new batch folds into the persisted index with
+    batch-sized work — every batch vector lands in exactly one list
+    under the probe path's own affinity rule, the int8 codes append
+    with the FROZEN bounds (saturating, never widening), and the
+    bucketed tables stay append-readable."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from astra_perseverance_spark.extensions.corpus import vectors_frame
+    from astra_perseverance_spark.functions.vectors import cosine, dot_q
+    from astra_perseverance_spark.sinks.index_store import (
+        extend_index_store,
+        write_index_store,
+    )
+
+    monkeypatch.delenv("SPARK_GRAFT_INDEX_DB", raising=False)
+    db = "idxstore_ext"
+    loc = tmp_path_factory.mktemp("idxstore_ext")
+    tables = write_index_store(spark, SF_SMALL, db, str(loc))
+    try:
+        batch = (vectors_frame(spark, SF_SMALL).drop("bucket")
+                 .filter(F.col("vec_id") % 2 == 1))
+        n_old = spark.table(f"{db}.ann_ivf_lists").count()
+        n_batch = batch.count()
+        res = extend_index_store(spark, db, batch)
+        assert res == {"ivf_rows": n_batch, "sq_rows": n_batch}
+
+        lists = spark.table(f"{db}.ann_ivf_lists")
+        assert lists.count() == n_old + n_batch
+        appended = lists.filter(F.col("vec_id") % 2 == 1)
+        assert appended.count() == n_batch
+        assert appended.select("vec_id").distinct().count() == n_batch
+
+        # assignment optimality, recomputed independently: the stored
+        # cid must be each vector's (cosine DESC, cid ASC) argmax over
+        # the persisted centroid set
+        cent = spark.table(f"{db}.ann_centroids")
+        aff = batch.join(F.broadcast(cent)).select(
+            "vec_id", "cid",
+            cosine(dot_q(F.col("eq"), F.col("c_eq")), F.col("n2"),
+                   F.col("c_n2")).alias("ccos"),
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), "cid")
+        want = dict(
+            aff.withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") == 1).select("vec_id", "cid").collect())
+        got = dict(appended.select("vec_id", "cid").collect())
+        assert got == want
+
+        # frozen-bounds codes: smallint, saturated to [0, 255]
+        store = spark.table(f"{db}.ann_sq_store")
+        assert store.count() == n_old + n_batch
+        assert dict(store.dtypes)["codes"] == "array<smallint>"
+        bad = store.filter(
+            F.exists("codes", lambda c: (c < 0) | (c > 255))).count()
+        assert bad == 0
+    finally:
+        for t in tables.values():
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+        spark.sql(f"DROP DATABASE IF EXISTS {db}")
+
+
 def test_cross_application_roundtrip():
     """The verdict's done-criterion: build the store in one Spark
     application, STOP it, probe from a fresh application, get
