@@ -186,13 +186,14 @@ def extend_index_store(spark: SparkSession, database: str,
 
     from astra_perseverance_spark.extensions.training import (
         SQ_LEVELS,
+        bounds_accessors,
         sq_code,
     )
     from astra_perseverance_spark.functions.vectors import (
+        ANN_DIM,
         cosine,
         dot_q,
     )
-    from astra_perseverance_spark.functions.vectors import ANN_DIM
 
     cent = spark.table(f"{database}.ann_centroids")
     aff = batch.join(F.broadcast(cent)).select(
@@ -219,10 +220,6 @@ def extend_index_store(spark: SparkSession, database: str,
     for r in brows:
         lo[r["d"]] = r["lo"]
         hi[r["d"]] = r["hi"]
-    from astra_perseverance_spark.extensions.training import (
-        bounds_accessors,
-    )
-
     code = sq_code(*bounds_accessors(lo, hi))
     codes = batch.select(
         "vec_id",
