@@ -37,13 +37,13 @@ are *not* reproduced; divergences are documented in SURVEY.md §8.
 from __future__ import annotations
 
 import io
+import os
 import zipfile
 from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
-from pyspark.sql.utils import AnalysisException
 
 from astra_perseverance_spark.conformed.model import ConformedModel
 
@@ -68,18 +68,33 @@ def _node_dir(path: Column) -> Column:
     return F.regexp_extract(path, r"nodes/([^/]+)/", 1)
 
 
+def _expand_globs(globs: list[str]) -> list[str]:
+    """Driver-side glob expansion (diag trees are local directories —
+    ``load_model`` routes here off ``os.path.isdir``).  Expanding on
+    the driver instead of handing Spark the raw patterns fixes a
+    silent data-loss mode: ``spark.read.text([g1, g2])`` raises
+    PATH_NOT_FOUND when ANY one glob matches nothing (e.g. an
+    AdditionalLogs tree that exists but holds no cassandra logs), and
+    the except-empty fallback then dropped the lines of EVERY other
+    glob too."""
+    import glob as _glob
+
+    return [p for g in globs for p in sorted(_glob.glob(g))
+            if os.path.isfile(p)]
+
+
 def _file_lines(spark: SparkSession, globs: list[str]) -> DataFrame:
     """(node_dir, path, line_no, line) with exact in-file ordering.
 
     ``wholetext`` keeps each file a single row — line_no comes from
     ``posexplode`` of the split, not from partition-unstable ids
     (SURVEY.md §4.2.2)."""
-    try:
-        raw = spark.read.text(globs, wholetext=True)
-    except AnalysisException:
+    paths = _expand_globs(globs)
+    if not paths:
         return spark.createDataFrame(
             [], "node_dir string, path string, line_no long, line string"
         )
+    raw = spark.read.text(paths, wholetext=True)
     return (
         raw.select(
             F.input_file_name().alias("path"),
@@ -331,7 +346,11 @@ def build_cfstats_metric(spark: SparkSession, root: str) -> DataFrame:
         )
         .filter(F.col("metric").isNotNull())
         .withColumn("value", F.col("raw_value").try_cast("double"))
-        .filter(F.col("value").isNotNull())
+        # isNotNull alone is not enough: idle tables print
+        # 'Local read latency: NaN ms', try_cast yields double NaN
+        # (not null), and one NaN row poisons the per-table SUM —
+        # every threshold comparison downstream goes silently false
+        .filter(F.col("value").isNotNull() & ~F.isnan("value"))
     )
     nm = node_map(spark, root)
     st = status_rows(spark, root).select("ip", "dc")
@@ -360,8 +379,11 @@ def build_keyspace_rf(spark: SparkSession, root: str) -> DataFrame:
     (explore.py:744-785): NTS per-DC entries keyed by known DC names;
     SimpleStrategy ``replication_factor`` applies to every DC."""
     ksl = _schema_lines(spark, root).filter(F.col("line").contains("CREATE KEYSPACE"))
+    # IF NOT EXISTS normalization (see build_schema_objects): the ks
+    # name is token 2 of the normalized statement
+    ddl = F.regexp_replace(F.col("line"), r"IF NOT EXISTS\s+", "")
     pairs = ksl.select(
-        F.regexp_replace(F.split("line", r"\s+")[2], '"', "").alias("ks"),
+        _obj_name(ddl, 2).alias("ks"),
         F.explode(
             F.expr(r"regexp_extract_all(line, '\'[A-Za-z0-9_]+\'\\s*:\\s*\'[0-9.]+\'', 0)")
         ).alias("pair"),
@@ -405,31 +427,32 @@ def build_schema_objects(spark: SparkSession, root: str) -> DataFrame:
     reference's last-one-wins warning bug B2 is not reproduced)."""
     sl = _schema_lines(spark, root)
     line = F.col("line")
+    # token indices are over the IF-NOT-EXISTS-normalized line: any
+    # CREATE statement may carry the clause (driver-generated dumps
+    # do), and a fixed index over the raw line would return the
+    # literal token 'IF' as the object name
+    ddl = F.regexp_replace(line, r"IF NOT EXISTS\s+", "")
     ks_ctx_marker = F.when(
-        line.contains("CREATE KEYSPACE"), _obj_name(line, 2)
+        line.contains("CREATE KEYSPACE"), _obj_name(ddl, 2)
     )
     sl = sl.withColumn("cur_ks", _carry(ks_ctx_marker))
 
-    tbl_name = F.when(line.contains("CREATE TABLE"), _obj_name(line, 2))
-    type_name = F.when(line.contains("CREATE TYPE"), _obj_name(line, 2))
-    mv_name = F.when(line.contains("CREATE MATERIALIZED VIEW"), _obj_name(line, 3))
+    tbl_name = F.when(line.contains("CREATE TABLE"), _obj_name(ddl, 2))
+    type_name = F.when(line.contains("CREATE TYPE"), _obj_name(ddl, 2))
+    mv_name = F.when(line.contains("CREATE MATERIALIZED VIEW"), _obj_name(ddl, 3))
     idx_name = F.when(
         line.contains("CREATE INDEX") & ~line.contains("CUSTOM"),
-        _obj_name(line, 2),
+        _obj_name(ddl, 2),
     )
-    sai_name = F.when(line.contains("CREATE CUSTOM INDEX"), _obj_name(line, 3))
+    sai_name = F.when(line.contains("CREATE CUSTOM INDEX"), _obj_name(ddl, 3))
     udf_name = F.when(
-        line.contains("CREATE OR REPLACE FUNCTION"), _obj_name(line, 4)
+        line.contains("CREATE OR REPLACE FUNCTION"), _obj_name(ddl, 4)
     ).when(
         line.contains("CREATE FUNCTION") & ~line.contains("OR REPLACE"),
-        _obj_name(line, 2),
+        _obj_name(ddl, 2),
     )
     uda_name = F.when(
-        line.contains("CREATE AGGREGATE") & line.contains("IF NOT EXISTS"),
-        _obj_name(line, 5),
-    ).when(
-        line.contains("CREATE AGGREGATE") & ~line.contains("IF NOT EXISTS"),
-        _obj_name(line, 2),
+        line.contains("CREATE AGGREGATE"), _obj_name(ddl, 2)
     )
 
     def qualified(n: Column, obj_type: str) -> DataFrame:
@@ -501,9 +524,12 @@ def build_schema_columns(spark: SparkSession, root: str) -> DataFrame:
     rest clustering; ``PRIMARY KEY ((a, b), c)`` → composite."""
     sl = _schema_lines(spark, root)
     line = F.col("line")
+    # same IF-NOT-EXISTS normalization as build_schema_objects — the
+    # block key must be the real ks.tbl, never the token 'IF'
+    ddl = F.regexp_replace(line, r"IF NOT EXISTS\s+", "")
     blk_marker = (
-        F.when(line.contains("CREATE TABLE"), _obj_name(line, 2))
-        .when(line.contains("CREATE TYPE"), _obj_name(line, 2))
+        F.when(line.contains("CREATE TABLE"), _obj_name(ddl, 2))
+        .when(line.contains("CREATE TYPE"), _obj_name(ddl, 2))
         .when(
             line.contains("CREATE") | (line == "") | line.startswith(")")
             | line.startswith("WITH"),
@@ -589,29 +615,30 @@ def _log_lines(spark: SparkSession, root: str) -> DataFrame:
     (explore.py:1048-1066) is unioned in when present; its node dir is
     extracted from the AdditionalLogs path segment instead of nodes/."""
     globs = [f"{root}/nodes/*/logs/cassandra/*"]
-    import os
-
     if os.path.isdir(os.path.join(root, "AdditionalLogs")):
         globs.append(f"{root}/AdditionalLogs/*/var/log/cassandra/*")
-    try:
+    # driver-side split: zips must never be scanned as text (the old
+    # pathGlobFilter approach still READ every archive once as garbage
+    # text rows before the filter dropped them — 2x the bytes), and a
+    # matchless glob must not empty the others (_expand_globs)
+    paths = _expand_globs(globs)
+    txt_paths = [p for p in paths if not p.endswith(".zip")]
+    zip_paths = [p for p in paths if p.endswith(".zip")]
+    if txt_paths:
         text = (
-            spark.read.text(globs)
-            .select(F.input_file_name().alias("path"), F.col("value").alias("line"))
-            .filter(~F.col("path").endswith(".zip"))
+            spark.read.text(txt_paths)
+            .select(F.input_file_name().alias("path"),
+                    F.col("value").alias("line"))
         )
-    except AnalysisException:
+    else:
         text = spark.createDataFrame([], "path string, line string")
-    try:
+    if zip_paths:
         zipped = (
-            spark.read.format("binaryFile")
-            .option("pathGlobFilter", "*.zip")
-            .load(globs)
+            spark.read.format("binaryFile").load(zip_paths)
             .select("path", "content")
             .mapInPandas(_unzip_lines, schema="path string, line string")
         )
         text = text.unionByName(zipped)
-    except AnalysisException:
-        pass
     node_dir = F.when(
         F.col("path").contains("/AdditionalLogs/"),
         F.regexp_extract("path", r"AdditionalLogs/([^/]+)/", 1),

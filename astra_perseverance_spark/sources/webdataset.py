@@ -65,9 +65,16 @@ def read_webdataset(spark: SparkSession, shards_path: str,
         import json
         import tarfile
 
+        columns = ["doc_id", "text", "lang", "source",
+                   *(s.lstrip(".") for s in extra_members)]
         for pdf in batches:
-            rows = []
+            # one yield PER SHARD, not per Arrow batch: binaryFile can
+            # pack many shards into one partition, and accumulating
+            # every shard's decoded rows next to every shard's raw
+            # bytes would hold ~2x the partition in Python memory —
+            # the module contract is one shard's bytes per task step
             for path, content in zip(pdf["path"], pdf["content"]):
+                rows = []
                 samples: dict[str, dict[str, bytes]] = {}
                 with tarfile.open(fileobj=io.BytesIO(bytes(content))) as tf:
                     for m in tf:
@@ -112,9 +119,8 @@ def read_webdataset(spark: SparkSession, shards_path: str,
                         "webdataset" if source is None else str(source),
                         *(parts.get(s) for s in extra_members),
                     ))
-            yield pd.DataFrame(
-                rows, columns=["doc_id", "text", "lang", "source",
-                               *(s.lstrip(".") for s in extra_members)])
+                if rows:
+                    yield pd.DataFrame(rows, columns=columns)
 
     schema = "doc_id long, text string, lang string, source string"
     for s in extra_members:

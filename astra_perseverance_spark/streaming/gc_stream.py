@@ -86,7 +86,8 @@ _SESSION_OUT_SCHEMA = (
 # is configured — the reorder buffer of not-yet-finalized events.
 _SESSION_STATE_SCHEMA = (
     "start long, end long, pauses long, max_pause long, "
-    "max_ts long, pend_ts array<long>, pend_pm array<long>"
+    "max_ts long, pend_ts array<long>, pend_pm array<long>, "
+    "em_end long"
 )
 
 # Bumped whenever _SESSION_STATE_SCHEMA or the MEANING of a state
@@ -98,8 +99,13 @@ _SESSION_STATE_SCHEMA = (
 # on resume — seconds-valued state reinterpreted as micros — which
 # is exactly why this version marker exists: any future
 # same-shape/different-meaning change must bump it so deployments
-# gate resume-vs-fresh on the constant, not on a crash.
-STATE_FORMAT_VERSION = 2
+# gate resume-vs-fresh on the constant, not on a crash.  v3 =
+# round 11: gained em_end (the newest EMITTED session end) so an
+# over-budget late event older than emitted history is DROPPED —
+# the documented monotone degradation — instead of being emitted as
+# a spurious session overlapping an already-appended row (resume
+# from v2 fails on the schema mismatch — loud).
+STATE_FORMAT_VERSION = 3
 
 # Defensive bound on the per-node reorder buffer (the lateness budget
 # already bounds it by budget × event rate): oldest buffered events
@@ -133,7 +139,12 @@ def _make_session_update(lateness_sec: int):
         buffered region can still merge two provisional sessions into
         one (without the buffer the earlier session may already be
         emitted and the late bridge is silently lost — the declared
-        r7 gap).  Each batch merges the open span with the finalized
+        r7 gap).  A late event older than the newest EMITTED session
+        end (over-budget data) is DROPPED — the monotone degradation
+        the module declares; emitting it would append a fragment
+        overlapping a session this append-mode stream can never
+        retract (state field ``em_end``, v3).  Each batch merges the
+        open span with the finalized
         events in ts order; every ≥ ``SESSION_GAP_SEC`` gap closes a
         session, which is emitted downstream (append mode).  The last
         span stays in state with an event-time timeout past the
@@ -171,7 +182,7 @@ def _make_session_update(lateness_sec: int):
             # top of the open span — everything is final now.
             if state.exists:
                 (start, end, pauses, maxp, _mt,
-                 pend_ts, pend_pm) = tuple(state.get)
+                 pend_ts, pend_pm, _ee) = tuple(state.get)
                 spans = [(start, end, pauses, maxp)] if start is not None \
                     else []
                 spans += [(int(t), int(t), 1, int(p))
@@ -186,18 +197,25 @@ def _make_session_update(lateness_sec: int):
 
         if state.exists:
             (start, end, pauses, maxp, max_ts,
-             pend_ts, pend_pm) = tuple(state.get)
+             pend_ts, pend_pm, em_end) = tuple(state.get)
             open_span = (start, end, pauses, maxp) if start is not None \
                 else None
             pending = list(zip(pend_ts, pend_pm))
         else:
-            open_span, max_ts, pending = None, None, []
+            open_span, max_ts, pending, em_end = None, None, [], None
 
         events = list(pending)
         for pdf in pdf_iter:
             # nanos -> exact epoch MICROS: flooring to whole seconds
             # here would truncate emitted session bounds and diverge
-            # from the batch twin on sub-second timestamps
+            # from the batch twin on sub-second timestamps.
+            # TIMEZONE CONTRACT: Arrow hands the update function
+            # SESSION-LOCAL naive timestamps; these are true epoch
+            # micros only because the engine pins
+            # spark.sql.session.timeZone=UTC (session.py).  A non-UTC
+            # session would make this wall-clock arithmetic (and
+            # break ordering across a DST fall-back) — keep the
+            # session UTC, as every entry point here does.
             ep = (pdf["ts"].astype("int64") // 1_000).to_numpy()
             pm = pdf["pause_ms"].to_numpy()
             events.extend((int(e), int(p)) for e, p in zip(ep, pm))
@@ -213,12 +231,26 @@ def _make_session_update(lateness_sec: int):
             spill = len(pend) - REORDER_BUFFER_CAP
             fin += pend[:spill]  # oldest finalize eagerly (declared cap)
             pend = pend[spill:]
+        if em_end is not None:
+            # over-budget late data older than EMITTED history is
+            # dropped (the declared monotone degradation): append
+            # mode can never retract the session it belongs to, and
+            # emitting it as its own fragment would produce a row
+            # overlapping an already-appended session.  Buffered
+            # (pend) events are always newer than em_end — a session
+            # only closes behind the finalization watermark, which
+            # never regresses — so only fresh finalized rows need the
+            # gate.
+            fin = [e for e in fin if e[0] > int(em_end)]
 
         spans = ([open_span] if open_span else []) \
             + [(t, t, 1, p) for t, p in fin]
         spans.sort()
         merged = _merge_spans(spans) if spans else []
         open_span = merged.pop() if merged else None
+        if merged:
+            em_end = max(int(em_end) if em_end is not None else -1,
+                         max(s[1] for s in merged))
 
         state.update((
             open_span[0] if open_span else None,
@@ -228,6 +260,7 @@ def _make_session_update(lateness_sec: int):
             max_ts,
             [t for t, _p in pend],
             [p for _t, p in pend],
+            em_end,
         ))
         # max_ts already dominates every candidate: the open span's
         # end is <= wm <= max_ts and every buffered event is <= max_ts

@@ -25,7 +25,10 @@ def event_file_stream(spark: SparkSession, source_dir: str, schema: str,
     """Unstarted file-source stream over ``source_dir`` with rows
     missing any ``required`` column dropped (see module docstring)."""
     reader = spark.readStream.schema(schema)
-    if max_files_per_trigger:
+    # `is not None`, not truthiness: a caller passing 0 must hit
+    # Spark's own option validation loudly, not get an unthrottled
+    # stream silently
+    if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.parquet(source_dir)
     cond = F.lit(True)

@@ -226,3 +226,95 @@ class TestCassandraConnectorSource:
         for t in ("Secondary Indexes", "Storage-Attached Indexes",
                   "Materialized Views", "Functions", "Aggregates"):
             assert t in src
+
+
+class TestDiagRobustness:
+    """Round-11 review findings: real-world diag trees that used to
+    poison or silently empty the parse, each built by doctoring a
+    copy of the checked-in fixture."""
+
+    @staticmethod
+    def _copy_fixture(tmp_path):
+        import shutil
+
+        dst = str(tmp_path / "diag")
+        shutil.copytree(FIXTURE_DIAG, dst)
+        return dst
+
+    def test_nan_latency_does_not_poison_sums(self, spark, tmp_path):
+        """nodetool prints 'Local read latency: NaN ms' for idle
+        tables; try_cast gives double NaN (not null), and one NaN row
+        used to turn the per-table SUM into NaN — every threshold
+        comparison downstream silently false."""
+        from astra_perseverance_spark.sources.diag import (
+            build_cfstats_metric,
+        )
+
+        root = self._copy_fixture(tmp_path)
+        cf = f"{root}/nodes/10.1.0.1/nodetool/cfstats"
+        with open(cf, "a") as fh:
+            fh.write("\nKeyspace : shop\n\t\tTable: orders\n"
+                     "\t\tLocal read latency: NaN ms\n")
+        vals = {
+            (r["ks"], r["tbl"], r["metric"]): r["value"]
+            for r in build_cfstats_metric(spark, root).collect()
+        }
+        import math
+
+        assert vals, "fixture parsed to nothing"
+        assert not any(math.isnan(v) for v in vals.values()), vals
+
+    def test_empty_additional_logs_tree_keeps_node_logs(self, spark,
+                                                        tmp_path):
+        """An AdditionalLogs directory that exists but matches no log
+        files used to raise PATH_NOT_FOUND for the WHOLE multi-glob
+        read — every nodes/*/logs line silently dropped, zero GC
+        events, no error."""
+        import os
+        import shutil
+
+        from astra_perseverance_spark.sources.diag import build_gc_event
+
+        root = self._copy_fixture(tmp_path)
+        n_before = build_gc_event(spark, root).count()
+        assert n_before > 0
+        # replace the populated AdditionalLogs with an empty shell
+        shutil.rmtree(os.path.join(root, "AdditionalLogs"))
+        os.makedirs(os.path.join(root, "AdditionalLogs", "nodeh4",
+                                 "var", "log", "cassandra"))
+        n_after = build_gc_event(spark, root).count()
+        assert n_after > 0, "node logs vanished with the empty tree"
+
+    def test_if_not_exists_ddl_parses_real_names(self, spark, tmp_path):
+        """CREATE ... IF NOT EXISTS used to yield the literal token
+        'IF' as the object/keyspace name for every statement kind
+        except AGGREGATE."""
+        from astra_perseverance_spark.sources.diag import (
+            build_keyspace_rf,
+            build_schema_columns,
+            build_schema_objects,
+        )
+
+        root = self._copy_fixture(tmp_path)
+        # _schema_lines reads the FIRST node's dump (min path) only
+        schema = f"{root}/nodes/10-2-0-1/driver/schema"
+        with open(schema, "a") as fh:
+            fh.write(
+                "\nCREATE KEYSPACE IF NOT EXISTS lazyks WITH replication"
+                " = {'class': 'SimpleStrategy', 'replication_factor':"
+                " '2'}  AND durable_writes = true;\n\n"
+                "CREATE TABLE IF NOT EXISTS lazyks.lazytbl (\n"
+                "    id int PRIMARY KEY,\n"
+                "    val text\n"
+                ");\n")
+        objs = build_schema_objects(spark, root)
+        names = {(r["ks"], r["name"]) for r in objs.collect()}
+        assert ("lazyks", "lazytbl") in names, sorted(names)
+        assert not any(ks == "IF" or n == "IF" for ks, n in names)
+        rf = {(r["ks"], r["dc"]): r["rf"]
+              for r in build_keyspace_rf(spark, root).collect()}
+        assert all(k[0] != "IF" for k in rf)
+        assert any(k[0] == "lazyks" and v == 2 for k, v in rf.items())
+        cols = {(r["ks"], r["tbl"], r["col"])
+                for r in build_schema_columns(spark, root).collect()}
+        assert ("lazyks", "lazytbl", "val") in cols

@@ -406,6 +406,48 @@ class TestGcSessionStateConvergence:
         ]
         assert got == [(0, 0, 1), (1500, 3100, 3)], got
 
+    def test_over_budget_late_event_behind_emitted_history_dropped(self):
+        """Round-11 review finding (gc_stream v3): an over-budget late
+        event OLDER than the newest emitted session end must be
+        DROPPED — previously it was emitted as its own fragment
+        overlapping a session append mode can never retract."""
+        from astra_perseverance_spark.streaming.gc_stream import (
+            _make_session_update,
+        )
+
+        state = FakeState()
+        upd = _make_session_update(1000)  # 1000 s budget
+        emitted = []
+        # batch 2 pushes the finalization watermark to 3100 s: 0 s,
+        # 600 s and 3000 s are all FINAL, the >=1800 s gap closes and
+        # EMITS [0,600]; the late 300 s event is then BEHIND emitted
+        # history and must be dropped, not emitted as a fragment
+        # inside the already-appended [0,600] row
+        for batch_ts in ([0, 600], [3000, 4100], [300]):
+            pdf = pd.DataFrame({
+                "ts": pd.to_datetime(batch_ts, unit="s"),
+                "pause_ms": [10] * len(batch_ts),
+            })
+            for out in upd(("n1",), iter([pdf]), state):
+                if len(out):
+                    emitted.append(out)
+        state.hasTimedOut = True
+        for out in upd(("n1",), iter([]), state):
+            if len(out):
+                emitted.append(out)
+        got = [
+            (int(s.timestamp()), int(e.timestamp()), int(c))
+            for pdf in emitted
+            for s, e, c in zip(pdf["session_start"], pdf["session_end"],
+                               pdf["pauses"])
+        ]
+        # the 300 s event contributes nothing; no emitted session
+        # overlaps another
+        assert got == [(0, 600, 2), (3000, 4100, 2)], got
+        spans = sorted((s, e) for s, e, _ in got)
+        for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
+            assert e1 < s2, f"overlapping sessions: {spans}"
+
 
 class TestFunnelTimeoutGC:
     """Round-10 dormant-user GC (funnel_stream v3): the inactivity
