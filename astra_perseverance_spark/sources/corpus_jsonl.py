@@ -91,17 +91,47 @@ def _conform(df: DataFrame, strict: bool) -> DataFrame:
     )
 
 
+def jsonl_reader(spark: SparkSession, schema, strict: bool,
+                 streaming: bool = False):
+    """The ONE JSONL reader assembly shared by the documents and
+    events sources, batch and streaming: schema pinned (inference is
+    a full extra pass over the dump at scale), FAILFAST when strict,
+    PERMISSIVE + corrupt-record quarantine column otherwise.  A fix
+    to the corrupt-line handling lands in all four read paths at
+    once instead of drifting across copies."""
+    reader = (
+        (spark.readStream if streaming else spark.read)
+        .schema(schema)
+        .option("mode", "FAILFAST" if strict else "PERMISSIVE")
+    )
+    if not strict:
+        reader = reader.option("columnNameOfCorruptRecord", "_corrupt")
+    return reader
+
+
+def drain_ingest_stream(sdf: DataFrame, dest: str,
+                        checkpoint: str) -> None:
+    """Shared exactly-once ingest sink: parquet append gated by the
+    file-source offset log + sink commit log at ``checkpoint``,
+    ``availableNow`` so the call blocks until the current backlog is
+    drained — the contract both streaming ingests document."""
+    q = (
+        sdf.writeStream.format("parquet")
+        .option("path", dest)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def read_documents_jsonl(spark: SparkSession, path: str,
                          strict: bool = True) -> DataFrame:
     """Read a JSONL document dump into the conformed ``documents``
     schema.  Returns (doc_id, text, lang, source, n_chars) with
     n_chars recomputed from the text when the dump omits it."""
-    reader = (
-        spark.read.schema(_read_schema(strict))
-        .option("mode", "FAILFAST" if strict else "PERMISSIVE")
-    )
-    if not strict:
-        reader = reader.option("columnNameOfCorruptRecord", "_corrupt")
+    reader = jsonl_reader(spark, _read_schema(strict), strict)
     return _conform(reader.json(path), strict)
 
 
@@ -134,12 +164,8 @@ def stream_documents_jsonl(spark: SparkSession, path: str,
 
     Default is permissive, not strict: an unbounded ingest should
     quarantine a bad line, not kill the query a week in."""
-    reader = (
-        spark.readStream.schema(_read_schema(strict))
-        .option("mode", "FAILFAST" if strict else "PERMISSIVE")
-    )
-    if not strict:
-        reader = reader.option("columnNameOfCorruptRecord", "_corrupt")
+    reader = jsonl_reader(spark, _read_schema(strict), strict,
+                          streaming=True)
     return _conform(reader.json(path), strict)
 
 
@@ -153,15 +179,9 @@ def stream_ingest_jsonl_corpus(spark: SparkSession, src: str, out_dir: str,
     (overwrite-everything) ingest cannot give an append-only dump at
     100 TB.  Blocks until the available backlog is drained
     (``availableNow``) and returns ``out_dir``."""
-    dest = os.path.join(out_dir, "documents.parquet")
-    q = (
-        stream_documents_jsonl(spark, src, strict=strict)
-        .writeStream.format("parquet")
-        .option("path", dest)
-        .option("checkpointLocation", os.path.join(out_dir, "_checkpoint"))
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
+    drain_ingest_stream(
+        stream_documents_jsonl(spark, src, strict=strict),
+        os.path.join(out_dir, "documents.parquet"),
+        os.path.join(out_dir, "_checkpoint"),
     )
-    q.awaitTermination()
     return out_dir

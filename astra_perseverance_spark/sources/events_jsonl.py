@@ -116,12 +116,9 @@ def read_events_jsonl(spark: SparkSession, path: str,
     strict mode (malformed JSON through FAILFAST; valid-JSON contract
     violations through a ``raise_error`` gate on the conformed ts —
     strict mode never silently loses an event)."""
-    reader = (
-        spark.read.schema(_read_schema(strict))
-        .option("mode", "FAILFAST" if strict else "PERMISSIVE")
-    )
-    if not strict:
-        reader = reader.option("columnNameOfCorruptRecord", "_corrupt")
+    from astra_perseverance_spark.sources.corpus_jsonl import jsonl_reader
+
+    reader = jsonl_reader(spark, _read_schema(strict), strict)
     return _conform(reader.json(path), strict)
 
 
@@ -149,12 +146,10 @@ def stream_events_jsonl(spark: SparkSession, path: str,
     Returns the unstarted streaming frame (caller picks
     sink/trigger) — the realistic intake in front of the stateful
     streaming operators."""
-    reader = (
-        spark.readStream.schema(_read_schema(strict))
-        .option("mode", "FAILFAST" if strict else "PERMISSIVE")
-    )
-    if not strict:
-        reader = reader.option("columnNameOfCorruptRecord", "_corrupt")
+    from astra_perseverance_spark.sources.corpus_jsonl import jsonl_reader
+
+    reader = jsonl_reader(spark, _read_schema(strict), strict,
+                          streaming=True)
     return _conform(reader.json(path), strict)
 
 
@@ -165,15 +160,13 @@ def stream_ingest_events_jsonl(spark: SparkSession, src: str, out_dir: str,
     appends only files the checkpoint has not committed, so a crash
     or a schedule never duplicates an event.  Blocks until the
     backlog drains; returns ``out_dir``."""
-    dest = os.path.join(out_dir, "events.parquet")
-    q = (
-        stream_events_jsonl(spark, src, strict=strict)
-        .writeStream.format("parquet")
-        .option("path", dest)
-        .option("checkpointLocation", os.path.join(out_dir, "_ev_checkpoint"))
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
+    from astra_perseverance_spark.sources.corpus_jsonl import (
+        drain_ingest_stream,
     )
-    q.awaitTermination()
+
+    drain_ingest_stream(
+        stream_events_jsonl(spark, src, strict=strict),
+        os.path.join(out_dir, "events.parquet"),
+        os.path.join(out_dir, "_ev_checkpoint"),
+    )
     return out_dir
