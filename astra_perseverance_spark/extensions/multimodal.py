@@ -143,7 +143,9 @@ def _png_decode(data: bytes) -> np.ndarray:
         chunk = data[pos + 8:pos + 8 + length]
         pos += 12 + length
         if ctype == b"IHDR":
-            meta = struct.unpack(">IIBBBBB", chunk)
+            if len(chunk) < 13:
+                raise ValueError("PNG IHDR chunk truncated")
+            meta = struct.unpack(">IIBBBBB", chunk[:13])
         elif ctype == b"PLTE":
             plte = np.frombuffer(chunk, dtype=np.uint8).reshape(-1, 3)
         elif ctype == b"tRNS":
@@ -244,6 +246,10 @@ def _avi_probe(data: bytes) -> tuple[int, int, int, list[bytes]]:
             if cid == b"LIST":
                 walk(pos + 12, pos + 8 + length)  # skip the form tag
             elif cid == b"avih":
+                if len(body) < 56:
+                    # ValueError, not struct.error: malformed-payload
+                    # convention (the jpegcodec ADVICE precedent)
+                    raise ValueError("AVI avih header truncated")
                 f = struct.unpack("<14I", body[:56])
                 n_frames, width, height = f[4], f[8], f[9]
             elif len(cid) == 4 and cid[2:4] in (b"db", b"dc"):
@@ -328,22 +334,25 @@ def decode_media(payload: bytes, media_type: str) -> np.ndarray:
     codec); otherwise the stdlib AVI container parse (``_avi_probe``)
     decodes MJPEG streams frame-by-frame through the same baseline
     JPEG codec, and returns raw frame-chunk bytes for uncompressed
-    DIB streams (literal pixel data).  The remaining
-    ``NotImplementedError`` surface: non-AVI video without PyAV, and
-    arithmetic-coded JPEG frames without Pillow (progressive and
-    12-bit decode natively)."""
+    DIB streams (literal pixel data).
+
+    The library tiers fall back on FAILURE, not just absence: an
+    installed Pillow cannot decode 12-bit JPEG (libjpeg is 8-bit) and
+    an installed PyAV rejects the engine's own minimal synthesized
+    AVIs — payloads the built-in codecs handle — so a library error
+    falls through to the builtins rather than regressing the
+    dependency-free surface.  The remaining ``NotImplementedError``
+    surface: non-AVI video without PyAV, and arithmetic-coded JPEG
+    frames without Pillow (progressive and 12-bit decode natively)."""
     if media_type == "image":
         try:
             from PIL import Image  # optional dependency
             return np.asarray(Image.open(io.BytesIO(payload)))
-        except ImportError:
+        except Exception:  # noqa: BLE001 — absent OR failed: builtins next
             if payload[:8] == _PNG_SIG:
                 return _png_decode(payload)
             if payload[:2] == _JPEG_SOI:
-                from astra_perseverance_spark.extensions.jpegcodec import (
-                    decode_baseline_jpeg,
-                )
-                return decode_baseline_jpeg(payload)
+                return _jpeg_pixels(payload)
             raise NotImplementedError(
                 "non-PNG/JPEG image decode requires Pillow") from None
     if media_type == "audio":
@@ -358,30 +367,34 @@ def decode_media(payload: bytes, media_type: str) -> np.ndarray:
                 frame.to_ndarray(format="rgb24")
                 for frame in container.decode(video=0)
             ])
-    except ImportError:
+    except Exception:  # noqa: BLE001 — absent OR failed: builtins next
         if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
             *_dims, frames = _avi_probe(payload)
             if frames and frames[0][:2] == _JPEG_SOI:
-                # MJPEG: per-frame pixel decode — Pillow when
-                # importable (any JPEG flavor), else the built-in
-                # baseline codec (extensions.jpegcodec, pure
-                # numpy/stdlib per ITU T.81, incl. progressive; arithmetic
-                # frames raise NotImplementedError there)
-                try:
-                    from PIL import Image  # optional dependency
-                    return np.stack([
-                        np.asarray(Image.open(io.BytesIO(fr)))
-                        for fr in frames
-                    ])
-                except ImportError:
-                    from astra_perseverance_spark.extensions.jpegcodec \
-                        import decode_baseline_jpeg
-                    return np.stack([
-                        decode_baseline_jpeg(fr) for fr in frames
-                    ])
+                # MJPEG: per-frame pixel decode through the shared
+                # Pillow-else-builtin JPEG tier
+                return np.stack([_jpeg_pixels(fr) for fr in frames])
             return np.frombuffer(b"".join(frames), dtype=np.uint8)
         raise NotImplementedError(
             "non-AVI video decode requires PyAV/ffmpeg") from None
+
+
+def _jpeg_pixels(payload: bytes) -> np.ndarray:
+    """The ONE Pillow-else-builtin JPEG pixel tier, shared by the
+    image branch and the per-frame MJPEG branch: Pillow when it is
+    both importable AND succeeds (any JPEG flavor), else the built-in
+    codec (``extensions.jpegcodec``, pure numpy/stdlib per ITU T.81
+    incl. progressive and 12-bit; arithmetic frames raise
+    NotImplementedError there)."""
+    try:
+        from PIL import Image  # optional dependency
+        return np.asarray(Image.open(io.BytesIO(payload)))
+    except Exception:  # noqa: BLE001 — absent OR failed: builtin next
+        from astra_perseverance_spark.extensions.jpegcodec import (
+            decode_baseline_jpeg,
+        )
+
+        return decode_baseline_jpeg(payload)
 
 
 def _le32_hex(c: F.Column) -> F.Column:

@@ -108,13 +108,17 @@ def corpus_diff(spark: SparkSession, old_dir: str,
     frames; at 100 TB both sides are doc_id-clustered reads, so the
     join is the single shuffle (or none, bucketed).
 
-    Two contract edge cases are handled explicitly: a NULL text
+    Three contract edge cases are handled explicitly: a NULL text
     digests to a sentinel distinct from the empty string (the two are
     different violation states in ``q_corpus_validate``, so they must
-    diff as 'changed'), and a doc_id duplicated within one version
+    diff as 'changed'); a doc_id duplicated within one version
     collapses to a single order-insensitive multiset digest before
     the join — otherwise the full-outer join would emit m·n rows
-    with contradictory statuses for that id."""
+    with contradictory statuses for that id; and the join key is
+    NULL-SAFE (``eqNullSafe``) — a plain equi-join never matches NULL
+    doc_ids, so two identical corpora each carrying NULL-id rows
+    would report a spurious added+removed pair for an unchanged
+    corpus."""
     def digests(sf_dir: str, name: str) -> DataFrame:
         row_digest = F.coalesce(
             F.md5(F.encode(F.col("text"), "utf-8")),
@@ -129,10 +133,12 @@ def corpus_diff(spark: SparkSession, old_dir: str,
         )
 
     old = digests(old_dir, "old_md5")
-    new = digests(new_dir, "new_md5")
-    joined = old.join(new, "doc_id", "full_outer")
+    new = digests(new_dir, "new_md5").withColumnRenamed(
+        "doc_id", "new_doc_id")
+    joined = old.join(
+        new, old["doc_id"].eqNullSafe(new["new_doc_id"]), "full_outer")
     return joined.select(
-        "doc_id",
+        F.coalesce("doc_id", "new_doc_id").alias("doc_id"),
         F.when(F.col("old_md5").isNull(), "added")
         .when(F.col("new_md5").isNull(), "removed")
         .when(F.col("old_md5") != F.col("new_md5"), "changed")

@@ -118,10 +118,13 @@ def export_curated_corpus(spark: SparkSession, sf_dir: str, out_dir: str,
     else:
         kept.write.mode("overwrite").parquet(kept_path)
         rejects.write.mode("overwrite").parquet(rejects_path)
-    # ledger-grain counts (one tiny agg job, no driver-side rows)
+    # ledger-grain counts (one tiny agg job, no driver-side rows);
+    # coalesce: SUM over an empty ledger is NULL, not 0, and a
+    # None count breaks every caller gate (the qa._n pitfall)
     counts = ledger.agg(
         F.count("*").alias("n"),
-        F.sum(F.col("keep").cast("long")).alias("k"),
+        F.coalesce(F.sum(F.col("keep").cast("long")), F.lit(0))
+        .alias("k"),
     ).collect()[0]
     return {
         "kept_path": kept_path,
@@ -179,20 +182,26 @@ def export_training_shards(spark: SparkSession, sf_dir: str,
     manifest = shard_manifest_agg(layout)
     manifest_path = os.path.join(out_dir, "manifest")
     manifest.write.mode("overwrite").parquet(manifest_path)
+    # coalesce every SUM: over an empty manifest they are NULL, which
+    # would return n_docs=None AND make the `bad` consistency gate
+    # below pass vacuously instead of by inspection
     totals = spark.read.parquet(manifest_path).agg(
         F.count("*").alias("s"),
-        F.sum("n_docs").alias("d"),
-        F.sum("n_seqs").alias("q"),
+        F.coalesce(F.sum("n_docs"), F.lit(0)).alias("d"),
+        F.coalesce(F.sum("n_seqs"), F.lit(0)).alias("q"),
         # consistency: each shard's n_seqs (derived from max seq_last)
         # must equal ceil(n_tokens / SEQ_BUDGET) recomputed from the
         # written manifest — integer arithmetic, no double rounding
-        F.sum(
-            F.when(
-                F.col("n_seqs")
-                != _idiv(F.col("n_tokens") + F.lit(SEQ_BUDGET - 1),
-                         F.lit(SEQ_BUDGET)),
-                1,
-            ).otherwise(0)
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("n_seqs")
+                    != _idiv(F.col("n_tokens") + F.lit(SEQ_BUDGET - 1),
+                             F.lit(SEQ_BUDGET)),
+                    1,
+                ).otherwise(0)
+            ),
+            F.lit(0),
         ).alias("bad"),
     ).collect()[0]
     if totals["bad"]:
@@ -336,6 +345,22 @@ def export_webdataset(spark: SparkSession, sf_dir: str, out_dir: str,
             for doc_id, text, lang, source, sid, m, p in zip(
                     pdf["doc_id"], pdf["text"], pdf["lang"],
                     pdf["source"], pdf["shard_id"], metas, payloads):
+                # contract gate, loud and early: a NULL doc_id would
+                # otherwise surface as int(NaN) deep in the task, and
+                # NULL text/lang/source would str() into the literal
+                # 'None' — the exact garbage the READER documents as
+                # tripping corpus_validate.  Absent lang/source are
+                # legal (the reader defaults them); absent keys are
+                # how the meta member says so.
+                if _pd.isna(doc_id):
+                    raise ValueError(
+                        "webdataset export: NULL doc_id in the corpus "
+                        "— run corpus_validate before exporting")
+                if text is None or _pd.isna(text):
+                    raise ValueError(
+                        f"webdataset export: NULL text for doc_id "
+                        f"{int(doc_id)} — run corpus_validate before "
+                        f"exporting")
                 sid = int(sid)
                 if open_tar["sid"] != sid:
                     close()
@@ -344,8 +369,11 @@ def export_webdataset(spark: SparkSession, sf_dir: str, out_dir: str,
                         f".shard-{sid:05d}.{uuid4().hex}.inprogress")
                     open_tar.update(
                         sid=sid, tar=tarfile.open(tmp, "w"), n=0, tmp=tmp)
-                meta = {"doc_id": int(doc_id), "lang": str(lang),
-                        "source": str(source)}
+                meta = {"doc_id": int(doc_id)}
+                if lang is not None and not _pd.isna(lang):
+                    meta["lang"] = str(lang)
+                if source is not None and not _pd.isna(source):
+                    meta["source"] = str(source)
                 members = [
                     (".txt", str(text).encode("utf-8")),
                 ]
@@ -394,5 +422,5 @@ def export_webdataset(spark: SparkSession, sf_dir: str, out_dir: str,
         "shards_path": shards_path,
         "manifest_path": manifest_path,
         "n_shards": totals["s"],
-        "n_docs": totals["d"],
+        "n_docs": totals["d"] or 0,
     }

@@ -579,3 +579,96 @@ class TestExtendedPngWav:
             ihdr = struct.pack(">IIBBBBB", 2, 2, depth, color, 0, 0, 0)
             with pytest.raises(NotImplementedError):
                 _png_decode(self._png(ihdr, b"\x00\x00\x00"))
+
+
+class TestTruncationGuards:
+    """Round-11 review findings: truncated container headers must
+    surface through the malformed-payload ValueError convention,
+    never a raw struct.error."""
+
+    def test_truncated_avih_raises_valueerror(self):
+        import struct as st
+
+        from astra_perseverance_spark.extensions.multimodal import (
+            _avi_probe,
+        )
+
+        # avih chunk declaring/carrying only 20 body bytes
+        short = b"avih" + st.pack("<I", 20) + b"\x00" * 20
+        hdrl = b"LIST" + st.pack("<I", 4 + len(short)) + b"hdrl" + short
+        body = b"AVI " + hdrl
+        avi = b"RIFF" + st.pack("<I", len(body)) + body
+        with pytest.raises(ValueError, match="avih"):
+            _avi_probe(avi)
+
+    def test_truncated_png_ihdr_raises_valueerror(self):
+        from astra_perseverance_spark.extensions.multimodal import (
+            _png_decode,
+        )
+
+        def chunk(ctype, data):
+            return (struct.pack(">I", len(data)) + ctype + data
+                    + struct.pack(">I", zlib.crc32(ctype + data)))
+
+        png = (b"\x89PNG\r\n\x1a\n"
+               + chunk(b"IHDR", struct.pack(">II", 2, 2))  # 8 < 13 bytes
+               + chunk(b"IEND", b""))
+        with pytest.raises(ValueError, match="IHDR"):
+            _png_decode(png)
+
+
+class TestLibraryFailureFallback:
+    """decode_media's tiers fall back on library FAILURE, not only
+    absence — an installed Pillow that rejects a payload the builtin
+    codecs decode (12-bit JPEG; PyAV vs the minimal AVI) must not
+    regress the dependency-free surface."""
+
+    def test_image_falls_back_when_library_path_fails(self, monkeypatch):
+        import sys
+        import types
+
+        from astra_perseverance_spark.extensions import multimodal
+
+        fake_pil = types.ModuleType("PIL")
+        fake_image = types.ModuleType("PIL.Image")
+
+        def _boom(_fh):
+            raise OSError("unsupported 12-bit stream")
+
+        fake_image.open = _boom
+        fake_pil.Image = fake_image
+        monkeypatch.setitem(sys.modules, "PIL", fake_pil)
+        monkeypatch.setitem(sys.modules, "PIL.Image", fake_image)
+        jpeg = _mk_real_jpeg(8, 8)
+        got = multimodal.decode_media(jpeg, "image")
+        assert got.shape[:2] == (8, 8)
+
+    def test_video_falls_back_when_library_path_fails(self, monkeypatch):
+        import sys
+        import types
+
+        from astra_perseverance_spark.extensions import multimodal
+
+        fake_av = types.ModuleType("av")
+
+        def _boom(_fh):
+            raise ValueError("InvalidDataError: no strl LIST")
+
+        fake_av.open = _boom
+        monkeypatch.setitem(sys.modules, "av", fake_av)
+        frames = [_mk_real_jpeg(8, 8)] * 2
+        avi = _mk_mjpeg_avi(frames, 8, 8)
+        got = multimodal.decode_media(avi, "video")
+        assert got.shape[0] == 2 and got.shape[1:3] == (8, 8)
+
+
+def _mk_real_jpeg(h: int, w: int) -> bytes:
+    """A decodable JPEG (the header-only _mk_jpeg has fake entropy)."""
+    import numpy as _np
+
+    from astra_perseverance_spark.extensions.jpegcodec import (
+        encode_baseline_jpeg,
+    )
+
+    return encode_baseline_jpeg(
+        _np.full((h, w), 128, dtype=_np.uint8))

@@ -169,6 +169,30 @@ class TestCorpusDiffEdges:
         assert corpus_diff(spark, str(tmp_path / "old"),
                            str(tmp_path / "old2")).count() == 0
 
+    def test_null_doc_id_matches_null_safely(self, spark, tmp_path):
+        """Round-11 review finding: a plain equi-join never matches
+        NULL keys, so two identical corpora each carrying a
+        NULL-doc_id row reported a spurious added+removed pair; the
+        join is NULL-SAFE now, and a genuinely changed NULL-id row
+        still diffs as changed."""
+        from astra_perseverance_spark.extensions.qa import corpus_diff
+
+        rows = [(None, "anon"), (1, "kept")]
+        for name in ("old", "new"):
+            spark.createDataFrame(
+                [(i, t, "en", "web", len(t)) for i, t in rows], SCHEMA
+            ).write.parquet(str(tmp_path / name / "documents.parquet"))
+        assert corpus_diff(spark, str(tmp_path / "old"),
+                           str(tmp_path / "new")).count() == 0
+        spark.createDataFrame(
+            [(None, "anon EDITED", "en", "web", 11),
+             (1, "kept", "en", "web", 4)], SCHEMA
+        ).write.parquet(str(tmp_path / "new2" / "documents.parquet"))
+        got = [tuple(r) for r in corpus_diff(
+            spark, str(tmp_path / "old"),
+            str(tmp_path / "new2")).collect()]
+        assert got == [(None, "changed")]
+
 
 class TestCorpusQaCli:
     def test_validate_gates_and_diff_counts(self, spark, qa_dir, tmp_path):

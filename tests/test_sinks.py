@@ -944,3 +944,57 @@ class TestPartitionedCompaction:
                         if "PartitionFilters" in ln]
         assert part_filters and any("shard_id" in ln
                                     for ln in part_filters), plan
+
+
+class TestWebdatasetExportNulls:
+    """Round-11 review finding: the exporter wrote NULL lang/source as
+    the literal string 'None' (the exact garbage the READER documents
+    as tripping corpus_validate) and crashed opaquely on NULL
+    doc_id/text.  NULL lang/source now OMIT the meta key (the reader
+    defaults them); NULL doc_id/text fail loudly at export."""
+
+    SCHEMA = ("doc_id long, text string, lang string, source string, "
+              "n_chars long")
+
+    def test_null_lang_source_roundtrip_to_reader_defaults(self, spark,
+                                                           tmp_path):
+        import json
+        import tarfile
+
+        from astra_perseverance_spark.sinks.export import export_webdataset
+        from astra_perseverance_spark.sources.webdataset import (
+            read_webdataset,
+        )
+
+        spark.createDataFrame(
+            [(1, "hello", None, None, 5), (2, "bye", "en", "web", 3)],
+            self.SCHEMA,
+        ).write.parquet(str(tmp_path / "corpus" / "documents.parquet"))
+        out = export_webdataset(spark, str(tmp_path / "corpus"),
+                                str(tmp_path / "wds"))
+        # no literal 'None' anywhere in the written metadata
+        import glob as _glob
+
+        for tar_path in _glob.glob(out["shards_path"] + "/*.tar"):
+            with tarfile.open(tar_path) as tf:
+                for m in tf:
+                    if m.name.endswith(".json"):
+                        meta = json.loads(tf.extractfile(m).read())
+                        assert "None" not in meta.values(), meta
+        got = {r["doc_id"]: (r["lang"], r["source"])
+               for r in read_webdataset(
+                   spark, out["shards_path"]).collect()}
+        assert got[1] == ("und", "webdataset")  # reader defaults
+        assert got[2] == ("en", "web")
+
+    def test_null_text_fails_loudly(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from astra_perseverance_spark.sinks.export import export_webdataset
+
+        spark.createDataFrame(
+            [(1, None, "en", "web", 0)], self.SCHEMA,
+        ).write.parquet(str(tmp_path / "corpus" / "documents.parquet"))
+        with _pytest.raises(Exception, match="NULL text"):
+            export_webdataset(spark, str(tmp_path / "corpus"),
+                              str(tmp_path / "wds"))
