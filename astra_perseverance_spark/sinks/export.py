@@ -266,7 +266,6 @@ def export_webdataset(spark: SparkSession, sf_dir: str, out_dir: str,
     extra exchange).  Requires a real ``sf_dir``.
 
     Returns {shards_path, manifest_path, n_shards, n_docs}."""
-    import io as _io
     import itertools as _it
     import json as _json
     import math
@@ -277,6 +276,7 @@ def export_webdataset(spark: SparkSession, sf_dir: str, out_dir: str,
 
     from astra_perseverance_spark.extensions.corpus import docs_frame
     from astra_perseverance_spark.functions.texthash import h15
+    from astra_perseverance_spark.sources.webdataset import add_sample
 
     if "://" in out_dir:
         raise ValueError(
@@ -389,13 +389,11 @@ def export_webdataset(spark: SparkSession, sf_dir: str, out_dir: str,
                     members.append((".bin", bytes(p)))
                 members.append((".json", _json.dumps(
                     meta, sort_keys=True).encode("utf-8")))
-                for suffix, payload in members:
-                    info = tarfile.TarInfo(f"{int(doc_id):012d}{suffix}")
-                    info.size = len(payload)
-                    info.mtime = 0
-                    info.uid = info.gid = 0
-                    info.uname = info.gname = ""
-                    open_tar["tar"].addfile(info, _io.BytesIO(payload))
+                # shared format core (sources/webdataset.py): the
+                # sink, the data source and the readers agree on
+                # member naming + reproducible attributes by
+                # construction
+                add_sample(open_tar["tar"], int(doc_id), members)
                 open_tar["n"] += 1
         close()
         yield _pd.DataFrame(

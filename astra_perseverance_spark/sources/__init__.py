@@ -17,11 +17,19 @@ from astra_perseverance_spark.sources.events_jsonl import (
 from astra_perseverance_spark.sources.webdataset import (
     ingest_webdataset_corpus,
     read_webdataset,
+    stream_documents_webdataset,
+    stream_ingest_webdataset_corpus,
+)
+from astra_perseverance_spark.sources.webdataset_source import (
+    WebDatasetDataSource,
+    register_webdataset,
 )
 
-__all__ = ["ingest_events_jsonl", "ingest_jsonl_corpus",
-           "ingest_webdataset_corpus", "load_model_from_diag",
-           "read_documents_jsonl", "read_events_jsonl",
-           "read_webdataset", "stream_documents_jsonl",
-           "stream_events_jsonl", "stream_ingest_events_jsonl",
-           "stream_ingest_jsonl_corpus"]
+__all__ = ["WebDatasetDataSource", "ingest_events_jsonl",
+           "ingest_jsonl_corpus", "ingest_webdataset_corpus",
+           "load_model_from_diag", "read_documents_jsonl",
+           "read_events_jsonl", "read_webdataset",
+           "register_webdataset", "stream_documents_jsonl",
+           "stream_documents_webdataset", "stream_events_jsonl",
+           "stream_ingest_events_jsonl", "stream_ingest_jsonl_corpus",
+           "stream_ingest_webdataset_corpus"]

@@ -20,7 +20,10 @@ decoders) — there is no JVM tar reader to stay inside codegen with.
 
 from __future__ import annotations
 
+import io
+import json
 import os
+import tarfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -30,6 +33,85 @@ from pyspark.sql import functions as F
 # third-party WebDataset shards with more member types still read.
 _TEXT_SUFFIX = ".txt"
 _META_SUFFIX = ".json"
+
+
+# ---------------------------------------------------------------------------
+# Format core — the single definition of how a sample maps to/from tar
+# members.  Shared by this module's binaryFile reader, the first-class
+# data source (sources/webdataset_source.py: read AND write sides) and
+# the export sink (sinks/export.py), so the three surfaces cannot
+# drift: a shard any of them writes is readable by all of them.
+# ---------------------------------------------------------------------------
+
+def samples_in_tar(tf: tarfile.TarFile) -> dict[str, dict[str, bytes]]:
+    """Group one tar's file members into WebDataset samples:
+    key → {suffix → payload bytes}.
+
+    The WebDataset key is the member path up to the first dot of the
+    basename — DIRECTORY INCLUDED, so ``a/0001.txt`` and ``b/0001.txt``
+    are two samples, not a silent overwrite.  Extension-less members
+    are skipped (no suffix means no member role)."""
+    samples: dict[str, dict[str, bytes]] = {}
+    for m in tf:
+        if not m.isfile():
+            continue
+        dirname = os.path.dirname(m.name)
+        base = os.path.basename(m.name)
+        stem, dot, suffix = base.partition(".")
+        if not dot:
+            continue
+        key = f"{dirname}/{stem}" if dirname else stem
+        samples.setdefault(key, {})["." + suffix] = tf.extractfile(m).read()
+    return samples
+
+
+def sample_row(key: str, parts: dict[str, bytes],
+               shard_desc: str) -> tuple[int, str, str, str] | None:
+    """Decode one sample into ``(doc_id, text, lang, source)``, or
+    ``None`` when it has no text member (a modality-only sample a
+    third-party shard may carry).
+
+    ``doc_id`` comes from the metadata member when present, else from
+    the numeric key; an explicit JSON ``null`` lang/source gets the
+    same default as an absent key (``str(None)`` would be the literal
+    string ``'None'`` — garbage that trips the corpus_validate lang
+    check)."""
+    if _TEXT_SUFFIX not in parts:
+        return None
+    text = parts[_TEXT_SUFFIX].decode("utf-8")
+    meta = (
+        json.loads(parts[_META_SUFFIX])
+        if _META_SUFFIX in parts else {}
+    )
+    doc_id = meta.get("doc_id")
+    if doc_id is None:
+        if not key.isdigit():
+            raise ValueError(
+                f"sample {key!r} in {shard_desc} has neither a "
+                f"doc_id metadata field nor a numeric key")
+        doc_id = int(key)
+    lang = meta.get("lang")
+    source = meta.get("source")
+    return (
+        int(doc_id), text,
+        "und" if lang is None else str(lang),
+        "webdataset" if source is None else str(source),
+    )
+
+
+def add_sample(tar: tarfile.TarFile, doc_id: int,
+               members: list[tuple[str, bytes]]) -> None:
+    """Append one sample's members (``{doc_id:012d}{suffix}``) with
+    reproducible attributes — zeroed mtime/uid/gid, empty user/group —
+    so shard bytes are a pure function of the sample data (the
+    byte-determinism contract the export sink documents)."""
+    for suffix, payload in members:
+        info = tarfile.TarInfo(f"{int(doc_id):012d}{suffix}")
+        info.size = len(payload)
+        info.mtime = 0
+        info.uid = info.gid = 0
+        info.uname = info.gname = ""
+        tar.addfile(info, io.BytesIO(payload))
 
 
 def read_webdataset(spark: SparkSession, shards_path: str,
@@ -49,20 +131,27 @@ def read_webdataset(spark: SparkSession, shards_path: str,
     null where a sample lacks that member) — how a multimodal shard
     set (``export_webdataset(media=True)``) reads back with its
     payloads attached."""
-    from collections.abc import Iterator
-
-    import pandas as pd
-
     shards = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.tar")
         .load(shards_path)
         .select("path", "content")
     )
+    return _parsed_docs(shards, extra_members)
+
+
+def _parsed_docs(shards: DataFrame,
+                 extra_members: tuple[str, ...] = ()) -> DataFrame:
+    """(path, content) shard frame → conformed documents via the
+    shared format core.  Works identically on a batch or streaming
+    frame (the parse is stateless), which is how the streaming ingest
+    reuses the batch reader's exact semantics."""
+    from collections.abc import Iterator
+
+    import pandas as pd
 
     def parse_shards(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import io
-        import json
         import tarfile
 
         columns = ["doc_id", "text", "lang", "source",
@@ -75,50 +164,13 @@ def read_webdataset(spark: SparkSession, shards_path: str,
             # the module contract is one shard's bytes per task step
             for path, content in zip(pdf["path"], pdf["content"]):
                 rows = []
-                samples: dict[str, dict[str, bytes]] = {}
                 with tarfile.open(fileobj=io.BytesIO(bytes(content))) as tf:
-                    for m in tf:
-                        if not m.isfile():
-                            continue
-                        dirname = os.path.dirname(m.name)
-                        base = os.path.basename(m.name)
-                        stem, dot, suffix = base.partition(".")
-                        if not dot:
-                            continue
-                        # the WebDataset key is the member path up to
-                        # the first dot of the basename — DIRECTORY
-                        # INCLUDED, so a/0001.txt and b/0001.txt are
-                        # two samples, not a silent overwrite
-                        key = f"{dirname}/{stem}" if dirname else stem
-                        samples.setdefault(key, {})["." + suffix] = (
-                            tf.extractfile(m).read())
+                    samples = samples_in_tar(tf)
                 for key, parts in samples.items():
-                    if _TEXT_SUFFIX not in parts:
+                    row = sample_row(key, parts, str(path))
+                    if row is None:
                         continue
-                    text = parts[_TEXT_SUFFIX].decode("utf-8")
-                    meta = (
-                        json.loads(parts[_META_SUFFIX])
-                        if _META_SUFFIX in parts else {}
-                    )
-                    doc_id = meta.get("doc_id")
-                    if doc_id is None:
-                        if not key.isdigit():
-                            raise ValueError(
-                                f"sample {key!r} in {path} has neither a "
-                                f"doc_id metadata field nor a numeric key")
-                        doc_id = int(key)
-                    # explicit JSON null gets the same default as an
-                    # absent key (str(None) would be the literal
-                    # string 'None' — garbage that trips the
-                    # corpus_validate lang check)
-                    lang = meta.get("lang")
-                    source = meta.get("source")
-                    rows.append((
-                        int(doc_id), text,
-                        "und" if lang is None else str(lang),
-                        "webdataset" if source is None else str(source),
-                        *(parts.get(s) for s in extra_members),
-                    ))
+                    rows.append((*row, *(parts.get(s) for s in extra_members)))
                 if rows:
                     yield pd.DataFrame(rows, columns=columns)
 
@@ -146,5 +198,54 @@ def ingest_webdataset_corpus(spark: SparkSession, shards_path: str,
     (
         docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
         .write.mode("overwrite").parquet(dest)
+    )
+    return out_dir
+
+
+def stream_documents_webdataset(spark: SparkSession, shards_path: str,
+                                extra_members: tuple[str, ...] = ()
+                                ) -> DataFrame:
+    """Unbounded counterpart of ``read_webdataset``: a file-source
+    stream over a directory tar shards keep landing in, parsed by the
+    SAME ``_parsed_docs`` projection (the two modes cannot drift).
+    Returns the unstarted streaming frame; the caller picks
+    sink/trigger, matching the other streaming constructors.
+
+    The file source tracks shards it has processed in the checkpoint's
+    offset log, so each trigger parses only newly landed tar files —
+    the unit of incremental work is the shard, exactly the batch
+    reader's unit of parallelism."""
+    shards = (
+        spark.readStream.format("binaryFile")
+        # file-source streams need an explicit schema; binaryFile's is
+        # fixed, so spelling it out here changes nothing but is required
+        .schema("path string, modificationTime timestamp, "
+                "length long, content binary")
+        .option("pathGlobFilter", "*.tar")
+        .load(shards_path)
+        .select("path", "content")
+    )
+    return _parsed_docs(shards, extra_members)
+
+
+def stream_ingest_webdataset_corpus(spark: SparkSession, shards_path: str,
+                                    out_dir: str) -> str:
+    """Incremental, exactly-once WebDataset → corpus ingest: each call
+    processes only tar shards not yet recorded in the checkpoint
+    (file-source offset log + parquet-sink commit log) and APPENDS
+    their documents to ``out_dir/documents.parquet`` — the tar twin of
+    ``corpus_jsonl.stream_ingest_jsonl_corpus``, for a serving-format
+    corpus that keeps growing shard by shard.  Re-running after a
+    crash or on a schedule never duplicates a document.  Blocks until
+    the available backlog is drained (``availableNow``) and returns
+    ``out_dir``."""
+    from astra_perseverance_spark.sources.corpus_jsonl import (
+        drain_ingest_stream,
+    )
+
+    drain_ingest_stream(
+        stream_documents_webdataset(spark, shards_path),
+        os.path.join(out_dir, "documents.parquet"),
+        os.path.join(out_dir, "_checkpoint"),
     )
     return out_dir

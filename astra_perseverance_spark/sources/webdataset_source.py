@@ -1,0 +1,375 @@
+"""First-class ``webdataset`` Spark data source (Python Data Source
+API, Spark 4.x): ``spark.read.format("webdataset")`` and
+``df.write.format("webdataset")`` over sample-per-member tar shards.
+
+Register once per session, then the format name works everywhere a
+built-in format does (including ``spark.sql`` ``CREATE TABLE ...
+USING webdataset`` and the streaming writer's ``foreachBatch``)::
+
+    from astra_perseverance_spark.sources.webdataset_source import (
+        register_webdataset)
+
+    register_webdataset(spark)
+    docs = spark.read.format("webdataset").load(shards_dir)
+    (docs.write.format("webdataset").mode("overwrite")
+         .option("shard_docs", "512").save(out_dir))
+
+The tar format itself — member naming, sample grouping, metadata
+defaults, reproducible attributes — is the shared core in
+``sources/webdataset.py`` (``samples_in_tar`` / ``sample_row`` /
+``add_sample``), so shards are interchangeable between this data
+source, the ``binaryFile``-based reader and the ``export_webdataset``
+sink by construction.
+
+What the data source adds over the existing paths:
+
+* **Read — explicit per-shard planning.** ``partitions()`` returns one
+  ``InputPartition`` per tar shard, so the scheduler sees the true
+  unit of work (WebDataset shards are bounded by construction —
+  ``shard_docs`` samples each); the executor opens the shard FILE with
+  ``tarfile`` and decodes members straight from disk, never holding
+  the raw shard bytes as a row the way ``binaryFile`` must.  Rows
+  reach the JVM as Arrow record batches.
+* **Write — job-level atomicity.** ``export_webdataset`` renames each
+  task's tars into place as tasks finish, so a job that dies halfway
+  leaves a partial shard set in the target directory.  This writer
+  stages per-task temps and renames them ONLY in the driver-side
+  ``commit()`` after every task has succeeded (``abort()`` discards) —
+  the all-or-nothing contract Spark's file committers give parquet,
+  now for tar shards.  ``mode("overwrite")`` clears prior shards
+  inside the same commit; ``mode("append")`` numbers new shards after
+  the existing ones.
+
+Path contract (same as the export sink): shard directories are
+driver+executor-visible POSIX paths (local mode: any local path; a
+cluster: a shared mount).  Object-store URIs are rejected up front —
+see ``export_webdataset``'s WONTFIX rationale; the data source does
+not change it (the Python workers still have no object-store client
+in this environment), it changes WHO renames (driver commit) and WHEN
+(after job success).
+
+Scale shape: a 100 TB corpus at 512 docs/shard is millions of shard
+files — far more read partitions than any executor count, so
+scheduling is even and elastic.  On the write side each task holds one
+open tar (one sample's members in memory at a time beyond the Arrow
+batch), and the driver-side commit is O(#tars) renames of
+driver-local metadata, not data movement.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import tarfile
+from dataclasses import dataclass, field
+from typing import TYPE_CHECKING, Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceArrowWriter,
+    DataSourceReader,
+    InputPartition,
+    WriterCommitMessage,
+)
+from pyspark.sql.types import StructType
+
+from astra_perseverance_spark.sources.webdataset import (
+    add_sample,
+    sample_row,
+    samples_in_tar,
+)
+
+if TYPE_CHECKING:  # pragma: no cover - typing only
+    import pyarrow as pa
+    from pyspark.sql import SparkSession
+
+_BASE_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+_SHARD_GLOB = "*.tar"
+_TMP_SUFFIX = ".inprogress"
+# Arrow batch rows per yield on the read side — bounds driver/JVM
+# transfer granularity; a shard with more samples yields several
+# batches rather than one giant one.
+_READ_BATCH_ROWS = 1024
+
+
+def _extra_members(options) -> tuple[str, ...]:
+    """``extra_members`` option → normalized ('.bin', ...) tuple."""
+    raw = options.get("extra_members") or options.get("extramembers")
+    if not raw:
+        return ()
+    out = []
+    for part in str(raw).split(","):
+        part = part.strip()
+        if not part:
+            continue
+        out.append(part if part.startswith(".") else "." + part)
+    return tuple(out)
+
+
+def _shard_paths(path: str) -> list[str]:
+    """Resolve the load path (a shard directory, a glob, or one tar
+    file) to a sorted shard list — sorted so partition numbering and
+    any downstream zipWithIndex-style logic is deterministic."""
+    if any(ch in path for ch in "*?["):
+        pattern = path
+    elif path.endswith(".tar"):
+        pattern = path
+    else:
+        pattern = os.path.join(path, _SHARD_GLOB)
+    return sorted(glob.glob(pattern))
+
+
+class _Shard(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+class WebDatasetReader(DataSourceReader):
+    """One input partition per tar shard; members decoded straight
+    from the shard file (no whole-shard binary row)."""
+
+    def __init__(self, options):
+        path = options.get("path")
+        if not path:
+            raise ValueError(
+                "webdataset read requires a path: "
+                "spark.read.format('webdataset').load(<shards dir>)")
+        if "://" in path:
+            raise ValueError(
+                f"webdataset reads driver/executor-local POSIX paths, "
+                f"not URIs: {path!r}")
+        self._path = path
+        self._extra = _extra_members(options)
+
+    def partitions(self) -> list[InputPartition]:
+        shards = _shard_paths(self._path)
+        if not shards:
+            raise ValueError(
+                f"no {_SHARD_GLOB} shards match {self._path!r}")
+        return [_Shard(p) for p in shards]
+
+    def read(self, partition: _Shard) -> Iterator["pa.RecordBatch"]:
+        import pyarrow as pa
+
+        rows: list[tuple] = []
+
+        def batch(chunk: list[tuple]) -> "pa.RecordBatch":
+            cols = list(zip(*chunk))
+            arrays = [
+                pa.array(cols[0], type=pa.int64()),      # doc_id
+                pa.array(cols[1], type=pa.string()),     # text
+                pa.array(cols[2], type=pa.string()),     # lang
+                pa.array(cols[3], type=pa.string()),     # source
+                pa.array([len(t) for t in cols[1]], type=pa.int64()),
+            ]
+            names = ["doc_id", "text", "lang", "source", "n_chars"]
+            for i, s in enumerate(self._extra):
+                arrays.append(pa.array(cols[4 + i], type=pa.binary()))
+                names.append(s.lstrip("."))
+            return pa.RecordBatch.from_arrays(arrays, names=names)
+
+        with tarfile.open(partition.path) as tf:
+            samples = samples_in_tar(tf)
+        for key, parts in samples.items():
+            row = sample_row(key, parts, partition.path)
+            if row is None:
+                continue
+            rows.append((*row, *(parts.get(s) for s in self._extra)))
+            if len(rows) >= _READ_BATCH_ROWS:
+                yield batch(rows)
+                rows = []
+        if rows:
+            yield batch(rows)
+
+
+@dataclass
+class _TarCommit(WriterCommitMessage):
+    """One task's staged tars: (sequence-within-task, temp basename,
+    docs written); ``partition`` orders tasks for final numbering."""
+    partition: int = 0
+    temps: list = field(default_factory=list)
+
+
+class WebDatasetWriter(DataSourceArrowWriter):
+    """Stage-then-commit tar writer.
+
+    Input contract: ``doc_id`` (integral) and ``text`` (string)
+    required; ``lang``/``source`` (string) become metadata fields when
+    present; ``n_chars`` is accepted and ignored (readers recompute
+    it); every OTHER column must be binary and becomes a
+    ``.{column}`` member (null → member omitted for that sample) —
+    the multimodal layout ``read_webdataset(extra_members=...)`` and
+    the reader's ``extra_members`` option read back."""
+
+    def __init__(self, options, schema: StructType, overwrite: bool):
+        path = options.get("path")
+        if not path:
+            raise ValueError(
+                "webdataset write requires a path: "
+                "df.write.format('webdataset').save(<shards dir>)")
+        if "://" in path:
+            raise ValueError(
+                f"webdataset writes via driver/executor-local POSIX "
+                f"I/O; the target must be a shared-filesystem path, "
+                f"not a URI: {path!r} (see export_webdataset's "
+                f"object-store WONTFIX)")
+        self._path = path
+        self._overwrite = overwrite
+        self._shard_docs = int(options.get("shard_docs", "512"))
+        if self._shard_docs < 1:
+            raise ValueError(f"shard_docs must be >= 1, got "
+                             f"{self._shard_docs}")
+        names = [f.name for f in schema.fields]
+        for required in ("doc_id", "text"):
+            if required not in names:
+                raise ValueError(
+                    f"webdataset write requires a {required!r} column; "
+                    f"input has {names}")
+        self._extra = []
+        for f in schema.fields:
+            if f.name in ("doc_id", "text", "lang", "source", "n_chars"):
+                continue
+            if f.dataType.typeName() != "binary":
+                raise ValueError(
+                    f"webdataset write: column {f.name!r} is "
+                    f"{f.dataType.simpleString()}; extra columns must "
+                    f"be binary (they become .{f.name} tar members)")
+            self._extra.append(f.name)
+        self._has = {n: (n in names) for n in ("lang", "source")}
+        # driver-side (the writer is constructed on the driver, then
+        # pickled to tasks): make the target exist before any task
+        # stages into it
+        os.makedirs(path, exist_ok=True)
+
+    # -- executor side ----------------------------------------------------
+    def write(self, iterator: Iterator["pa.RecordBatch"]
+              ) -> WriterCommitMessage:
+        import json
+        from uuid import uuid4
+
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        attempt = uuid4().hex
+        temps: list[tuple[int, str, int]] = []
+        state = {"tar": None, "tmp": None, "n": 0}
+
+        def roll():
+            if state["tar"] is not None:
+                state["tar"].close()
+                temps.append((len(temps), os.path.basename(state["tmp"]),
+                              state["n"]))
+                state.update(tar=None, tmp=None, n=0)
+
+        def ensure_open():
+            if state["tar"] is None:
+                tmp = os.path.join(
+                    self._path,
+                    f".part-{pid:05d}-{attempt}-"
+                    f"{len(temps):04d}{_TMP_SUFFIX}")
+                state.update(tar=tarfile.open(tmp, "w"), tmp=tmp, n=0)
+
+        for rb in iterator:
+            data = rb.to_pydict()
+            for i in range(rb.num_rows):
+                doc_id = data["doc_id"][i]
+                text = data["text"][i]
+                if doc_id is None:
+                    raise ValueError(
+                        "webdataset write: NULL doc_id — run "
+                        "corpus_validate before exporting")
+                if text is None:
+                    raise ValueError(
+                        f"webdataset write: NULL text for doc_id "
+                        f"{doc_id} — run corpus_validate before "
+                        f"exporting")
+                meta = {"doc_id": int(doc_id)}
+                for k in ("lang", "source"):
+                    if self._has[k] and data[k][i] is not None:
+                        meta[k] = str(data[k][i])
+                members = [(".txt", str(text).encode("utf-8"))]
+                for name in self._extra:
+                    payload = data[name][i]
+                    if payload is not None:
+                        members.append(("." + name, bytes(payload)))
+                members.append((".json", json.dumps(
+                    meta, sort_keys=True).encode("utf-8")))
+                ensure_open()
+                add_sample(state["tar"], int(doc_id), members)
+                state["n"] += 1
+                if state["n"] >= self._shard_docs:
+                    roll()
+        roll()
+        return _TarCommit(partition=pid, temps=temps)
+
+    # -- driver side -------------------------------------------------------
+    def commit(self, messages) -> None:
+        """All tasks succeeded: publish.  Deterministic final
+        numbering — temps ordered by (task partition, within-task
+        sequence) become ``shard-{i:05d}.tar``; append mode starts
+        after the highest existing index."""
+        start = 0
+        if self._overwrite:
+            for stale in _shard_paths(self._path):
+                os.remove(stale)
+        else:
+            taken = [
+                int(os.path.basename(p)[len("shard-"):-len(".tar")])
+                for p in _shard_paths(self._path)
+                if os.path.basename(p).startswith("shard-")
+                and os.path.basename(p)[len("shard-"):-len(".tar")].isdigit()
+            ]
+            start = max(taken) + 1 if taken else 0
+        staged = sorted(
+            (m.partition, seq, tmp)
+            for m in messages if m is not None
+            for seq, tmp, _n in m.temps
+        )
+        for i, (_pid, _seq, tmp) in enumerate(staged):
+            os.replace(os.path.join(self._path, tmp),
+                       os.path.join(self._path,
+                                    f"shard-{start + i:05d}.tar"))
+        # any OTHER .inprogress left behind belongs to a failed/retried
+        # task attempt of THIS job (attempt-unique names) — discard
+        self._clean_temps()
+
+    def abort(self, messages) -> None:
+        """A task failed: discard every staged temp (including those of
+        the failed attempt, which never reported a message)."""
+        self._clean_temps()
+
+    def _clean_temps(self) -> None:
+        for tmp in glob.glob(os.path.join(
+                self._path, f".part-*{_TMP_SUFFIX}")):
+            try:
+                os.remove(tmp)
+            except OSError:  # another cleaner won the race — fine
+                pass
+
+
+class WebDatasetDataSource(DataSource):
+    """``format("webdataset")``: see module docstring."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "webdataset"
+
+    def schema(self) -> str:
+        schema = _BASE_SCHEMA
+        for s in _extra_members(self.options):
+            schema += f", {s.lstrip('.')} binary"
+        return schema
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        return WebDatasetReader(self.options)
+
+    def writer(self, schema: StructType,
+               overwrite: bool) -> DataSourceArrowWriter:
+        return WebDatasetWriter(self.options, schema, overwrite)
+
+
+def register_webdataset(spark: "SparkSession") -> None:
+    """Idempotently register the data source on a session (re-register
+    is a same-name replace, safe to call per entry point)."""
+    spark.dataSource.register(WebDatasetDataSource)

@@ -1,0 +1,247 @@
+"""The first-class ``webdataset`` data source (Python Data Source
+API): read planning, writer commit protocol, cross-compatibility with
+the binaryFile reader and the export sink, and the streaming tar
+ingest.
+
+The compatibility tests are the drift gate for the shared format core
+(``sources/webdataset.py``): every pairing of {data-source writer,
+export sink} × {data-source reader, binaryFile reader} must read the
+same corpus back.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import tarfile
+
+import pytest
+
+ROWS = [
+    (1, "alpha doc", "en", "web"),
+    (2, "beta\ndoc — multiline", "de", "books"),
+    (3, "", "und", "web"),          # empty text is a legal document
+    (42, "gamma", "fr", "code"),
+    (10**10, "delta big id", "en", "web"),
+]
+
+
+def _docs_df(spark, rows=ROWS):
+    return spark.createDataFrame(
+        [(i, t, lg, src, len(t)) for i, t, lg, src in rows],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long")
+
+
+def _rows(df):
+    return {tuple(r) for r in
+            df.select("doc_id", "text", "lang", "source", "n_chars")
+            .collect()}
+
+
+@pytest.fixture()
+def wds(spark):
+    from astra_perseverance_spark.sources.webdataset_source import (
+        register_webdataset,
+    )
+
+    register_webdataset(spark)
+    return spark
+
+
+class TestRead:
+    def test_reads_export_sink_shards(self, wds, tmp_path):
+        from astra_perseverance_spark.sinks.export import export_webdataset
+
+        docs = _docs_df(wds)
+        out = export_webdataset(wds, sf_dir="<unused>",
+                                out_dir=str(tmp_path), shard_docs=2,
+                                docs=docs)
+        got = wds.read.format("webdataset").load(out["shards_path"])
+        assert _rows(got) == _rows(docs)
+
+    def test_one_partition_per_shard(self, wds, tmp_path):
+        from astra_perseverance_spark.sinks.export import export_webdataset
+
+        out = export_webdataset(wds, sf_dir="<unused>",
+                                out_dir=str(tmp_path), shard_docs=1,
+                                docs=_docs_df(wds))
+        n_shards = len(glob.glob(
+            os.path.join(out["shards_path"], "*.tar")))
+        df = wds.read.format("webdataset").load(out["shards_path"])
+        # hash sharding may leave some of the ceil(n/shard_docs) slots
+        # empty; the planning contract is one partition per tar FILE
+        assert n_shards > 1
+        assert df.rdd.getNumPartitions() == n_shards
+
+    def test_matches_binaryfile_reader(self, wds, tmp_path):
+        from astra_perseverance_spark.sinks.export import export_webdataset
+        from astra_perseverance_spark.sources.webdataset import (
+            read_webdataset,
+        )
+
+        out = export_webdataset(wds, sf_dir="<unused>",
+                                out_dir=str(tmp_path), shard_docs=2,
+                                docs=_docs_df(wds))
+        a = wds.read.format("webdataset").load(out["shards_path"])
+        b = read_webdataset(wds, out["shards_path"])
+        assert _rows(a) == _rows(b)
+
+    def test_empty_dir_raises(self, wds, tmp_path):
+        with pytest.raises(Exception, match="no .*shards"):
+            wds.read.format("webdataset").load(str(tmp_path)).collect()
+
+    def test_uri_path_rejected(self, wds):
+        with pytest.raises(Exception, match="POSIX"):
+            wds.read.format("webdataset").load("s3a://bucket/x").collect()
+
+
+class TestWrite:
+    def test_roundtrip(self, wds, tmp_path):
+        docs = _docs_df(wds)
+        dest = str(tmp_path / "shards")
+        (docs.write.format("webdataset").mode("overwrite")
+             .option("shard_docs", "2").save(dest))
+        assert _rows(wds.read.format("webdataset").load(dest)) == _rows(docs)
+        # published names are the canonical layout; no temps left
+        names = sorted(os.path.basename(p)
+                       for p in glob.glob(os.path.join(dest, "*")))
+        assert all(n.startswith("shard-") and n.endswith(".tar")
+                   for n in names)
+        assert not glob.glob(os.path.join(dest, ".part-*"))
+
+    def test_read_back_by_binaryfile_reader(self, wds, tmp_path):
+        from astra_perseverance_spark.sources.webdataset import (
+            read_webdataset,
+        )
+
+        docs = _docs_df(wds)
+        dest = str(tmp_path / "shards")
+        docs.write.format("webdataset").mode("append").save(dest)
+        assert _rows(read_webdataset(wds, dest)) == _rows(docs)
+
+    def test_rolling_shard_docs(self, wds, tmp_path):
+        dest = str(tmp_path / "shards")
+        (_docs_df(wds).repartition(1).write.format("webdataset").mode("append")
+            .option("shard_docs", "2").save(dest))
+        # 5 docs in one task at 2 docs/shard -> 3 tars
+        assert len(glob.glob(os.path.join(dest, "*.tar"))) == 3
+
+    def test_append_numbers_after_existing(self, wds, tmp_path):
+        dest = str(tmp_path / "shards")
+        first = _docs_df(wds, ROWS[:3])
+        second = _docs_df(wds, ROWS[3:])
+        first.repartition(1).write.format("webdataset").mode("append").save(dest)
+        n_first = len(glob.glob(os.path.join(dest, "*.tar")))
+        (second.repartition(1).write.format("webdataset")
+            .mode("append").save(dest))
+        assert len(glob.glob(os.path.join(dest, "*.tar"))) > n_first
+        assert _rows(wds.read.format("webdataset").load(dest)) == (
+            _rows(first) | _rows(second))
+
+    def test_overwrite_clears_stale_shards(self, wds, tmp_path):
+        dest = str(tmp_path / "shards")
+        (_docs_df(wds).repartition(4).write.format("webdataset").mode("append")
+            .option("shard_docs", "1").save(dest))
+        small = _docs_df(wds, ROWS[:1])
+        (small.repartition(1).write.format("webdataset")
+            .mode("overwrite").save(dest))
+        assert _rows(wds.read.format("webdataset").load(dest)) == _rows(small)
+
+    def test_null_text_rejected_and_nothing_published(self, wds, tmp_path):
+        dest = str(tmp_path / "shards")
+        bad = wds.createDataFrame(
+            [(1, None, "en", "web", 0)],
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long")
+        with pytest.raises(Exception, match="NULL text"):
+            bad.write.format("webdataset").mode("append").save(dest)
+        # abort discarded the staged temp; no shard was published
+        assert not glob.glob(os.path.join(dest, "*.tar"))
+        assert not glob.glob(os.path.join(dest, ".part-*"))
+
+    def test_uri_target_rejected(self, wds):
+        with pytest.raises(Exception, match="POSIX|WONTFIX"):
+            _docs_df(wds).write.format("webdataset").mode("append").save("s3a://b/x")
+
+    def test_non_binary_extra_column_rejected(self, wds, tmp_path):
+        docs = _docs_df(wds)
+        bad = docs.withColumn("score", docs["doc_id"] * 2)
+        with pytest.raises(Exception, match="must be binary"):
+            bad.write.format("webdataset").mode("append").save(str(tmp_path / "s"))
+
+    def test_deterministic_shard_bytes(self, wds, tmp_path):
+        """Same sorted input -> byte-identical shards across runs (the
+        export sink's reproducibility contract, kept by the writer)."""
+        docs = _docs_df(wds).repartition(1).sortWithinPartitions("doc_id")
+        a, b = str(tmp_path / "a"), str(tmp_path / "b")
+        docs.write.format("webdataset").mode("append").save(a)
+        docs.write.format("webdataset").mode("append").save(b)
+        for pa_, pb_ in zip(sorted(glob.glob(os.path.join(a, "*.tar"))),
+                            sorted(glob.glob(os.path.join(b, "*.tar")))):
+            with open(pa_, "rb") as fa, open(pb_, "rb") as fb:
+                assert fa.read() == fb.read()
+
+
+class TestExtraMembers:
+    def test_binary_columns_roundtrip(self, wds, tmp_path):
+        docs = wds.createDataFrame(
+            [(1, "a", "en", "web", b"\x00\x01"), (2, "b", "de", "web", None)],
+            "doc_id long, text string, lang string, source string, "
+            "payload binary")
+        dest = str(tmp_path / "shards")
+        docs.write.format("webdataset").mode("append").save(dest)
+        got = (wds.read.format("webdataset")
+               .option("extra_members", ".payload").load(dest))
+        by_id = {r["doc_id"]: r for r in got.collect()}
+        assert bytes(by_id[1]["payload"]) == b"\x00\x01"
+        assert by_id[2]["payload"] is None
+        # the legacy reader sees the same member
+        from astra_perseverance_spark.sources.webdataset import (
+            read_webdataset,
+        )
+        legacy = {r["doc_id"]: r for r in read_webdataset(
+            wds, dest, extra_members=(".payload",)).collect()}
+        assert bytes(legacy[1]["payload"]) == b"\x00\x01"
+
+
+class TestStreamIngest:
+    def test_exactly_once_across_landings(self, spark, tmp_path):
+        """Shards land in two waves; each drain ingests only the new
+        wave (file-source offset log), appending without duplicates."""
+        from astra_perseverance_spark.sources.webdataset import (
+            stream_ingest_webdataset_corpus,
+        )
+
+        landing = tmp_path / "landing"
+        landing.mkdir()
+        out = str(tmp_path / "corpus")
+
+        def land(shard_name, rows):
+            with tarfile.open(landing / shard_name, "w") as tf:
+                from astra_perseverance_spark.sources.webdataset import (
+                    add_sample,
+                )
+                import json
+                for i, t, lg, src in rows:
+                    add_sample(tf, i, [
+                        (".txt", t.encode()),
+                        (".json", json.dumps(
+                            {"doc_id": i, "lang": lg, "source": src}
+                        ).encode()),
+                    ])
+
+        land("shard-00000.tar", ROWS[:2])
+        stream_ingest_webdataset_corpus(spark, str(landing), out)
+        dest = os.path.join(out, "documents.parquet")
+        assert spark.read.parquet(dest).count() == 2
+
+        land("shard-00001.tar", ROWS[2:])
+        stream_ingest_webdataset_corpus(spark, str(landing), out)
+        got = spark.read.parquet(dest)
+        assert got.count() == len(ROWS)
+        assert _rows(got) == _rows(_docs_df(spark))
+
+        # a third drain with nothing new is a no-op
+        stream_ingest_webdataset_corpus(spark, str(landing), out)
+        assert spark.read.parquet(dest).count() == len(ROWS)
