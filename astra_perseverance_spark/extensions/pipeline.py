@@ -56,6 +56,8 @@ QF_MAX_PUNCT = 0.20
 NGRAM_TOP_K = 50
 # Fixed-size stratified sample: docs kept per language.
 SAMPLE_PER_STRATUM = 25
+# Vocabulary growth curve: number of hash-random corpus increments.
+GROWTH_BUCKETS = 16
 
 
 def q_vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -80,6 +82,62 @@ def q_vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
                     VOCAB_TOP_K, salt_on="term")
         .select("lang", "rank", "term", "df_docs")
         .transform(report_sorted("lang", "rank"))
+    )
+
+
+def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary growth curve — the Heaps-law observable a tokenizer
+    budget is sized from: partition the corpus into ``GROWTH_BUCKETS``
+    deterministic hash-random increments and report, per increment,
+    how many documents it adds and how many NEVER-SEEN-BEFORE terms it
+    introduces, plus the running totals (cum_docs, vocab_size).  A
+    vocab_size column still climbing steeply at the last bucket means
+    the corpus has not saturated its vocabulary — sampling more data
+    will keep growing the tokenizer's effective term space.
+
+    Hash-random increments (``h15(doc_id) % B``), not doc_id ranges:
+    growth curves assume exchangeable arrival order, and the hash
+    rule is reproducible on both engines and at any scale without a
+    global sort.
+
+    Scale shape: the heavy stage is the one token explode into a
+    term-grain MIN aggregation (map-side partial combine — a term
+    repeated a billion times still ships one (term, min_bucket) row
+    per map partition); everything after is bucket-grain (exactly
+    ≤ ``GROWTH_BUCKETS`` rows), so the cumulative window's single
+    task is bounded by construction, like the engine's other
+    topology-bounded report sorts.
+
+    Output: (bucket, n_docs, new_terms, cum_docs, vocab_size),
+    ordered by bucket."""
+    d = _docs(spark, sf_dir).select(
+        F.pmod(h15(F.col("doc_id").cast("string")),
+               F.lit(GROWTH_BUCKETS)).cast("int").alias("bucket"),
+        tokens("text").alias("t"),
+    )
+    docs_per = d.groupBy("bucket").agg(
+        F.count("*").cast("long").alias("n_docs"))
+    first = (
+        d.select("bucket", F.explode(F.array_distinct("t")).alias("term"))
+        .groupBy("term")
+        .agg(F.min("bucket").alias("bucket"))
+    )
+    new_terms = first.groupBy("bucket").agg(
+        F.count("*").cast("long").alias("new_terms"))
+    w = (
+        Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        docs_per.join(new_terms, "bucket", "left")
+        .select(
+            "bucket", "n_docs",
+            F.coalesce("new_terms", F.lit(0).cast("long"))
+            .alias("new_terms"),
+        )
+        .withColumn("cum_docs", F.sum("n_docs").over(w).cast("long"))
+        .withColumn("vocab_size", F.sum("new_terms").over(w).cast("long"))
+        .orderBy("bucket")
     )
 
 

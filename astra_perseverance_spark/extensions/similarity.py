@@ -633,6 +633,64 @@ def q_embedding_label_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label purity of the UNSUPERVISED trained k-means clustering:
+    per cluster, its size, how many distinct labels it mixes, the
+    majority label, and purity = majority count / size — the
+    complement of ``q_embedding_label_probe`` (which asks "do label
+    centroids classify well?"; this asks "do the clusters the ANN
+    index actually routes through align with labels?").  Low purity
+    on a labeled slice is the early signal that IVF lists mix
+    semantics, which degrades both ANN recall and SemDeDup's
+    in-cluster prune.
+
+    Scale shape: REUSES the memoized trained-IVF assignment
+    (``ivf_kmeans_lists`` — the artifact ``q_ann_ivf_kmeans`` and
+    ``q_semdedup`` already share, so Lloyd training is paid once per
+    corpus build); the only new work is one vec-grain equi-join
+    attaching labels (uniform vec_id key, ``shuffle_hash`` — list
+    membership is corpus-sized, no broadcast) and two cluster-grain
+    aggregations (≈√n rows, map-side partial).  The majority window
+    partitions by cid, so no single task ever sees more than one
+    cluster's label histogram.  Ties → smaller label, mirrored in the
+    twin.
+
+    Output: (cid, n_vecs, n_labels, top_label, n_top, purity),
+    one row per trained cluster, ordered by cid."""
+    ranked = memo_frame(spark, sf_dir, ("ivf_kmeans_lists",),
+                        lambda: _build_ivf_kmeans_lists(spark, sf_dir))
+    assign = ranked.filter(F.col("crank") == 1).select("vec_id", "cid")
+    labels = _vectors(spark, sf_dir).select("vec_id", "label")
+    cl = (
+        assign.join(labels.hint("shuffle_hash"), "vec_id")
+        .groupBy("cid", "label")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    tot = cl.groupBy("cid").agg(
+        F.sum("n").cast("long").alias("n_vecs"),
+        F.count("*").cast("long").alias("n_labels"),
+    )
+    w = Window.partitionBy("cid").orderBy(F.desc("n"), "label")
+    top = (
+        cl.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select("cid", F.col("label").alias("top_label"),
+                F.col("n").alias("n_top"))
+    )
+    # tot is list-grain (≤ IVF_MAX_LISTS rows at any corpus size) —
+    # broadcast, or Catalyst plans a sort-merge join of two
+    # shuffle-derived sides it cannot size at plan time
+    return (
+        top.join(F.broadcast(tot), "cid")
+        .select(
+            "cid", "n_vecs", "n_labels", "top_label", "n_top",
+            (F.col("n_top").cast("double") / F.col("n_vecs"))
+            .alias("purity"),
+        )
+        .orderBy("cid")
+    )
+
+
 # (applicationId, sf_dir) -> count of indexed-side (even vec_id)
 # vectors, the scalar that sizes the incremental index's list count.
 _OLD_COUNT: dict[tuple, int] = {}

@@ -17,6 +17,7 @@ from astra_perseverance_spark.extensions.similarity import (
     IVF_NPROBE,
 )
 from astra_perseverance_spark.extensions.pipeline import (
+    GROWTH_BUCKETS,
     NGRAM_TOP_K,
     QF_MAX_PUNCT,
     QF_MIN_TOKENS,
@@ -279,6 +280,43 @@ SELECT lang, rank, term, df_docs FROM (
                             ORDER BY df_docs DESC, term) AS rank
   FROM dfc
 ) WHERE rank <= {VOCAB_TOP_K} ORDER BY lang, rank
+"""
+
+# Twin of extensions/pipeline.py::q_vocab_growth (round 11): hash-
+# random corpus increments, per-increment new-term counts via the
+# term-grain MIN(bucket), and running totals over the bucket grain.
+EXT_ORACLE_SQL["vocab_growth"] = f"""
+WITH d AS (
+  SELECT CAST({h15_sql("CAST(doc_id AS VARCHAR)")} % {GROWTH_BUCKETS}
+              AS INT) AS bucket,
+         {_TOKS} AS t
+  FROM documents
+),
+dp AS (
+  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs FROM d GROUP BY bucket
+),
+frst AS (
+  SELECT term, MIN(bucket) AS bucket
+  FROM (SELECT bucket, unnest(list_distinct(t)) AS term FROM d)
+  GROUP BY term
+),
+nt AS (
+  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS new_terms
+  FROM frst GROUP BY bucket
+),
+j AS (
+  SELECT dp.bucket, dp.n_docs,
+         COALESCE(nt.new_terms, CAST(0 AS BIGINT)) AS new_terms
+  FROM dp LEFT JOIN nt USING (bucket)
+)
+SELECT bucket, n_docs, new_terms,
+       CAST(SUM(n_docs) OVER (ORDER BY bucket
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cum_docs,
+       CAST(SUM(new_terms) OVER (ORDER BY bucket
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS vocab_size
+FROM j ORDER BY bucket
 """
 
 EXT_ORACLE_SQL["tfidf_top_terms"] = f"""
@@ -1101,6 +1139,41 @@ r AS (
   FROM p WHERE cosine >= {SEMDEDUP_COSINE_MIN}
 )
 SELECT vec_id, cid, kept_by, cosine FROM r WHERE rn = 1 ORDER BY vec_id
+"""
+
+# Twin of extensions/similarity.py::q_cluster_purity (round 11) —
+# the SAME trained-kmeans assignment CTEs as ann_ivf_kmeans/semdedup
+# (shared verbatim), then per-cluster label histograms: majority
+# label by (n DESC, label) and purity = n_top / n_vecs.
+EXT_ORACLE_SQL["cluster_purity"] = f"""
+WITH {_VEC},
+c0 AS (SELECT vec_id AS cid, eq AS c_eq, n2 AS c_n2 FROM vn
+       WHERE vec_id % (SELECT stride FROM strd) = 0),
+{",".join(_KM_CTES)},
+af AS (
+  SELECT v.vec_id, v.label, c.cid,
+         ROW_NUMBER() OVER (PARTITION BY v.vec_id
+           ORDER BY v.n2 + c.c_n2 - 2*{dot_q_sql('v.eq', 'c.c_eq', ANN_DIM)},
+                    c.cid) AS crank
+  FROM vn v CROSS JOIN {_km_prev} c
+),
+cl AS (
+  SELECT cid, label, CAST(COUNT(*) AS BIGINT) AS n
+  FROM af WHERE crank = 1 GROUP BY cid, label
+),
+tot AS (
+  SELECT cid, CAST(SUM(n) AS BIGINT) AS n_vecs,
+         CAST(COUNT(*) AS BIGINT) AS n_labels
+  FROM cl GROUP BY cid
+),
+top AS (
+  SELECT cid, label AS top_label, n AS n_top,
+         ROW_NUMBER() OVER (PARTITION BY cid ORDER BY n DESC, label) AS r
+  FROM cl
+)
+SELECT t.cid, tt.n_vecs, tt.n_labels, t.top_label, t.n_top,
+       CAST(t.n_top AS DOUBLE) / tt.n_vecs AS purity
+FROM top t JOIN tot tt USING (cid) WHERE t.r = 1 ORDER BY t.cid
 """
 
 # Twin of extensions/qa.py::q_corpus_validate (registered round 9;

@@ -20,27 +20,32 @@ queries get a hard driver-side correctness row each round:
    local pytest oracle-parity gate (tests/test_oracle_parity.py
    parametrizes the full registry) and the bench suite.
 
-Round-11 rotation (freshness deadline first, then rule 2):
+Round-11 rotation (rule 2 first, then the freshness deadline):
 
+* Rule 2: two NEW round-11 registrations, ``cluster_purity`` and
+  ``vocab_growth``, have never had a driver row — they take
+  positions 23–24.
 * Into the window: the 15 queries whose last driver row is r8
   (ngram_novelty … gc_sessions) — r11 is the last round their K=3
   freshness budget (tests/test_rotation.py) allows, so they take
-  positions 23–37 wholesale.  No new registrations and no
-  registered-query code change this round (the round-11 diffs touch
-  index-artifact persistence plumbing behind an env toggle, stream
-  tests, a sink, and tools — none changes a registered query's
-  default-path plan or output), so rule 2 adds nothing.  Positions
-  38–50 pre-pay the r12 cliff with the 13 oldest r9-green entries
-  (shard_manifest … ann_lsh_bucket) — without this, r12 would
-  inherit all 28 r9-green entries against its 28 free slots (zero
+  positions 25–39 wholesale.  No other registered-query code change
+  this round (the remaining round-11 diffs touch the WebDataset data
+  source, index-artifact persistence plumbing behind an env toggle,
+  stream tests, a sink, and tools — none changes an existing
+  registered query's default-path plan or output).  Positions 40–50
+  pre-pay the r12 cliff with the 11 oldest r9-green entries
+  (shard_manifest … dedup_clusters) — without this, r12 would
+  inherit all 28 r9-green entries against its free slots (zero
   headroom).
-* To the tail, ordered for round 12: first the 15 remaining r9-green
-  queries (ann_ivf … dedup_keep_list below) — due in r12, so r12's
-  window is 22 parity + 15 = 37 rows, leaving 13 free; then the 28
-  r10-green entries (doc_minute_tokens … ngram_counts, due r13).
-  r12 should spend its 13 free slots on the oldest r10-green entries
-  so r13 inherits 15 due — the rotation stays in this stable
-  ~15-due/13-free orbit as long as the registry holds at 93.
+* To the tail, ordered for round 12: first the 17 r9-green queries
+  now due in r12 (ann_ivf_kmeans and ann_lsh_bucket — displaced from
+  the pre-pay block by the two new registrations — then ann_ivf …
+  dedup_keep_list), so r12's window is 22 parity + 17 = 39 rows,
+  leaving 11 free; then the 28 r10-green entries (doc_minute_tokens
+  … ngram_counts, due r13).  r12 should spend its 11 free slots on
+  the oldest r10-green entries so r13 inherits 17 due — the orbit
+  stays inside the test_rotation capacity bound (95 registered vs
+  106 capacity).
 
 Snapshot protocol (round-10, after two rounds of red snapshots): any
 commit that changes this registry, an oracle twin, or docs/ — and
@@ -112,6 +117,10 @@ QUERY_REGISTRY: dict[str, QueryFn] = {
     # Findings framework + Q20 nested summary
     "warnings": warnings.q_warnings,
     "summary_json": summary.q_summary_json,
+    # ---- Rule 2: round-11 registrations, first driver row this
+    # round ----
+    "cluster_purity": similarity.q_cluster_purity,
+    "vocab_growth": pipeline.q_vocab_growth,
     # ---- Tier 2: the 15 r8-last queries — K=3 freshness deadline,
     # r11 is the last round they can be refreshed (see docstring) ----
     "ngram_novelty": curation.q_ngram_novelty,
@@ -143,11 +152,13 @@ QUERY_REGISTRY: dict[str, QueryFn] = {
     "dedup_tokenset": dedup.q_dedup_tokenset,
     "ngram_jaccard": dedup.q_ngram_jaccard,
     "dedup_clusters": dedup.q_dedup_clusters,
+    # ---- Tail (>50) — first the 17 r9-green queries due in the r12
+    # window (the first two displaced from the pre-pay block by the
+    # round-11 registrations), then the 28 r10-green entries (due
+    # r13); all covered by the full-registry pytest oracle-parity
+    # gate + bench ----
     "ann_ivf_kmeans": similarity.q_ann_ivf_kmeans,
     "ann_lsh_bucket": similarity.q_ann_lsh_bucket,
-    # ---- Tail (>50) — first the 15 remaining r9-green queries (due
-    # in the r12 window), then the 28 r10-green entries (due r13); all
-    # covered by the full-registry pytest oracle-parity gate + bench --
     "ann_ivf": similarity.q_ann_ivf,
     "ann_recall_audit": similarity.q_ann_recall_audit,
     "embedding_cosine_dups": similarity.q_embedding_cosine_dups,

@@ -124,8 +124,9 @@ def test_bnlj_only_for_declared_baselines(spark):
         "ann_ivf_kmeans", "ann_recall_ivf_kmeans",
         "embedding_label_probe", "ann_incremental", "ann_incremental_pq",
         "ann_quantized_recall", "ann_ivf_pq", "ann_recall_ivf_pq",
-        # semdedup reuses the ann_ivf_kmeans centroid-broadcast build
-        "semdedup",
+        # semdedup and cluster_purity reuse the ann_ivf_kmeans
+        # centroid-broadcast build
+        "semdedup", "cluster_purity",
         # 1-row n_docs / Σweights crossJoin
         "tfidf_top_terms", "source_mix",
         # 1-row flags × 1-row dups crossJoin (six scalar checks)

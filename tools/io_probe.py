@@ -41,6 +41,9 @@ STEPS = [
     ("jsonl_stream_ingest", "JSONL -> corpus, availableNow stream"),
     ("wds_export", "corpus -> WebDataset tar shards"),
     ("wds_read", "tar shards -> conformed frame (full scan+count)"),
+    ("wds_ds_write", "corpus -> tar shards via write.format('webdataset')"),
+    ("wds_ds_read", "tar shards -> frame via read.format('webdataset')"),
+    ("wds_stream_ingest", "tar shards -> corpus, availableNow stream"),
     ("compact", "64-way fragmented corpus -> target-size files"),
     ("validate", "contract gate aggregate pass"),
 ]
@@ -93,6 +96,24 @@ def _run(spark, corpus: str, scratch: str) -> dict[str, float]:
     timed("wds_export", lambda: export_webdataset(spark, corpus, wds))
     timed("wds_read", lambda: read_webdataset(
         spark, os.path.join(wds, "shards")).count())
+
+    from astra_perseverance_spark.sources.webdataset import (
+        stream_ingest_webdataset_corpus,
+    )
+    from astra_perseverance_spark.sources.webdataset_source import (
+        register_webdataset,
+    )
+
+    register_webdataset(spark)
+    ds_shards = os.path.join(scratch, "wds_ds")
+    timed("wds_ds_write", lambda: spark.read.parquet(
+        f"{corpus}/documents.parquet")
+        .write.format("webdataset").mode("overwrite").save(ds_shards))
+    timed("wds_ds_read", lambda: spark.read.format("webdataset")
+          .load(ds_shards).count())
+    timed("wds_stream_ingest", lambda: stream_ingest_webdataset_corpus(
+        spark, os.path.join(wds, "shards"),
+        os.path.join(scratch, "wds_stream_ingested")))
 
     frag = os.path.join(scratch, "frag.parquet")
     (

@@ -73,6 +73,9 @@ OPS = [
     ("corpus_rollup", "O(n) + 4-level cube agg"),
     ("doc_minute_tokens", "O(n) + window-keyed agg"),
     ("vocab_top_terms", "O(n) tokens + vocab-grain agg"),
+    ("vocab_growth", "O(tokens) term-grain MIN + 16-bucket window"),
+    ("cluster_purity", "label join vs memoized kmeans lists + "
+                       "cluster-grain aggs"),
     ("tfidf_top_terms", "O(n) tokens + term-keyed join"),
     ("corpus_sample", "O(n) narrow filter"),
     ("quality_filter", "O(n) + digest-keyed join"),
