@@ -43,14 +43,21 @@ _META_SUFFIX = ".json"
 # drift: a shard any of them writes is readable by all of them.
 # ---------------------------------------------------------------------------
 
-def samples_in_tar(tf: tarfile.TarFile) -> dict[str, dict[str, bytes]]:
+def samples_in_tar(tf: tarfile.TarFile,
+                   keep: frozenset[str] | None = None
+                   ) -> dict[str, dict[str, bytes]]:
     """Group one tar's file members into WebDataset samples:
     key → {suffix → payload bytes}.
 
     The WebDataset key is the member path up to the first dot of the
     basename — DIRECTORY INCLUDED, so ``a/0001.txt`` and ``b/0001.txt``
     are two samples, not a silent overwrite.  Extension-less members
-    are skipped (no suffix means no member role)."""
+    are skipped (no suffix means no member role).
+
+    ``keep`` restricts which member suffixes are DECODED: members
+    outside the set are never ``extractfile``-read, so a multimodal
+    shard's multi-MB ``.bin`` payloads cost nothing when the caller
+    only wants text+metadata (pass ``None`` to keep everything)."""
     samples: dict[str, dict[str, bytes]] = {}
     for m in tf:
         if not m.isfile():
@@ -59,6 +66,8 @@ def samples_in_tar(tf: tarfile.TarFile) -> dict[str, dict[str, bytes]]:
         base = os.path.basename(m.name)
         stem, dot, suffix = base.partition(".")
         if not dot:
+            continue
+        if keep is not None and "." + suffix not in keep:
             continue
         key = f"{dirname}/{stem}" if dirname else stem
         samples.setdefault(key, {})["." + suffix] = tf.extractfile(m).read()
@@ -162,10 +171,12 @@ def _parsed_docs(shards: DataFrame,
             # every shard's decoded rows next to every shard's raw
             # bytes would hold ~2x the partition in Python memory —
             # the module contract is one shard's bytes per task step
+            keep = frozenset(
+                {_TEXT_SUFFIX, _META_SUFFIX, *extra_members})
             for path, content in zip(pdf["path"], pdf["content"]):
                 rows = []
                 with tarfile.open(fileobj=io.BytesIO(bytes(content))) as tf:
-                    samples = samples_in_tar(tf)
+                    samples = samples_in_tar(tf, keep=keep)
                 for key, parts in samples.items():
                     row = sample_row(key, parts, str(path))
                     if row is None:

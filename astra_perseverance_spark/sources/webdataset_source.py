@@ -107,15 +107,20 @@ def _extra_members(options) -> tuple[str, ...]:
 
 
 def _shard_paths(path: str) -> list[str]:
-    """Resolve the load path (a shard directory, a glob, or one tar
-    file) to a sorted shard list — sorted so partition numbering and
-    any downstream zipWithIndex-style logic is deterministic."""
-    if any(ch in path for ch in "*?["):
-        pattern = path
-    elif path.endswith(".tar"):
-        pattern = path
+    """Resolve the load path (a shard directory, one tar file, or an
+    explicit glob) to a sorted shard list — sorted so partition
+    numbering and final shard numbering are deterministic.
+
+    An EXISTING directory or tar file is taken literally
+    (``glob.escape``\\d), so a directory legitimately named
+    ``run[1]`` is never reinterpreted as a character class — only a
+    path that exists as neither is treated as a user-written glob."""
+    if os.path.isdir(path):
+        pattern = os.path.join(glob.escape(path), _SHARD_GLOB)
+    elif os.path.isfile(path):
+        return [path]
     else:
-        pattern = os.path.join(path, _SHARD_GLOB)
+        pattern = path
     return sorted(glob.glob(pattern))
 
 
@@ -151,6 +156,11 @@ class WebDatasetReader(DataSourceReader):
     def read(self, partition: _Shard) -> Iterator["pa.RecordBatch"]:
         import pyarrow as pa
 
+        from astra_perseverance_spark.sources.webdataset import (
+            _META_SUFFIX,
+            _TEXT_SUFFIX,
+        )
+
         rows: list[tuple] = []
 
         def batch(chunk: list[tuple]) -> "pa.RecordBatch":
@@ -168,8 +178,14 @@ class WebDatasetReader(DataSourceReader):
                 names.append(s.lstrip("."))
             return pa.RecordBatch.from_arrays(arrays, names=names)
 
+        # decode only the member suffixes this read needs — a
+        # multimodal shard's .bin payloads are never extracted unless
+        # extra_members asked for them (the raw tar bytes are never
+        # held either; what sits in memory is one shard's REQUESTED
+        # decoded members)
+        keep = frozenset({_TEXT_SUFFIX, _META_SUFFIX, *self._extra})
         with tarfile.open(partition.path) as tf:
-            samples = samples_in_tar(tf)
+            samples = samples_in_tar(tf, keep=keep)
         for key, parts in samples.items():
             row = sample_row(key, parts, partition.path)
             if row is None:
@@ -199,9 +215,23 @@ class WebDatasetWriter(DataSourceArrowWriter):
     it); every OTHER column must be binary and becomes a
     ``.{column}`` member (null → member omitted for that sample) —
     the multimodal layout ``read_webdataset(extra_members=...)`` and
-    the reader's ``extra_members`` option read back."""
+    the reader's ``extra_members`` option read back.  Column TYPES are
+    gated up front: a double doc_id would silently truncate into
+    colliding member names and a binary text would persist as its
+    Python repr, so both are rejected at plan time.
+
+    Staging is JOB-UNIQUE (a per-writer id in every temp name):
+    commit/abort touch only this job's temps, so a concurrent writer
+    to the same directory can never have its staged output deleted
+    from under it.  What is NOT coordinated — same as Spark's file
+    sinks — is two concurrent APPEND jobs computing final shard
+    numbers from the same directory listing: they can publish
+    colliding ``shard-NNNNN.tar`` names, last rename wins.  Serialize
+    appends to one directory (the streaming ingest's checkpoint does
+    exactly this for the read side)."""
 
     def __init__(self, options, schema: StructType, overwrite: bool):
+        from uuid import uuid4
         path = options.get("path")
         if not path:
             raise ValueError(
@@ -225,9 +255,21 @@ class WebDatasetWriter(DataSourceArrowWriter):
                 raise ValueError(
                     f"webdataset write requires a {required!r} column; "
                     f"input has {names}")
+        integral = {"byte", "short", "integer", "long"}
+        expected = {"doc_id": integral, "text": {"string"},
+                    "lang": {"string"}, "source": {"string"},
+                    "n_chars": integral}
         self._extra = []
         for f in schema.fields:
-            if f.name in ("doc_id", "text", "lang", "source", "n_chars"):
+            want = expected.get(f.name)
+            if want is not None:
+                if f.dataType.typeName() not in want:
+                    raise ValueError(
+                        f"webdataset write: column {f.name!r} is "
+                        f"{f.dataType.simpleString()}, expected "
+                        f"{'/'.join(sorted(want))} — cast it before "
+                        f"writing (a truncated doc_id or repr'd text "
+                        f"would corrupt the corpus silently)")
                 continue
             if f.dataType.typeName() != "binary":
                 raise ValueError(
@@ -236,6 +278,10 @@ class WebDatasetWriter(DataSourceArrowWriter):
                     f"be binary (they become .{f.name} tar members)")
             self._extra.append(f.name)
         self._has = {n: (n in names) for n in ("lang", "source")}
+        # job-unique staging id: every temp this job writes carries it,
+        # and _clean_temps matches on it — a concurrent job's staged
+        # temps are invisible to this job's commit/abort
+        self._job = uuid4().hex
         # driver-side (the writer is constructed on the driver, then
         # pickled to tasks): make the target exist before any task
         # stages into it
@@ -253,22 +299,29 @@ class WebDatasetWriter(DataSourceArrowWriter):
         pid = ctx.partitionId() if ctx is not None else 0
         attempt = uuid4().hex
         temps: list[tuple[int, str, int]] = []
-        state = {"tar": None, "tmp": None, "n": 0}
+        # doc_ids already written to the OPEN tar: two rows with one
+        # doc_id in the same tar would be two same-named member pairs
+        # that silently collapse to one sample on read — refuse loudly
+        # instead (duplicates in different shards are legal and read
+        # back as two rows, like any corpus with duplicate doc_ids;
+        # corpus_validate flags them).  Bounded by shard_docs entries.
+        state = {"tar": None, "tmp": None, "n": 0, "seen": set()}
 
         def roll():
             if state["tar"] is not None:
                 state["tar"].close()
                 temps.append((len(temps), os.path.basename(state["tmp"]),
                               state["n"]))
-                state.update(tar=None, tmp=None, n=0)
+                state.update(tar=None, tmp=None, n=0, seen=set())
 
         def ensure_open():
             if state["tar"] is None:
                 tmp = os.path.join(
                     self._path,
-                    f".part-{pid:05d}-{attempt}-"
+                    f".part-{self._job}-{pid:05d}-{attempt}-"
                     f"{len(temps):04d}{_TMP_SUFFIX}")
-                state.update(tar=tarfile.open(tmp, "w"), tmp=tmp, n=0)
+                state.update(tar=tarfile.open(tmp, "w"), tmp=tmp, n=0,
+                             seen=set())
 
         for rb in iterator:
             data = rb.to_pydict()
@@ -296,6 +349,14 @@ class WebDatasetWriter(DataSourceArrowWriter):
                 members.append((".json", json.dumps(
                     meta, sort_keys=True).encode("utf-8")))
                 ensure_open()
+                if int(doc_id) in state["seen"]:
+                    raise ValueError(
+                        f"webdataset write: duplicate doc_id "
+                        f"{int(doc_id)} within one shard — its member "
+                        f"names would collide and collapse to one "
+                        f"sample on read; dedup (or re-shard) before "
+                        f"exporting")
+                state["seen"].add(int(doc_id))
                 add_sample(state["tar"], int(doc_id), members)
                 state["n"] += 1
                 if state["n"] >= self._shard_docs:
@@ -330,18 +391,21 @@ class WebDatasetWriter(DataSourceArrowWriter):
             os.replace(os.path.join(self._path, tmp),
                        os.path.join(self._path,
                                     f"shard-{start + i:05d}.tar"))
-        # any OTHER .inprogress left behind belongs to a failed/retried
-        # task attempt of THIS job (attempt-unique names) — discard
+        # any OTHER temp carrying THIS job's id belongs to a
+        # failed/retried task attempt of this job — discard (a
+        # concurrent job's temps carry a different id and are never
+        # touched)
         self._clean_temps()
 
     def abort(self, messages) -> None:
-        """A task failed: discard every staged temp (including those of
-        the failed attempt, which never reported a message)."""
+        """A task failed: discard every temp THIS job staged (including
+        the failed attempt's, which never reported a message)."""
         self._clean_temps()
 
     def _clean_temps(self) -> None:
         for tmp in glob.glob(os.path.join(
-                self._path, f".part-*{_TMP_SUFFIX}")):
+                glob.escape(self._path),
+                f".part-{self._job}-*{_TMP_SUFFIX}")):
             try:
                 os.remove(tmp)
             except OSError:  # another cleaner won the race — fine

@@ -170,6 +170,48 @@ class TestWrite:
         with pytest.raises(Exception, match="must be binary"):
             bad.write.format("webdataset").mode("append").save(str(tmp_path / "s"))
 
+    def test_glob_metachar_dir_appends_safely(self, wds, tmp_path):
+        """A directory legitimately named like a character class must
+        not be reinterpreted as a glob: append twice and read back the
+        union (a mis-glob would renumber from 0 and clobber)."""
+        dest = str(tmp_path / "run[1]" / "shards")
+        first = _docs_df(wds, ROWS[:3])
+        second = _docs_df(wds, ROWS[3:])
+        first.repartition(1).write.format("webdataset").mode(
+            "append").save(dest)
+        second.repartition(1).write.format("webdataset").mode(
+            "append").save(dest)
+        got = wds.read.format("webdataset").load(dest)
+        assert _rows(got) == _rows(first) | _rows(second)
+
+    def test_wrong_doc_id_type_rejected(self, wds, tmp_path):
+        bad = wds.createDataFrame(
+            [(1.5, "a", "en", "web")],
+            "doc_id double, text string, lang string, source string")
+        with pytest.raises(Exception, match="doc_id.*double"):
+            bad.write.format("webdataset").mode("append").save(
+                str(tmp_path / "s"))
+
+    def test_duplicate_doc_id_in_shard_rejected(self, wds, tmp_path):
+        dup = wds.createDataFrame(
+            [(7, "a", "en", "web"), (7, "b", "en", "web")],
+            "doc_id long, text string, lang string, source string")
+        with pytest.raises(Exception, match="duplicate doc_id"):
+            (dup.repartition(1).write.format("webdataset")
+                .mode("append").save(str(tmp_path / "s")))
+
+    def test_concurrent_job_temps_survive(self, wds, tmp_path):
+        """commit/abort clean only THIS job's staged temps — a
+        concurrent writer's .inprogress files are untouched."""
+        dest = tmp_path / "shards"
+        dest.mkdir()
+        foreign = dest / ".part-otherjob-00000-x-0000.inprogress"
+        foreign.write_bytes(b"not ours")
+        (_docs_df(wds).write.format("webdataset").mode("append")
+            .save(str(dest)))
+        assert foreign.exists()
+        foreign.unlink()
+
     def test_deterministic_shard_bytes(self, wds, tmp_path):
         """Same sorted input -> byte-identical shards across runs (the
         export sink's reproducibility contract, kept by the writer)."""
