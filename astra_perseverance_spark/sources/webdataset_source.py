@@ -30,6 +30,12 @@ What the data source adds over the existing paths:
   ``tarfile`` and decodes members straight from disk, never holding
   the raw shard bytes as a row the way ``binaryFile`` must.  Rows
   reach the JVM as Arrow record batches.
+* **Streaming write — per-batch atomicity.** The same staged-temp
+  protocol behind ``df.writeStream.format("webdataset")``: each
+  microbatch publishes ``shard-b{batchId}-*.tar`` in one idempotent
+  driver-side commit, so a curated document stream lands directly as
+  trainer-ready shards with exactly-once output
+  (``WebDatasetStreamWriter``).
 * **Write — job-level atomicity.** ``export_webdataset`` renames each
   task's tars into place as tasks finish, so a job that dies halfway
   leaves a partial shard set in the target directory.  This writer
@@ -68,6 +74,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     InputPartition,
     WriterCommitMessage,
 )
@@ -412,6 +419,55 @@ class WebDatasetWriter(DataSourceArrowWriter):
                 pass
 
 
+class WebDatasetStreamWriter(WebDatasetWriter, DataSourceStreamArrowWriter):
+    """Streaming tar sink: ``df.writeStream.format("webdataset")`` —
+    each microbatch's shards publish atomically on the driver-side
+    per-batch commit, named ``shard-b{batchId:08d}-{i:05d}.tar``.
+
+    Exactly-once output: the batch id is in every published name and
+    ``commit`` is IDEMPOTENT per batch — it first removes any
+    ``shard-b{batchId}-*`` files (a replay of a batch whose previous
+    attempt crashed between renames), then renames this attempt's
+    staged temps.  Re-running a drained query publishes nothing;
+    replaying an uncommitted batch replaces, never duplicates.  The
+    per-task staging protocol (job-unique temps, NULL/type/duplicate
+    gates, rolling ``shard_docs`` splits) is inherited from the batch
+    writer — one ``write()`` implementation, two commit protocols.
+
+    Append output mode only (a tar, once published, is immutable —
+    there is nothing a streaming update/complete mode could rewrite).
+    One streaming query per target directory: batch ids are unique
+    within a query, not across queries.  Stale ``.inprogress`` temps
+    left by a crashed run are inert (new runs use fresh job ids) and
+    safe to delete."""
+
+    def __init__(self, options, schema: StructType, overwrite: bool):
+        if overwrite:
+            raise ValueError(
+                "webdataset streaming sink supports append output "
+                "mode only (published tar shards are immutable)")
+        super().__init__(options, schema, overwrite=False)
+
+    # -- driver side, once per microbatch -----------------------------------
+    def commit(self, messages, batchId: int) -> None:
+        prefix = f"shard-b{batchId:08d}-"
+        for stale in _shard_paths(self._path):
+            if os.path.basename(stale).startswith(prefix):
+                os.remove(stale)
+        staged = sorted(
+            (m.partition, seq, tmp)
+            for m in messages if m is not None
+            for seq, tmp, _n in m.temps
+        )
+        for i, (_pid, _seq, tmp) in enumerate(staged):
+            os.replace(os.path.join(self._path, tmp),
+                       os.path.join(self._path, f"{prefix}{i:05d}.tar"))
+        self._clean_temps()
+
+    def abort(self, messages, batchId: int) -> None:
+        self._clean_temps()
+
+
 class WebDatasetDataSource(DataSource):
     """``format("webdataset")``: see module docstring."""
 
@@ -431,6 +487,10 @@ class WebDatasetDataSource(DataSource):
     def writer(self, schema: StructType,
                overwrite: bool) -> DataSourceArrowWriter:
         return WebDatasetWriter(self.options, schema, overwrite)
+
+    def streamWriter(self, schema: StructType,
+                     overwrite: bool) -> DataSourceStreamArrowWriter:
+        return WebDatasetStreamWriter(self.options, schema, overwrite)
 
 
 def register_webdataset(spark: "SparkSession") -> None:

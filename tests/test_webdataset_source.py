@@ -247,6 +247,98 @@ class TestExtraMembers:
         assert bytes(legacy[1]["payload"]) == b"\x00\x01"
 
 
+class TestStreamSink:
+    """writeStream.format('webdataset'): per-batch atomic publish,
+    exactly-once across drains and restarts."""
+
+    def _drain(self, wds, landing, dest, cp):
+        from astra_perseverance_spark.sources.corpus_jsonl import (
+            stream_documents_jsonl,
+        )
+
+        q = (
+            stream_documents_jsonl(wds, landing)
+            .writeStream.format("webdataset")
+            .option("path", dest)
+            .option("checkpointLocation", cp)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    def test_batches_publish_exactly_once(self, wds, tmp_path):
+        import json
+
+        landing = tmp_path / "landing"
+        landing.mkdir()
+        dest, cp = str(tmp_path / "shards"), str(tmp_path / "cp")
+
+        def land(name, rows):
+            with open(landing / name, "w") as fh:
+                for i, t, lg, src in rows:
+                    fh.write(json.dumps(
+                        {"doc_id": i, "text": t, "lang": lg,
+                         "source": src}) + "\n")
+
+        land("a.jsonl", ROWS[:2])
+        self._drain(wds, str(landing), dest, cp)
+        first = _rows(wds.read.format("webdataset").load(dest))
+        assert first == _rows(_docs_df(wds, ROWS[:2]))
+
+        # second landing -> only the new docs appear, batch-named
+        land("b.jsonl", ROWS[2:])
+        self._drain(wds, str(landing), dest, cp)
+        got = _rows(wds.read.format("webdataset").load(dest))
+        assert got == _rows(_docs_df(wds))
+        names = sorted(os.path.basename(p)
+                       for p in glob.glob(os.path.join(dest, "*.tar")))
+        assert all(n.startswith("shard-b") for n in names)
+        assert len({n.split("-")[1] for n in names}) == 2  # two batches
+
+        # re-drain with nothing new: no-op (no temps, same shard set)
+        self._drain(wds, str(landing), dest, cp)
+        assert _rows(wds.read.format("webdataset").load(dest)) == got
+        assert not glob.glob(os.path.join(dest, ".part-*"))
+
+    def test_batch_replay_replaces_not_duplicates(self, wds, tmp_path):
+        """A crashed-between-renames batch attempt leaves partial
+        shards; the replay's commit must replace them, not add."""
+        import json
+
+        landing = tmp_path / "landing"
+        landing.mkdir()
+        dest, cp = str(tmp_path / "shards"), str(tmp_path / "cp")
+        with open(landing / "a.jsonl", "w") as fh:
+            fh.write(json.dumps(
+                {"doc_id": 1, "text": "x", "lang": "en",
+                 "source": "web"}) + "\n")
+        # fake a partial publish of batch 0 from a previous attempt
+        os.makedirs(dest, exist_ok=True)
+        import tarfile as _tar
+        with _tar.open(os.path.join(dest, "shard-b00000000-00007.tar"),
+                       "w"):
+            pass
+        self._drain(wds, str(landing), dest, cp)
+        names = sorted(os.path.basename(p)
+                       for p in glob.glob(os.path.join(dest, "*.tar")))
+        assert names == ["shard-b00000000-00000.tar"]
+        assert _rows(wds.read.format("webdataset").load(dest)) == {
+            (1, "x", "en", "web", 1)}
+
+    def test_streaming_rejects_non_append(self, wds, tmp_path):
+        from astra_perseverance_spark.sources.webdataset_source import (
+            WebDatasetStreamWriter,
+        )
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromDDL(
+            "doc_id long, text string")
+        with pytest.raises(ValueError, match="append output mode"):
+            WebDatasetStreamWriter(
+                {"path": str(tmp_path / "s")}, schema, overwrite=True)
+
+
 class TestStreamIngest:
     def test_exactly_once_across_landings(self, spark, tmp_path):
         """Shards land in two waves; each drain ingests only the new
