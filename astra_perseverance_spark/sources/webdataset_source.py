@@ -389,6 +389,17 @@ class WebDatasetWriter(DataSourceArrowWriter):
                 and os.path.basename(p)[len("shard-"):-len(".tar")].isdigit()
             ]
             start = max(taken) + 1 if taken else 0
+        self._publish(messages, lambda i: f"shard-{start + i:05d}.tar")
+        # any OTHER temp carrying THIS job's id belongs to a
+        # failed/retried task attempt of this job — discard (a
+        # concurrent job's temps carry a different id and are never
+        # touched)
+        self._clean_temps()
+
+    def _publish(self, messages, final_name) -> None:
+        """Rename every staged temp into its published name, in
+        deterministic (task partition, within-task sequence) order —
+        the one publish protocol both commit flavors share."""
         staged = sorted(
             (m.partition, seq, tmp)
             for m in messages if m is not None
@@ -396,13 +407,7 @@ class WebDatasetWriter(DataSourceArrowWriter):
         )
         for i, (_pid, _seq, tmp) in enumerate(staged):
             os.replace(os.path.join(self._path, tmp),
-                       os.path.join(self._path,
-                                    f"shard-{start + i:05d}.tar"))
-        # any OTHER temp carrying THIS job's id belongs to a
-        # failed/retried task attempt of this job — discard (a
-        # concurrent job's temps carry a different id and are never
-        # touched)
-        self._clean_temps()
+                       os.path.join(self._path, final_name(i)))
 
     def abort(self, messages) -> None:
         """A task failed: discard every temp THIS job staged (including
@@ -435,33 +440,47 @@ class WebDatasetStreamWriter(WebDatasetWriter, DataSourceStreamArrowWriter):
     writer — one ``write()`` implementation, two commit protocols.
 
     Append output mode only (a tar, once published, is immutable —
-    there is nothing a streaming update/complete mode could rewrite).
+    there is nothing a streaming update/complete mode could rewrite):
+    Spark itself fails an ``outputMode("update")`` query against this
+    sink ("webdataset does not support Update mode" — verified
+    empirically), and ``complete`` arrives as ``overwrite=True``,
+    rejected below.
     One streaming query per target directory: batch ids are unique
     within a query, not across queries.  Stale ``.inprogress`` temps
     left by a crashed run are inert (new runs use fresh job ids) and
     safe to delete."""
 
     def __init__(self, options, schema: StructType, overwrite: bool):
+        import hashlib
+
         if overwrite:
             raise ValueError(
                 "webdataset streaming sink supports append output "
                 "mode only (published tar shards are immutable)")
         super().__init__(options, schema, overwrite=False)
+        # Spark's commit runner constructs a FRESH streamWriter
+        # instance for every commit/abort (pyspark worker
+        # python_streaming_sink_runner.py), separate from the
+        # executor-side instance whose write() staged the temps — a
+        # random job id would therefore never match and cleanup would
+        # be a silent no-op.  Derive it from the target path instead:
+        # every instance serving this sink agrees.  Uniqueness across
+        # writers is the documented one-streaming-query-per-directory
+        # contract (concurrent BATCH writers keep their random ids,
+        # which never collide with this digest-shaped id).
+        self._job = hashlib.md5(
+            f"wds-stream:{self._path}".encode()).hexdigest()[:16]
 
     # -- driver side, once per microbatch -----------------------------------
     def commit(self, messages, batchId: int) -> None:
         prefix = f"shard-b{batchId:08d}-"
-        for stale in _shard_paths(self._path):
-            if os.path.basename(stale).startswith(prefix):
-                os.remove(stale)
-        staged = sorted(
-            (m.partition, seq, tmp)
-            for m in messages if m is not None
-            for seq, tmp, _n in m.temps
-        )
-        for i, (_pid, _seq, tmp) in enumerate(staged):
-            os.replace(os.path.join(self._path, tmp),
-                       os.path.join(self._path, f"{prefix}{i:05d}.tar"))
+        # replay of a batch whose previous attempt crashed between
+        # renames: sweep ONLY this batch's prefix (O(matches), not a
+        # listing of the whole multi-million-shard directory)
+        for stale in glob.glob(os.path.join(
+                glob.escape(self._path), prefix + "*.tar")):
+            os.remove(stale)
+        self._publish(messages, lambda i: f"{prefix}{i:05d}.tar")
         self._clean_temps()
 
     def abort(self, messages, batchId: int) -> None:

@@ -326,6 +326,28 @@ class TestStreamSink:
         assert _rows(wds.read.format("webdataset").load(dest)) == {
             (1, "x", "en", "web", 1)}
 
+    def test_commit_side_instance_cleans_executor_temps(self, tmp_path):
+        """Spark constructs a FRESH streamWriter for every commit/abort
+        (separate from the executor-side instance that staged the
+        temps), so the streaming job id must be deterministic: a
+        second instance with the same options must see — and clean —
+        the first instance's temps."""
+        from astra_perseverance_spark.sources.webdataset_source import (
+            WebDatasetStreamWriter,
+        )
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromDDL("doc_id long, text string")
+        opts = {"path": str(tmp_path / "s")}
+        a = WebDatasetStreamWriter(opts, schema, overwrite=False)
+        b = WebDatasetStreamWriter(opts, schema, overwrite=False)
+        assert a._job == b._job
+        staged = (tmp_path / "s"
+                  / f".part-{a._job}-00000-attempt-0000.inprogress")
+        staged.write_bytes(b"stale from a failed attempt")
+        b.abort([], batchId=3)
+        assert not staged.exists()
+
     def test_streaming_rejects_non_append(self, wds, tmp_path):
         from astra_perseverance_spark.sources.webdataset_source import (
             WebDatasetStreamWriter,
