@@ -64,6 +64,29 @@ def test_webdataset_roundtrip_is_identity(spark, rows):
 
 @settings(max_examples=6, deadline=None)
 @given(rows=_corpus)
+def test_datasource_roundtrip_is_identity(spark, rows):
+    """write.format('webdataset') → read.format('webdataset') is the
+    identity on the same adversarial corpora as the export-sink
+    property above — the drift gate for the data source's write+read
+    pair on multibyte/control-character/empty text."""
+    from astra_perseverance_spark.sources.webdataset_source import (
+        register_webdataset,
+    )
+
+    register_webdataset(spark)
+    docs = _docs_df(spark, rows)
+    tmp = tempfile.mkdtemp(prefix="wds_ds_prop_")
+    try:
+        (docs.write.format("webdataset").mode("overwrite")
+             .option("shard_docs", "3").save(tmp))
+        got = spark.read.format("webdataset").load(tmp)
+        assert _rows(got) == _rows(docs)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@settings(max_examples=6, deadline=None)
+@given(rows=_corpus)
 def test_jsonl_roundtrip_is_identity(spark, rows):
     from astra_perseverance_spark.sources.corpus_jsonl import (
         read_documents_jsonl,
