@@ -632,6 +632,66 @@ class TestCorpusLifecycleCli:
         assert sharded == kept and kept
 
 
+class TestIncrementalCli:
+    def test_incremental_ingest_drains_only_new_files(self, spark,
+                                                      tmp_path):
+        """--from jsonl --incremental: the first run ingests the dump,
+        a re-run after one more file lands appends ONLY its docs, and
+        a re-run with nothing new is a no-op — the scheduled-re-run
+        contract over an append-only dump."""
+        import json
+        import os
+        import sys
+
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "tools"))
+        import make_training_data
+
+        dump = tmp_path / "dump"
+        dump.mkdir()
+
+        def land(name, ids):
+            with open(dump / name, "w") as fh:
+                for i in ids:
+                    fh.write(json.dumps(
+                        {"doc_id": i, "text": f"doc {i} body",
+                         "lang": "en", "source": "web"}) + "\n")
+
+        out = tmp_path / "run"
+        args = [str(dump), "-o", str(out), "--from", "jsonl",
+                "--incremental", "--skip-corpus", "--skip-shards"]
+        land("a.jsonl", range(10))
+        assert make_training_data.main(args) == 0
+        ingested = json.load(open(out / "run.json"))["ingested"]
+        docs = os.path.join(ingested, "documents.parquet")
+        assert spark.read.parquet(docs).count() == 10
+
+        land("b.jsonl", range(10, 15))
+        assert make_training_data.main(args) == 0
+        got = spark.read.parquet(docs)
+        assert got.count() == 15
+        assert got.select("doc_id").distinct().count() == 15
+
+        assert make_training_data.main(args) == 0  # nothing new
+        assert spark.read.parquet(docs).count() == 15
+
+    def test_incremental_requires_from(self, tmp_path):
+        import os
+        import sys
+
+        import pytest as _pytest
+
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "tools"))
+        import make_training_data
+
+        with _pytest.raises(SystemExit):
+            make_training_data.main(
+                ["x", "-o", str(tmp_path), "--incremental"])
+
+
 class TestCompaction:
     def test_compact_preserves_rows_and_reduces_files(self, spark, tmp_path):
         import glob

@@ -4,7 +4,7 @@ One command from a raw corpus directory to the artifacts a training
 run mounts:
 
     python tools/make_training_data.py <sf_dir> -o OUT_DIR
-        [--from jsonl|webdataset] [--fmt parquet|jsonl]
+        [--from jsonl|webdataset [--incremental]] [--fmt parquet|jsonl]
         [--webdataset] [--skip-shards] [--skip-corpus]
 
 Stages (each is the engine's registered operator family, nothing
@@ -13,7 +13,11 @@ CLI-specific):
 0. ``--from jsonl|webdataset`` — the input is a raw JSONL dump or a
    directory of WebDataset tar shards instead of a corpus dir: it is
    ingested once into ``OUT/ingested`` (columnar, conformed) and the
-   rest of the pipeline runs on that.
+   rest of the pipeline runs on that.  ``--incremental`` switches the
+   ingest to the exactly-once streaming path: a scheduled re-run over
+   an append-only dump drains ONLY newly landed files (file-source
+   offset log + sink commit log checkpointed inside ``OUT/ingested``)
+   and the downstream stages re-curate the grown corpus.
 1. ``export_curated_corpus`` — documents surviving the full curation
    ledger (quality rules + exact/near dedup + decontamination) plus
    the rejects audit ledger.
@@ -68,7 +72,15 @@ def main(argv: list[str] | None = None) -> int:
                     help="persist the incremental-serving index "
                     "artifacts under OUT/index_store (probe them later "
                     "via SPARK_GRAFT_INDEX_DB)")
+    ap.add_argument("--incremental", action="store_true",
+                    help="with --from: exactly-once STREAMING ingest — "
+                    "a re-run drains only files landed since the last "
+                    "run (checkpoint inside OUT/ingested) and APPENDS "
+                    "them, instead of re-reading the whole dump; use "
+                    "the same mode for every run over one OUT dir")
     args = ap.parse_args(argv)
+    if args.incremental and not args.src_fmt:
+        ap.error("--incremental requires --from jsonl|webdataset")
 
     from astra_perseverance_spark import get_spark
     from astra_perseverance_spark.sinks import (
@@ -86,17 +98,23 @@ def main(argv: list[str] | None = None) -> int:
     if args.src_fmt == "jsonl":
         from astra_perseverance_spark.sources.corpus_jsonl import (
             ingest_jsonl_corpus,
+            stream_ingest_jsonl_corpus,
         )
 
-        sf_dir = ingest_jsonl_corpus(
+        ingest = (stream_ingest_jsonl_corpus if args.incremental
+                  else ingest_jsonl_corpus)
+        sf_dir = ingest(
             spark, args.sf_dir, os.path.join(args.out, "ingested"))
         run["ingested"] = sf_dir
     elif args.src_fmt == "webdataset":
         from astra_perseverance_spark.sources.webdataset import (
             ingest_webdataset_corpus,
+            stream_ingest_webdataset_corpus,
         )
 
-        sf_dir = ingest_webdataset_corpus(
+        ingest = (stream_ingest_webdataset_corpus if args.incremental
+                  else ingest_webdataset_corpus)
+        sf_dir = ingest(
             spark, args.sf_dir, os.path.join(args.out, "ingested"))
         run["ingested"] = sf_dir
     if not args.skip_corpus:
