@@ -136,9 +136,33 @@ class _Shard(InputPartition):
         self.path = path
 
 
+# Comparison filters the reader evaluates itself (pushFilters):
+# op name → predicate over (row value, filter value).
+_PUSH_OPS = {
+    "EqualTo": lambda x, v: x == v,
+    "In": lambda x, v: x in v,
+    "GreaterThan": lambda x, v: x > v,
+    "GreaterThanOrEqual": lambda x, v: x >= v,
+    "LessThan": lambda x, v: x < v,
+    "LessThanOrEqual": lambda x, v: x <= v,
+}
+# Columns the reader can filter on: metadata-derived scalars whose
+# post-default values it computes exactly (sample_row's semantics).
+_PUSH_COLS = frozenset({"doc_id", "lang", "source"})
+
+
 class WebDatasetReader(DataSourceReader):
     """One input partition per tar shard; members decoded straight
-    from the shard file (no whole-shard binary row)."""
+    from the shard file (no whole-shard binary row).
+
+    Filter pushdown (``pushFilters``): comparison/IN filters on the
+    metadata scalars ``doc_id``/``lang``/``source`` are consumed here
+    and applied per sample BEFORE the row is materialized into an
+    Arrow batch — a ``lang = 'en'`` scan over a multilingual shard set
+    ships only the English rows to the JVM instead of filtering there.
+    ``IsNotNull`` on any base column is absorbed for free (the reader
+    never produces null base columns).  Everything else (text
+    predicates, n_chars, extras) is returned to Spark unevaluated."""
 
     def __init__(self, options):
         path = options.get("path")
@@ -152,6 +176,30 @@ class WebDatasetReader(DataSourceReader):
                 f"not URIs: {path!r}")
         self._path = path
         self._extra = _extra_members(options)
+        # (column, op-name, value) conjuncts consumed from pushFilters;
+        # plain tuples so the reader stays picklable
+        self._pushed: list[tuple] = []
+
+    def pushFilters(self, filters):
+        base = {"doc_id", "text", "lang", "source", "n_chars"}
+        for f in filters:
+            op = type(f).__name__
+            # Not/StringContains/etc. may lack or nest `attribute` —
+            # anything unrecognized falls through to Spark untouched
+            attr = getattr(f, "attribute", None)
+            col = (attr[0] if isinstance(attr, tuple) and len(attr) == 1
+                   else None)
+            if op == "IsNotNull" and col in base:
+                continue  # absorbed: base columns are never null
+            if op in _PUSH_OPS and col in _PUSH_COLS:
+                self._pushed.append((col, op, f.value))
+                continue
+            yield f  # not ours — Spark evaluates it post-scan
+
+    def _keeps(self, doc_id: int, lang: str, source: str) -> bool:
+        vals = {"doc_id": doc_id, "lang": lang, "source": source}
+        return all(_PUSH_OPS[op](vals[col], v)
+                   for col, op, v in self._pushed)
 
     def partitions(self) -> list[InputPartition]:
         shards = _shard_paths(self._path)
@@ -197,6 +245,8 @@ class WebDatasetReader(DataSourceReader):
             row = sample_row(key, parts, partition.path)
             if row is None:
                 continue
+            if self._pushed and not self._keeps(row[0], row[2], row[3]):
+                continue  # pushed filter: row never reaches Arrow/JVM
             rows.append((*row, *(parts.get(s) for s in self._extra)))
             if len(rows) >= _READ_BATCH_ROWS:
                 yield batch(rows)
@@ -514,5 +564,11 @@ class WebDatasetDataSource(DataSource):
 
 def register_webdataset(spark: "SparkSession") -> None:
     """Idempotently register the data source on a session (re-register
-    is a same-name replace, safe to call per entry point)."""
+    is a same-name replace, safe to call per entry point).
+
+    Also enables ``spark.sql.python.filterPushdown.enabled`` (runtime
+    SQL conf, default false in 4.1): Spark REFUSES to plan any scan of
+    a reader that implements ``pushFilters`` while the conf is off, so
+    registration without it would make every read fail."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(WebDatasetDataSource)

@@ -225,6 +225,62 @@ class TestWrite:
                 assert fa.read() == fb.read()
 
 
+class TestFilterPushdown:
+    def _shards(self, wds, tmp_path):
+        docs = wds.createDataFrame(
+            [(1, "aa", "en", "web", 2), (2, "bb", "de", "web", 2),
+             (3, "cc", "en", "books", 2), (4, "dd", "fr", "code", 2),
+             (5, "ee", "en", "web", 2)],
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long")
+        dest = str(tmp_path / "shards")
+        (docs.write.format("webdataset").mode("overwrite")
+             .option("shard_docs", "2").save(dest))
+        return docs, dest
+
+    def test_pushed_filters_match_jvm_filtering(self, wds, tmp_path):
+        from pyspark.sql import functions as F
+
+        docs, dest = self._shards(wds, tmp_path)
+        ds = wds.read.format("webdataset").load(dest)
+        for cond in [
+            F.col("lang") == "en",
+            F.col("doc_id") > 2,
+            (F.col("doc_id") >= 2) & (F.col("doc_id") < 5),
+            F.col("source").isin("web", "code"),
+            (F.col("lang") == "en") & (F.col("source") == "web"),
+            F.col("text") > "bb",          # NOT pushed: Spark's job
+            (F.col("lang") == "en") & (F.col("text") != "aa"),  # mixed
+        ]:
+            assert _rows(ds.filter(cond)) == _rows(docs.filter(cond)), (
+                str(cond))
+
+    def test_reader_consumes_supported_filters_only(self, tmp_path, wds):
+        from pyspark.sql.datasource import EqualTo, In, IsNotNull
+        from astra_perseverance_spark.sources.webdataset_source import (
+            WebDatasetReader,
+        )
+
+        _, dest = self._shards(wds, tmp_path)
+        r = WebDatasetReader({"path": dest})
+        text_f = EqualTo(("text",), "aa")
+        leftover = list(r.pushFilters([
+            EqualTo(("lang",), "en"),
+            In(("source",), ("web",)),
+            IsNotNull(("doc_id",)),
+            text_f,
+        ]))
+        # text predicate comes back; the rest are consumed
+        assert leftover == [text_f]
+        assert {(c, o) for c, o, _ in r._pushed} == {
+            ("lang", "EqualTo"), ("source", "In")}
+        got = [tuple(row)[:4]
+               for part in r.partitions()
+               for b in r.read(part)
+               for row in zip(*[col.to_pylist() for col in b.columns])]
+        assert {g[0] for g in got} == {1, 5}  # en AND web
+
+
 class TestExtraMembers:
     def test_binary_columns_roundtrip(self, wds, tmp_path):
         docs = wds.createDataFrame(
