@@ -90,7 +90,14 @@ if TYPE_CHECKING:  # pragma: no cover - typing only
     import pyarrow as pa
     from pyspark.sql import SparkSession
 
-_BASE_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+# The one definition of the conformed base columns — the schema
+# string, the Arrow batch names and the pushFilters column sets are
+# all derived from it.
+_BASE_FIELDS = (("doc_id", "long"), ("text", "string"),
+                ("lang", "string"), ("source", "string"),
+                ("n_chars", "long"))
+_BASE_COLS = tuple(n for n, _ in _BASE_FIELDS)
+_BASE_SCHEMA = ", ".join(f"{n} {t}" for n, t in _BASE_FIELDS)
 _SHARD_GLOB = "*.tar"
 _TMP_SUFFIX = ".inprogress"
 # Arrow batch rows per yield on the read side — bounds driver/JVM
@@ -155,14 +162,10 @@ class WebDatasetReader(DataSourceReader):
     """One input partition per tar shard; members decoded straight
     from the shard file (no whole-shard binary row).
 
-    Filter pushdown (``pushFilters``): comparison/IN filters on the
-    metadata scalars ``doc_id``/``lang``/``source`` are consumed here
-    and applied per sample BEFORE the row is materialized into an
-    Arrow batch — a ``lang = 'en'`` scan over a multilingual shard set
-    ships only the English rows to the JVM instead of filtering there.
-    ``IsNotNull`` on any base column is absorbed for free (the reader
-    never produces null base columns).  Everything else (text
-    predicates, n_chars, extras) is returned to Spark unevaluated."""
+    This base reader performs no filter pushdown (for sessions that
+    keep ``spark.sql.python.filterPushdown.enabled`` off — Spark
+    refuses to plan a reader that overrides ``pushFilters`` while the
+    conf is disabled); ``WebDatasetPushdownReader`` adds it."""
 
     def __init__(self, options):
         path = options.get("path")
@@ -179,27 +182,6 @@ class WebDatasetReader(DataSourceReader):
         # (column, op-name, value) conjuncts consumed from pushFilters;
         # plain tuples so the reader stays picklable
         self._pushed: list[tuple] = []
-
-    def pushFilters(self, filters):
-        base = {"doc_id", "text", "lang", "source", "n_chars"}
-        for f in filters:
-            op = type(f).__name__
-            # Not/StringContains/etc. may lack or nest `attribute` —
-            # anything unrecognized falls through to Spark untouched
-            attr = getattr(f, "attribute", None)
-            col = (attr[0] if isinstance(attr, tuple) and len(attr) == 1
-                   else None)
-            if op == "IsNotNull" and col in base:
-                continue  # absorbed: base columns are never null
-            if op in _PUSH_OPS and col in _PUSH_COLS:
-                self._pushed.append((col, op, f.value))
-                continue
-            yield f  # not ours — Spark evaluates it post-scan
-
-    def _keeps(self, doc_id: int, lang: str, source: str) -> bool:
-        vals = {"doc_id": doc_id, "lang": lang, "source": source}
-        return all(_PUSH_OPS[op](vals[col], v)
-                   for col, op, v in self._pushed)
 
     def partitions(self) -> list[InputPartition]:
         shards = _shard_paths(self._path)
@@ -227,7 +209,7 @@ class WebDatasetReader(DataSourceReader):
                 pa.array(cols[3], type=pa.string()),     # source
                 pa.array([len(t) for t in cols[1]], type=pa.int64()),
             ]
-            names = ["doc_id", "text", "lang", "source", "n_chars"]
+            names = list(_BASE_COLS)
             for i, s in enumerate(self._extra):
                 arrays.append(pa.array(cols[4 + i], type=pa.binary()))
                 names.append(s.lstrip("."))
@@ -241,11 +223,17 @@ class WebDatasetReader(DataSourceReader):
         keep = frozenset({_TEXT_SUFFIX, _META_SUFFIX, *self._extra})
         with tarfile.open(partition.path) as tf:
             samples = samples_in_tar(tf, keep=keep)
+        # precompile the pushed conjuncts once per partition: direct
+        # tuple-index + op-fn per row, no per-sample dict building in
+        # the hot decode loop (empty for the no-pushdown base reader)
+        col_idx = {"doc_id": 0, "lang": 2, "source": 3}
+        checks = [(col_idx[c], _PUSH_OPS[op], v)
+                  for c, op, v in self._pushed]
         for key, parts in samples.items():
             row = sample_row(key, parts, partition.path)
             if row is None:
                 continue
-            if self._pushed and not self._keeps(row[0], row[2], row[3]):
+            if checks and not all(fn(row[i], v) for i, fn, v in checks):
                 continue  # pushed filter: row never reaches Arrow/JVM
             rows.append((*row, *(parts.get(s) for s in self._extra)))
             if len(rows) >= _READ_BATCH_ROWS:
@@ -253,6 +241,40 @@ class WebDatasetReader(DataSourceReader):
                 rows = []
         if rows:
             yield batch(rows)
+
+
+class WebDatasetPushdownReader(WebDatasetReader):
+    """The default reader: ``WebDatasetReader`` plus filter pushdown.
+
+    Comparison/IN filters on the metadata scalars
+    ``doc_id``/``lang``/``source`` are consumed here and applied per
+    sample BEFORE the row is materialized into an Arrow batch — a
+    ``lang = 'en'`` scan over a multilingual shard set ships only the
+    English rows to the JVM instead of filtering there.  ``IsNotNull``
+    on any base column is absorbed for free (the reader never produces
+    null base columns).  Everything else (text predicates, Not-wrapped
+    composites, n_chars, extras) is returned to Spark unevaluated.
+
+    Kept as a subclass because Spark hard-errors on ANY reader that
+    overrides ``pushFilters`` while
+    ``spark.sql.python.filterPushdown.enabled`` is off —
+    ``register_webdataset(spark, pushdown=False)`` registers the base
+    reader instead for sessions that must keep that conf disabled."""
+
+    def pushFilters(self, filters):
+        for f in filters:
+            op = type(f).__name__
+            # Not/StringContains/etc. may lack or nest `attribute` —
+            # anything unrecognized falls through to Spark untouched
+            attr = getattr(f, "attribute", None)
+            col = (attr[0] if isinstance(attr, tuple) and len(attr) == 1
+                   else None)
+            if op == "IsNotNull" and col in _BASE_COLS:
+                continue  # absorbed: base columns are never null
+            if op in _PUSH_OPS and col in _PUSH_COLS:
+                self._pushed.append((col, op, f.value))
+                continue
+            yield f  # not ours — Spark evaluates it post-scan
 
 
 @dataclass
@@ -551,7 +573,7 @@ class WebDatasetDataSource(DataSource):
         return schema
 
     def reader(self, schema: StructType) -> DataSourceReader:
-        return WebDatasetReader(self.options)
+        return WebDatasetPushdownReader(self.options)
 
     def writer(self, schema: StructType,
                overwrite: bool) -> DataSourceArrowWriter:
@@ -562,13 +584,31 @@ class WebDatasetDataSource(DataSource):
         return WebDatasetStreamWriter(self.options, schema, overwrite)
 
 
-def register_webdataset(spark: "SparkSession") -> None:
+class _WebDatasetDataSourceNoPushdown(WebDatasetDataSource):
+    """Same format, base reader: for sessions that must keep
+    ``spark.sql.python.filterPushdown.enabled`` off (Spark refuses to
+    plan any ``pushFilters`` reader while it is disabled)."""
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        return WebDatasetReader(self.options)
+
+
+def register_webdataset(spark: "SparkSession",
+                        pushdown: bool = True) -> None:
     """Idempotently register the data source on a session (re-register
     is a same-name replace, safe to call per entry point).
 
-    Also enables ``spark.sql.python.filterPushdown.enabled`` (runtime
-    SQL conf, default false in 4.1): Spark REFUSES to plan any scan of
-    a reader that implements ``pushFilters`` while the conf is off, so
-    registration without it would make every read fail."""
-    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
-    spark.dataSource.register(WebDatasetDataSource)
+    ``pushdown=True`` (default) also enables
+    ``spark.sql.python.filterPushdown.enabled`` — a SESSION-global SQL
+    conf (default false in 4.1) without which Spark refuses to plan
+    any reader that implements ``pushFilters``, failing every read.
+    The conf affects every registered Python data source in the
+    session; if another source's pushdown must stay disabled, call
+    with ``pushdown=False`` — the format then registers the
+    no-pushdown reader and the conf is left untouched (filters are
+    simply evaluated by Spark post-scan)."""
+    if pushdown:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+        spark.dataSource.register(WebDatasetDataSource)
+    else:
+        spark.dataSource.register(_WebDatasetDataSourceNoPushdown)

@@ -676,6 +676,44 @@ class TestIncrementalCli:
         assert make_training_data.main(args) == 0  # nothing new
         assert spark.read.parquet(docs).count() == 15
 
+    def test_mode_mix_over_one_out_dir_refused(self, spark, tmp_path):
+        """A batch re-run over an incrementally-ingested OUT dir (or
+        vice versa) is refused up front — mixing modes would leave a
+        checkpoint/_spark_metadata mismatch that silently shrinks the
+        corpus every later read sees."""
+        import json
+        import os
+        import sys
+
+        import pytest as _pytest
+
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "tools"))
+        import make_training_data
+
+        dump = tmp_path / "dump"
+        dump.mkdir()
+        with open(dump / "a.jsonl", "w") as fh:
+            fh.write(json.dumps({"doc_id": 1, "text": "t", "lang": "en",
+                                 "source": "web"}) + "\n")
+        base = ["-o", None, "--from", "jsonl", "--skip-corpus",
+                "--skip-shards"]
+
+        # incremental first, then batch -> refused
+        out1 = str(tmp_path / "run1")
+        args1 = [str(dump)] + base[:1] + [out1] + base[2:]
+        assert make_training_data.main(args1 + ["--incremental"]) == 0
+        with _pytest.raises(SystemExit):
+            make_training_data.main(args1)
+
+        # batch first, then incremental -> refused
+        out2 = str(tmp_path / "run2")
+        args2 = [str(dump)] + base[:1] + [out2] + base[2:]
+        assert make_training_data.main(args2) == 0
+        with _pytest.raises(SystemExit):
+            make_training_data.main(args2 + ["--incremental"])
+
     def test_incremental_requires_from(self, tmp_path):
         import os
         import sys

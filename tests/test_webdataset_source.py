@@ -258,11 +258,11 @@ class TestFilterPushdown:
     def test_reader_consumes_supported_filters_only(self, tmp_path, wds):
         from pyspark.sql.datasource import EqualTo, In, IsNotNull
         from astra_perseverance_spark.sources.webdataset_source import (
-            WebDatasetReader,
+            WebDatasetPushdownReader,
         )
 
         _, dest = self._shards(wds, tmp_path)
-        r = WebDatasetReader({"path": dest})
+        r = WebDatasetPushdownReader({"path": dest})
         text_f = EqualTo(("text",), "aa")
         leftover = list(r.pushFilters([
             EqualTo(("lang",), "en"),
@@ -279,6 +279,27 @@ class TestFilterPushdown:
                for b in r.read(part)
                for row in zip(*[col.to_pylist() for col in b.columns])]
         assert {g[0] for g in got} == {1, 5}  # en AND web
+
+    def test_register_without_pushdown_works_with_conf_off(
+            self, wds, tmp_path):
+        """pushdown=False registers the base reader and leaves the
+        session conf alone — reads (with Spark-side filtering) must
+        work in a session that keeps python filter pushdown off."""
+        from astra_perseverance_spark.sources.webdataset_source import (
+            register_webdataset,
+        )
+
+        docs, dest = self._shards(wds, tmp_path)
+        conf = "spark.sql.python.filterPushdown.enabled"
+        wds.conf.set(conf, "false")
+        try:
+            register_webdataset(wds, pushdown=False)
+            got = wds.read.format("webdataset").load(dest).filter(
+                "lang = 'en'")
+            assert _rows(got) == _rows(docs.filter("lang = 'en'"))
+            assert wds.conf.get(conf) == "false"  # untouched
+        finally:
+            register_webdataset(wds)  # restore the default variant
 
 
 class TestExtraMembers:

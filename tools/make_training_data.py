@@ -81,6 +81,29 @@ def main(argv: list[str] | None = None) -> int:
     args = ap.parse_args(argv)
     if args.incremental and not args.src_fmt:
         ap.error("--incremental requires --from jsonl|webdataset")
+    if args.src_fmt:
+        # refuse a mode mix over one OUT dir LOUDLY: a batch overwrite
+        # deletes the parquet (incl. its streaming commit log) but not
+        # the checkpoint, so a later incremental run would consult the
+        # surviving offsets and leave a _spark_metadata listing ONLY
+        # the newest files — every downstream read would then silently
+        # see a corpus of just those documents
+        ingest_dir = os.path.join(args.out, "ingested")
+        cp = os.path.join(ingest_dir, "_checkpoint")
+        docs_dir = os.path.join(ingest_dir, "documents.parquet")
+        meta = os.path.join(docs_dir, "_spark_metadata")
+        if not args.incremental and os.path.isdir(cp):
+            ap.error(
+                f"{ingest_dir} was written by --incremental runs "
+                f"(streaming checkpoint present); re-run with "
+                f"--incremental, or delete {ingest_dir} to start over "
+                f"in batch mode")
+        if args.incremental and os.path.isdir(docs_dir) \
+                and not os.path.isdir(meta):
+            ap.error(
+                f"{ingest_dir} was written by a batch run (no "
+                f"streaming commit log); re-run without --incremental, "
+                f"or delete {ingest_dir} to start over incrementally")
 
     from astra_perseverance_spark import get_spark
     from astra_perseverance_spark.sinks import (
@@ -101,10 +124,18 @@ def main(argv: list[str] | None = None) -> int:
             stream_ingest_jsonl_corpus,
         )
 
-        ingest = (stream_ingest_jsonl_corpus if args.incremental
-                  else ingest_jsonl_corpus)
-        sf_dir = ingest(
-            spark, args.sf_dir, os.path.join(args.out, "ingested"))
+        if args.incremental:
+            # strict=True: the CLI's data-integrity contract must not
+            # depend on the ingest mode — the batch path FAILFASTs on a
+            # malformed/contract-violating line, so the incremental
+            # path does too (the permissive stream default is for
+            # unattended long-running ingests, not this CLI)
+            sf_dir = stream_ingest_jsonl_corpus(
+                spark, args.sf_dir, os.path.join(args.out, "ingested"),
+                strict=True)
+        else:
+            sf_dir = ingest_jsonl_corpus(
+                spark, args.sf_dir, os.path.join(args.out, "ingested"))
         run["ingested"] = sf_dir
     elif args.src_fmt == "webdataset":
         from astra_perseverance_spark.sources.webdataset import (
