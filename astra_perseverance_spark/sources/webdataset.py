@@ -99,6 +99,17 @@ def sample_row(key: str, parts: dict[str, bytes],
                 f"sample {key!r} in {shard_desc} has neither a "
                 f"doc_id metadata field nor a numeric key")
         doc_id = int(key)
+    # validate the metadata value like the key path does: a bad shard
+    # must name its location, and a non-integral float must fail, not
+    # silently truncate to a different document's id
+    elif not isinstance(doc_id, int) or isinstance(doc_id, bool):
+        ok = (isinstance(doc_id, float) and doc_id.is_integer()) or (
+            isinstance(doc_id, str) and doc_id.removeprefix("-").isdigit())
+        if not ok:
+            raise ValueError(
+                f"sample {key!r} in {shard_desc} has a non-integer "
+                f"doc_id metadata value: {doc_id!r}")
+        doc_id = int(doc_id)
     lang = meta.get("lang")
     source = meta.get("source")
     return (

@@ -535,13 +535,22 @@ class WebDatasetStreamWriter(WebDatasetWriter, DataSourceStreamArrowWriter):
         # python_streaming_sink_runner.py), separate from the
         # executor-side instance whose write() staged the temps — a
         # random job id would therefore never match and cleanup would
-        # be a silent no-op.  Derive it from the target path instead:
-        # every instance serving this sink agrees.  Uniqueness across
-        # writers is the documented one-streaming-query-per-directory
-        # contract (concurrent BATCH writers keep their random ids,
-        # which never collide with this digest-shaped id).
+        # be a silent no-op.  Derive it deterministically from options
+        # instead: every instance serving this sink agrees.  The digest
+        # folds in the query's checkpointLocation (distinct per live
+        # streaming query — Spark locks it) so two queries aimed at the
+        # same directory cannot share a job id: one run's
+        # ``_clean_temps`` can then never sweep the other's staged
+        # temps.  Published names still collide across queries (both
+        # would write ``shard-b0-*``) — that remains the documented
+        # one-streaming-query-per-directory contract; the digest fix
+        # turns its failure mode from silent temp/shard loss into
+        # at worst a same-name overwrite at publish.  Concurrent BATCH
+        # writers keep their random ids, which never collide with this
+        # digest-shaped id.
+        ckpt = options.get("checkpointlocation") or ""
         self._job = hashlib.md5(
-            f"wds-stream:{self._path}".encode()).hexdigest()[:16]
+            f"wds-stream:{self._path}:{ckpt}".encode()).hexdigest()[:16]
 
     # -- driver side, once per microbatch -----------------------------------
     def commit(self, messages, batchId: int) -> None:
@@ -606,9 +615,27 @@ def register_webdataset(spark: "SparkSession",
     session; if another source's pushdown must stay disabled, call
     with ``pushdown=False`` — the format then registers the
     no-pushdown reader and the conf is left untouched (filters are
-    simply evaluated by Spark post-scan)."""
+    simply evaluated by Spark post-scan).  When the call actually
+    OVERRIDES an explicit ``false`` (someone set the conf off on
+    purpose — the only case where flipping it can surprise another
+    pushdown-sensitive source), a one-line warning names the change
+    so call sites that never read this docstring notice the
+    session-global effect; setting it from the unset default stays
+    silent."""
     if pushdown:
-        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+        conf = "spark.sql.python.filterPushdown.enabled"
+        explicit = spark.conf.get(conf, None)
+        if explicit is not None and explicit.lower() == "false":
+            import warnings as _warnings
+
+            _warnings.warn(
+                f"register_webdataset is flipping the session-global "
+                f"conf {conf} from an explicit false to true (required "
+                f"to plan a pushFilters reader) — this affects every "
+                f"registered Python data source in the session; pass "
+                f"pushdown=False to leave it off",
+                stacklevel=2)
+        spark.conf.set(conf, "true")
         spark.dataSource.register(WebDatasetDataSource)
     else:
         spark.dataSource.register(_WebDatasetDataSourceNoPushdown)

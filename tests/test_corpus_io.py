@@ -163,6 +163,34 @@ def test_webdataset_subdir_samples_and_null_metadata(spark, tmp_path):
     assert got[2]["lang"] == "fr"
 
 
+def test_sample_row_validates_metadata_doc_id():
+    """A third-party shard's metadata doc_id may be garbage: a
+    non-integer must raise WITH the shard-path context (so the bad
+    shard is locatable in a large scan), and a non-integral float must
+    fail rather than silently truncate to a different document's id.
+    Integral floats and digit strings — values ``int()`` already
+    accepted — keep working."""
+    import json
+
+    import pytest
+
+    from astra_perseverance_spark.sources.webdataset import sample_row
+
+    def row(doc_id):
+        return sample_row(
+            "k", {".txt": b"t", ".json":
+                  json.dumps({"doc_id": doc_id}).encode()},
+            "shard-000042.tar")
+
+    assert row(7)[0] == 7
+    assert row(7.0)[0] == 7
+    assert row("7")[0] == 7
+    assert row("-7")[0] == -7
+    for bad in ("abc", 3.7, "3.7", True, [7]):
+        with pytest.raises(ValueError, match="shard-000042.tar"):
+            row(bad)
+
+
 def test_events_jsonl_iso_offsets_are_instants(spark, tmp_path):
     """RFC 3339 timestamps with an explicit UTC offset must convert as
     instants — a +05:00 event is 5 hours EARLIER than the same wall

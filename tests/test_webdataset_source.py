@@ -299,7 +299,10 @@ class TestFilterPushdown:
             assert _rows(got) == _rows(docs.filter("lang = 'en'"))
             assert wds.conf.get(conf) == "false"  # untouched
         finally:
-            register_webdataset(wds)  # restore the default variant
+            # restore the default variant; set the conf first so the
+            # re-register is not the warned explicit-false->true flip
+            wds.conf.set(conf, "true")
+            register_webdataset(wds)
 
 
 class TestExtraMembers:
@@ -424,6 +427,63 @@ class TestStreamSink:
         staged.write_bytes(b"stale from a failed attempt")
         b.abort([], batchId=3)
         assert not staged.exists()
+
+    def test_job_id_distinct_per_checkpoint(self, wds, tmp_path):
+        """Two streaming queries aimed at the same directory have
+        distinct checkpointLocations (Spark locks them) — their sink
+        job ids must differ, so one query's temp sweep can never
+        delete the other's staged files.  Same options (including the
+        checkpoint) must still agree across instances — that is the
+        commit-runner contract the test above pins."""
+        from astra_perseverance_spark.sources.webdataset_source import (
+            WebDatasetStreamWriter,
+        )
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromDDL("doc_id long, text string")
+        path = str(tmp_path / "s")
+        a = WebDatasetStreamWriter(
+            {"path": path, "checkpointlocation": str(tmp_path / "cp_a")},
+            schema, overwrite=False)
+        b = WebDatasetStreamWriter(
+            {"path": path, "checkpointlocation": str(tmp_path / "cp_b")},
+            schema, overwrite=False)
+        a2 = WebDatasetStreamWriter(
+            {"path": path, "checkpointlocation": str(tmp_path / "cp_a")},
+            schema, overwrite=False)
+        assert a._job != b._job
+        assert a._job == a2._job
+        staged = (tmp_path / "s"
+                  / f".part-{a._job}-00000-attempt-0000.inprogress")
+        staged.parent.mkdir(parents=True, exist_ok=True)
+        staged.write_bytes(b"query a's live temp")
+        b.abort([], batchId=0)  # b's sweep must not touch a's temp
+        assert staged.exists()
+
+    def test_register_warns_only_on_explicit_false_conf(self, wds):
+        import warnings as _warnings
+
+        from astra_perseverance_spark.sources.webdataset_source import (
+            register_webdataset,
+        )
+
+        conf = "spark.sql.python.filterPushdown.enabled"
+        prior = wds.conf.get(conf, None)
+        try:
+            wds.conf.set(conf, "false")
+            with pytest.warns(UserWarning, match="session-global"):
+                register_webdataset(wds)
+            assert wds.conf.get(conf) == "true"
+            # already true: silent
+            with _warnings.catch_warnings():
+                _warnings.simplefilter("error")
+                register_webdataset(wds)
+        finally:
+            if prior is None:
+                wds.conf.unset(conf)
+            else:
+                wds.conf.set(conf, prior)
+            register_webdataset(wds)  # leave the fixture's default
 
     def test_streaming_rejects_non_append(self, wds, tmp_path):
         from astra_perseverance_spark.sources.webdataset_source import (

@@ -116,12 +116,17 @@ def check_artifacts(repo: str = REPO,
         # but it is not a gate failure either — timings are
         # adjudicated by plan fingerprint, not wall-clock.
         ctx = d["run_context"]
-        la = (ctx.get("loadavg_before") or [0.0])[0]
-        if la > 2:
+        # Check the 1- AND 5-minute averages: the r11 clean run started
+        # at loadavg[0] = 0.01 but loadavg[1] = 3.19 — the machine had
+        # only just gone idle, and three queries recorded 2–3.7× their
+        # historical level off the residual load (r11 verdict §3).
+        las = list(ctx.get("loadavg_before") or [0.0])[:2]
+        if any(la > 2 for la in las):
             print(f"WARN BENCH_DETAIL.json was recorded under load "
-                  f"(loadavg_before {la}, recorded_by "
+                  f"(loadavg_before {las}, recorded_by "
                   f"{ctx.get('recorded_by', '<unrecorded>')}) — re-run "
-                  f"bench.py on an idle machine before committing it")
+                  f"bench.py on a SETTLED machine (1- and 5-minute "
+                  f"averages both < 2) before committing it")
     return failures
 
 
