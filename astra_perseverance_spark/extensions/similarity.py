@@ -752,6 +752,27 @@ def _incremental_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _nearest_centroid(batch: DataFrame, cent: DataFrame) -> DataFrame:
+    """(cid, vec_id, eq, n2): each batch vector routed to its nearest
+    centroid — broadcast affinity pass, crank-1 by (cosine DESC, cid
+    ASC).  THE one definition of the IVF assignment/append rule,
+    shared by the index build below, the persisted-store append
+    (``sinks.index_store.extend_index_store``) and the
+    ``ann_index_health`` audit, so the three can never disagree on
+    which list a vector belongs to."""
+    aff = batch.join(F.broadcast(cent)).select(
+        "vec_id", "eq", "n2", "cid",
+        cosine(dot_q(F.col("eq"), F.col("c_eq")), F.col("n2"),
+               F.col("c_n2")).alias("ccos"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), "cid")
+    return (
+        aff.withColumn("crank", F.row_number().over(w))
+        .filter(F.col("crank") == 1)
+        .select("cid", "vec_id", "eq", "n2")
+    )
+
+
 def _build_incremental_index(spark: SparkSession, sf_dir: str,
                              cent: DataFrame | None = None) -> DataFrame:
     """(cid, vec_id, eq, n2): each indexed (even) vector in its
@@ -769,17 +790,7 @@ def _build_incremental_index(spark: SparkSession, sf_dir: str,
         F.col("vec_id") % 2 == 0)
     if cent is None:
         cent = _incremental_centroids(spark, sf_dir)
-    aff = old.join(F.broadcast(cent)).select(
-        "vec_id", "eq", "n2", "cid",
-        cosine(dot_q(F.col("eq"), F.col("c_eq")), F.col("n2"),
-               F.col("c_n2")).alias("ccos"),
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), "cid")
-    return (
-        aff.withColumn("crank", F.row_number().over(w))
-        .filter(F.col("crank") == 1)
-        .select("cid", "vec_id", "eq", "n2")
-    )
+    return _nearest_centroid(old, cent)
 
 
 def q_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -939,3 +950,125 @@ def q_ann_incremental_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _probe_score_topk(
         _batch_probes(new, cent), assign,
         db_eq="rq", db_n2="rn2", exclude_self=False)
+
+
+def q_ann_index_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drift audit for the long-lived incremental ANN index — the
+    retrain trigger as an oracle-checked operator instead of prose.
+
+    ``extend_index_store`` appends batches to the persisted IVF/SQ
+    store WITHOUT retraining: centroids and quantization bounds stay
+    frozen at index-build time, so as the corpus grows (a) list sizes
+    drift away from the √n sizing rule the coarse quantizer was built
+    to, and (b) new values fall outside the frozen bounds and their
+    codes saturate.  Both degrade recall silently — this query is the
+    signal that says "retrain now".
+
+    The audited state is the standard post-append fixture: even
+    vec_ids = the indexed corpus (the persisted lists), odd vec_ids =
+    everything appended since, routed to their nearest frozen centroid
+    by the SAME crank-1 affinity rule the store's append uses
+    (``_nearest_centroid`` — one definition, audit and append cannot
+    disagree).  Output is one (metric, value) row each for:
+
+    - ``n_lists`` / ``n_indexed`` / ``n_appended`` — index shape;
+    - ``list_size_max`` / ``list_size_p99`` (exact nearest-rank over
+      the per-centroid post-append list sizes, empty lists included)
+      / ``list_size_mean`` — occupancy;
+    - ``target_list_size`` = √n_total and the ``max_over_target`` /
+      ``p99_over_target`` ratios — the √n rule violation measure
+      (retrain when max_over_target drifts well past its build-time
+      level);
+    - ``appended_codes`` / ``clamped_codes`` / ``sq_clamp_rate`` —
+      the fraction of appended int8 codes the frozen bounds cannot
+      represent (raw code outside [0, SQ_LEVELS] before the append
+      path's ``greatest``/``least`` clamp — exactly the values
+      ``extend_index_store`` saturates).
+
+    Scale: the list-size frame is ≤ ``IVF_MAX_LISTS`` (4096) rows, so
+    its single-partition ranking window is bounded by construction
+    (same declared shape as ``vocab_growth``'s cumulative window);
+    the clamp pass is one narrow scan of the appended half with the
+    bounds folded in as literals (the sanctioned 2×64-scalar dim-stats
+    collect).  ORDER BY metric."""
+    from astra_perseverance_spark.extensions.training import (
+        SQ_LEVELS,
+        sq_code,
+    )
+    from astra_perseverance_spark.functions.vectors import ANN_DIM
+
+    index = memo_frame(spark, sf_dir, ("ivf_incr_index",),
+                       lambda: _build_incremental_index(spark, sf_dir))
+    cent = memo_frame(spark, sf_dir, ("ivf_incr_cent",),
+                      lambda: _incremental_centroids(spark, sf_dir))
+    new = _vectors(spark, sf_dir).drop("bucket").filter(
+        F.col("vec_id") % 2 == 1)
+
+    members = index.select("cid").unionByName(
+        _nearest_centroid(new, cent).select("cid"))
+    counts = members.groupBy("cid").agg(
+        F.count("*").cast("long").alias("sz"))
+    # left join from the centroid dim so EMPTY lists audit as size 0;
+    # counts is ≤ n_lists (≤ IVF_MAX_LISTS) rows — broadcast, never a
+    # SortMergeJoin of two derived frames
+    sizes = (
+        cent.select("cid").join(F.broadcast(counts), "cid", "left")
+        .select("cid", F.coalesce("sz", F.lit(0).cast("long")).alias("sz"))
+    )
+    whole = Window.partitionBy()
+    stats = (
+        sizes.select(
+            "sz",
+            F.row_number().over(Window.orderBy("sz", "cid")).alias("r"),
+            F.count("*").over(whole).cast("long").alias("n_lists"),
+            F.max("sz").over(whole).alias("mx"),
+            F.sum("sz").over(whole).cast("long").alias("n_total"),
+        )
+        .filter(F.col("r") == F.ceil(F.lit(0.99) * F.col("n_lists")))
+        .select(F.col("sz").alias("p99"), "n_lists", "mx", "n_total")
+    )
+
+    # clamp pass: raw SQ code of every appended value under the FROZEN
+    # even-corpus bounds; clamped ⟺ outside [0, SQ_LEVELS] — the exact
+    # set extend_index_store's greatest/least saturates
+    code = sq_code(*_even_dim_bounds(spark, sf_dir))
+    clamp = (
+        new.select(
+            F.aggregate(
+                F.transform(
+                    "eq",
+                    lambda x, i: F.when(
+                        (code(x, i) < 0) | (code(x, i) > SQ_LEVELS),
+                        F.lit(1).cast("long"),
+                    ).otherwise(F.lit(0).cast("long")),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, y: acc + y,
+            ).alias("nc")
+        )
+        .agg(
+            F.sum("nc").cast("long").alias("clamped"),
+            F.count("*").cast("long").alias("n_app"),
+        )
+    )
+
+    return (
+        stats.crossJoin(F.broadcast(clamp))
+        .selectExpr(
+            f"stack(12, "
+            f"'appended_codes', CAST(n_app * {ANN_DIM} AS DOUBLE), "
+            f"'clamped_codes', CAST(clamped AS DOUBLE), "
+            f"'list_size_max', CAST(mx AS DOUBLE), "
+            f"'list_size_mean', CAST(n_total AS DOUBLE) / n_lists, "
+            f"'list_size_p99', CAST(p99 AS DOUBLE), "
+            f"'max_over_target', mx / SQRT(CAST(n_total AS DOUBLE)), "
+            f"'n_appended', CAST(n_app AS DOUBLE), "
+            f"'n_indexed', CAST(n_total - n_app AS DOUBLE), "
+            f"'n_lists', CAST(n_lists AS DOUBLE), "
+            f"'p99_over_target', p99 / SQRT(CAST(n_total AS DOUBLE)), "
+            f"'sq_clamp_rate', CAST(clamped AS DOUBLE) / (n_app * {ANN_DIM}), "
+            f"'target_list_size', SQRT(CAST(n_total AS DOUBLE))"
+            f") as (metric, value)"
+        )
+        .orderBy("metric")
+    )

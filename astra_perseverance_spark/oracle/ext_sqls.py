@@ -1656,6 +1656,117 @@ SELECT vec_id, label,
 FROM e ORDER BY vec_id
 """
 
+# Incremental-index drift audit (similarity.py::q_ann_index_health):
+# the ann_incremental CTEs for centroids + even assignment, the same
+# crank-1 rule for the appended (odd) half, nearest-rank p99 over the
+# post-append list sizes (empty lists included via the LEFT JOIN from
+# cent), and the raw-SQ-code clamp count under the FROZEN even-corpus
+# bounds — `//` truncates toward zero exactly like Spark's `div`, so
+# the clamped set is bit-identical.
+EXT_ORACLE_SQL["ann_index_health"] = f"""
+WITH v AS (
+  SELECT vec_id, {quantize_sql('embedding')} AS eq FROM embeddings
+),
+vn AS (
+  SELECT vec_id, eq, {dot_q_sql('eq', 'eq', ANN_DIM)} AS n2 FROM v
+),
+old AS (SELECT * FROM vn WHERE vec_id % 2 = 0),
+new AS (SELECT * FROM vn WHERE vec_id % 2 = 1),
+st AS (
+  SELECT greatest(1, n // greatest(
+           least(CAST(FLOOR(SQRT(CAST(n AS DOUBLE))) AS BIGINT),
+                 {IVF_MAX_LISTS}), 1)) AS stride
+  FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM old)
+),
+cent AS (
+  SELECT vec_id AS cid, eq AS c_eq, n2 AS c_n2
+  FROM old, st WHERE (vec_id // 2) % st.stride = 0
+),
+assign AS (
+  SELECT cid FROM (
+    SELECT c.cid,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                              ORDER BY {_INCR_COS_QC} DESC, c.cid) AS crank
+    FROM old q CROSS JOIN cent c
+  ) WHERE crank = 1
+),
+app AS (
+  SELECT cid FROM (
+    SELECT c.cid,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                              ORDER BY {_INCR_COS_QC} DESC, c.cid) AS crank
+    FROM new q CROSS JOIN cent c
+  ) WHERE crank = 1
+),
+mem AS (SELECT cid FROM assign UNION ALL SELECT cid FROM app),
+sizes AS (
+  SELECT c.cid, CAST(COUNT(m.cid) AS BIGINT) AS sz
+  FROM cent c LEFT JOIN mem m ON m.cid = c.cid
+  GROUP BY c.cid
+),
+stats AS (
+  SELECT sz AS p99, n_lists, mx, n_total FROM (
+    SELECT sz, cid,
+           ROW_NUMBER() OVER (ORDER BY sz, cid) AS r,
+           CAST(COUNT(*) OVER () AS BIGINT) AS n_lists,
+           MAX(sz) OVER () AS mx,
+           CAST(SUM(sz) OVER () AS BIGINT) AS n_total
+    FROM sizes
+  ) WHERE r = CEIL(0.99 * n_lists)
+),
+dims AS (
+  SELECT CAST(u.d AS INT) AS d,
+         MIN(eq[CAST(u.d + 1 AS INT)]) AS lo,
+         MAX(eq[CAST(u.d + 1 AS INT)]) AS hi
+  FROM old, unnest(range({ANN_DIM})) AS u(d)
+  GROUP BY u.d
+),
+b AS (
+  SELECT (SELECT list(lo ORDER BY d) FROM dims) AS lo_a,
+         (SELECT list(hi ORDER BY d) FROM dims) AS hi_a
+),
+cl AS (
+  SELECT CAST(SUM(nc) AS BIGINT) AS clamped,
+         CAST(COUNT(*) AS BIGINT) AS n_app
+  FROM (
+    SELECT list_sum(list_transform(range({ANN_DIM}), i -> CASE
+      WHEN hi_a[CAST(i + 1 AS INT)] > lo_a[CAST(i + 1 AS INT)] THEN
+        CASE WHEN (eq[CAST(i + 1 AS INT)] - lo_a[CAST(i + 1 AS INT)])
+                    * {SQ_LEVELS}
+                    // (hi_a[CAST(i + 1 AS INT)] - lo_a[CAST(i + 1 AS INT)])
+                  < 0
+               OR (eq[CAST(i + 1 AS INT)] - lo_a[CAST(i + 1 AS INT)])
+                    * {SQ_LEVELS}
+                    // (hi_a[CAST(i + 1 AS INT)] - lo_a[CAST(i + 1 AS INT)])
+                  > {SQ_LEVELS}
+        THEN 1 ELSE 0 END
+      ELSE 0 END)) AS nc
+    FROM new, b
+  )
+),
+one AS (SELECT * FROM stats, cl)
+SELECT metric, value FROM (
+  SELECT 'appended_codes' AS metric,
+         CAST(n_app * {ANN_DIM} AS DOUBLE) AS value FROM one
+  UNION ALL SELECT 'clamped_codes', CAST(clamped AS DOUBLE) FROM one
+  UNION ALL SELECT 'list_size_max', CAST(mx AS DOUBLE) FROM one
+  UNION ALL SELECT 'list_size_mean',
+                   CAST(n_total AS DOUBLE) / n_lists FROM one
+  UNION ALL SELECT 'list_size_p99', CAST(p99 AS DOUBLE) FROM one
+  UNION ALL SELECT 'max_over_target',
+                   mx / SQRT(CAST(n_total AS DOUBLE)) FROM one
+  UNION ALL SELECT 'n_appended', CAST(n_app AS DOUBLE) FROM one
+  UNION ALL SELECT 'n_indexed', CAST(n_total - n_app AS DOUBLE) FROM one
+  UNION ALL SELECT 'n_lists', CAST(n_lists AS DOUBLE) FROM one
+  UNION ALL SELECT 'p99_over_target',
+                   p99 / SQRT(CAST(n_total AS DOUBLE)) FROM one
+  UNION ALL SELECT 'sq_clamp_rate',
+                   CAST(clamped AS DOUBLE) / (n_app * {ANN_DIM}) FROM one
+  UNION ALL SELECT 'target_list_size',
+                   SQRT(CAST(n_total AS DOUBLE)) FROM one
+) ORDER BY metric
+"""
+
 # BPE merge learning (extensions/training.py::q_bpe_merges): the
 # rounds are unrolled as CTEs (the ann_ivf_kmeans pattern).  Each
 # round mirrors the Spark windows literally: argmax pair (count DESC,

@@ -20,32 +20,28 @@ queries get a hard driver-side correctness row each round:
    local pytest oracle-parity gate (tests/test_oracle_parity.py
    parametrizes the full registry) and the bench suite.
 
-Round-11 rotation (rule 2 first, then the freshness deadline):
+Round-12 rotation (rule 2 first, then the freshness deadline):
 
-* Rule 2: two NEW round-11 registrations, ``cluster_purity`` and
-  ``vocab_growth``, have never had a driver row — they take
-  positions 23–24.
-* Into the window: the 15 queries whose last driver row is r8
-  (ngram_novelty … gc_sessions) — r11 is the last round their K=3
+* Rule 2: ONE new round-12 registration, ``ann_index_health`` (the
+  incremental-index drift audit — the r11 verdict's prescribed
+  operator), has never had a driver row — position 23.  It consumes
+  one of the round's 11 free slots (capacity 96 of 106 stays safe).
+* Into the window: the 17 queries whose last driver row is r9
+  (ann_ivf_kmeans … dedup_keep_list — already ordered at the r11
+  tail head for exactly this) — r12 is the last round their K=3
   freshness budget (tests/test_rotation.py) allows, so they take
-  positions 25–39 wholesale.  No other registered-query code change
-  this round (the remaining round-11 diffs touch the WebDataset data
-  source, index-artifact persistence plumbing behind an env toggle,
-  stream tests, a sink, and tools — none changes an existing
-  registered query's default-path plan or output).  Positions 40–50
-  pre-pay the r12 cliff with the 11 oldest r9-green entries
-  (shard_manifest … dedup_clusters) — without this, r12 would
-  inherit all 28 r9-green entries against its free slots (zero
-  headroom).
-* To the tail, ordered for round 12: first the 17 r9-green queries
-  now due in r12 (ann_ivf_kmeans and ann_lsh_bucket — displaced from
-  the pre-pay block by the two new registrations — then ann_ivf …
-  dedup_keep_list), so r12's window is 22 parity + 17 = 39 rows,
-  leaving 11 free; then the 28 r10-green entries (doc_minute_tokens
-  … ngram_counts, due r13).  r12 should spend its 11 free slots on
-  the oldest r10-green entries so r13 inherits 17 due — the orbit
-  stays inside the test_rotation capacity bound (95 registered vs
-  106 capacity).
+  positions 24–40 wholesale.  ``dedup_incremental`` is among them,
+  which also covers this round's only registered-query-adjacent code
+  change (the shingle-postings store path; its DEFAULT plan is
+  untouched — the branch binds on the env toggle).
+* Positions 41–50: the remaining 10 free slots pre-pay the r13
+  cliff with the 10 oldest r10-green entries (doc_minute_tokens …
+  events_asof) so r13 inherits 18 due (22 + 18 = 40, 10 free), not
+  all 28.
+* To the tail, ordered for round 13: first the 18 r10-green queries
+  due in r13 (events_asof_1h … ngram_counts), then the 28 r11-green
+  entries (cluster_purity … dedup_clusters, due r14).  r13 should
+  spend its 10 free slots on the oldest r11-green entries.
 
 Snapshot protocol (round-10, after two rounds of red snapshots): any
 commit that changes this registry, an oracle twin, or docs/ — and
@@ -117,46 +113,11 @@ QUERY_REGISTRY: dict[str, QueryFn] = {
     # Findings framework + Q20 nested summary
     "warnings": warnings.q_warnings,
     "summary_json": summary.q_summary_json,
-    # ---- Rule 2: round-11 registrations, first driver row this
+    # ---- Rule 2: the round-12 registration, first driver row this
     # round ----
-    "cluster_purity": similarity.q_cluster_purity,
-    "vocab_growth": pipeline.q_vocab_growth,
-    # ---- Tier 2: the 15 r8-last queries — K=3 freshness deadline,
-    # r11 is the last round they can be refreshed (see docstring) ----
-    "ngram_novelty": curation.q_ngram_novelty,
-    "quality_filter": pipeline.q_quality_filter,
-    "quality_report": curation.q_quality_report,
-    "quality_signals": curation.q_quality_signals,
-    "repeated_lines": prep.q_repeated_lines,
-    "script_profile": prep.q_script_profile,
-    "seq_pack": training.q_seq_pack,
-    "source_mix": curation.q_source_mix,
-    "token_rarity": prep.q_token_rarity,
-    "events_sessionize_capped": timeseries.q_events_sessionize_capped,
-    "ann_incremental_pq": similarity.q_ann_incremental_pq,
-    "events_sessionize": timeseries.q_events_sessionize,
-    "multimodal_features": multimodal.q_multimodal_features,
-    "multimodal_frame_sample": multimodal.q_multimodal_frame_sample,
-    "gc_sessions": gc_stream.q_gc_sessions,
-    # ---- Tier 3: r12-cliff pre-pay — the 13 oldest r9-green entries
-    # take the window's remaining slots so r12 inherits 15 due, not
-    # 28 (see docstring arithmetic) ----
-    "shard_manifest": training.q_shard_manifest,
-    "dedup_recall_audit": training.q_dedup_recall_audit,
-    "curation_funnel": training.q_curation_funnel,
-    "doc_digest_join": pipeline.q_doc_digest_join,
-    "corpus_curate": curation.q_corpus_curate,
-    "embedding_quantize": training.q_embedding_quantize,
-    "ann_quantized_recall": training.q_ann_quantized_recall,
-    "pii_scan": curation.q_pii_scan,
-    "dedup_tokenset": dedup.q_dedup_tokenset,
-    "ngram_jaccard": dedup.q_ngram_jaccard,
-    "dedup_clusters": dedup.q_dedup_clusters,
-    # ---- Tail (>50) — first the 17 r9-green queries due in the r12
-    # window (the first two displaced from the pre-pay block by the
-    # round-11 registrations), then the 28 r10-green entries (due
-    # r13); all covered by the full-registry pytest oracle-parity
-    # gate + bench ----
+    "ann_index_health": similarity.q_ann_index_health,
+    # ---- Tier 2: the 17 r9-last queries — K=3 freshness deadline,
+    # r12 is the last round they can be refreshed (see docstring) ----
     "ann_ivf_kmeans": similarity.q_ann_ivf_kmeans,
     "ann_lsh_bucket": similarity.q_ann_lsh_bucket,
     "ann_ivf": similarity.q_ann_ivf,
@@ -174,7 +135,9 @@ QUERY_REGISTRY: dict[str, QueryFn] = {
     "ann_recall_ivf_kmeans": similarity.q_ann_recall_ivf_kmeans,
     "embedding_label_probe": similarity.q_embedding_label_probe,
     "dedup_keep_list": dedup.q_dedup_keep_list,
-    # r10-green (due r13; r12 spends its 13 free slots on the head)
+    # ---- Tier 3: r13-cliff pre-pay — the 10 oldest r10-green
+    # entries take the window's remaining slots so r13 inherits 18
+    # due, not 28 (see docstring arithmetic) ----
     "doc_minute_tokens": doc_stream.q_doc_minute_tokens,
     "lang_id": text_stats.q_lang_id,
     "token_count": text_stats.q_token_count,
@@ -185,6 +148,10 @@ QUERY_REGISTRY: dict[str, QueryFn] = {
     "user_skew_audit": timeseries.q_user_skew_audit,
     "split_assign": training.q_split_assign,
     "events_asof": timeseries.q_events_asof,
+    # ---- Tail (>50) — first the 18 r10-green queries due in the
+    # r13 window, then the 28 r11-green entries (due r14); all
+    # covered by the full-registry pytest oracle-parity gate +
+    # bench ----
     "events_asof_1h": timeseries.q_events_asof_1h,
     "events_window_attr": timeseries.q_events_window_attr,
     "events_next_error": timeseries.q_events_next_error,
@@ -203,6 +170,35 @@ QUERY_REGISTRY: dict[str, QueryFn] = {
     "dup_spans": training.q_dup_spans,
     "html_extract": prep.q_html_extract,
     "ngram_counts": pipeline.q_ngram_counts,
+    # r11-green (due r14; r13 spends its free slots on the head)
+    "cluster_purity": similarity.q_cluster_purity,
+    "vocab_growth": pipeline.q_vocab_growth,
+    "ngram_novelty": curation.q_ngram_novelty,
+    "quality_filter": pipeline.q_quality_filter,
+    "quality_report": curation.q_quality_report,
+    "quality_signals": curation.q_quality_signals,
+    "repeated_lines": prep.q_repeated_lines,
+    "script_profile": prep.q_script_profile,
+    "seq_pack": training.q_seq_pack,
+    "source_mix": curation.q_source_mix,
+    "token_rarity": prep.q_token_rarity,
+    "events_sessionize_capped": timeseries.q_events_sessionize_capped,
+    "ann_incremental_pq": similarity.q_ann_incremental_pq,
+    "events_sessionize": timeseries.q_events_sessionize,
+    "multimodal_features": multimodal.q_multimodal_features,
+    "multimodal_frame_sample": multimodal.q_multimodal_frame_sample,
+    "gc_sessions": gc_stream.q_gc_sessions,
+    "shard_manifest": training.q_shard_manifest,
+    "dedup_recall_audit": training.q_dedup_recall_audit,
+    "curation_funnel": training.q_curation_funnel,
+    "doc_digest_join": pipeline.q_doc_digest_join,
+    "corpus_curate": curation.q_corpus_curate,
+    "embedding_quantize": training.q_embedding_quantize,
+    "ann_quantized_recall": training.q_ann_quantized_recall,
+    "pii_scan": curation.q_pii_scan,
+    "dedup_tokenset": dedup.q_dedup_tokenset,
+    "ngram_jaccard": dedup.q_ngram_jaccard,
+    "dedup_clusters": dedup.q_dedup_clusters,
 }
 
 # Queries with no SQL-expressible oracle (driver runs rows-only check).

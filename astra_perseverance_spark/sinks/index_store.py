@@ -170,8 +170,13 @@ def extend_index_store(spark: SparkSession, database: str,
     members with NO rebuild — batch-sized write, batch-sized probe.
     The centroid set and quantization bounds stay fixed (production
     systems retrain/re-bound on a slow cadence, not per batch); list
-    sizes therefore drift as the corpus grows — monitor and retrain
-    when the largest list violates the √n sizing.
+    sizes therefore drift as the corpus grows.  The retrain trigger
+    is measurable, not prose: the registered ``ann_index_health``
+    query audits list-size drift vs the √n sizing and the clamp rate
+    on the fixture split, ``index_store_health`` below reads the same
+    signals from THIS persisted store, and the returned
+    ``clamped_codes`` count reports how many of this batch's codes
+    the frozen bounds saturated.
 
     The near-dup artifacts extend differently and deliberately are
     NOT appended here: ``digest_dim`` rows are per-doc and append
@@ -181,32 +186,25 @@ def extend_index_store(spark: SparkSession, database: str,
     cap.  Postings maintenance is a periodic rebuild
     (``write_index_store``), the same cadence as centroid retraining.
 
-    Returns {"ivf_rows": n, "sq_rows": n} appended."""
-    from pyspark.sql import Window
-
+    Returns {"ivf_rows": n, "sq_rows": n, "clamped_codes": c} — ``c``
+    is how many of this batch's raw codes fell outside [0, SQ_LEVELS]
+    and were saturated (the per-batch health signal; a rising clamp
+    count across batches says the frozen bounds no longer cover the
+    distribution — time for a ``write_index_store`` rebuild)."""
+    from astra_perseverance_spark.extensions.similarity import (
+        _nearest_centroid,
+    )
     from astra_perseverance_spark.extensions.training import (
         SQ_LEVELS,
         bounds_accessors,
         sq_code,
     )
-    from astra_perseverance_spark.functions.vectors import (
-        ANN_DIM,
-        cosine,
-        dot_q,
-    )
+    from astra_perseverance_spark.functions.vectors import ANN_DIM
 
     cent = spark.table(f"{database}.ann_centroids")
-    aff = batch.join(F.broadcast(cent)).select(
-        "vec_id", "eq", "n2", "cid",
-        cosine(dot_q(F.col("eq"), F.col("c_eq")), F.col("n2"),
-               F.col("c_n2")).alias("ccos"),
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), "cid")
-    assigned = (
-        aff.withColumn("crank", F.row_number().over(w))
-        .filter(F.col("crank") == 1)
-        .select("cid", "vec_id", "eq", "n2")
-    )
+    # the SAME crank-1 affinity rule the index build and the
+    # ann_index_health audit use — one definition, no drift
+    assigned = _nearest_centroid(batch, cent)
     n = assigned.count()
     (
         assigned.write.mode("append").format("parquet")
@@ -221,7 +219,7 @@ def extend_index_store(spark: SparkSession, database: str,
         lo[r["d"]] = r["lo"]
         hi[r["d"]] = r["hi"]
     code = sq_code(*bounds_accessors(lo, hi))
-    codes = batch.select(
+    coded = batch.select(
         "vec_id",
         F.transform(
             "eq",
@@ -229,13 +227,109 @@ def extend_index_store(spark: SparkSession, database: str,
                 F.lit(0), F.least(F.lit(SQ_LEVELS), code(x, i))
             ).cast("smallint"),
         ).alias("codes"),
+        F.aggregate(
+            F.transform(
+                "eq",
+                lambda x, i: F.when(
+                    (code(x, i) < 0) | (code(x, i) > SQ_LEVELS),
+                    F.lit(1).cast("long"),
+                ).otherwise(F.lit(0).cast("long")),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, y: acc + y,
+        ).alias("n_clamped"),
+    )
+    clamped = int(
+        coded.agg(F.coalesce(F.sum("n_clamped"), F.lit(0)))
+        .collect()[0][0]
     )
     (
-        codes.write.mode("append").format("parquet")
+        coded.select("vec_id", "codes")
+        .write.mode("append").format("parquet")
         .bucketBy(n_buckets, "vec_id").sortBy("vec_id")
         .saveAsTable(f"{database}.ann_sq_store")
     )
-    return {"ivf_rows": n, "sq_rows": n}
+    return {"ivf_rows": n, "sq_rows": n, "clamped_codes": clamped}
+
+
+def index_store_health(spark: SparkSession, database: str) -> DataFrame:
+    """(metric, value) health signals read from THIS persisted store —
+    the operational twin of the registered ``ann_index_health`` query
+    (which audits the fixture split from the corpus; this reads the
+    actual on-disk index, however many batches have been appended).
+
+    Signals: ``n_lists`` / ``n_vectors``, list occupancy
+    (``list_size_max`` / ``list_size_p99`` / ``list_size_mean``),
+    the √n sizing rule (``target_list_size`` = √n_vectors,
+    ``max_over_target`` / ``p99_over_target``), and
+    ``sq_at_rail_rate`` — the fraction of persisted codes sitting at
+    0 or SQ_LEVELS.  At-rail is a proxy, not the exact clamp count
+    (a value exactly AT a frozen bound legitimately codes to the
+    rail); the exact per-batch count is ``extend_index_store``'s
+    ``clamped_codes`` return.  Retrain (``write_index_store``) when
+    ``max_over_target`` or the rail rate drifts well above its
+    build-time level.
+
+    Cost: one count-per-cid over the cid-bucketed lists (no shuffle —
+    the scan is hash-clustered), a ≤4096-row ranking window, and one
+    narrow scan of the code table."""
+    from astra_perseverance_spark.extensions.training import SQ_LEVELS
+    from pyspark.sql import Window
+
+    lists = spark.table(f"{database}.ann_ivf_lists")
+    cent = spark.table(f"{database}.ann_centroids")
+    counts = lists.groupBy("cid").agg(
+        F.count("*").cast("long").alias("sz"))
+    # broadcast the ≤ n_lists-row count frame (see q_ann_index_health)
+    sizes = (
+        cent.select("cid").join(F.broadcast(counts), "cid", "left")
+        .select("cid", F.coalesce("sz", F.lit(0).cast("long")).alias("sz"))
+    )
+    whole = Window.partitionBy()
+    stats = (
+        sizes.select(
+            "sz",
+            F.row_number().over(Window.orderBy("sz", "cid")).alias("r"),
+            F.count("*").over(whole).cast("long").alias("n_lists"),
+            F.max("sz").over(whole).alias("mx"),
+            F.sum("sz").over(whole).cast("long").alias("n_total"),
+        )
+        .filter(F.col("r") == F.ceil(F.lit(0.99) * F.col("n_lists")))
+        .select(F.col("sz").alias("p99"), "n_lists", "mx", "n_total")
+    )
+    rails = spark.table(f"{database}.ann_sq_store").select(
+        F.aggregate(
+            F.transform(
+                "codes",
+                lambda c: F.when(
+                    (c == 0) | (c == SQ_LEVELS), F.lit(1).cast("long")
+                ).otherwise(F.lit(0).cast("long")),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, y: acc + y,
+        ).alias("nr"),
+        F.size("codes").cast("long").alias("nd"),
+    ).agg(
+        F.sum("nr").cast("long").alias("at_rail"),
+        F.sum("nd").cast("long").alias("n_codes"),
+    )
+    return (
+        stats.crossJoin(F.broadcast(rails))
+        .selectExpr(
+            "stack(9, "
+            "'list_size_max', CAST(mx AS DOUBLE), "
+            "'list_size_mean', CAST(n_total AS DOUBLE) / n_lists, "
+            "'list_size_p99', CAST(p99 AS DOUBLE), "
+            "'max_over_target', mx / SQRT(CAST(n_total AS DOUBLE)), "
+            "'n_lists', CAST(n_lists AS DOUBLE), "
+            "'n_vectors', CAST(n_total AS DOUBLE), "
+            "'p99_over_target', p99 / SQRT(CAST(n_total AS DOUBLE)), "
+            "'sq_at_rail_rate', CAST(at_rail AS DOUBLE) / n_codes, "
+            "'target_list_size', SQRT(CAST(n_total AS DOUBLE))"
+            ") as (metric, value)"
+        )
+        .orderBy("metric")
+    )
 
 
 def register_index_store(spark: SparkSession, database: str,

@@ -187,13 +187,46 @@ def test_extend_index_store_appends_batch(spark, tmp_path_factory,
         n_old = spark.table(f"{db}.ann_ivf_lists").count()
         n_batch = batch.count()
         res = extend_index_store(spark, db, batch)
-        assert res == {"ivf_rows": n_batch, "sq_rows": n_batch}
+        assert res["ivf_rows"] == n_batch and res["sq_rows"] == n_batch
+        # the per-batch clamp count must agree with the registered
+        # audit's clamped_codes (same batch: the odd half under the
+        # frozen even bounds — one definition of "clamped")
+        from astra_perseverance_spark.extensions.similarity import (
+            q_ann_index_health,
+        )
+
+        audit = {r["metric"]: r["value"]
+                 for r in q_ann_index_health(spark, SF_SMALL).collect()}
+        assert res["clamped_codes"] == int(audit["clamped_codes"])
 
         lists = spark.table(f"{db}.ann_ivf_lists")
         assert lists.count() == n_old + n_batch
         appended = lists.filter(F.col("vec_id") % 2 == 1)
         assert appended.count() == n_batch
         assert appended.select("vec_id").distinct().count() == n_batch
+
+        # the store-facing health reader must agree with the
+        # registered audit on every occupancy metric: after the
+        # append the store's state IS the audit's fixture state
+        # (even = indexed, odd = appended), and the assignment rule
+        # is shared code
+        from astra_perseverance_spark.sinks.index_store import (
+            index_store_health,
+        )
+
+        health = {r["metric"]: r["value"]
+                  for r in index_store_health(spark, db).collect()}
+        for m in ("list_size_max", "list_size_p99", "list_size_mean",
+                  "max_over_target", "p99_over_target", "n_lists",
+                  "target_list_size"):
+            assert health[m] == audit[m], m
+        assert health["n_vectors"] == audit["n_indexed"] + audit["n_appended"]
+        assert 0.0 <= health["sq_at_rail_rate"] <= 1.0
+        # every saturated (clamped) code sits AT a rail, and each of
+        # the even corpus's 64 per-dimension min/max pairs coded to a
+        # rail too — at-rail strictly dominates the clamp count
+        assert round(health["sq_at_rail_rate"]
+                     * health["n_vectors"] * 64) >= audit["clamped_codes"]
 
         # assignment optimality, recomputed independently: the stored
         # cid must be each vector's (cosine DESC, cid ASC) argmax over
