@@ -242,6 +242,28 @@ def shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
                       lambda: _build_shingle_rows(spark, sf_dir))
 
 
+def k_gram_rows_of(docs: DataFrame, k: int) -> DataFrame:
+    """``k_gram_rows`` over an explicit (doc_id, lang, text) frame —
+    the same expression pipeline applied to a caller-supplied batch
+    (``sinks.index_store.extend_postings`` shingles an ingestion batch
+    with EXACTLY the corpus build's grams; factoring the frame out is
+    what makes drift impossible).  The caller owns the frame's
+    doc-grain clustering; the window exchanges on doc_id otherwise."""
+    w = Window.partitionBy("doc_id").orderBy("p")
+    grams = docs.select(
+        "doc_id", "lang", F.posexplode(tokens("text")).alias("p", "t0")
+    )
+    for i in range(1, k):
+        grams = grams.withColumn(f"t{i}", F.lead("t0", i).over(w))
+    return (
+        grams.filter(F.col(f"t{k - 1}").isNotNull())
+        .select(
+            "doc_id", "lang",
+            F.concat_ws(" ", *[f"t{i}" for i in range(k)]).alias("g"),
+        )
+    )
+
+
 def k_gram_rows(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
     """(doc_id, lang, g): one row per k-word-gram *occurrence* —
     the shared codegen'd row pipeline (posexplode + ``lead`` window,
@@ -256,19 +278,7 @@ def k_gram_rows(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
     exchange carries the documents themselves and the explode + window
     run partition-local (same fix as
     ``text_stats.q_doc_fingerprint``)."""
-    w = Window.partitionBy("doc_id").orderBy("p")
-    grams = _cdocs(spark, sf_dir).select(
-        "doc_id", "lang", F.posexplode(tokens("text")).alias("p", "t0")
-    )
-    for i in range(1, k):
-        grams = grams.withColumn(f"t{i}", F.lead("t0", i).over(w))
-    return (
-        grams.filter(F.col(f"t{k - 1}").isNotNull())
-        .select(
-            "doc_id", "lang",
-            F.concat_ws(" ", *[f"t{i}" for i in range(k)]).alias("g"),
-        )
-    )
+    return k_gram_rows_of(_cdocs(spark, sf_dir), k)
 
 
 def _build_shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -493,30 +503,54 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_pairs(spark, sf_dir).orderBy("doc_a", "doc_b")
 
 
+def cap_postings(sh: DataFrame) -> DataFrame:
+    """Apply the stop-shingle cap to a raw (doc_id, lang, g) postings
+    frame: per-language document frequency ``df`` (window over
+    (lang, g)), drop shingles with df > ``NGRAM_DF_CAP``, and ``n`` =
+    each doc's SURVIVING distinct-shingle count (window over doc_id).
+    The ONE definition of the capped universe — the session build and
+    the index store's read path both apply it, so the cap semantics
+    cannot drift between the memo and persisted representations."""
+    return (
+        sh.withColumn(
+            "df", F.count("*").over(Window.partitionBy("lang", "g"))
+        )
+        .filter(F.col("df") <= NGRAM_DF_CAP)
+        .withColumn("n", F.count("*").over(Window.partitionBy("doc_id")))
+    )
+
+
 def capped_shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, lang, g, df, n): the stop-shingle-capped similarity
     universe — shingle postings with per-language document frequency
     ``df`` ≤ ``NGRAM_DF_CAP`` and ``n`` = the doc's *surviving*
     distinct-shingle count (Jaccard on this path is declared over the
     capped sets).  Memoized: candidate generation, verification, and
-    every ``ngram_pairs`` consumer read it.  With the index store
-    (``corpus.INDEX_DB_ENV``) this is the persisted
-    ``shingle_postings`` table — the inverted index
-    ``dedup_incremental`` calls its persisted artifact, durable
-    across applications instead of rebuilt per session."""
-    art = index_artifact(spark, "shingle_postings")
+    every ``ngram_pairs`` consumer read it.
+
+    With the index store (``corpus.INDEX_DB_ENV``) the source is the
+    persisted ``shingle_raw`` table — the UNCAPPED inverted index,
+    append-only so ingestion batches extend it with batch-sized work
+    (``sinks.index_store.extend_postings``) — and ``cap_postings``
+    recomputes df/n over it at read.  Recomputing (two windows over
+    postings rows, no text processing) is the deliberate trade: a
+    persisted CAPPED table would freeze document frequencies at build
+    time, so appended batches could push a shingle past the cap
+    without evicting its stale postings — the r11-declared
+    append-unsafety.  Here df/n always reflect the true current
+    corpus, and the expensive part (tokenize + shingle the text) still
+    never reruns."""
+    art = index_artifact(spark, "shingle_raw")
     if art is not None:
-        return art
+        # memoized like the build below — consumers re-read this frame
+        # many times per session (memo_frame keys on the store toggle,
+        # so mode flips never serve the other mode's frame)
+        return memo_frame(spark, sf_dir, ("ngram_universe",),
+                          lambda: cap_postings(art))
 
     def build() -> DataFrame:
         sh = shingle_rows(spark, sf_dir).select("doc_id", "lang", "g")
-        return (
-            sh.withColumn(
-                "df", F.count("*").over(Window.partitionBy("lang", "g"))
-            )
-            .filter(F.col("df") <= NGRAM_DF_CAP)
-            .withColumn("n", F.count("*").over(Window.partitionBy("doc_id")))
-        )
+        return cap_postings(sh)
 
     return memo_frame(spark, sf_dir, ("ngram_universe",), build)
 

@@ -997,15 +997,25 @@ def q_ann_index_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from astra_perseverance_spark.functions.vectors import ANN_DIM
 
-    index = memo_frame(spark, sf_dir, ("ivf_incr_index",),
-                       lambda: _build_incremental_index(spark, sf_dir))
     cent = memo_frame(spark, sf_dir, ("ivf_incr_cent",),
                       lambda: _incremental_centroids(spark, sf_dir))
     new = _vectors(spark, sf_dir).drop("bucket").filter(
         F.col("vec_id") % 2 == 1)
 
-    members = index.select("cid").unionByName(
-        _nearest_centroid(new, cent).select("cid"))
+    # post-append membership: stored even lists ∪ appended odd
+    # assignment.  With the index store that is literally the
+    # persisted table plus the batch routed by the append rule; on
+    # the default (memo) path the union telescopes — every vector to
+    # its nearest frozen centroid in ONE affinity pass (identical
+    # rows by construction: the stored lists were built by the same
+    # _nearest_centroid over the even half)
+    art = index_artifact(spark, "ann_ivf_lists")
+    if art is not None:
+        members = art.select("cid").unionByName(
+            _nearest_centroid(new, cent).select("cid"))
+    else:
+        members = _nearest_centroid(
+            _vectors(spark, sf_dir).drop("bucket"), cent).select("cid")
     counts = members.groupBy("cid").agg(
         F.count("*").cast("long").alias("sz"))
     # left join from the centroid dim so EMPTY lists audit as size 0;

@@ -39,9 +39,14 @@ table                   contents (producer — the SAME builder the
 ``digest_dim``          (doc_id, content_md5) exact-dedup digest dim,
                         BUCKETED by content_md5 (the groupBy/join key)
                         (``dedup.content_digest_frame``)
-``shingle_postings``    (doc_id, lang, g, df, n) the stop-shingle-
-                        capped inverted index, BUCKETED by doc_id
-                        (``dedup.capped_shingle_rows``)
+``shingle_raw``         (doc_id, lang, g) the UNCAPPED inverted
+                        index, BUCKETED by doc_id — append-only, so
+                        ``extend_postings`` folds batches in with
+                        batch-sized work; the read path recomputes
+                        the df cap + surviving counts over it
+                        (``dedup.cap_postings`` — df always reflects
+                        the true current corpus)
+                        (``dedup.shingle_rows``)
 ``even_components``     (node, component) connected components of the
                         existing-corpus duplicate subgraph — the
                         split-anchor frame
@@ -79,7 +84,7 @@ _LAYOUT: dict[str, str | None] = {
     "ann_sq_bounds": None,
     "ann_sq_store": "vec_id",
     "digest_dim": "content_md5",
-    "shingle_postings": "doc_id",
+    "shingle_raw": "doc_id",
     "even_components": None,
 }
 
@@ -94,8 +99,8 @@ def write_index_store(spark: SparkSession, sf_dir: str, database: str,
     ``location``).  Returns table name → qualified name."""
     from astra_perseverance_spark.extensions import similarity
     from astra_perseverance_spark.extensions.dedup import (
-        capped_shingle_rows,
         content_digest_frame,
+        shingle_rows,
     )
     from astra_perseverance_spark.extensions.training import (
         even_components_frame,
@@ -145,7 +150,8 @@ def write_index_store(spark: SparkSession, sf_dir: str, database: str,
         save("ann_sq_bounds", bounds)
         save("ann_sq_store", store)
         save("digest_dim", content_digest_frame(spark, sf_dir))
-        save("shingle_postings", capped_shingle_rows(spark, sf_dir))
+        save("shingle_raw",
+             shingle_rows(spark, sf_dir).select("doc_id", "lang", "g"))
         save("even_components", even_components_frame(spark, sf_dir))
         return out
     finally:
@@ -178,13 +184,13 @@ def extend_index_store(spark: SparkSession, database: str,
     ``clamped_codes`` count reports how many of this batch's codes
     the frozen bounds saturated.
 
-    The near-dup artifacts extend differently and deliberately are
-    NOT appended here: ``digest_dim`` rows are per-doc and append
-    trivially, but ``shingle_postings`` is df-CAPPED over the whole
-    corpus — appending a batch's postings without recomputing
-    document frequencies would let stop-shingles sneak back under the
-    cap.  Postings maintenance is a periodic rebuild
-    (``write_index_store``), the same cadence as centroid retraining.
+    The TEXT artifacts (digest dim + shingle postings) extend through
+    ``extend_postings`` — a separate call because its input is a
+    document batch, not a vector batch.  ``even_components`` alone
+    stays build-time-frozen: it IS the definition of the existing
+    corpus's split anchors (``split_assign_incremental`` routes new
+    docs relative to it), so extending it would change what "existing"
+    means mid-stream.
 
     Returns {"ivf_rows": n, "sq_rows": n, "clamped_codes": c} — ``c``
     is how many of this batch's raw codes fell outside [0, SQ_LEVELS]
@@ -250,6 +256,55 @@ def extend_index_store(spark: SparkSession, database: str,
         .saveAsTable(f"{database}.ann_sq_store")
     )
     return {"ivf_rows": n, "sq_rows": n, "clamped_codes": clamped}
+
+
+def extend_postings(spark: SparkSession, database: str,
+                    batch_docs: DataFrame,
+                    n_buckets: int = DEFAULT_BUCKETS) -> dict[str, int]:
+    """Fold a NEW document batch into the persisted text artifacts —
+    batch-sized work, exactly correct by construction:
+
+    - ``shingle_raw`` gets the batch's distinct 3-word shingles
+      (``dedup.k_gram_rows_of`` — the SAME expression pipeline the
+      corpus build uses).  The table is UNCAPPED postings, so append
+      is the whole maintenance story: the stop-shingle cap and the
+      surviving per-doc counts are recomputed over the full table at
+      read (``dedup.cap_postings``), which means a batch that pushes
+      a shingle's document frequency past ``NGRAM_DF_CAP`` evicts it
+      from the capped universe immediately — no stale-df window, the
+      failure mode that made the r11 capped representation
+      append-unsafe by design.
+    - ``digest_dim`` gets one (doc_id, content_md5) row per batch doc
+      (``dedup.content_digest`` — the shared digest expression), so
+      the NEXT batch's exact-dedup probe sees this batch as existing
+      corpus.
+
+    ``batch_docs``: (doc_id, lang, text, ...) in the conformed
+    documents schema; doc_ids must be new (append blindly trusts the
+    ingest boundary, like every inverted index).  Returns
+    {"shingle_rows": n, "digest_rows": m}."""
+    from astra_perseverance_spark.extensions.dedup import (
+        content_digest,
+        k_gram_rows_of,
+    )
+
+    grams = k_gram_rows_of(
+        batch_docs.select("doc_id", "lang", "text"), 3).distinct()
+    n_sh = grams.count()
+    (
+        grams.write.mode("append").format("parquet")
+        .bucketBy(n_buckets, "doc_id").sortBy("doc_id")
+        .saveAsTable(f"{database}.shingle_raw")
+    )
+    digests = batch_docs.select(
+        "doc_id", content_digest().alias("content_md5"))
+    n_dig = digests.count()
+    (
+        digests.write.mode("append").format("parquet")
+        .bucketBy(n_buckets, "content_md5").sortBy("content_md5")
+        .saveAsTable(f"{database}.digest_dim")
+    )
+    return {"shingle_rows": n_sh, "digest_rows": n_dig}
 
 
 def index_store_health(spark: SparkSession, database: str) -> DataFrame:

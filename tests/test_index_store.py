@@ -31,6 +31,10 @@ INCREMENTAL_QUERIES = (
     "ann_incremental_pq",
     "dedup_incremental",
     "split_assign_incremental",
+    # the drift audit reads the persisted lists under the toggle; its
+    # default path telescopes the union into one affinity pass — the
+    # two must agree row-for-row
+    "ann_index_health",
 )
 
 
@@ -252,6 +256,218 @@ def test_extend_index_store_appends_batch(spark, tmp_path_factory,
             F.exists("codes", lambda c: (c < 0) | (c > 255))).count()
         assert bad == 0
     finally:
+        for t in tables.values():
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+        spark.sql(f"DROP DATABASE IF EXISTS {db}")
+
+
+def test_extend_postings_matches_full_rebuild(spark, tmp_path_factory,
+                                              monkeypatch):
+    """Text-artifact append: folding a document batch into the
+    persisted raw postings must leave the CAPPED universe (the frame
+    every near-dup consumer reads) identical to a from-scratch build
+    over corpus ∪ batch — including the eviction property the r11
+    capped representation could not provide: a batch that pushes a
+    shingle's df past the cap evicts it for EVERY doc, old and new,
+    with no stale-df window.  The digest dim must likewise see the
+    batch as existing corpus."""
+    from pyspark.sql import functions as F
+
+    from astra_perseverance_spark.extensions.corpus import docs_frame
+    from astra_perseverance_spark.extensions.dedup import (
+        NGRAM_DF_CAP,
+        cap_postings,
+        k_gram_rows_of,
+    )
+    from astra_perseverance_spark.sinks.index_store import (
+        extend_postings,
+        write_index_store,
+    )
+
+    monkeypatch.delenv("SPARK_GRAFT_INDEX_DB", raising=False)
+    db = "idxstore_post"
+    loc = tmp_path_factory.mktemp("idxstore_post")
+    tables = write_index_store(spark, SF_SMALL, db, str(loc))
+    try:
+        docs = docs_frame(spark, SF_SMALL).select("doc_id", "lang", "text")
+        # batch: one genuinely new doc, plus NGRAM_DF_CAP+1 new copies
+        # of an existing doc's text — enough on their own to push every
+        # shingle of that text past the cap
+        donor = docs.orderBy("doc_id").limit(1).collect()[0]
+        base = 10_000_000
+        copies = [(base + i, donor["lang"], donor["text"])
+                  for i in range(NGRAM_DF_CAP + 1)]
+        fresh = [(base - 1, "en",
+                  "wholly new text that appears nowhere else in the "
+                  "corpus and is long enough to shingle")]
+        batch = spark.createDataFrame(
+            copies + fresh, "doc_id long, lang string, text string")
+
+        res = extend_postings(spark, db, batch)
+        assert res["digest_rows"] == NGRAM_DF_CAP + 2
+        assert res["shingle_rows"] > 0
+
+        # expected: the one shared cap definition applied to a
+        # from-scratch gram build over corpus ∪ batch
+        expected = cap_postings(
+            k_gram_rows_of(docs.unionByName(batch), 3).distinct())
+        monkeypatch.setenv("SPARK_GRAFT_INDEX_DB", db)
+        from astra_perseverance_spark.extensions.dedup import (
+            capped_shingle_rows,
+        )
+
+        got = capped_shingle_rows(spark, SF_SMALL)
+        assert set(_rows(got)) == set(_rows(expected))
+
+        # eviction: the donor text's shingles are now over-cap, so
+        # they are gone for the ORIGINAL doc too
+        donor_shingles = set(
+            r["g"] for r in k_gram_rows_of(
+                spark.createDataFrame(
+                    [(donor["doc_id"], donor["lang"], donor["text"])],
+                    "doc_id long, lang string, text string"), 3)
+            .distinct().collect())
+        if donor_shingles:
+            survivors = got.filter(
+                (F.col("doc_id") == donor["doc_id"])
+                & F.col("g").isin(list(donor_shingles)))
+            assert survivors.count() == 0
+
+        # digest dim: the batch is existing corpus for the NEXT probe
+        dig = spark.table(f"{db}.digest_dim")
+        assert dig.filter(F.col("doc_id") >= base - 1).count() \
+            == NGRAM_DF_CAP + 2
+    finally:
+        monkeypatch.delenv("SPARK_GRAFT_INDEX_DB", raising=False)
+        for t in tables.values():
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+        spark.sql(f"DROP DATABASE IF EXISTS {db}")
+
+
+def test_e2e_shards_to_incremental_splits(spark, tmp_path_factory,
+                                          monkeypatch):
+    """The full production loop, composed end to end: wave-1 tar
+    shards → exactly-once streaming ingest → index-store build;
+    wave-2 shards (new odd doc_ids: exact copies of existing docs +
+    novel text) → the SAME streaming ingest appends them →
+    ``extend_postings`` folds their text artifacts into the store.
+    Then ``split_assign_incremental`` (anchor routing through the
+    persisted ``even_components``) and ``dedup_incremental`` over the
+    grown corpus must be row-identical on the store path and the
+    memo path — the three round-11/12 features (ingest, store,
+    append) are only tested pairwise without this."""
+    import json as _json
+    import shutil
+    import tarfile
+
+    from pyspark.sql import functions as F
+
+    from astra_perseverance_spark.sinks.index_store import (
+        extend_postings,
+        write_index_store,
+    )
+    from astra_perseverance_spark.sources.webdataset import (
+        add_sample,
+        stream_ingest_webdataset_corpus,
+    )
+
+    monkeypatch.delenv("SPARK_GRAFT_INDEX_DB", raising=False)
+    root = tmp_path_factory.mktemp("e2e_loop")
+    landing = root / "landing"
+    landing.mkdir()
+    corpus = str(root / "corpus")
+
+    def land(name, rows):
+        with tarfile.open(landing / name, "w") as tf:
+            for doc_id, text, lang, source in rows:
+                add_sample(tf, doc_id, [
+                    (".txt", text.encode()),
+                    (".json", _json.dumps(
+                        {"doc_id": doc_id, "lang": lang,
+                         "source": source}).encode()),
+                ])
+
+    # wave 1: the sf0.001 corpus as tar shards (mixed parity — its
+    # even half becomes the store's anchor corpus)
+    base_docs = spark.read.parquet(
+        f"{SF_SMALL}/documents.parquet").select(
+        "doc_id", "text", "lang", "source").collect()
+    land("shard-000000.tar",
+         [(r["doc_id"], r["text"], r["lang"], r["source"])
+          for r in base_docs])
+    assert stream_ingest_webdataset_corpus(
+        spark, str(landing), corpus) == corpus
+    # the ANN artifacts need the embeddings table next to the docs
+    shutil.copy(f"{SF_SMALL}/embeddings.parquet",
+                os.path.join(corpus, "embeddings.parquet"))
+
+    db = "idxstore_e2e"
+    loc = root / "store"
+    tables = write_index_store(spark, corpus, db, str(loc))
+    try:
+        # wave 2: new odd doc_ids — two exact copies of existing EVEN
+        # docs (must inherit their anchors' split) and one novel doc
+        donors = [r for r in base_docs if r["doc_id"] % 2 == 0][:2]
+        nxt = max(r["doc_id"] for r in base_docs) + 1
+        wave2 = []
+        for i, d in enumerate(donors):
+            oid = nxt + 2 * i + (1 - nxt % 2)  # force odd
+            wave2.append((oid, d["text"], d["lang"], d["source"]))
+        wave2.append((wave2[-1][0] + 2,
+                      "a wholly novel document that matches nothing "
+                      "in the existing corpus at all", "en", "crawl"))
+        assert all(i % 2 == 1 for i, *_ in wave2)
+        land("shard-000001.tar", wave2)
+        assert stream_ingest_webdataset_corpus(
+            spark, str(landing), corpus) == corpus
+        got_ids = set(
+            r["doc_id"] for r in spark.read.parquet(
+                os.path.join(corpus, "documents.parquet"))
+            .select("doc_id").collect())
+        assert got_ids == set(r["doc_id"] for r in base_docs) | set(
+            i for i, *_ in wave2), "exactly-once append failed"
+
+        # fold the batch in, the way the CLI does: new docs = those
+        # the persisted digest dim has never seen
+        docs = spark.read.parquet(os.path.join(corpus,
+                                               "documents.parquet"))
+        known = spark.table(f"{db}.digest_dim").select("doc_id")
+        batch = docs.join(known, "doc_id", "left_anti")
+        res = extend_postings(spark, db, batch)
+        assert res["digest_rows"] == len(wave2)
+
+        # the session memos captured the WAVE-1 corpus (the memo model
+        # binds a session to one corpus state); drop them so both
+        # paths below see the grown corpus, as a fresh application
+        # would
+        from astra_perseverance_spark.conformed.model import (
+            release_memos,
+        )
+
+        release_memos(spark)
+
+        from astra_perseverance_spark.queries import QUERY_REGISTRY
+
+        for name in ("dedup_incremental", "split_assign_incremental"):
+            monkeypatch.delenv("SPARK_GRAFT_INDEX_DB", raising=False)
+            expected = _rows(QUERY_REGISTRY[name](spark, corpus))
+            monkeypatch.setenv("SPARK_GRAFT_INDEX_DB", db)
+            actual = _rows(QUERY_REGISTRY[name](spark, corpus))
+            assert actual == expected, name
+            assert expected, f"{name} vacuous"
+
+        # non-vacuous anchor routing: the exact-copy wave-2 docs got
+        # a non-null anchor and inherited its split
+        monkeypatch.setenv("SPARK_GRAFT_INDEX_DB", db)
+        splits = QUERY_REGISTRY["split_assign_incremental"](
+            spark, corpus)
+        copies = [i for i, *_ in wave2[:-1]]
+        anchored = splits.filter(
+            F.col("doc_id").isin(copies)
+            & F.col("anchor_doc").isNotNull())
+        assert anchored.count() == len(copies)
+    finally:
+        monkeypatch.delenv("SPARK_GRAFT_INDEX_DB", raising=False)
         for t in tables.values():
             spark.sql(f"DROP TABLE IF EXISTS {t}")
         spark.sql(f"DROP DATABASE IF EXISTS {db}")

@@ -369,7 +369,7 @@ class TestTrainingDataCli:
         assert os.path.isdir(info["location"])
         assert set(info["tables"]) == {
             "ann_centroids", "ann_ivf_lists", "ann_sq_bounds",
-            "ann_sq_store", "digest_dim", "shingle_postings",
+            "ann_sq_store", "digest_dim", "shingle_raw",
             "even_components",
         }
         try:
@@ -675,6 +675,66 @@ class TestIncrementalCli:
 
         assert make_training_data.main(args) == 0  # nothing new
         assert spark.read.parquet(docs).count() == 15
+
+    def test_incremental_extends_existing_index_store(self, spark,
+                                                      tmp_path):
+        """--index-store --incremental over an OUT dir with an
+        existing store EXTENDS the text artifacts with the newly
+        ingested docs (batch-sized fold, run.json records the counts)
+        instead of rebuilding; the digest dim then covers the grown
+        corpus."""
+        import json
+        import os
+        import shutil
+        import sys
+
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "tools"))
+        import make_training_data
+
+        from tests.conftest import SF_SMALL
+
+        dump = tmp_path / "dump"
+        dump.mkdir()
+
+        def land(name, ids):
+            with open(dump / name, "w") as fh:
+                for i in ids:
+                    fh.write(json.dumps(
+                        {"doc_id": i, "text": f"some document body "
+                         f"number {i} with enough words to shingle",
+                         "lang": "en", "source": "web"}) + "\n")
+
+        out = tmp_path / "run"
+        args = [str(dump), "-o", str(out), "--from", "jsonl",
+                "--incremental", "--skip-corpus", "--skip-shards",
+                "--index-store"]
+        land("a.jsonl", range(10))
+        # first run: no store yet -> full build (needs the embeddings
+        # table next to the ingested docs for the ANN artifacts)
+        os.makedirs(out / "ingested", exist_ok=True)
+        shutil.copy(f"{SF_SMALL}/embeddings.parquet",
+                    out / "ingested" / "embeddings.parquet")
+        assert make_training_data.main(args) == 0
+        run1 = json.load(open(out / "run.json"))
+        assert "tables" in run1["index_store"]
+        db = run1["index_store"]["database"]
+
+        land("b.jsonl", range(10, 14))
+        assert make_training_data.main(args) == 0
+        run2 = json.load(open(out / "run.json"))
+        try:
+            ext = run2["index_store"]["extended"]
+            assert ext["digest_rows"] == 4
+            assert ext["shingle_rows"] > 0
+            dig = spark.table(f"{db}.digest_dim")
+            assert dig.count() == 14
+            assert dig.filter("doc_id >= 10").count() == 4
+        finally:
+            for t in run1["index_store"]["tables"].values():
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
+            spark.sql(f"DROP DATABASE IF EXISTS {db}")
 
     def test_mode_mix_over_one_out_dir_refused(self, spark, tmp_path):
         """A batch re-run over an incrementally-ingested OUT dir (or

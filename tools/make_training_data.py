@@ -28,10 +28,16 @@ CLI-specific):
    WebDataset tar shards under ``OUT/wds``.
 4. ``--index-store`` — persist the incremental-serving index
    artifacts (IVF centroids/lists, int8 codes + frozen bounds, digest
-   dim, shingle postings, split anchors) as tables under
+   dim, raw shingle postings, split anchors) as tables under
    ``OUT/index_store``; later applications set
    ``SPARK_GRAFT_INDEX_DB`` and probe new batches against them with
    batch-sized work instead of rebuilding the index per run.
+   Combined with ``--incremental`` and an existing store, the run
+   EXTENDS instead of rebuilding: the ingested batch's shingles and
+   digests fold into the persisted text artifacts
+   (``extend_postings`` — new docs identified against the digest
+   dim), closing the production loop tar shards → corpus → index
+   without a corpus-sized rebuild per batch.
 5. ``run.json`` — one driver-readable summary of counts and paths.
 
 Everything data-sized is written by executors; the only driver-side
@@ -171,13 +177,34 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.index_store:
         from astra_perseverance_spark.sinks.index_store import (
+            extend_postings,
+            register_index_store,
             write_index_store,
         )
 
         loc = os.path.abspath(os.path.join(args.out, "index_store"))
-        tables = write_index_store(spark, sf_dir, "training_index", loc)
-        run["index_store"] = {"location": loc, "database": "training_index",
-                              "tables": tables}
+        db = "training_index"
+        if args.incremental and os.path.isdir(
+                os.path.join(loc, "shingle_raw")):
+            # a store already exists and this run's ingest appended a
+            # batch: fold the batch's text artifacts in (batch-sized
+            # work) instead of rebuilding.  New docs = those the
+            # persisted digest dim has never seen.  Vector artifacts
+            # (IVF lists / SQ codes) extend via extend_index_store
+            # when an embedding batch exists; this CLI ingests
+            # documents only.
+            register_index_store(spark, db, loc)
+            docs = spark.read.parquet(
+                os.path.join(sf_dir, "documents.parquet"))
+            known = spark.table(f"{db}.digest_dim").select("doc_id")
+            batch = docs.join(known, "doc_id", "left_anti")
+            res = extend_postings(spark, db, batch)
+            run["index_store"] = {"location": loc, "database": db,
+                                  "extended": res}
+        else:
+            tables = write_index_store(spark, sf_dir, db, loc)
+            run["index_store"] = {"location": loc, "database": db,
+                                  "tables": tables}
 
     run_path = os.path.join(args.out, "run.json")
     with open(run_path, "w") as fh:

@@ -36,6 +36,10 @@ Expected shapes (the honest part):
 Usage: python tools/scale_probe.py [REP] [sf_dir] [op ...]
 With an op subset, results print to stderr only (docs/SCALE_PROBE.md
 is regenerated only by full runs, so a spot-probe can't truncate it).
+Exceptions: the ``funnel_gc`` and ``index_amortization`` subset keys
+patch their own self-contained doc sections (state-row counts and a
+back-to-back ratio respectively — load-robust measurements that don't
+invalidate the timing rows around them).
 Scratch parquet goes under .scratch/ (gitignored).
 """
 
@@ -217,6 +221,8 @@ def time_op(fn, spark, sf_dir: str, runs: int = 1) -> float:
 
 
 def main() -> int:
+    if len(sys.argv) > 1 and sys.argv[1] == "index_amo_child":
+        return _index_amo_child(*sys.argv[2:6])
     rep = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
     only = set(sys.argv[3:])
@@ -370,13 +376,22 @@ def main() -> int:
         gc_lines = probe_funnel_gc(spark)
         lines += gc_lines
 
+    # ---- index-store amortization: fresh-application subprocesses ---
+    amo_lines = None
+    if not only or "index_amortization" in only:
+        amo_lines = probe_index_amortization(sf_dir)
+        lines += amo_lines
+
     if only:
-        if gc_lines is not None:
-            _patch_section(OUT_MD, gc_lines)
-            print(f"patched funnel-GC section of {OUT_MD} (state-row "
-                  "counts are load-insensitive; timing rows untouched)",
-                  file=sys.stderr)
-        else:
+        patched = False
+        for header, sect in ((GC_SECTION_HEADER, gc_lines),
+                             (AMO_SECTION_HEADER, amo_lines)):
+            if sect is not None:
+                _patch_section(OUT_MD, sect, header)
+                patched = True
+                print(f"patched '{header}' section of {OUT_MD} "
+                      "(timing rows above untouched)", file=sys.stderr)
+        if not patched:
             print("(subset run: docs/SCALE_PROBE.md not rewritten)",
                   file=sys.stderr)
     else:
@@ -388,25 +403,162 @@ def main() -> int:
 
 
 GC_SECTION_HEADER = "## Funnel dormant-user GC probe"
+AMO_SECTION_HEADER = "## Index-store amortization probe (cross-application)"
 
 
-def _patch_section(path: str, section_lines: list[str]) -> None:
-    """Replace (or append) the funnel-GC section in the probe doc —
-    the one probe whose measurement (state-store row counts) is
-    load-insensitive, so a subset run may legitimately refresh it
-    without invalidating the timing rows around it."""
+def _patch_section(path: str, section_lines: list[str],
+                   header: str = GC_SECTION_HEADER) -> None:
+    """Replace (or append) one named section in the probe doc —
+    for probes whose measurement stands alone (state-store row
+    counts; the cross-application store-vs-rebuild comparison, which
+    is internally consistent because both arms run back-to-back), so
+    a subset run may legitimately refresh it without invalidating the
+    timing rows around it."""
     with open(path) as f:
         text = f.read()
     body = "\n".join(section_lines).strip("\n") + "\n"
-    start = text.find(GC_SECTION_HEADER)
+    start = text.find(header)
     if start == -1:
         text = text.rstrip("\n") + "\n\n" + body
     else:
-        nxt = text.find("\n## ", start + len(GC_SECTION_HEADER))
+        nxt = text.find("\n## ", start + len(header))
         end = len(text) if nxt == -1 else nxt + 1
         text = text[:start].rstrip("\n") + "\n\n" + body + text[end:]
     with open(path, "w") as f:
         f.write(text)
+
+
+AMO_QUERIES = ("dedup_incremental", "ann_incremental",
+               "ann_incremental_pq", "split_assign_incremental",
+               "ann_index_health")
+
+
+def _index_amo_child(mode: str, sf_dir: str, loc: str, db: str) -> int:
+    """Child-process arm of the amortization probe: ONE fresh Spark
+    application per invocation (that is the point — the memo pool
+    starts empty, exactly like a scheduled production run).  Prints
+    one JSON line of per-query cold seconds."""
+    import json
+    import time as _time
+
+    from astra_perseverance_spark import get_spark
+    from astra_perseverance_spark.queries import QUERY_REGISTRY
+
+    spark = get_spark(f"idx-amo-{mode}")
+    spark.sparkContext.setLogLevel("ERROR")
+    out: dict[str, float] = {}
+    if mode == "build":
+        from astra_perseverance_spark.sinks.index_store import (
+            write_index_store,
+        )
+
+        t0 = _time.time()
+        write_index_store(spark, sf_dir, db, loc)
+        out["build_seconds"] = round(_time.time() - t0, 4)
+    else:
+        if mode == "store":
+            from astra_perseverance_spark.sinks.index_store import (
+                register_index_store,
+            )
+
+            register_index_store(spark, db, loc)
+            os.environ["SPARK_GRAFT_INDEX_DB"] = db
+        for name in AMO_QUERIES:
+            t0 = _time.time()
+            QUERY_REGISTRY[name](spark, sf_dir).write.format(
+                "noop").mode("overwrite").save()
+            out[name] = round(_time.time() - t0, 4)
+    print("AMO_RESULT " + json.dumps(out))
+    return 0
+
+
+def probe_index_amortization(sf_dir: str) -> list[str]:
+    """Measure the index store's whole value claim: probe cost
+    WITHOUT rebuild across applications.  Three fresh-application
+    subprocesses — build the store once (timed), then run the
+    incremental queries cold from a new application on the memo path
+    (rebuilds every artifact from the corpus) and on the store path
+    (``SPARK_GRAFT_INDEX_DB`` — reads the persisted tables).  Both
+    query arms run back-to-back on the same machine, so the RATIO is
+    meaningful even if absolute load shifts between probe runs."""
+    import json
+    import subprocess
+
+    loc = os.path.join(REPO, ".scratch", "idx_amo_store")
+    db = "amo_index"
+    shutil.rmtree(loc, ignore_errors=True)
+
+    def child(mode: str) -> dict:
+        env = {**os.environ}
+        env.pop("SPARK_GRAFT_INDEX_DB", None)
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__),
+             "index_amo_child", mode, sf_dir, loc, db],
+            capture_output=True, text=True, timeout=1200, env=env,
+            cwd=REPO)
+        assert proc.returncode == 0, proc.stdout[-2000:] + \
+            proc.stderr[-2000:]
+        line = [ln for ln in proc.stdout.splitlines()
+                if ln.startswith("AMO_RESULT ")][-1]
+        return json.loads(line[len("AMO_RESULT "):])
+
+    build = child("build")
+    size_b = sum(
+        os.path.getsize(os.path.join(r, f))
+        for r, _, fs in os.walk(loc) for f in fs)
+    memo = child("memo")
+    store = child("store")
+    shutil.rmtree(loc, ignore_errors=True)
+    for mode, res in (("build", build), ("memo", memo),
+                      ("store", store)):
+        print(f"index_amortization {mode}: {res}", file=sys.stderr)
+
+    lines = [
+        "",
+        AMO_SECTION_HEADER,
+        "",
+        f"Generated by `tools/scale_probe.py index_amortization` over",
+        f"`{sf_dir}`.  Three FRESH Spark applications (subprocesses):",
+        "one builds + persists the store, then each query runs COLD in",
+        "a new application on the memo path (every artifact rebuilt",
+        "from the corpus — what every scheduled run pays without the",
+        "store) and on the store path (`SPARK_GRAFT_INDEX_DB` — probes",
+        "the persisted tables).  Build cost is paid once; the",
+        "per-application saving is memo − store.  Both query arms run",
+        "back-to-back, so the ratio is load-robust.",
+        "",
+        f"Store build: {build['build_seconds']:.1f} s once; on-disk",
+        f"size {size_b / 1e6:.1f} MB.",
+        "",
+        "| query (cold, fresh app) | memo rebuild s | store probe s | "
+        "store/memo |",
+        "|---|---|---|---|",
+    ]
+    for name in AMO_QUERIES:
+        m, s = memo[name], store[name]
+        lines.append(f"| {name} | {m:.2f} | {s:.2f} | "
+                     f"{(s / m if m else float('inf')):.2f} |")
+    tm, ts = sum(memo.values()), sum(store.values())
+    lines.append(f"| **total** | {tm:.2f} | {ts:.2f} | "
+                 f"{(ts / tm if tm else float('inf')):.2f} |")
+    lines += [
+        "",
+        "What the store removes is artifact CONSTRUCTION from the",
+        "corpus: tokenize+shingle the text, digest it, assign/encode",
+        "the vectors, walk the duplicate graph.  What still runs per",
+        "application is the probe work itself — for",
+        "`dedup_incremental` that is the candidate join + Jaccard",
+        "verify over the (persisted) postings, which dominates its",
+        "row and caps the ratio here.  The saved fraction grows with",
+        "text volume: shingling is O(corpus bytes) while the verify",
+        "is bounded by candidate density (df-capped prefix postings),",
+        "so at production scale the construction side the store",
+        "eliminates is the dominant term.  `ann_index_health` reads",
+        "the persisted lists instead of re-deriving assignment —",
+        "about a wash at this scale, the point is it audits the real",
+        "on-disk index.",
+    ]
+    return lines
 
 
 def probe_funnel_gc(spark, n_users: int = 4000, n_active: int = 100,
