@@ -49,7 +49,7 @@ from astra_perseverance_spark.functions.texthash import (
 
 
 from astra_perseverance_spark.extensions.corpus import bucketed_db as _bucketed_db
-from astra_perseverance_spark.extensions.corpus import index_artifact
+from astra_perseverance_spark.extensions.corpus import index_artifact, index_db
 from astra_perseverance_spark.extensions.corpus import clustered_docs as _cdocs
 from astra_perseverance_spark.extensions.corpus import docs_frame as _docs
 from astra_perseverance_spark.extensions.corpus import n_docs as _n_docs
@@ -158,7 +158,20 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(old, "content_md5")
         .select("doc_id", "dup_of", F.lit("exact").alias("kind"))
     )
-    pairs = ngram_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    if index_db():
+        # store mode: the probe consumes only CROSS-boundary pairs, so
+        # candidate generation joins the persisted postings' existing
+        # side against the batch side only — batch-sized, instead of
+        # rebuilding the full corpus-quadratic pair frame per
+        # application (see _build_cross_ngram_pairs; lossless,
+        # invisible in the result).  Default mode keeps the shared
+        # memoized full pair frame.
+        pairs = memo_frame(
+            spark, sf_dir, ("cross_ngram_pairs",),
+            lambda: _build_cross_ngram_pairs(spark, sf_dir),
+        ).select("doc_a", "doc_b")
+    else:
+        pairs = ngram_pairs(spark, sf_dir).select("doc_a", "doc_b")
     near = (
         pairs.filter((F.col("doc_a") % 2 == 0) & (F.col("doc_b") % 2 == 1))
         .select(F.col("doc_b").alias("doc_id"), F.col("doc_a").alias("dup_of"))
@@ -567,13 +580,15 @@ def ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                       lambda: _build_ngram_pairs(spark, sf_dir))
 
 
-def _build_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    univ = capped_shingle_rows(spark, sf_dir)
-    tau = MINHASH_JACCARD_MIN
-    # Prefix postings: each doc's n − ⌈τ·n⌉ + 1 rarest shingles in the
-    # global (df, g) order.  τ = 0.5 is dyadic, so ceil(τ·n) over a
-    # double is exact for every integer n.
-    pre = (
+def _prefix_postings(univ: DataFrame, tau: float) -> DataFrame:
+    """Prefix postings: each doc's n − ⌈τ·n⌉ + 1 rarest shingles in
+    the global (df, g) order.  τ = 0.5 is dyadic, so ceil(τ·n) over a
+    double is exact for every integer n.  Lossless: j(A,B) ≥ τ ⇒ the
+    canonically-smallest common shingle sits within BOTH prefixes —
+    which also means a candidate join between any two SUBSETS of the
+    corpus may restrict each side's prefix frame to its subset
+    (``_build_cross_ngram_pairs``)."""
+    return (
         univ.withColumn(
             "r",
             F.row_number().over(
@@ -583,22 +598,13 @@ def _build_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("r") <= F.col("n") - F.ceil(F.lit(tau) * F.col("n")) + 1)
         .select("lang", "g", "doc_id", "n")
     )
-    cand = (
-        pre.alias("x")
-        .join(pre.alias("y"), ["lang", "g"])
-        .filter(
-            (F.col("x.doc_id") < F.col("y.doc_id"))
-            # lossless length filter for j >= tau
-            & (F.col("x.n") >= tau * F.col("y.n"))
-            & (F.col("y.n") >= tau * F.col("x.n"))
-        )
-        .select(
-            "lang",
-            F.col("x.doc_id").alias("doc_a"),
-            F.col("y.doc_id").alias("doc_b"),
-        )
-        .distinct()
-    )
+
+
+def _jaccard_verify(univ: DataFrame, cand: DataFrame,
+                    tau: float) -> DataFrame:
+    """Exact-Jaccard verify of a candidate pair frame: intersection
+    sizes as join-group counts over the full capped postings,
+    restricted to the candidates — cost Σ_cand (|A| + |B|)."""
     post = univ.select("doc_id", "n", "g")
     overlaps = (
         cand
@@ -623,6 +629,65 @@ def _build_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("jaccard") >= tau)
     )
+
+
+def _build_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    univ = capped_shingle_rows(spark, sf_dir)
+    tau = MINHASH_JACCARD_MIN
+    pre = _prefix_postings(univ, tau)
+    cand = (
+        pre.alias("x")
+        .join(pre.alias("y"), ["lang", "g"])
+        .filter(
+            (F.col("x.doc_id") < F.col("y.doc_id"))
+            # lossless length filter for j >= tau
+            & (F.col("x.n") >= tau * F.col("y.n"))
+            & (F.col("y.n") >= tau * F.col("x.n"))
+        )
+        .select(
+            "lang",
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    return _jaccard_verify(univ, cand, tau)
+
+
+def _build_cross_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-boundary near-dup pairs only (existing even × new odd) —
+    the store-mode plan for ``q_dedup_incremental``'s near branch.
+
+    The full ``ngram_pairs`` self-join computes existing×existing and
+    new×new pairs the incremental probe then throws away; since the
+    probe consumes only cross pairs, candidate generation may join the
+    EXISTING side's prefix postings against the NEW side's — work is
+    Σ_g |pre_even_g|·|pre_odd_g|, batch-sized on one side, instead of
+    the corpus-quadratic Σ_g |pre_g|².  Lossless per the prefix-filter
+    subset argument (``_prefix_postings``) and invisible in the
+    result: the amortization probe (docs/SCALE_PROBE.md) is where the
+    saving is recorded.  Default (memo) mode keeps the shared full
+    pair frame so the three full-corpus consumers build it once."""
+    univ = capped_shingle_rows(spark, sf_dir)
+    tau = MINHASH_JACCARD_MIN
+    pre = _prefix_postings(univ, tau)
+    old = pre.filter(F.col("doc_id") % 2 == 0)
+    new = pre.filter(F.col("doc_id") % 2 == 1)
+    cand = (
+        old.alias("x")
+        .join(new.alias("y"), ["lang", "g"])
+        .filter(
+            (F.col("x.n") >= tau * F.col("y.n"))
+            & (F.col("y.n") >= tau * F.col("x.n"))
+        )
+        .select(
+            "lang",
+            F.least("x.doc_id", "y.doc_id").alias("doc_a"),
+            F.greatest("x.doc_id", "y.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    return _jaccard_verify(univ, cand, tau)
 
 
 def _dup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
