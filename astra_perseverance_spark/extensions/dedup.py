@@ -568,6 +568,82 @@ def capped_shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return memo_frame(spark, sf_dir, ("ngram_universe",), build)
 
 
+def q_postings_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drift audit for the near-dup inverted index — the text-side
+    twin of ``similarity.q_ann_index_health``: is the stop-shingle
+    cap (``NGRAM_DF_CAP``) still doing the right amount of work as
+    the corpus grows?
+
+    The capped universe is the foundation of every near-dup operator
+    (``ngram_jaccard``, ``dedup_clusters``, ``dedup_incremental``) and
+    with the index store it is long-lived: ``extend_postings`` appends
+    batches to the raw postings and the cap re-applies at read.  Two
+    failure directions, both silent without this signal: a growing
+    corpus pushes ever more legitimate shingles past the FIXED cap
+    (capped_postings_rate climbs — recall loss), or boilerplate
+    floods in below the cap (max_df/p99_df climb toward it — the
+    Σ df² candidate-join bound erodes).  One (metric, value) row
+    each for: postings/shingle/doc counts, max/p99 document
+    frequency (exact nearest-rank over the per-shingle df multiset,
+    computed on the df HISTOGRAM — the ranking window runs over
+    distinct integer frequency values, a grain far below the shingle
+    vocabulary and bounded by the corpus's frequency spectrum, not
+    its size), the cap itself, the count/mass/rate of capped-out
+    postings, and the surviving mean postings per shingled doc.
+
+    With ``SPARK_GRAFT_INDEX_DB`` set the source is the persisted
+    ``shingle_raw`` table — the audit then reads the REAL on-disk
+    index, however many batches have been appended.  ORDER BY
+    metric."""
+    art = index_artifact(spark, "shingle_raw")
+    sh = (art if art is not None
+          else shingle_rows(spark, sf_dir).select("doc_id", "lang", "g"))
+    dfs = sh.groupBy("lang", "g").agg(
+        F.count("*").cast("long").alias("df"))
+    hist = dfs.groupBy("df").agg(F.count("*").cast("long").alias("cnt"))
+    whole = Window.partitionBy()
+    cum = hist.select(
+        "df",
+        F.sum("cnt").over(Window.orderBy("df")).alias("cum"),
+        F.sum("cnt").over(whole).cast("long").alias("n_sh"),
+    )
+    p99 = (
+        cum.filter(F.col("cum") >= F.ceil(F.lit(0.99) * F.col("n_sh")))
+        .agg(F.min("df").cast("long").alias("p99_df"))
+    )
+    stats = dfs.agg(
+        F.count("*").cast("long").alias("n_shingles"),
+        F.max("df").alias("max_df"),
+        F.sum("df").cast("long").alias("n_postings"),
+        F.sum(F.when(F.col("df") > NGRAM_DF_CAP, 1).otherwise(0))
+        .cast("long").alias("capped_shingles"),
+        F.sum(F.when(F.col("df") > NGRAM_DF_CAP, F.col("df"))
+              .otherwise(0)).cast("long").alias("capped_postings"),
+    )
+    docs = sh.agg(
+        F.countDistinct("doc_id").cast("long").alias("shingled_docs"))
+    return (
+        stats.crossJoin(F.broadcast(p99)).crossJoin(F.broadcast(docs))
+        .selectExpr(
+            f"stack(10, "
+            f"'capped_postings', CAST(capped_postings AS DOUBLE), "
+            f"'capped_postings_rate', "
+            f"CAST(capped_postings AS DOUBLE) / n_postings, "
+            f"'capped_shingles', CAST(capped_shingles AS DOUBLE), "
+            f"'df_cap', CAST({NGRAM_DF_CAP} AS DOUBLE), "
+            f"'max_df', CAST(max_df AS DOUBLE), "
+            f"'n_postings', CAST(n_postings AS DOUBLE), "
+            f"'n_shingles', CAST(n_shingles AS DOUBLE), "
+            f"'p99_df', CAST(p99_df AS DOUBLE), "
+            f"'shingled_docs', CAST(shingled_docs AS DOUBLE), "
+            f"'surviving_mean_per_doc', "
+            f"CAST(n_postings - capped_postings AS DOUBLE) / shingled_docs"
+            f") as (metric, value)"
+        )
+        .orderBy("metric")
+    )
+
+
 def ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(lang, doc_a, doc_b, jaccard) near-dup pairs, unordered — the
     shared edge source for ``q_ngram_jaccard``, ``q_dedup_clusters``

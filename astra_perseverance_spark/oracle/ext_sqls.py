@@ -1767,6 +1767,66 @@ SELECT metric, value FROM (
 ) ORDER BY metric
 """
 
+# Postings drift audit (dedup.py::q_postings_health): per-shingle
+# document frequencies, nearest-rank p99 via the df histogram (the
+# same order statistic as the Spark side's histogram-cumulative
+# window), and the capped-out mass under NGRAM_DF_CAP.
+EXT_ORACLE_SQL["postings_health"] = f"""
+WITH sh0 AS (
+  SELECT doc_id, lang, unnest({word_shingles_sql(_TOKS)}) AS g
+  FROM documents
+),
+dfs AS (
+  SELECT lang, g, CAST(COUNT(*) AS BIGINT) AS df
+  FROM sh0 GROUP BY lang, g
+),
+hist AS (
+  SELECT df, CAST(COUNT(*) AS BIGINT) AS cnt FROM dfs GROUP BY df
+),
+cum AS (
+  SELECT df, SUM(cnt) OVER (ORDER BY df) AS cum,
+         CAST(SUM(cnt) OVER () AS BIGINT) AS n_sh
+  FROM hist
+),
+p99 AS (
+  SELECT CAST(MIN(df) AS BIGINT) AS p99_df
+  FROM cum WHERE cum >= CEIL(0.99 * n_sh)
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_shingles,
+         MAX(df) AS max_df,
+         CAST(SUM(df) AS BIGINT) AS n_postings,
+         CAST(SUM(CASE WHEN df > {NGRAM_DF_CAP} THEN 1 ELSE 0 END)
+              AS BIGINT) AS capped_shingles,
+         CAST(SUM(CASE WHEN df > {NGRAM_DF_CAP} THEN df ELSE 0 END)
+              AS BIGINT) AS capped_postings
+  FROM dfs
+),
+docs AS (
+  SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS shingled_docs
+  FROM sh0
+),
+one AS (SELECT * FROM stats, p99, docs)
+SELECT metric, value FROM (
+  SELECT 'capped_postings' AS metric,
+         CAST(capped_postings AS DOUBLE) AS value FROM one
+  UNION ALL SELECT 'capped_postings_rate',
+                   CAST(capped_postings AS DOUBLE) / n_postings FROM one
+  UNION ALL SELECT 'capped_shingles',
+                   CAST(capped_shingles AS DOUBLE) FROM one
+  UNION ALL SELECT 'df_cap', CAST({NGRAM_DF_CAP} AS DOUBLE) FROM one
+  UNION ALL SELECT 'max_df', CAST(max_df AS DOUBLE) FROM one
+  UNION ALL SELECT 'n_postings', CAST(n_postings AS DOUBLE) FROM one
+  UNION ALL SELECT 'n_shingles', CAST(n_shingles AS DOUBLE) FROM one
+  UNION ALL SELECT 'p99_df', CAST(p99_df AS DOUBLE) FROM one
+  UNION ALL SELECT 'shingled_docs',
+                   CAST(shingled_docs AS DOUBLE) FROM one
+  UNION ALL SELECT 'surviving_mean_per_doc',
+                   CAST(n_postings - capped_postings AS DOUBLE)
+                   / shingled_docs FROM one
+) ORDER BY metric
+"""
+
 # BPE merge learning (extensions/training.py::q_bpe_merges): the
 # rounds are unrolled as CTEs (the ann_ivf_kmeans pattern).  Each
 # round mirrors the Spark windows literally: argmax pair (count DESC,

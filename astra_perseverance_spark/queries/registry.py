@@ -22,26 +22,30 @@ queries get a hard driver-side correctness row each round:
 
 Round-12 rotation (rule 2 first, then the freshness deadline):
 
-* Rule 2: ONE new round-12 registration, ``ann_index_health`` (the
+* Rule 2: TWO new round-12 registrations, ``ann_index_health`` (the
   incremental-index drift audit — the r11 verdict's prescribed
-  operator), has never had a driver row — position 23.  It consumes
-  one of the round's 11 free slots (capacity 96 of 106 stays safe).
+  operator) and ``postings_health`` (its text-side twin: stop-
+  shingle-cap drift over the near-dup inverted index), have never
+  had a driver row — positions 23–24.  They consume two of the
+  round's 11 free slots (capacity 97 of 106 stays safe).
 * Into the window: the 17 queries whose last driver row is r9
   (ann_ivf_kmeans … dedup_keep_list — already ordered at the r11
   tail head for exactly this) — r12 is the last round their K=3
   freshness budget (tests/test_rotation.py) allows, so they take
-  positions 24–40 wholesale.  ``dedup_incremental`` is among them,
+  positions 25–41 wholesale.  ``dedup_incremental`` is among them,
   which also covers this round's only registered-query-adjacent code
   change (the shingle-postings store path; its DEFAULT plan is
-  untouched — the branch binds on the env toggle).
-* Positions 41–50: the remaining 10 free slots pre-pay the r13
-  cliff with the 10 oldest r10-green entries (doc_minute_tokens …
-  events_asof) so r13 inherits 18 due (22 + 18 = 40, 10 free), not
+  untouched — the branch binds on the env toggle, and the bench
+  fingerprint cross-check shows zero drift on all pre-existing
+  queries).
+* Positions 42–50: the remaining 9 free slots pre-pay the r13
+  cliff with the 9 oldest r10-green entries (doc_minute_tokens …
+  split_assign) so r13 inherits 19 due (22 + 19 = 41, 9 free), not
   all 28.
-* To the tail, ordered for round 13: first the 18 r10-green queries
-  due in r13 (events_asof_1h … ngram_counts), then the 28 r11-green
+* To the tail, ordered for round 13: first the 19 r10-green queries
+  due in r13 (events_asof … ngram_counts), then the 28 r11-green
   entries (cluster_purity … dedup_clusters, due r14).  r13 should
-  spend its 10 free slots on the oldest r11-green entries.
+  spend its 9 free slots on the oldest r11-green entries.
 
 Snapshot protocol (round-10, after two rounds of red snapshots): any
 commit that changes this registry, an oracle twin, or docs/ — and
@@ -113,9 +117,10 @@ QUERY_REGISTRY: dict[str, QueryFn] = {
     # Findings framework + Q20 nested summary
     "warnings": warnings.q_warnings,
     "summary_json": summary.q_summary_json,
-    # ---- Rule 2: the round-12 registration, first driver row this
+    # ---- Rule 2: the round-12 registrations, first driver row this
     # round ----
     "ann_index_health": similarity.q_ann_index_health,
+    "postings_health": dedup.q_postings_health,
     # ---- Tier 2: the 17 r9-last queries — K=3 freshness deadline,
     # r12 is the last round they can be refreshed (see docstring) ----
     "ann_ivf_kmeans": similarity.q_ann_ivf_kmeans,
@@ -135,8 +140,8 @@ QUERY_REGISTRY: dict[str, QueryFn] = {
     "ann_recall_ivf_kmeans": similarity.q_ann_recall_ivf_kmeans,
     "embedding_label_probe": similarity.q_embedding_label_probe,
     "dedup_keep_list": dedup.q_dedup_keep_list,
-    # ---- Tier 3: r13-cliff pre-pay — the 10 oldest r10-green
-    # entries take the window's remaining slots so r13 inherits 18
+    # ---- Tier 3: r13-cliff pre-pay — the 9 oldest r10-green
+    # entries take the window's remaining slots so r13 inherits 19
     # due, not 28 (see docstring arithmetic) ----
     "doc_minute_tokens": doc_stream.q_doc_minute_tokens,
     "lang_id": text_stats.q_lang_id,
@@ -147,11 +152,11 @@ QUERY_REGISTRY: dict[str, QueryFn] = {
     "corpus_sample_fixed": pipeline.q_corpus_sample_fixed,
     "user_skew_audit": timeseries.q_user_skew_audit,
     "split_assign": training.q_split_assign,
-    "events_asof": timeseries.q_events_asof,
-    # ---- Tail (>50) — first the 18 r10-green queries due in the
+    # ---- Tail (>50) — first the 19 r10-green queries due in the
     # r13 window, then the 28 r11-green entries (due r14); all
     # covered by the full-registry pytest oracle-parity gate +
     # bench ----
+    "events_asof": timeseries.q_events_asof,
     "events_asof_1h": timeseries.q_events_asof_1h,
     "events_window_attr": timeseries.q_events_window_attr,
     "events_next_error": timeseries.q_events_next_error,

@@ -31,10 +31,11 @@ INCREMENTAL_QUERIES = (
     "ann_incremental_pq",
     "dedup_incremental",
     "split_assign_incremental",
-    # the drift audit reads the persisted lists under the toggle; its
-    # default path telescopes the union into one affinity pass — the
-    # two must agree row-for-row
+    # the drift audits read the persisted lists / raw postings under
+    # the toggle; their default paths compute the same frames from
+    # the corpus — the two must agree row-for-row
     "ann_index_health",
+    "postings_health",
 )
 
 

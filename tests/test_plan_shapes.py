@@ -127,10 +127,9 @@ def test_bnlj_only_for_declared_baselines(spark):
         # semdedup and cluster_purity reuse the ann_ivf_kmeans
         # centroid-broadcast build
         "semdedup", "cluster_purity",
-        # index-health audit: the same bounded centroid-broadcast
-        # affinity pass (even + appended halves) plus 1-row stat
-        # crossJoins
-        "ann_index_health",
+        # index-health audits: the bounded centroid-broadcast
+        # affinity pass (ann) plus 1-row stat crossJoins (both)
+        "ann_index_health", "postings_health",
         # 1-row n_docs / Σweights crossJoin
         "tfidf_top_terms", "source_mix",
         # 1-row flags × 1-row dups crossJoin (six scalar checks)
