@@ -434,8 +434,18 @@ def _kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroid-grain aggregation (64 integer sums per list — map-side
     partial agg; the shuffle carries |lists|·partitions rows).  The
     driver holds nothing; iterations extend the lineage by two narrow
-    stages each."""
+    stages each.
+
+    With ``SPARK_GRAFT_INDEX_DB`` set this is the persisted
+    ``kmeans_centroids`` table — a fresh application serves the
+    trained quantizer without re-running a single Lloyd iteration
+    (training is the store build's single most expensive stage, which
+    is exactly why it is the one most worth persisting)."""
     from astra_perseverance_spark.functions.vectors import ANN_DIM
+
+    art = index_artifact(spark, "kmeans_centroids")
+    if art is not None:
+        return art
 
     v = _vectors(spark, sf_dir).select("vec_id", "eq", "n2")
     from astra_perseverance_spark.extensions.corpus import n_vectors
@@ -472,11 +482,25 @@ def _kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cent
 
 
-def _build_ivf_kmeans_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _build_ivf_kmeans_lists(spark: SparkSession, sf_dir: str,
+                            cent: DataFrame | None = None) -> DataFrame:
     """The trained IVF index: every vector's ``IVF_NPROBE`` nearest
-    trained centroids by integer d² (crank 1 = its list)."""
+    trained centroids by integer d² (crank 1 = its list).  With
+    ``SPARK_GRAFT_INDEX_DB`` set this is the persisted (cid-bucketed)
+    ``kmeans_lists`` table; ``cent`` lets the store WRITER feed the
+    centroid table it just persisted instead of re-training (same
+    deterministic rows — the pattern of ``_build_incremental_index``).
+    The trained index covers the WHOLE corpus at build time (unlike
+    the even-half incremental index), so ``extend_index_store``
+    deliberately does not append to it — its refresh cadence is the
+    ``write_index_store`` rebuild, the same retrain the
+    ``ann_index_health`` drift signals call for."""
+    art = index_artifact(spark, "kmeans_lists")
+    if art is not None:
+        return art
     v = _vectors(spark, sf_dir).select("vec_id", "eq", "n2")
-    cent = _kmeans_centroids(spark, sf_dir)
+    if cent is None:
+        cent = _kmeans_centroids(spark, sf_dir)
     aff = v.join(F.broadcast(cent)).select(
         "vec_id", "eq", "n2", "cid",
         (F.col("n2") + F.col("c_n2")

@@ -36,6 +36,16 @@ table                   contents (producer — the SAME builder the
                         the fixed-point vectors; the load path decodes
                         with ``training.sq_decode`` (bit-identical to
                         the fused ``sq_recon`` map)
+``kmeans_centroids``    (cid, c_eq, c_n2) the TRAINED coarse
+                        quantizer — ``KMEANS_ITERS`` integer-exact
+                        Lloyd iterations, the build's most expensive
+                        stage, run once here
+                        (``similarity._kmeans_centroids``)
+``kmeans_lists``        (vec_id, eq, n2, cid, crank) every corpus
+                        vector's IVF_NPROBE nearest trained
+                        centroids, BUCKETED by cid — the serving
+                        index of the whole trained-IVF query family
+                        (``similarity._build_ivf_kmeans_lists``)
 ``digest_dim``          (doc_id, content_md5) exact-dedup digest dim,
                         BUCKETED by content_md5 (the groupBy/join key)
                         (``dedup.content_digest_frame``)
@@ -54,10 +64,13 @@ table                   contents (producer — the SAME builder the
 ======================  =============================================
 
 Setting ``SPARK_GRAFT_INDEX_DB`` to the database name routes the four
-incremental queries' artifact reads through these tables
-(``corpus.index_artifact``); with it unset every consuming query's
-plan is bit-identical to the memo-only code (the branch binds at plan
-build, like the bucketed-warehouse toggle).  The cross-application
+incremental queries' artifact reads — and the whole TRAINED-IVF
+serving family's (``ann_ivf_kmeans`` / recall audits / ``ann_ivf_pq``
+/ ``semdedup`` / ``cluster_purity``), whose Lloyd-trained quantizer
+is the most expensive artifact to rebuild per application — through
+these tables (``corpus.index_artifact``); with it unset every
+consuming query's plan is bit-identical to the memo-only code (the
+branch binds at plan build, like the bucketed-warehouse toggle).  The cross-application
 pytest (``tests/test_index_store.py``) builds the store under one
 application, stops it, probes from a fresh application and asserts
 hash-identical output.
@@ -83,6 +96,8 @@ _LAYOUT: dict[str, str | None] = {
     "ann_ivf_lists": "cid",
     "ann_sq_bounds": None,
     "ann_sq_store": "vec_id",
+    "kmeans_centroids": None,
+    "kmeans_lists": "cid",
     "digest_dim": "content_md5",
     "shingle_raw": "doc_id",
     "even_components": None,
@@ -149,6 +164,14 @@ def write_index_store(spark: SparkSession, sf_dir: str, database: str,
             spark, sf_dir, cent=spark.table(out["ann_centroids"])))
         save("ann_sq_bounds", bounds)
         save("ann_sq_store", store)
+        # trained serving index: Lloyd training runs ONCE here (the
+        # build's most expensive stage — the amortization probe's
+        # headline saving); the list assignment reads the persisted
+        # centroid table, same no-drift pattern as the pair above
+        save("kmeans_centroids", similarity._kmeans_centroids(
+            spark, sf_dir))
+        save("kmeans_lists", similarity._build_ivf_kmeans_lists(
+            spark, sf_dir, cent=spark.table(out["kmeans_centroids"])))
         save("digest_dim", content_digest_frame(spark, sf_dir))
         save("shingle_raw",
              shingle_rows(spark, sf_dir).select("doc_id", "lang", "g"))

@@ -36,6 +36,14 @@ INCREMENTAL_QUERIES = (
     # the corpus — the two must agree row-for-row
     "ann_index_health",
     "postings_health",
+    # the TRAINED-IVF serving family reads the persisted Lloyd
+    # quantizer + lists instead of re-training per application
+    "ann_ivf_kmeans",
+    "ann_recall_ivf_kmeans",
+    "ann_ivf_pq",
+    "ann_recall_ivf_pq",
+    "semdedup",
+    "cluster_purity",
 )
 
 
@@ -88,6 +96,16 @@ def test_load_path_engages(spark, store_env):
     plan = buf.getvalue()
     assert "ann_ivf_lists" in plan, plan
     assert "ann_sq_store" in plan, plan
+
+    from astra_perseverance_spark.extensions.similarity import (
+        q_ann_ivf_kmeans,
+    )
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        q_ann_ivf_kmeans(spark, SF_SMALL).explain("formatted")
+    plan = buf.getvalue()
+    assert "kmeans_lists" in plan, plan
 
 
 def test_sq_code_decode_matches_fused_recon(spark, index_store, monkeypatch):

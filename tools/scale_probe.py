@@ -430,7 +430,11 @@ def _patch_section(path: str, section_lines: list[str],
 
 AMO_QUERIES = ("dedup_incremental", "ann_incremental",
                "ann_incremental_pq", "split_assign_incremental",
-               "ann_index_health")
+               "ann_index_health",
+               # trained-IVF serving family: the memo path re-runs the
+               # Lloyd training per application; the store path reads
+               # the persisted quantizer + lists
+               "ann_ivf_kmeans", "ann_ivf_pq")
 
 
 def _index_amo_child(mode: str, sf_dir: str, loc: str, db: str) -> int:
@@ -544,8 +548,15 @@ def probe_index_amortization(sf_dir: str) -> list[str]:
     lines += [
         "",
         "What the store removes is artifact CONSTRUCTION from the",
-        "corpus: tokenize+shingle the text, digest it, assign/encode",
-        "the vectors, walk the duplicate graph.  What still runs per",
+        "corpus: tokenize+shingle the text, digest it, TRAIN the",
+        "coarse quantizer (the Lloyd iterations behind",
+        "`ann_ivf_kmeans` — the single largest per-application",
+        "saving), assign/encode the vectors, walk the duplicate",
+        "graph.  Queries run in the order listed and share the",
+        "session memo pool within each arm, so a family's rebuild",
+        "cost lands on its FIRST member (`ann_ivf_pq` reads the",
+        "lists `ann_ivf_kmeans` just memoized — its own row is",
+        "probe-work both ways).  What still runs per",
         "application is the probe work itself — for",
         "`dedup_incremental` that is the candidate join + Jaccard",
         "verify over the (persisted) postings, which dominates its",
