@@ -48,6 +48,18 @@ GOPHER_MAX_ELLIPSIS_FRAC = 0.30    # lines ending with '...'
 GOPHER_MIN_ALPHA_FRAC = 0.80       # words containing a letter
 GOPHER_MAX_DUP_LINE_FRAC = 0.30    # 1 - distinct/total lines
 
+# Gopher repetition bounds (Rae et al. 2021, table A1 second half) —
+# top-n-gram mass for n=2..4 and duplicate-n-gram coverage at the
+# family's endpoints n=5 and n=10 (the intermediate n repeat the same
+# operator shape with interpolated thresholds; the endpoints bound the
+# family).  Fractions here are over TOKENS (declared adaptation of the
+# paper's character fractions — same signal, exact cross-engine
+# arithmetic).
+REP_NS_TOP = (2, 3, 4)
+REP_NS_DUP = (5, 10)
+REP_MAX_TOP_FRAC = {2: 0.20, 3: 0.18, 4: 0.16}
+REP_MAX_DUP_FRAC = {5: 0.15, 10: 0.10}
+
 # PII patterns — deliberately RE2-safe (no backrefs/lookarounds) so the
 # identical literal runs in Java regex (Spark) and RE2 (DuckDB).
 PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
@@ -124,6 +136,124 @@ def q_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     newline-split lines; each ratio is one double division, mirrored
     verbatim in the DuckDB twin."""
     return quality_signals_frame(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document n-gram repetition signals — the second half of
+    the Gopher quality table (Rae et al. 2021, table A1), the family
+    ``quality_signals``' line-level rules do not cover:
+
+    - ``top{2,3,4}_frac``: the modal n-gram's token mass — count of
+      the most frequent n-gram × n over the doc's token count (a doc
+      looping one phrase scores high here long before any line
+      duplicates exactly);
+    - ``dup{5,10}_frac``: the fraction of token POSITIONS covered by
+      at least one n-gram that occurs ≥ 2 times in the doc — the
+      coverage union, so overlapping repeats are never double-counted
+      (n = 5 and n = 10 are the published family's endpoints; the
+      intermediate n add thresholds, not operator shape);
+    - ``repetition_pass``: every fraction under its table-A1 bound.
+
+    Fractions are over TOKENS (``texthash.tokens`` — the same
+    tokenizer as the dedup family) rather than characters — a
+    declared adaptation: the signal is the same, and token counts are
+    exact integers on both engines, so every ratio is one IEEE
+    division and the DuckDB twin matches bitwise.
+
+    Plan shape: one token-grain lead window (the ``k_gram_rows``
+    pipeline, doc-clustered input so the window is partition-local),
+    a stack to (doc, n, gram, start) rows, ONE shuffle for the
+    per-(doc, n, gram) occurrence counts, a bounded explode
+    (≤ n positions per duplicated start) for the coverage union, and
+    doc-grain conditional-aggregation joins.  Linear in
+    tokens × |ns|; no per-pair or per-window quadratic stage."""
+    from astra_perseverance_spark.extensions.corpus import clustered_docs
+    from astra_perseverance_spark.functions.texthash import tokens
+
+    ns = (*REP_NS_TOP, *REP_NS_DUP)
+    kmax = max(ns)
+    docs = clustered_docs(spark, sf_dir)
+    ntok = docs.select(
+        "doc_id", F.size(tokens("text")).cast("long").alias("n_tokens"))
+
+    w = Window.partitionBy("doc_id").orderBy("p")
+    toks = docs.select(
+        "doc_id", F.posexplode(tokens("text")).alias("p", "t0"))
+    for i in range(1, kmax):
+        toks = toks.withColumn(f"t{i}", F.lead("t0", i).over(w))
+
+    def gram(n: int) -> F.Column:
+        return F.when(
+            F.col(f"t{n - 1}").isNotNull(),
+            F.concat_ws(" ", *[f"t{i}" for i in range(n)]),
+        )
+
+    stack_args = ", ".join(f"{n}, g{n}" for n in ns)
+    long = (
+        toks.select("doc_id", "p",
+                    *[gram(n).alias(f"g{n}") for n in ns])
+        .selectExpr("doc_id", "p",
+                    f"stack({len(ns)}, {stack_args}) as (n, g)")
+        .filter(F.col("g").isNotNull())
+        .withColumn(
+            "cnt",
+            F.count("*").over(Window.partitionBy("doc_id", "n", "g")),
+        )
+    )
+    tops = (
+        long.filter(F.col("n") <= max(REP_NS_TOP))
+        .groupBy("doc_id", "n").agg(F.max("cnt").alias("top_cnt"))
+        .groupBy("doc_id").agg(*[
+            F.max(F.when(F.col("n") == n, F.col("top_cnt")))
+            .alias(f"top{n}_cnt") for n in REP_NS_TOP
+        ])
+    )
+    cov = (
+        long.filter((F.col("n") >= min(REP_NS_DUP)) & (F.col("cnt") >= 2))
+        .select("doc_id", "n",
+                F.explode(F.sequence(F.col("p"),
+                                     F.col("p") + F.col("n") - 1))
+                .alias("pos"))
+        .distinct()
+        .groupBy("doc_id", "n").agg(F.count("*").cast("long").alias("cv"))
+        .groupBy("doc_id").agg(*[
+            F.max(F.when(F.col("n") == n, F.col("cv")))
+            .alias(f"dup{n}_tok") for n in REP_NS_DUP
+        ])
+    )
+    out = (
+        ntok
+        .join(tops.hint("shuffle_hash"), "doc_id", "left")
+        .join(cov.hint("shuffle_hash"), "doc_id", "left")
+    )
+
+    def frac(num: F.Column) -> F.Column:
+        return F.when(
+            F.col("n_tokens") > 0,
+            F.coalesce(num, F.lit(0)).cast("double") / F.col("n_tokens"),
+        ).otherwise(F.lit(0.0))
+
+    for n in REP_NS_TOP:
+        out = out.withColumn(f"top{n}_frac",
+                             frac(F.col(f"top{n}_cnt") * n))
+    for n in REP_NS_DUP:
+        out = out.withColumn(f"dup{n}_frac", frac(F.col(f"dup{n}_tok")))
+    rep_pass = F.lit(True)
+    for n in REP_NS_TOP:
+        rep_pass = rep_pass & (F.col(f"top{n}_frac")
+                               < REP_MAX_TOP_FRAC[n])
+    for n in REP_NS_DUP:
+        rep_pass = rep_pass & (F.col(f"dup{n}_frac")
+                               < REP_MAX_DUP_FRAC[n])
+    return (
+        out.select(
+            "doc_id", "n_tokens",
+            *[f"top{n}_frac" for n in REP_NS_TOP],
+            *[f"dup{n}_frac" for n in REP_NS_DUP],
+            rep_pass.alias("repetition_pass"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 def pii_redacted() -> F.Column:

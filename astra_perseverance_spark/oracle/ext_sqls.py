@@ -1827,6 +1827,89 @@ SELECT metric, value FROM (
 ) ORDER BY metric
 """
 
+# Intra-doc n-gram repetition (curation.py::q_repetition_signals):
+# modal-n-gram token mass for n=2..4, duplicated-n-gram coverage
+# union for n=5,10, Gopher table-A1 pass flag.  DuckDB list slices
+# are 1-based inclusive: toks[p+1 : p+n] is the n-gram starting at
+# 0-based position p, matching Spark's posexplode + lead build.
+from astra_perseverance_spark.extensions.curation import (  # noqa: E402
+    REP_MAX_DUP_FRAC,
+    REP_MAX_TOP_FRAC,
+    REP_NS_DUP,
+    REP_NS_TOP,
+)
+
+_REP_NS = ", ".join(f"({n})" for n in (*REP_NS_TOP, *REP_NS_DUP))
+_REP_PASS = " AND ".join(
+    [f"top{n}_frac < {REP_MAX_TOP_FRAC[n]}" for n in REP_NS_TOP]
+    + [f"dup{n}_frac < {REP_MAX_DUP_FRAC[n]}" for n in REP_NS_DUP])
+
+EXT_ORACLE_SQL["repetition_signals"] = f"""
+WITH base AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+),
+nt AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM base
+),
+long AS (
+  SELECT b.doc_id, CAST(u.p AS BIGINT) AS p, ns.n,
+         array_to_string(
+           b.toks[CAST(u.p + 1 AS INT):CAST(u.p + ns.n AS INT)],
+           ' ') AS g
+  FROM base b
+  CROSS JOIN (VALUES {_REP_NS}) ns(n),
+       unnest(range(greatest(len(b.toks) - ns.n + 1, 0))) AS u(p)
+),
+cnted AS (
+  SELECT doc_id, p, n, g,
+         COUNT(*) OVER (PARTITION BY doc_id, n, g) AS cnt
+  FROM long
+),
+tops AS (
+  SELECT doc_id,
+         {", ".join(f"MAX(CASE WHEN n = {n} THEN top_cnt END) "
+                    f"AS top{n}_cnt" for n in REP_NS_TOP)}
+  FROM (
+    SELECT doc_id, n, MAX(cnt) AS top_cnt
+    FROM cnted WHERE n <= {max(REP_NS_TOP)} GROUP BY doc_id, n
+  ) GROUP BY doc_id
+),
+cov AS (
+  SELECT doc_id,
+         {", ".join(f"MAX(CASE WHEN n = {n} THEN cv END) "
+                    f"AS dup{n}_tok" for n in REP_NS_DUP)}
+  FROM (
+    SELECT doc_id, n, CAST(COUNT(*) AS BIGINT) AS cv
+    FROM (
+      SELECT DISTINCT doc_id, n, p + CAST(u2.q AS BIGINT) AS pos
+      FROM cnted, unnest(range(n)) AS u2(q)
+      WHERE n >= {min(REP_NS_DUP)} AND cnt >= 2
+    ) GROUP BY doc_id, n
+  ) GROUP BY doc_id
+),
+wide AS (
+  SELECT nt.doc_id, nt.n_tokens,
+         {", ".join(
+             f"CASE WHEN nt.n_tokens > 0 THEN "
+             f"CAST(coalesce(top{n}_cnt, 0) * {n} AS DOUBLE)"
+             f" / nt.n_tokens ELSE 0.0 END AS top{n}_frac"
+             for n in REP_NS_TOP)},
+         {", ".join(
+             f"CASE WHEN nt.n_tokens > 0 THEN "
+             f"CAST(coalesce(dup{n}_tok, 0) AS DOUBLE)"
+             f" / nt.n_tokens ELSE 0.0 END AS dup{n}_frac"
+             for n in REP_NS_DUP)}
+  FROM nt
+  LEFT JOIN tops ON tops.doc_id = nt.doc_id
+  LEFT JOIN cov ON cov.doc_id = nt.doc_id
+)
+SELECT doc_id, n_tokens,
+       {", ".join(f"top{n}_frac" for n in REP_NS_TOP)},
+       {", ".join(f"dup{n}_frac" for n in REP_NS_DUP)},
+       ({_REP_PASS}) AS repetition_pass
+FROM wide ORDER BY doc_id
+"""
+
 # BPE merge learning (extensions/training.py::q_bpe_merges): the
 # rounds are unrolled as CTEs (the ann_ivf_kmeans pattern).  Each
 # round mirrors the Spark windows literally: argmax pair (count DESC,

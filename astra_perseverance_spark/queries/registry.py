@@ -22,30 +22,32 @@ queries get a hard driver-side correctness row each round:
 
 Round-12 rotation (rule 2 first, then the freshness deadline):
 
-* Rule 2: TWO new round-12 registrations, ``ann_index_health`` (the
-  incremental-index drift audit — the r11 verdict's prescribed
-  operator) and ``postings_health`` (its text-side twin: stop-
-  shingle-cap drift over the near-dup inverted index), have never
-  had a driver row — positions 23–24.  They consume two of the
-  round's 11 free slots (capacity 97 of 106 stays safe).
+* Rule 2: THREE new round-12 registrations, ``ann_index_health``
+  (the incremental-index drift audit — the r11 verdict's prescribed
+  operator), ``postings_health`` (its text-side twin: stop-shingle-
+  cap drift over the near-dup inverted index) and
+  ``repetition_signals`` (the Gopher table-A1 intra-doc n-gram
+  repetition rules — the quality family's missing second half), have
+  never had a driver row — positions 23–25.  They consume three of
+  the round's 11 free slots (capacity 98 of 106 stays safe).
 * Into the window: the 17 queries whose last driver row is r9
   (ann_ivf_kmeans … dedup_keep_list — already ordered at the r11
   tail head for exactly this) — r12 is the last round their K=3
   freshness budget (tests/test_rotation.py) allows, so they take
-  positions 25–41 wholesale.  ``dedup_incremental`` is among them,
+  positions 26–42 wholesale.  ``dedup_incremental`` is among them,
   which also covers this round's only registered-query-adjacent code
   change (the shingle-postings store path; its DEFAULT plan is
   untouched — the branch binds on the env toggle, and the bench
   fingerprint cross-check shows zero drift on all pre-existing
   queries).
-* Positions 42–50: the remaining 9 free slots pre-pay the r13
-  cliff with the 9 oldest r10-green entries (doc_minute_tokens …
-  split_assign) so r13 inherits 19 due (22 + 19 = 41, 9 free), not
-  all 28.
-* To the tail, ordered for round 13: first the 19 r10-green queries
-  due in r13 (events_asof … ngram_counts), then the 28 r11-green
+* Positions 43–50: the remaining 8 free slots pre-pay the r13
+  cliff with the 8 oldest r10-green entries (doc_minute_tokens …
+  user_skew_audit) so r13 inherits 20 due (22 + 20 = 42, 8 free),
+  not all 28.
+* To the tail, ordered for round 13: first the 20 r10-green queries
+  due in r13 (split_assign … ngram_counts), then the 28 r11-green
   entries (cluster_purity … dedup_clusters, due r14).  r13 should
-  spend its 9 free slots on the oldest r11-green entries.
+  spend its 8 free slots on the oldest r11-green entries.
 
 Snapshot protocol (round-10, after two rounds of red snapshots): any
 commit that changes this registry, an oracle twin, or docs/ — and
@@ -121,6 +123,7 @@ QUERY_REGISTRY: dict[str, QueryFn] = {
     # round ----
     "ann_index_health": similarity.q_ann_index_health,
     "postings_health": dedup.q_postings_health,
+    "repetition_signals": curation.q_repetition_signals,
     # ---- Tier 2: the 17 r9-last queries — K=3 freshness deadline,
     # r12 is the last round they can be refreshed (see docstring) ----
     "ann_ivf_kmeans": similarity.q_ann_ivf_kmeans,
@@ -140,8 +143,8 @@ QUERY_REGISTRY: dict[str, QueryFn] = {
     "ann_recall_ivf_kmeans": similarity.q_ann_recall_ivf_kmeans,
     "embedding_label_probe": similarity.q_embedding_label_probe,
     "dedup_keep_list": dedup.q_dedup_keep_list,
-    # ---- Tier 3: r13-cliff pre-pay — the 9 oldest r10-green
-    # entries take the window's remaining slots so r13 inherits 19
+    # ---- Tier 3: r13-cliff pre-pay — the 8 oldest r10-green
+    # entries take the window's remaining slots so r13 inherits 20
     # due, not 28 (see docstring arithmetic) ----
     "doc_minute_tokens": doc_stream.q_doc_minute_tokens,
     "lang_id": text_stats.q_lang_id,
@@ -151,11 +154,11 @@ QUERY_REGISTRY: dict[str, QueryFn] = {
     "corpus_sample": pipeline.q_corpus_sample,
     "corpus_sample_fixed": pipeline.q_corpus_sample_fixed,
     "user_skew_audit": timeseries.q_user_skew_audit,
-    "split_assign": training.q_split_assign,
-    # ---- Tail (>50) — first the 19 r10-green queries due in the
+    # ---- Tail (>50) — first the 20 r10-green queries due in the
     # r13 window, then the 28 r11-green entries (due r14); all
     # covered by the full-registry pytest oracle-parity gate +
     # bench ----
+    "split_assign": training.q_split_assign,
     "events_asof": timeseries.q_events_asof,
     "events_asof_1h": timeseries.q_events_asof_1h,
     "events_window_attr": timeseries.q_events_window_attr,

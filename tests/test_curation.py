@@ -73,6 +73,84 @@ class TestQualitySignals:
         assert r["symbol_word_ratio"] == pytest.approx(6 / 7)
 
 
+class TestRepetitionSignals:
+    """The synthetic corpus has zero duplicate-n-gram mass (its
+    oracle-parity row proves only that both engines agree on zeros),
+    so the coverage-union arithmetic is pinned here on crafted
+    repetitive documents."""
+
+    def _run(self, spark, rows, monkeypatch):
+        from astra_perseverance_spark.extensions import corpus
+        from astra_perseverance_spark.extensions.curation import (
+            q_repetition_signals,
+        )
+
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, "
+                  "source string, n_chars long")
+        monkeypatch.setattr(corpus, "clustered_docs", lambda s, d: df)
+        return {r["doc_id"]: r for r in
+                q_repetition_signals(spark, "unused://").collect()}
+
+    def test_exact_fractions_on_crafted_docs(self, spark, monkeypatch):
+        # doc 1: 'a b c d e' twice — 10 tokens.  5-grams at starts
+        # 0..5; start 0 == start 5 (cnt 2), so the coverage union is
+        # positions 0-4 ∪ 5-9 = ALL 10 → dup5_frac 1.0.  The single
+        # 10-gram is unique → dup10_frac 0.  Modal 2-gram 'a b'
+        # occurs twice → top2 = 2·2/10.
+        d1 = "a b c d e a b c d e"
+        # doc 2: no repeated n-gram of any n — all fractions at their
+        # n/n_tokens floor (60 tokens keeps every floor under its
+        # threshold; a SHORT unique doc fails top3/top4 on the floor
+        # alone, faithfully to the paper where min-words filters
+        # first)
+        d2 = " ".join(f"w{i}" for i in range(60))
+        # doc 3: 'x y' ×3 — 6 tokens; overlapping modal 2-gram 'x y'
+        # at starts 0,2,4 → top2 = 3·2/6 = 1.0; no 5-gram repeats
+        # (only 2 distinct 5-grams, each once)
+        d3 = "x y x y x y"
+        got = self._run(
+            spark,
+            [(1, d1, "en", "s", len(d1)), (2, d2, "en", "s", len(d2)),
+             (3, d3, "en", "s", len(d3))],
+            monkeypatch)
+
+        r1 = got[1]
+        assert r1["n_tokens"] == 10
+        assert r1["top2_frac"] == pytest.approx(0.4)
+        assert r1["top3_frac"] == pytest.approx(0.6)
+        assert r1["top4_frac"] == pytest.approx(0.8)
+        assert r1["dup5_frac"] == pytest.approx(1.0)
+        assert r1["dup10_frac"] == pytest.approx(0.0)
+        assert not r1["repetition_pass"]
+
+        r2 = got[2]
+        # every 2-gram unique → modal count 1 → top2 = 2/60
+        assert r2["top2_frac"] == pytest.approx(2 / 60)
+        assert r2["dup5_frac"] == 0.0 and r2["dup10_frac"] == 0.0
+        assert r2["repetition_pass"]
+
+        r3 = got[3]
+        assert r3["top2_frac"] == pytest.approx(1.0)
+        assert r3["dup5_frac"] == 0.0
+        assert not r3["repetition_pass"]
+
+    def test_short_and_empty_docs(self, spark, monkeypatch):
+        """Docs shorter than n produce no n-grams (fractions 0, not
+        NULL/NaN); a tokenless doc divides by nothing."""
+        got = self._run(
+            spark,
+            [(1, "solo", "en", "s", 4), (2, "!!! ???", "en", "s", 7)],
+            monkeypatch)
+        for i, ntok in ((1, 1), (2, 0)):
+            r = got[i]
+            assert r["n_tokens"] == ntok
+            for c in ("top2_frac", "top3_frac", "top4_frac",
+                      "dup5_frac", "dup10_frac"):
+                assert r[c] == 0.0, (i, c)
+            assert r["repetition_pass"]
+
+
 class TestPiiScan:
     def test_patterns_and_redaction(self, spark, monkeypatch):
         from astra_perseverance_spark.extensions.curation import q_pii_scan

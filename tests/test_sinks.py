@@ -369,8 +369,8 @@ class TestTrainingDataCli:
         assert os.path.isdir(info["location"])
         assert set(info["tables"]) == {
             "ann_centroids", "ann_ivf_lists", "ann_sq_bounds",
-            "ann_sq_store", "digest_dim", "shingle_raw",
-            "even_components",
+            "ann_sq_store", "kmeans_centroids", "kmeans_lists",
+            "digest_dim", "shingle_raw", "even_components",
         }
         try:
             # the CLI's session wrote managed tables into this shared
