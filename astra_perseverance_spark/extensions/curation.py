@@ -189,6 +189,10 @@ def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     stack_args = ", ".join(f"{n}, g{n}" for n in ns)
+    # counts key on the raw gram STRING: keying on h15(gram) to
+    # shrink the shuffle width was measured 11% SLOWER at sf0.1 (the
+    # per-row md5 exceeds the width saving); revisit only with a real
+    # network shuffle where bytes-on-the-wire dominate
     long = (
         toks.select("doc_id", "p",
                     *[gram(n).alias(f"g{n}") for n in ns])

@@ -976,6 +976,38 @@ def q_ann_incremental_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         db_eq="rq", db_n2="rn2", exclude_self=False)
 
 
+def occupancy_stats(cent: DataFrame, members: DataFrame) -> DataFrame:
+    """One-row (p99, n_lists, mx, n_total) occupancy statistics of an
+    IVF index: per-centroid member counts (EMPTY lists audit as size
+    0 via the left join from the centroid dim — the count frame is
+    ≤ IVF_MAX_LISTS rows, broadcast, never a SortMergeJoin of two
+    derived frames), exact nearest-rank p99 over the sizes, and the
+    whole-frame max/total.  The ranking window is single-partition
+    over ≤ IVF_MAX_LISTS (4096) rows — bounded by construction.  THE
+    one definition shared by the registered ``q_ann_index_health``
+    audit and the store-facing ``sinks.index_store.index_store_health``
+    reader, so the two can never drift (their equality is
+    pytest-pinned metric-for-metric)."""
+    counts = members.groupBy("cid").agg(
+        F.count("*").cast("long").alias("sz"))
+    sizes = (
+        cent.select("cid").join(F.broadcast(counts), "cid", "left")
+        .select("cid", F.coalesce("sz", F.lit(0).cast("long")).alias("sz"))
+    )
+    whole = Window.partitionBy()
+    return (
+        sizes.select(
+            "sz",
+            F.row_number().over(Window.orderBy("sz", "cid")).alias("r"),
+            F.count("*").over(whole).cast("long").alias("n_lists"),
+            F.max("sz").over(whole).alias("mx"),
+            F.sum("sz").over(whole).cast("long").alias("n_total"),
+        )
+        .filter(F.col("r") == F.ceil(F.lit(0.99) * F.col("n_lists")))
+        .select(F.col("sz").alias("p99"), "n_lists", "mx", "n_total")
+    )
+
+
 def q_ann_index_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Drift audit for the long-lived incremental ANN index — the
     retrain trigger as an oracle-checked operator instead of prose.
@@ -1026,41 +1058,27 @@ def q_ann_index_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     new = _vectors(spark, sf_dir).drop("bucket").filter(
         F.col("vec_id") % 2 == 1)
 
-    # post-append membership: stored even lists ∪ appended odd
-    # assignment.  With the index store that is literally the
-    # persisted table plus the batch routed by the append rule; on
-    # the default (memo) path the union telescopes — every vector to
-    # its nearest frozen centroid in ONE affinity pass (identical
-    # rows by construction: the stored lists were built by the same
-    # _nearest_centroid over the even half)
+    # post-append membership: stored lists ∪ the odd half routed by
+    # the append rule.  With the index store the persisted table may
+    # be in EITHER state — fresh (even-only) or already extended
+    # (extend_index_store appends to it) — so the odd half is
+    # anti-joined against the table's members first: fresh store →
+    # the whole odd half is routed and unioned, extended store → the
+    # table alone already IS the post-append state and nothing is
+    # double-counted.  On the default (memo) path the union
+    # telescopes — every vector to its nearest frozen centroid in
+    # ONE affinity pass (identical rows by construction: the stored
+    # lists were built by the same _nearest_centroid over the even
+    # half)
     art = index_artifact(spark, "ann_ivf_lists")
     if art is not None:
+        pending = new.join(art.select("vec_id"), "vec_id", "left_anti")
         members = art.select("cid").unionByName(
-            _nearest_centroid(new, cent).select("cid"))
+            _nearest_centroid(pending, cent).select("cid"))
     else:
         members = _nearest_centroid(
             _vectors(spark, sf_dir).drop("bucket"), cent).select("cid")
-    counts = members.groupBy("cid").agg(
-        F.count("*").cast("long").alias("sz"))
-    # left join from the centroid dim so EMPTY lists audit as size 0;
-    # counts is ≤ n_lists (≤ IVF_MAX_LISTS) rows — broadcast, never a
-    # SortMergeJoin of two derived frames
-    sizes = (
-        cent.select("cid").join(F.broadcast(counts), "cid", "left")
-        .select("cid", F.coalesce("sz", F.lit(0).cast("long")).alias("sz"))
-    )
-    whole = Window.partitionBy()
-    stats = (
-        sizes.select(
-            "sz",
-            F.row_number().over(Window.orderBy("sz", "cid")).alias("r"),
-            F.count("*").over(whole).cast("long").alias("n_lists"),
-            F.max("sz").over(whole).alias("mx"),
-            F.sum("sz").over(whole).cast("long").alias("n_total"),
-        )
-        .filter(F.col("r") == F.ceil(F.lit(0.99) * F.col("n_lists")))
-        .select(F.col("sz").alias("p99"), "n_lists", "mx", "n_total")
-    )
+    stats = occupancy_stats(cent, members)
 
     # clamp pass: raw SQ code of every appended value under the FROZEN
     # even-corpus bounds; clamped ⟺ outside [0, SQ_LEVELS] — the exact

@@ -268,16 +268,23 @@ def extend_index_store(spark: SparkSession, database: str,
             lambda acc, y: acc + y,
         ).alias("n_clamped"),
     )
-    clamped = int(
-        coded.agg(F.coalesce(F.sum("n_clamped"), F.lit(0)))
-        .collect()[0][0]
-    )
-    (
-        coded.select("vec_id", "codes")
-        .write.mode("append").format("parquet")
-        .bucketBy(n_buckets, "vec_id").sortBy("vec_id")
-        .saveAsTable(f"{database}.ann_sq_store")
-    )
+    # cache: the clamp aggregate and the table write both consume the
+    # coded frame — without this the 64-dim encode transform runs
+    # twice over the batch
+    coded = coded.cache()
+    try:
+        clamped = int(
+            coded.agg(F.coalesce(F.sum("n_clamped"), F.lit(0)))
+            .collect()[0][0]
+        )
+        (
+            coded.select("vec_id", "codes")
+            .write.mode("append").format("parquet")
+            .bucketBy(n_buckets, "vec_id").sortBy("vec_id")
+            .saveAsTable(f"{database}.ann_sq_store")
+        )
+    finally:
+        coded.unpersist()
     return {"ivf_rows": n, "sq_rows": n, "clamped_codes": clamped}
 
 
@@ -303,24 +310,36 @@ def extend_postings(spark: SparkSession, database: str,
       corpus.
 
     ``batch_docs``: (doc_id, lang, text, ...) in the conformed
-    documents schema; doc_ids must be new (append blindly trusts the
-    ingest boundary, like every inverted index).  Returns
-    {"shingle_rows": n, "digest_rows": m}."""
+    documents schema with NEW doc_ids.  The call is RETRY-SAFE per
+    doc: each append first anti-joins the batch against its own
+    target table's doc_ids, so a crash between the two table writes
+    (they are not atomic together) converges on re-run instead of
+    duplicating postings — duplicated (doc, shingle) rows would
+    silently double df in ``cap_postings`` and falsely evict
+    legitimate shingles past the cap, which is why idempotence lives
+    HERE and not in the caller's batch discovery.  Returns
+    {"shingle_rows": n, "digest_rows": m} actually appended (0/0 on
+    a pure replay)."""
     from astra_perseverance_spark.extensions.dedup import (
         content_digest,
         k_gram_rows_of,
     )
 
-    grams = k_gram_rows_of(
-        batch_docs.select("doc_id", "lang", "text"), 3).distinct()
+    raw = spark.table(f"{database}.shingle_raw")
+    pending_sh = batch_docs.select("doc_id", "lang", "text").join(
+        raw.select("doc_id").distinct(), "doc_id", "left_anti")
+    grams = k_gram_rows_of(pending_sh, 3).distinct()
     n_sh = grams.count()
     (
         grams.write.mode("append").format("parquet")
         .bucketBy(n_buckets, "doc_id").sortBy("doc_id")
         .saveAsTable(f"{database}.shingle_raw")
     )
-    digests = batch_docs.select(
-        "doc_id", content_digest().alias("content_md5"))
+    dim = spark.table(f"{database}.digest_dim")
+    digests = (
+        batch_docs.join(dim.select("doc_id"), "doc_id", "left_anti")
+        .select("doc_id", content_digest().alias("content_md5"))
+    )
     n_dig = digests.count()
     (
         digests.write.mode("append").format("parquet")
@@ -351,30 +370,16 @@ def index_store_health(spark: SparkSession, database: str) -> DataFrame:
     Cost: one count-per-cid over the cid-bucketed lists (no shuffle —
     the scan is hash-clustered), a ≤4096-row ranking window, and one
     narrow scan of the code table."""
+    from astra_perseverance_spark.extensions.similarity import (
+        occupancy_stats,
+    )
     from astra_perseverance_spark.extensions.training import SQ_LEVELS
-    from pyspark.sql import Window
 
     lists = spark.table(f"{database}.ann_ivf_lists")
     cent = spark.table(f"{database}.ann_centroids")
-    counts = lists.groupBy("cid").agg(
-        F.count("*").cast("long").alias("sz"))
-    # broadcast the ≤ n_lists-row count frame (see q_ann_index_health)
-    sizes = (
-        cent.select("cid").join(F.broadcast(counts), "cid", "left")
-        .select("cid", F.coalesce("sz", F.lit(0).cast("long")).alias("sz"))
-    )
-    whole = Window.partitionBy()
-    stats = (
-        sizes.select(
-            "sz",
-            F.row_number().over(Window.orderBy("sz", "cid")).alias("r"),
-            F.count("*").over(whole).cast("long").alias("n_lists"),
-            F.max("sz").over(whole).alias("mx"),
-            F.sum("sz").over(whole).cast("long").alias("n_total"),
-        )
-        .filter(F.col("r") == F.ceil(F.lit(0.99) * F.col("n_lists")))
-        .select(F.col("sz").alias("p99"), "n_lists", "mx", "n_total")
-    )
+    # the SAME occupancy arithmetic as the registered audit — one
+    # definition, the two cannot drift
+    stats = occupancy_stats(cent, lists.select("cid"))
     rails = spark.table(f"{database}.ann_sq_store").select(
         F.aggregate(
             F.transform(

@@ -101,15 +101,23 @@ def sample_row(key: str, parts: dict[str, bytes],
         doc_id = int(key)
     # validate the metadata value like the key path does: a bad shard
     # must name its location, and a non-integral float must fail, not
-    # silently truncate to a different document's id
+    # silently truncate to a different document's id.  Acceptance is
+    # delegated to int() itself (str.isdigit() would admit characters
+    # like '²' that int() rejects, recreating the context-free crash)
     elif not isinstance(doc_id, int) or isinstance(doc_id, bool):
-        ok = (isinstance(doc_id, float) and doc_id.is_integer()) or (
-            isinstance(doc_id, str) and doc_id.removeprefix("-").isdigit())
-        if not ok:
+        converted = None
+        if isinstance(doc_id, float) and doc_id.is_integer():
+            converted = int(doc_id)
+        elif isinstance(doc_id, str):
+            try:
+                converted = int(doc_id)
+            except ValueError:
+                pass
+        if converted is None:
             raise ValueError(
                 f"sample {key!r} in {shard_desc} has a non-integer "
                 f"doc_id metadata value: {doc_id!r}")
-        doc_id = int(doc_id)
+        doc_id = converted
     lang = meta.get("lang")
     source = meta.get("source")
     return (

@@ -186,7 +186,10 @@ def test_sample_row_validates_metadata_doc_id():
     assert row(7.0)[0] == 7
     assert row("7")[0] == 7
     assert row("-7")[0] == -7
-    for bad in ("abc", 3.7, "3.7", True, [7]):
+    assert row("+7")[0] == 7  # int() accepts it, so we do too
+    # '²' is str.isdigit()-true but int() rejects it — it must fail
+    # WITH the shard context, not as a bare int() crash
+    for bad in ("abc", 3.7, "3.7", True, [7], "²"):
         with pytest.raises(ValueError, match="shard-000042.tar"):
             row(bad)
 

@@ -251,6 +251,17 @@ def test_extend_index_store_appends_batch(spark, tmp_path_factory,
         assert round(health["sq_at_rail_rate"]
                      * health["n_vectors"] * 64) >= audit["clamped_codes"]
 
+        # the registered audit run AGAINST the extended store must
+        # report the same post-append state as the default-path
+        # audit — the anti-join guard means an already-appended odd
+        # half is never double-counted
+        monkeypatch.setenv("SPARK_GRAFT_INDEX_DB", db)
+        store_audit = {r["metric"]: r["value"]
+                       for r in q_ann_index_health(spark, SF_SMALL)
+                       .collect()}
+        assert store_audit == audit
+        monkeypatch.delenv("SPARK_GRAFT_INDEX_DB", raising=False)
+
         # assignment optimality, recomputed independently: the stored
         # cid must be each vector's (cosine DESC, cid ASC) argmax over
         # the persisted centroid set
@@ -325,6 +336,17 @@ def test_extend_postings_matches_full_rebuild(spark, tmp_path_factory,
         res = extend_postings(spark, db, batch)
         assert res["digest_rows"] == NGRAM_DF_CAP + 2
         assert res["shingle_rows"] > 0
+
+        # retry safety: the two table appends are not atomic together,
+        # so a replay of the same batch (the crash-recovery path) must
+        # append NOTHING — duplicated postings would double df and
+        # falsely evict legitimate shingles
+        n_raw = spark.table(f"{db}.shingle_raw").count()
+        n_dim = spark.table(f"{db}.digest_dim").count()
+        replay = extend_postings(spark, db, batch)
+        assert replay == {"shingle_rows": 0, "digest_rows": 0}
+        assert spark.table(f"{db}.shingle_raw").count() == n_raw
+        assert spark.table(f"{db}.digest_dim").count() == n_dim
 
         # expected: the one shared cap definition applied to a
         # from-scratch gram build over corpus ∪ batch
