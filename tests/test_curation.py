@@ -135,6 +135,49 @@ class TestRepetitionSignals:
         assert r3["dup5_frac"] == 0.0
         assert not r3["repetition_pass"]
 
+    def test_random_docs_match_brute_force(self, spark, monkeypatch):
+        """Seeded-random documents over a tiny alphabet (repetition
+        everywhere, every n in play) must match an independent
+        pure-Python reference exactly — fractions are integer/integer
+        IEEE divisions, so equality is bitwise, not approximate."""
+        import random
+        from collections import Counter
+
+        rng = random.Random(0xC0FFEE)
+        alphabet = ["aa", "bb", "cc", "dd"]
+        docs = []
+        for i in range(40):
+            toks = [rng.choice(alphabet)
+                    for _ in range(rng.randrange(0, 26))]
+            docs.append((i, " ".join(toks), "en", "s", 0))
+
+        def ref(toks):
+            nt = len(toks)
+            out = {"n_tokens": nt}
+            for n in (2, 3, 4):
+                grams = [tuple(toks[i:i + n])
+                         for i in range(max(nt - n + 1, 0))]
+                top = max(Counter(grams).values(), default=0)
+                out[f"top{n}_frac"] = top * n / nt if nt else 0.0
+            for n in (5, 10):
+                grams = [tuple(toks[i:i + n])
+                         for i in range(max(nt - n + 1, 0))]
+                c = Counter(grams)
+                covered = set()
+                for i, g in enumerate(grams):
+                    if c[g] >= 2:
+                        covered.update(range(i, i + n))
+                out[f"dup{n}_frac"] = len(covered) / nt if nt else 0.0
+            return out
+
+        got = self._run(spark, docs, monkeypatch)
+        assert set(got) == set(range(40))
+        for i, text, *_ in docs:
+            exp = ref(text.split())
+            r = got[i]
+            for k, v in exp.items():
+                assert r[k] == v, (i, k, text)
+
     def test_short_and_empty_docs(self, spark, monkeypatch):
         """Docs shorter than n produce no n-grams (fractions 0, not
         NULL/NaN); a tokenless doc divides by nothing."""
