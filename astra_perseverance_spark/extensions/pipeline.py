@@ -128,8 +128,16 @@ def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         Window.orderBy("bucket")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    from astra_perseverance_spark.functions.bounded import (
+        bounded_global_frame,
+    )
+
     return (
-        docs_per.join(new_terms, "bucket", "left")
+        bounded_global_frame(
+            docs_per.join(new_terms, "bucket", "left"),
+            GROWTH_BUCKETS,
+            "vocab_growth bucket frame (≤ GROWTH_BUCKETS)",
+        )
         .select(
             "bucket", "n_docs",
             F.coalesce("new_terms", F.lit(0).cast("long"))

@@ -988,11 +988,18 @@ def occupancy_stats(cent: DataFrame, members: DataFrame) -> DataFrame:
     audit and the store-facing ``sinks.index_store.index_store_health``
     reader, so the two can never drift (their equality is
     pytest-pinned metric-for-metric)."""
+    from astra_perseverance_spark.functions.bounded import (
+        bounded_global_frame,
+    )
+
     counts = members.groupBy("cid").agg(
         F.count("*").cast("long").alias("sz"))
-    sizes = (
+    sizes = bounded_global_frame(
         cent.select("cid").join(F.broadcast(counts), "cid", "left")
-        .select("cid", F.coalesce("sz", F.lit(0).cast("long")).alias("sz"))
+        .select("cid",
+                F.coalesce("sz", F.lit(0).cast("long")).alias("sz")),
+        IVF_MAX_LISTS,
+        "occupancy_stats per-centroid sizes (≤ IVF_MAX_LISTS)",
     )
     whole = Window.partitionBy()
     return (

@@ -49,14 +49,26 @@ table                   contents (producer — the SAME builder the
 ``digest_dim``          (doc_id, content_md5) exact-dedup digest dim,
                         BUCKETED by content_md5 (the groupBy/join key)
                         (``dedup.content_digest_frame``)
-``shingle_raw``         (doc_id, lang, g) the UNCAPPED inverted
-                        index, BUCKETED by doc_id — append-only, so
-                        ``extend_postings`` folds batches in with
-                        batch-sized work; the read path recomputes
-                        the df cap + surviving counts over it
-                        (``dedup.cap_postings`` — df always reflects
-                        the true current corpus)
-                        (``dedup.shingle_rows``)
+``shingle_raw``         (doc_id, lang, g) the UNCAPPED postings in
+                        FORWARD orientation, BUCKETED by doc_id —
+                        append-only (``extend_postings``); the
+                        doc-grain copy serves per-doc work: the
+                        append idempotence anti-join and the
+                        ``postings_health`` doc census run
+                        bucket-local on it (``dedup.shingle_rows``)
+``shingle_inv``         the SAME rows in INVERTED orientation,
+                        BUCKETED by the gram ``g`` — the read-path
+                        serving index: ``dedup.cap_postings``'s df
+                        window runs over the bucketed scan with NO
+                        exchange (hash-clustered by g already), so a
+                        fresh application's capped-universe read
+                        shuffles only the SURVIVING postings to doc
+                        grain instead of re-shuffling the whole
+                        table twice (the r12 verdict's last
+                        O(corpus)-per-application store-mode stage);
+                        df is recomputed at read, so an appended
+                        batch that pushes a shingle past the cap
+                        still evicts it immediately
 ``even_components``     (node, component) connected components of the
                         existing-corpus duplicate subgraph — the
                         split-anchor frame
@@ -100,6 +112,7 @@ _LAYOUT: dict[str, str | None] = {
     "kmeans_lists": "cid",
     "digest_dim": "content_md5",
     "shingle_raw": "doc_id",
+    "shingle_inv": "g",
     "even_components": None,
 }
 
@@ -173,7 +186,13 @@ def write_index_store(spark: SparkSession, sf_dir: str, database: str,
         save("kmeans_lists", similarity._build_ivf_kmeans_lists(
             spark, sf_dir, cent=spark.table(out["kmeans_centroids"])))
         save("digest_dim", content_digest_frame(spark, sf_dir))
+        # forward + inverted orientations of the same postings rows
+        # (shingle_rows is session-cached, so the second save re-reads
+        # the cache, not the text pipeline); writers, not readers, pay
+        # for the two layouts — the standard inverted-index trade
         save("shingle_raw",
+             shingle_rows(spark, sf_dir).select("doc_id", "lang", "g"))
+        save("shingle_inv",
              shingle_rows(spark, sf_dir).select("doc_id", "lang", "g"))
         save("even_components", even_components_frame(spark, sf_dir))
         return out
@@ -294,16 +313,17 @@ def extend_postings(spark: SparkSession, database: str,
     """Fold a NEW document batch into the persisted text artifacts —
     batch-sized work, exactly correct by construction:
 
-    - ``shingle_raw`` gets the batch's distinct 3-word shingles
-      (``dedup.k_gram_rows_of`` — the SAME expression pipeline the
-      corpus build uses).  The table is UNCAPPED postings, so append
-      is the whole maintenance story: the stop-shingle cap and the
-      surviving per-doc counts are recomputed over the full table at
-      read (``dedup.cap_postings``), which means a batch that pushes
-      a shingle's document frequency past ``NGRAM_DF_CAP`` evicts it
-      from the capped universe immediately — no stale-df window, the
-      failure mode that made the r11 capped representation
-      append-unsafe by design.
+    - ``shingle_raw`` (doc-bucketed, forward) and ``shingle_inv``
+      (gram-bucketed, inverted) both get the batch's distinct 3-word
+      shingles (``dedup.k_gram_rows_of`` — the SAME expression
+      pipeline the corpus build uses).  The tables are UNCAPPED
+      postings, so append is the whole maintenance story: the
+      stop-shingle cap and the surviving per-doc counts are recomputed
+      over the full table at read (``dedup.cap_postings``), which
+      means a batch that pushes a shingle's document frequency past
+      ``NGRAM_DF_CAP`` evicts it from the capped universe immediately
+      — no stale-df window, the failure mode that made the r11 capped
+      representation append-unsafe by design.
     - ``digest_dim`` gets one (doc_id, content_md5) row per batch doc
       (``dedup.content_digest`` — the shared digest expression), so
       the NEXT batch's exact-dedup probe sees this batch as existing
@@ -312,41 +332,71 @@ def extend_postings(spark: SparkSession, database: str,
     ``batch_docs``: (doc_id, lang, text, ...) in the conformed
     documents schema with NEW doc_ids.  The call is RETRY-SAFE per
     doc: each append first anti-joins the batch against its own
-    target table's doc_ids, so a crash between the two table writes
+    target table's doc_ids, so a crash between the table writes
     (they are not atomic together) converges on re-run instead of
     duplicating postings — duplicated (doc, shingle) rows would
     silently double df in ``cap_postings`` and falsely evict
     legitimate shingles past the cap, which is why idempotence lives
-    HERE and not in the caller's batch discovery.  Returns
-    {"shingle_rows": n, "digest_rows": m} actually appended (0/0 on
-    a pure replay)."""
+    HERE and not in the caller's batch discovery.  The batch gram and
+    digest frames are cached around their count+write pairs, so the
+    tokenize+shingle pipeline runs once per table and the returned
+    counts are the rows the write actually appended (not a separate
+    job that a concurrent writer could race).
+
+    SAME-SESSION consumers beware: ``dedup.capped_shingle_rows`` (and
+    the pair frames above it) memoize per session, so a session that
+    probed the store BEFORE this append keeps serving the pre-append
+    universe until ``conformed.model.release_memos`` is called — a
+    fresh application (the normal store consumer) always sees the
+    appended state.  Returns {"shingle_rows": n, "digest_rows": m}
+    actually appended (0/0 on a pure replay)."""
     from astra_perseverance_spark.extensions.dedup import (
         content_digest,
         k_gram_rows_of,
     )
 
-    raw = spark.table(f"{database}.shingle_raw")
-    pending_sh = batch_docs.select("doc_id", "lang", "text").join(
-        raw.select("doc_id").distinct(), "doc_id", "left_anti")
-    grams = k_gram_rows_of(pending_sh, 3).distinct()
-    n_sh = grams.count()
-    (
-        grams.write.mode("append").format("parquet")
-        .bucketBy(n_buckets, "doc_id").sortBy("doc_id")
-        .saveAsTable(f"{database}.shingle_raw")
+    # ONE shingle pipeline for the batch, cached: both orientations'
+    # pending anti-joins, counts, and writes re-read the cache instead
+    # of re-tokenizing the batch per table
+    grams = (
+        k_gram_rows_of(batch_docs.select("doc_id", "lang", "text"), 3)
+        .distinct().cache()
     )
+    counts: dict[str, int] = {}
+    try:
+        for table, key in (("shingle_raw", "doc_id"),
+                           ("shingle_inv", "g")):
+            seen = spark.table(f"{database}.{table}") \
+                .select("doc_id").distinct()
+            pending = grams.join(seen, "doc_id", "left_anti").cache()
+            try:
+                counts[table] = pending.count()
+                (
+                    pending.write.mode("append").format("parquet")
+                    .bucketBy(n_buckets, key).sortBy(key)
+                    .saveAsTable(f"{database}.{table}")
+                )
+            finally:
+                pending.unpersist()
+    finally:
+        grams.unpersist()
+
     dim = spark.table(f"{database}.digest_dim")
     digests = (
         batch_docs.join(dim.select("doc_id"), "doc_id", "left_anti")
         .select("doc_id", content_digest().alias("content_md5"))
+        .cache()
     )
-    n_dig = digests.count()
-    (
-        digests.write.mode("append").format("parquet")
-        .bucketBy(n_buckets, "content_md5").sortBy("content_md5")
-        .saveAsTable(f"{database}.digest_dim")
-    )
-    return {"shingle_rows": n_sh, "digest_rows": n_dig}
+    try:
+        n_dig = digests.count()
+        (
+            digests.write.mode("append").format("parquet")
+            .bucketBy(n_buckets, "content_md5").sortBy("content_md5")
+            .saveAsTable(f"{database}.digest_dim")
+        )
+    finally:
+        digests.unpersist()
+    return {"shingle_rows": counts["shingle_raw"], "digest_rows": n_dig}
 
 
 def index_store_health(spark: SparkSession, database: str) -> DataFrame:
@@ -393,8 +443,10 @@ def index_store_health(spark: SparkSession, database: str) -> DataFrame:
         ).alias("nr"),
         F.size("codes").cast("long").alias("nd"),
     ).agg(
-        F.sum("nr").cast("long").alias("at_rail"),
-        F.sum("nd").cast("long").alias("n_codes"),
+        # coalesce: an empty code table (a store built before any
+        # vectors were coded) must report rate 0.0, not a NULL row
+        F.coalesce(F.sum("nr"), F.lit(0)).cast("long").alias("at_rail"),
+        F.coalesce(F.sum("nd"), F.lit(0)).cast("long").alias("n_codes"),
     )
     return (
         stats.crossJoin(F.broadcast(rails))
@@ -407,7 +459,8 @@ def index_store_health(spark: SparkSession, database: str) -> DataFrame:
             "'n_lists', CAST(n_lists AS DOUBLE), "
             "'n_vectors', CAST(n_total AS DOUBLE), "
             "'p99_over_target', p99 / SQRT(CAST(n_total AS DOUBLE)), "
-            "'sq_at_rail_rate', CAST(at_rail AS DOUBLE) / n_codes, "
+            "'sq_at_rail_rate', CASE WHEN n_codes > 0 "
+            "THEN CAST(at_rail AS DOUBLE) / n_codes ELSE 0.0D END, "
             "'target_list_size', SQRT(CAST(n_total AS DOUBLE))"
             ") as (metric, value)"
         )

@@ -108,6 +108,39 @@ def test_load_path_engages(spark, store_env):
     assert "kmeans_lists" in plan, plan
 
 
+def test_store_capped_read_single_exchange(spark, index_store, monkeypatch):
+    """The r13 read-path contract: the capped-universe recompute over
+    the persisted postings runs over the INVERTED (gram-bucketed)
+    orientation, so the df window's (lang, g) distribution is already
+    satisfied by the scan and the whole read plans exactly ONE
+    exchange — the surviving postings to doc grain for ``n`` —
+    instead of re-shuffling the full table twice per application."""
+    from astra_perseverance_spark.extensions.dedup import (
+        cap_postings,
+        capped_shingle_rows,
+    )
+
+    from pyspark.sql import functions as F
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DB", DATABASE)
+    # the no-op filter keeps the plan canonically distinct from the
+    # session-memoized universe frame, so the CacheManager cannot
+    # substitute an InMemoryTableScan and hide the exchange structure
+    plan = (
+        cap_postings(spark.table(f"{DATABASE}.shingle_inv")
+                     .filter(F.col("doc_id") != -1))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") == 1, plan
+    assert "Bucketed: true" in plan, plan
+    # and the store-mode universe frame actually reads that table
+    logical = (
+        capped_shingle_rows(spark, SF_SMALL)
+        ._jdf.queryExecution().analyzed().toString()
+    )
+    assert "shingle_inv" in logical, logical
+
+
 def test_sq_code_decode_matches_fused_recon(spark, index_store, monkeypatch):
     """decode∘code over the persisted int8 codes reproduces the fused
     ``sq_recon`` store bit-for-bit — the lockstep contract that lets
@@ -337,7 +370,15 @@ def test_extend_postings_matches_full_rebuild(spark, tmp_path_factory,
         assert res["digest_rows"] == NGRAM_DF_CAP + 2
         assert res["shingle_rows"] > 0
 
-        # retry safety: the two table appends are not atomic together,
+        # the two postings orientations must hold the SAME row set
+        # after the append — shingle_inv (gram-bucketed, the read
+        # path) and shingle_raw (doc-bucketed, the append/audit path)
+        # are two layouts of one logical table
+        raw_rows = set(_rows(spark.table(f"{db}.shingle_raw")))
+        inv_rows = set(_rows(spark.table(f"{db}.shingle_inv")))
+        assert inv_rows == raw_rows
+
+        # retry safety: the table appends are not atomic together,
         # so a replay of the same batch (the crash-recovery path) must
         # append NOTHING — duplicated postings would double df and
         # falsely evict legitimate shingles
@@ -346,6 +387,7 @@ def test_extend_postings_matches_full_rebuild(spark, tmp_path_factory,
         replay = extend_postings(spark, db, batch)
         assert replay == {"shingle_rows": 0, "digest_rows": 0}
         assert spark.table(f"{db}.shingle_raw").count() == n_raw
+        assert spark.table(f"{db}.shingle_inv").count() == n_raw
         assert spark.table(f"{db}.digest_dim").count() == n_dim
 
         # expected: the one shared cap definition applied to a

@@ -370,13 +370,64 @@ class TestTrainingDataCli:
         assert set(info["tables"]) == {
             "ann_centroids", "ann_ivf_lists", "ann_sq_bounds",
             "ann_sq_store", "kmeans_centroids", "kmeans_lists",
-            "digest_dim", "shingle_raw", "even_components",
+            "digest_dim", "shingle_raw", "shingle_inv",
+            "even_components",
         }
         try:
             # the CLI's session wrote managed tables into this shared
             # JVM's catalog — every artifact must be non-empty
             for t in info["tables"].values():
                 assert spark.table(t).count() > 0, t
+            # every --index-store run reports the retrain-trigger
+            # health signals into run.json
+            health = info["health"]
+            assert health["n_vectors"] > 0
+            assert health["max_over_target"] > 0
+            assert 0.0 <= health["sq_at_rail_rate"] <= 1.0
+        finally:
+            for t in info["tables"].values():
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
+            spark.sql(f"DROP DATABASE IF EXISTS {info['database']}")
+
+    def test_cli_index_store_health_gate_refuses(self, spark, tmp_path):
+        """The measured retrain trigger GATES the pipeline: a store
+        past --max-list-over-target / --max-rail-rate makes the run
+        exit 2 with the retrain message (thresholds set below any
+        real store's level, so the freshly built store itself
+        refuses), and run.json records which signals drifted."""
+        import json
+        import os
+        import sys
+
+        import pytest
+
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "tools"))
+        import make_training_data
+
+        from tests.conftest import SF_SMALL
+
+        # the gate flags bind to the store — refused up front without it
+        with pytest.raises(SystemExit):
+            make_training_data.main(
+                [SF_SMALL, "-o", str(tmp_path), "--skip-corpus",
+                 "--skip-shards", "--max-list-over-target", "1.5"])
+
+        rc = make_training_data.main(
+            [SF_SMALL, "-o", str(tmp_path), "--skip-corpus",
+             "--skip-shards", "--index-store",
+             "--max-list-over-target", "0.000001",
+             "--max-rail-rate", "0.0"])
+        run = json.load(open(tmp_path / "run.json"))
+        info = run["index_store"]
+        try:
+            assert rc == 2
+            refused = info["refused"]
+            assert any("max_over_target" in r for r in refused)
+            assert any("sq_at_rail_rate" in r for r in refused)
+            # the health report is still recorded for the operator
+            assert info["health"]["max_over_target"] > 0.000001
         finally:
             for t in info["tables"].values():
                 spark.sql(f"DROP TABLE IF EXISTS {t}")

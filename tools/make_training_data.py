@@ -37,7 +37,12 @@ CLI-specific):
    digests fold into the persisted text artifacts
    (``extend_postings`` — new docs identified against the digest
    dim), closing the production loop tar shards → corpus → index
-   without a corpus-sized rebuild per batch.
+   without a corpus-sized rebuild per batch.  Every --index-store
+   run ends with a printed ``index_store_health`` report (recorded
+   in run.json), and ``--max-list-over-target`` /
+   ``--max-rail-rate`` turn the measured retrain trigger into a
+   GATE: a store drifted past the thresholds makes the run exit 2
+   with the retrain message instead of extending a degraded index.
 5. ``run.json`` — one driver-readable summary of counts and paths.
 
 Everything data-sized is written by executors; the only driver-side
@@ -78,6 +83,20 @@ def main(argv: list[str] | None = None) -> int:
                     help="persist the incremental-serving index "
                     "artifacts under OUT/index_store (probe them later "
                     "via SPARK_GRAFT_INDEX_DB)")
+    ap.add_argument("--max-list-over-target", type=float, default=None,
+                    help="with --index-store: refuse (exit 2) when the "
+                    "store's max_over_target drifts above this — the "
+                    "measured retrain trigger (ann_index_health / "
+                    "index_store_health) gating the pipeline it was "
+                    "built for; pick the build-time level plus margin")
+    ap.add_argument("--max-rail-rate", type=float, default=None,
+                    help="with --index-store: refuse (exit 2) when the "
+                    "store's sq_at_rail_rate exceeds this — the "
+                    "store-readable proxy for frozen-bounds clamping "
+                    "(exact per-batch clamp counts are "
+                    "extend_index_store's return; a vector batch that "
+                    "clamps leaves its codes at the rails, which is "
+                    "what this rate reads back)")
     ap.add_argument("--incremental", action="store_true",
                     help="with --from: exactly-once STREAMING ingest — "
                     "a re-run drains only files landed since the last "
@@ -87,6 +106,10 @@ def main(argv: list[str] | None = None) -> int:
     args = ap.parse_args(argv)
     if args.incremental and not args.src_fmt:
         ap.error("--incremental requires --from jsonl|webdataset")
+    if (args.max_list_over_target is not None
+            or args.max_rail_rate is not None) and not args.index_store:
+        ap.error("--max-list-over-target/--max-rail-rate gate the "
+                 "index store; they require --index-store")
     if args.src_fmt:
         # refuse a mode mix over one OUT dir LOUDLY: a batch overwrite
         # deletes the parquet (incl. its streaming commit log) but not
@@ -178,6 +201,7 @@ def main(argv: list[str] | None = None) -> int:
     if args.index_store:
         from astra_perseverance_spark.sinks.index_store import (
             extend_postings,
+            index_store_health,
             register_index_store,
             write_index_store,
         )
@@ -205,6 +229,42 @@ def main(argv: list[str] | None = None) -> int:
             tables = write_index_store(spark, sf_dir, db, loc)
             run["index_store"] = {"location": loc, "database": db,
                                   "tables": tables}
+
+        # post-build/extend health report: the measured retrain
+        # trigger (the same occupancy/rail signals as the registered
+        # ann_index_health audit, read from THIS store) printed every
+        # run and, with the --max-* flags, enforced — a drifted store
+        # refuses further extension instead of silently degrading
+        # recall
+        health = {r["metric"]: r["value"]
+                  for r in index_store_health(spark, db).collect()}
+        run["index_store"]["health"] = health
+        print("index store health:")
+        for m in sorted(health):
+            print(f"  {m:>18} = {health[m]:.4f}")
+        drifted = []
+        if (args.max_list_over_target is not None
+                and health["max_over_target"] > args.max_list_over_target):
+            drifted.append(
+                f"max_over_target {health['max_over_target']:.4f} > "
+                f"--max-list-over-target {args.max_list_over_target}")
+        if (args.max_rail_rate is not None
+                and health["sq_at_rail_rate"] > args.max_rail_rate):
+            drifted.append(
+                f"sq_at_rail_rate {health['sq_at_rail_rate']:.4f} > "
+                f"--max-rail-rate {args.max_rail_rate}")
+        if drifted:
+            run["index_store"]["refused"] = drifted
+            run_path = os.path.join(args.out, "run.json")
+            with open(run_path, "w") as fh:
+                json.dump(run, fh, indent=2, default=int)
+            print(f"wrote {run_path}")
+            print("INDEX STORE DRIFTED — RETRAIN REQUIRED: "
+                  + "; ".join(drifted), file=sys.stderr)
+            print("rebuild the store (write_index_store / a "
+                  "non-incremental --index-store run) before extending "
+                  "further", file=sys.stderr)
+            return 2
 
     run_path = os.path.join(args.out, "run.json")
     with open(run_path, "w") as fh:

@@ -36,9 +36,10 @@ Expected shapes (the honest part):
 Usage: python tools/scale_probe.py [REP] [sf_dir] [op ...]
 With an op subset, results print to stderr only (docs/SCALE_PROBE.md
 is regenerated only by full runs, so a spot-probe can't truncate it).
-Exceptions: the ``funnel_gc`` and ``index_amortization`` subset keys
-patch their own self-contained doc sections (state-row counts and a
-back-to-back ratio respectively — load-robust measurements that don't
+Exceptions: the ``funnel_gc``, ``index_amortization`` and
+``health_trajectory`` subset keys patch their own self-contained doc
+sections (state-row counts, a back-to-back ratio, and a per-batch
+drift-metric curve respectively — load-robust measurements that don't
 invalidate the timing rows around them).
 Scratch parquet goes under .scratch/ (gitignored).
 """
@@ -382,10 +383,17 @@ def main() -> int:
         amo_lines = probe_index_amortization(sf_dir)
         lines += amo_lines
 
+    # ---- retrain-trigger drift curve over appended batches ----------
+    health_lines = None
+    if not only or "health_trajectory" in only:
+        health_lines = probe_health_trajectory(spark, sf_dir)
+        lines += health_lines
+
     if only:
         patched = False
         for header, sect in ((GC_SECTION_HEADER, gc_lines),
-                             (AMO_SECTION_HEADER, amo_lines)):
+                             (AMO_SECTION_HEADER, amo_lines),
+                             (HEALTH_SECTION_HEADER, health_lines)):
             if sect is not None:
                 _patch_section(OUT_MD, sect, header)
                 patched = True
@@ -404,6 +412,148 @@ def main() -> int:
 
 GC_SECTION_HEADER = "## Funnel dormant-user GC probe"
 AMO_SECTION_HEADER = "## Index-store amortization probe (cross-application)"
+HEALTH_SECTION_HEADER = "## Post-extend health trajectory probe"
+
+
+def probe_health_trajectory(spark, sf_dir: str,
+                            n_batches: int = 3) -> list[str]:
+    """The retrain-trigger drift CURVE (r12 verdict, next-round #5):
+    build the store at 1×, append ``n_batches`` synthetic batches, and
+    record the health metrics after each — the numbers that tell an
+    operator what "well past build-time level"
+    (``similarity.q_ann_index_health``) means for THIS corpus.
+
+    Batches are deterministic corpus transforms chosen to force the
+    drifts the triggers watch for: each document batch is the corpus
+    re-keyed to fresh doc_ids with a batch-tag prefix token (so every
+    original shingle's df grows +1 per batch and marches toward
+    ``NGRAM_DF_CAP`` — capped_postings_rate must climb), and each
+    vector batch is the corpus re-keyed and value-scaled +10% per
+    batch past the FROZEN quantization bounds (so codes saturate —
+    clamped_codes / sq_at_rail_rate must climb).  List occupancy
+    drifts because appends never retrain the centroid set while
+    target_list_size √n grows."""
+    from pyspark.sql import functions as F
+
+    from astra_perseverance_spark.conformed.model import release_memos
+    from astra_perseverance_spark.extensions.corpus import (
+        INDEX_DB_ENV,
+        vectors_frame,
+    )
+    from astra_perseverance_spark.queries import QUERY_REGISTRY
+    from astra_perseverance_spark.sinks.index_store import (
+        extend_index_store,
+        extend_postings,
+        index_store_health,
+        write_index_store,
+    )
+
+    loc = os.path.join(REPO, ".scratch", "health_traj_store")
+    db = "health_traj"
+    shutil.rmtree(loc, ignore_errors=True)
+    prior = os.environ.pop(INDEX_DB_ENV, None)
+    spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+    rows: list[tuple[str, dict, dict, int]] = []
+    try:
+        write_index_store(spark, sf_dir, db, loc)
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+            .select("doc_id", "lang", "text")
+        vecs = vectors_frame(spark, sf_dir).select("vec_id", "eq", "n2")
+        max_doc = docs.agg(F.max("doc_id")).collect()[0][0]
+        max_vec = vecs.agg(F.max("vec_id")).collect()[0][0]
+
+        def snapshot(tag: str, clamped: int) -> None:
+            os.environ[INDEX_DB_ENV] = db
+            release_memos(spark)
+            try:
+                health = {r["metric"]: r["value"]
+                          for r in index_store_health(spark, db)
+                          .collect()}
+                post = {r["metric"]: r["value"]
+                        for r in QUERY_REGISTRY["postings_health"](
+                            spark, sf_dir).collect()}
+            finally:
+                del os.environ[INDEX_DB_ENV]
+                release_memos(spark)
+            rows.append((tag, health, post, clamped))
+            print(f"health_trajectory {tag}: "
+                  f"max_over_target={health['max_over_target']:.2f} "
+                  f"rail={health['sq_at_rail_rate']:.4f} "
+                  f"clamped={clamped} "
+                  f"capped_rate={post['capped_postings_rate']:.4f}",
+                  file=sys.stderr)
+
+        snapshot("build", 0)
+        for i in range(1, n_batches + 1):
+            dbatch = docs.select(
+                (F.col("doc_id") + (max_doc + 1) * i).alias("doc_id"),
+                "lang",
+                F.concat(F.lit(f"batchtag{i} "), F.col("text"))
+                .alias("text"),
+            )
+            extend_postings(spark, db, dbatch)
+            k = 10 + i
+            vbatch = vecs.select(
+                (F.col("vec_id") + (max_vec + 1) * i).alias("vec_id"),
+                F.transform(
+                    "eq", lambda x: ((x * k) / 10).cast("long")
+                ).alias("eq"),
+            ).withColumn(
+                "n2",
+                F.aggregate("eq", F.lit(0).cast("long"),
+                            lambda acc, x: acc + x * x),
+            )
+            res = extend_index_store(spark, db, vbatch)
+            snapshot(f"+batch {i}", res["clamped_codes"])
+    finally:
+        if prior is not None:
+            os.environ[INDEX_DB_ENV] = prior
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+        shutil.rmtree(loc, ignore_errors=True)
+
+    lines = [
+        "",
+        HEALTH_SECTION_HEADER,
+        "",
+        "Generated by `tools/scale_probe.py health_trajectory` over",
+        f"`{sf_dir}`.  The store is built once, then {n_batches}",
+        "deterministic corpus-sized batches append WITHOUT retraining",
+        "(fresh doc_ids with a batch-tag prefix; vectors value-scaled",
+        "+10% per batch past the frozen bounds), and every health",
+        "signal is recorded after each — the drift curve that gives",
+        "the retrain thresholds (`make_training_data",
+        "--max-list-over-target/--max-rail-rate`) their numeric",
+        "meaning: pick the build row's level plus operating margin,",
+        "and the curve shows how many batches of headroom that buys.",
+        "",
+        "| state | n_vectors | max_over_target | p99_over_target | "
+        "sq_at_rail_rate | clamped_codes (batch) | "
+        "capped_postings_rate | surviving_mean_per_doc |",
+        "|---|---|---|---|---|---|---|---|",
+    ]
+    for tag, health, post, clamped in rows:
+        lines.append(
+            f"| {tag} | {int(health['n_vectors'])} "
+            f"| {health['max_over_target']:.2f} "
+            f"| {health['p99_over_target']:.2f} "
+            f"| {health['sq_at_rail_rate']:.4f} "
+            f"| {clamped} "
+            f"| {post['capped_postings_rate']:.4f} "
+            f"| {post['surviving_mean_per_doc']:.1f} |"
+        )
+    lines += [
+        "",
+        "Reading the curve: `max_over_target` degrades as appends pile",
+        "into the frozen lists while the √n target grows;",
+        "`clamped_codes` is the EXACT per-batch saturation count the",
+        "frozen bounds caused (`sq_at_rail_rate` is its cumulative",
+        "store-readable proxy); `capped_postings_rate` climbs as",
+        "repeated text pushes shingles past `NGRAM_DF_CAP` — recall",
+        "eroding by eviction, the text-side retrain signal.  A real",
+        "deployment re-runs `write_index_store` when the curve leaves",
+        "the band the build row establishes.",
+    ]
+    return lines
 
 
 def _patch_section(path: str, section_lines: list[str],
