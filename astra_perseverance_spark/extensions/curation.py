@@ -592,5 +592,11 @@ def curation_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The curation capstone query: the memoized ledger
     (``curation_ledger``) with the report sort — see that builder's
-    docstring for the rule semantics and the plan/scale notes."""
+    docstring for the rule semantics and the plan/scale notes.
+
+    This ledger is DOC-grain keep/drop; sub-document duplication is
+    handled by its sibling ``training.q_dedup_span_trim``, which cuts
+    verified cross-document duplicate spans (``dup_spans``) out of
+    the surviving documents' token streams — the span-level step
+    between this ledger and sequence packing."""
     return curation_ledger(spark, sf_dir).orderBy("doc_id")

@@ -143,6 +143,109 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_span_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-aware curated text: every document's token stream with
+    verified CROSS-document duplicate spans excised — the standard
+    preprocessing step (RefinedWeb/Gopher shape) between span
+    detection (``q_dup_spans``) and sequence packing, and the r12
+    verdict's "measured but never acted on" gap: ``dup_spans`` finds
+    sub-document duplication, this emits the corpus with it cut.
+
+    Semantics (the trim twin of ``q_dup_spans``'s detection rule): a
+    token position is removable when it is covered by a
+    ``DUP_SPAN_W``-token window whose gram occurs in ≥
+    ``DUP_SPAN_MIN_DOCS`` distinct documents AND this document is not
+    the gram's FIRST OCCURRENCE (minimum doc_id over the documents
+    containing it — the same deterministic keep-the-first convention
+    as ``dedup_keep_list``).  Each duplicated gram's first-occurrence
+    document keeps its own occurrences of that gram, so duplicated
+    content survives in its earliest home; the rule is per-POSITION
+    and single-pass, so where differently-homed duplicate windows
+    overlap, a position is trimmed if ANY covering window is
+    non-first — the deterministic, shuffle-friendly trade every
+    distributed trim makes (an exact "keep globally exactly one copy"
+    rule would need sequential conflict resolution).  Intra-document
+    repetition is deliberately NOT trimmed (that is
+    ``repetition_signals``' domain — a quality signal, not a
+    cross-doc redundancy).
+
+    Output one row per document (lowercase token stream, the grain
+    the packing/tokenizer stages consume): doc_id, n_tok (original),
+    removed_tokens, kept_tokens, trimmed_text (space-joined surviving
+    tokens in position order; '' when everything was duplicate).
+    ORDER BY doc_id.
+
+    Scale shape: gram-grain aggregate (one shuffle, map-side
+    combine), rep/df attach back to occurrences on the gram key, a
+    ×``DUP_SPAN_W`` bounded coverage explode de-duplicated at
+    (doc, position) grain, one token-grain anti-join, and a doc-grain
+    reassembly — every stage linear in corpus tokens, no candidate
+    pairs anywhere (a universally shared gram degrades to O(n) marked
+    positions, exactly like ``q_dup_spans``)."""
+    # With DUP_SPAN_MIN_DOCS == 2, "gram occurs in ≥ 2 distinct docs
+    # AND this doc is not its minimum home" collapses to ONE window
+    # predicate: doc_id != min(doc_id) over the gram partition (a
+    # strictly-greater doc_id is itself the second distinct doc).
+    # That builds the positioned-gram pipeline ONCE — the
+    # groupBy+join twin scanned it twice (plans don't share common
+    # subtrees) and measured ~1.5× this formulation's wall time.
+    assert DUP_SPAN_MIN_DOCS == 2, (
+        "the min-over-gram-window trim predicate encodes the ≥2 "
+        "distinct-docs rule; a higher threshold needs the "
+        "groupBy(g)+join formulation back")
+    grams = _positioned_grams(spark, sf_dir, DUP_SPAN_W)
+    marked = (
+        grams
+        .withColumn("rep", F.min("doc_id").over(Window.partitionBy("g")))
+        .filter(F.col("doc_id") != F.col("rep"))
+        .select("doc_id", "p")
+    )
+    covered = (
+        marked.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("p"), F.col("p") + (DUP_SPAN_W - 1))
+            ).alias("q"),
+        )
+        .distinct()
+    )
+    toks = _cdocs(spark, sf_dir).select(
+        "doc_id", F.posexplode(tokens("text")).alias("q", "tok")
+    ).withColumn("q", F.col("q").cast("long"))
+    kept = (
+        toks.join(covered.hint("shuffle_hash"), ["doc_id", "q"],
+                  "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("kept_tokens"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("q", "tok"))),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias("trimmed_text"),
+        )
+    )
+    base = _cdocs(spark, sf_dir).select(
+        "doc_id", F.size(tokens("text")).cast("long").alias("n_tok"))
+    return (
+        base.join(kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tok",
+            (F.col("n_tok")
+             - F.coalesce("kept_tokens", F.lit(0).cast("long")))
+            .alias("removed_tokens"),
+            F.coalesce("kept_tokens", F.lit(0).cast("long"))
+            .alias("kept_tokens"),
+            F.coalesce("trimmed_text", F.lit("")).alias("trimmed_text"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # --- seq_pack -------------------------------------------------------
 
 # Training-sequence token budget and shard sizing.  Documents are

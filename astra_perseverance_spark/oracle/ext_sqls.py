@@ -1575,6 +1575,50 @@ SELECT doc_id, span_id,
 FROM s GROUP BY doc_id, span_id ORDER BY doc_id, start_tok
 """
 
+EXT_ORACLE_SQL["dedup_span_trim"] = f"""
+WITH d AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+),
+g AS (
+  SELECT doc_id, CAST(u.p AS BIGINT) AS p,
+         array_to_string(list_slice(toks, CAST(u.p + 1 AS INT),
+                                    CAST(u.p + {DUP_SPAN_W} AS INT)), ' ') AS g
+  FROM d, unnest(range(len(toks) - {DUP_SPAN_W - 1})) AS u(p)
+),
+gs AS (
+  SELECT g, MIN(doc_id) AS rep FROM g GROUP BY g
+  HAVING COUNT(DISTINCT doc_id) >= {DUP_SPAN_MIN_DOCS}
+),
+m AS (
+  SELECT g.doc_id, g.p FROM g JOIN gs USING (g)
+  WHERE g.doc_id <> gs.rep
+),
+cov AS (
+  SELECT DISTINCT doc_id, p + CAST(u.o AS BIGINT) AS q
+  FROM m, unnest(range({DUP_SPAN_W})) AS u(o)
+),
+t AS (
+  SELECT doc_id, CAST(u.p AS BIGINT) AS q,
+         toks[CAST(u.p + 1 AS INT)] AS tok
+  FROM d, unnest(range(len(toks))) AS u(p)
+),
+k AS (
+  SELECT t.doc_id, t.q, t.tok FROM t
+  ANTI JOIN cov ON t.doc_id = cov.doc_id AND t.q = cov.q
+),
+ka AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS kept_tokens,
+         array_to_string(list(tok ORDER BY q), ' ') AS trimmed_text
+  FROM k GROUP BY doc_id
+)
+SELECT d.doc_id, CAST(len(toks) AS BIGINT) AS n_tok,
+       CAST(len(toks) - coalesce(kept_tokens, 0) AS BIGINT)
+         AS removed_tokens,
+       CAST(coalesce(kept_tokens, 0) AS BIGINT) AS kept_tokens,
+       coalesce(trimmed_text, '') AS trimmed_text
+FROM d LEFT JOIN ka USING (doc_id) ORDER BY doc_id
+"""
+
 EXT_ORACLE_SQL["seq_pack"] = f"""
 WITH params AS (
   SELECT greatest(1, (COUNT(*) + {SEQ_SHARD_DOCS - 1}) // {SEQ_SHARD_DOCS})

@@ -20,34 +20,30 @@ queries get a hard driver-side correctness row each round:
    local pytest oracle-parity gate (tests/test_oracle_parity.py
    parametrizes the full registry) and the bench suite.
 
-Round-12 rotation (rule 2 first, then the freshness deadline):
+Round-13 rotation (rule 2 first, then the freshness deadline —
+exactly the plan the r12 docstring pre-ordered the tail for):
 
-* Rule 2: THREE new round-12 registrations, ``ann_index_health``
-  (the incremental-index drift audit — the r11 verdict's prescribed
-  operator), ``postings_health`` (its text-side twin: stop-shingle-
-  cap drift over the near-dup inverted index) and
-  ``repetition_signals`` (the Gopher table-A1 intra-doc n-gram
-  repetition rules — the quality family's missing second half), have
-  never had a driver row — positions 23–25.  They consume three of
-  the round's 11 free slots (capacity 98 of 106 stays safe).
-* Into the window: the 17 queries whose last driver row is r9
-  (ann_ivf_kmeans … dedup_keep_list — already ordered at the r11
-  tail head for exactly this) — r12 is the last round their K=3
+* Rule 2: ONE new round-13 registration, ``dedup_span_trim`` (the
+  span-aware curated export that consumes ``dup_spans`` — the r12
+  verdict's "measured but never acted on" prescription), has never
+  had a driver row — position 23.  It consumes one of the round's 8
+  free slots (capacity 99 of 106 stays safe).
+* Into the window: the 20 queries whose last driver row is r10
+  (split_assign … ngram_counts — already ordered at the r12 tail
+  head for exactly this) — r13 is the last round their K=3
   freshness budget (tests/test_rotation.py) allows, so they take
-  positions 26–42 wholesale.  ``dedup_incremental`` is among them,
-  which also covers this round's only registered-query-adjacent code
-  change (the shingle-postings store path; its DEFAULT plan is
-  untouched — the branch binds on the env toggle, and the bench
-  fingerprint cross-check shows zero drift on all pre-existing
-  queries).
-* Positions 43–50: the remaining 8 free slots pre-pay the r13
-  cliff with the 8 oldest r10-green entries (doc_minute_tokens …
-  user_skew_audit) so r13 inherits 20 due (22 + 20 = 42, 8 free),
+  positions 24–43 wholesale.  ``dup_spans`` is among them — the
+  producer of this round's new trim operator gets a driver row the
+  same round its consumer lands.
+* Positions 44–50: the remaining 7 free slots pre-pay the r14
+  cliff with the 7 oldest r11-green entries (cluster_purity …
+  repeated_lines) so r14 inherits 21 due (22 + 21 = 43, 7 free),
   not all 28.
-* To the tail, ordered for round 13: first the 20 r10-green queries
-  due in r13 (split_assign … ngram_counts), then the 28 r11-green
-  entries (cluster_purity … dedup_clusters, due r14).  r13 should
-  spend its 8 free slots on the oldest r11-green entries.
+* To the tail, ordered for round 14: first the 21 remaining
+  r11-green queries due in r14 (script_profile … dedup_clusters),
+  then the 28 r12-green entries (ann_index_health …
+  user_skew_audit, due r15).  r14 should spend its 7 free slots on
+  the oldest r12-green entries.
 
 Snapshot protocol (round-10, after two rounds of red snapshots): any
 commit that changes this registry, an oracle twin, or docs/ — and
@@ -119,45 +115,11 @@ QUERY_REGISTRY: dict[str, QueryFn] = {
     # Findings framework + Q20 nested summary
     "warnings": warnings.q_warnings,
     "summary_json": summary.q_summary_json,
-    # ---- Rule 2: the round-12 registrations, first driver row this
+    # ---- Rule 2: the round-13 registration, first driver row this
     # round ----
-    "ann_index_health": similarity.q_ann_index_health,
-    "postings_health": dedup.q_postings_health,
-    "repetition_signals": curation.q_repetition_signals,
-    # ---- Tier 2: the 17 r9-last queries — K=3 freshness deadline,
-    # r12 is the last round they can be refreshed (see docstring) ----
-    "ann_ivf_kmeans": similarity.q_ann_ivf_kmeans,
-    "ann_lsh_bucket": similarity.q_ann_lsh_bucket,
-    "ann_ivf": similarity.q_ann_ivf,
-    "ann_recall_audit": similarity.q_ann_recall_audit,
-    "embedding_cosine_dups": similarity.q_embedding_cosine_dups,
-    "embedding_dup_clusters": similarity.q_embedding_dup_clusters,
-    "semdedup": similarity.q_semdedup,
-    "corpus_validate": qa.q_corpus_validate,
-    "dedup_incremental": dedup.q_dedup_incremental,
-    "split_assign_incremental": training.q_split_assign_incremental,
-    "text_stats": text_stats.q_text_stats,
-    "embedding_topk": similarity.q_embedding_topk,
-    "dedup_exact": dedup.q_dedup_exact,
-    "gc_minute_windows": gc_stream.q_gc_minute_windows,
-    "ann_recall_ivf_kmeans": similarity.q_ann_recall_ivf_kmeans,
-    "embedding_label_probe": similarity.q_embedding_label_probe,
-    "dedup_keep_list": dedup.q_dedup_keep_list,
-    # ---- Tier 3: r13-cliff pre-pay — the 8 oldest r10-green
-    # entries take the window's remaining slots so r13 inherits 20
-    # due, not 28 (see docstring arithmetic) ----
-    "doc_minute_tokens": doc_stream.q_doc_minute_tokens,
-    "lang_id": text_stats.q_lang_id,
-    "token_count": text_stats.q_token_count,
-    "vocab_top_terms": pipeline.q_vocab_top_terms,
-    "tfidf_top_terms": pipeline.q_tfidf_top_terms,
-    "corpus_sample": pipeline.q_corpus_sample,
-    "corpus_sample_fixed": pipeline.q_corpus_sample_fixed,
-    "user_skew_audit": timeseries.q_user_skew_audit,
-    # ---- Tail (>50) — first the 20 r10-green queries due in the
-    # r13 window, then the 28 r11-green entries (due r14); all
-    # covered by the full-registry pytest oracle-parity gate +
-    # bench ----
+    "dedup_span_trim": training.q_dedup_span_trim,
+    # ---- Tier 2: the 20 r10-last queries — K=3 freshness deadline,
+    # r13 is the last round they can be refreshed (see docstring) ----
     "split_assign": training.q_split_assign,
     "events_asof": timeseries.q_events_asof,
     "events_asof_1h": timeseries.q_events_asof_1h,
@@ -178,7 +140,9 @@ QUERY_REGISTRY: dict[str, QueryFn] = {
     "dup_spans": training.q_dup_spans,
     "html_extract": prep.q_html_extract,
     "ngram_counts": pipeline.q_ngram_counts,
-    # r11-green (due r14; r13 spends its free slots on the head)
+    # ---- Tier 3: r14-cliff pre-pay — the 7 oldest r11-green
+    # entries take the window's remaining slots so r14 inherits 21
+    # due, not 28 (see docstring arithmetic) ----
     "cluster_purity": similarity.q_cluster_purity,
     "vocab_growth": pipeline.q_vocab_growth,
     "ngram_novelty": curation.q_ngram_novelty,
@@ -186,6 +150,10 @@ QUERY_REGISTRY: dict[str, QueryFn] = {
     "quality_report": curation.q_quality_report,
     "quality_signals": curation.q_quality_signals,
     "repeated_lines": prep.q_repeated_lines,
+    # ---- Tail (>50) — first the 21 remaining r11-green queries due
+    # in the r14 window, then the 28 r12-green entries (due r15);
+    # all covered by the full-registry pytest oracle-parity gate +
+    # bench ----
     "script_profile": prep.q_script_profile,
     "seq_pack": training.q_seq_pack,
     "source_mix": curation.q_source_mix,
@@ -207,6 +175,35 @@ QUERY_REGISTRY: dict[str, QueryFn] = {
     "dedup_tokenset": dedup.q_dedup_tokenset,
     "ngram_jaccard": dedup.q_ngram_jaccard,
     "dedup_clusters": dedup.q_dedup_clusters,
+    # r12-green (due r15; r14 spends its free slots on the head)
+    "ann_index_health": similarity.q_ann_index_health,
+    "postings_health": dedup.q_postings_health,
+    "repetition_signals": curation.q_repetition_signals,
+    "ann_ivf_kmeans": similarity.q_ann_ivf_kmeans,
+    "ann_lsh_bucket": similarity.q_ann_lsh_bucket,
+    "ann_ivf": similarity.q_ann_ivf,
+    "ann_recall_audit": similarity.q_ann_recall_audit,
+    "embedding_cosine_dups": similarity.q_embedding_cosine_dups,
+    "embedding_dup_clusters": similarity.q_embedding_dup_clusters,
+    "semdedup": similarity.q_semdedup,
+    "corpus_validate": qa.q_corpus_validate,
+    "dedup_incremental": dedup.q_dedup_incremental,
+    "split_assign_incremental": training.q_split_assign_incremental,
+    "text_stats": text_stats.q_text_stats,
+    "embedding_topk": similarity.q_embedding_topk,
+    "dedup_exact": dedup.q_dedup_exact,
+    "gc_minute_windows": gc_stream.q_gc_minute_windows,
+    "ann_recall_ivf_kmeans": similarity.q_ann_recall_ivf_kmeans,
+    "embedding_label_probe": similarity.q_embedding_label_probe,
+    "dedup_keep_list": dedup.q_dedup_keep_list,
+    "doc_minute_tokens": doc_stream.q_doc_minute_tokens,
+    "lang_id": text_stats.q_lang_id,
+    "token_count": text_stats.q_token_count,
+    "vocab_top_terms": pipeline.q_vocab_top_terms,
+    "tfidf_top_terms": pipeline.q_tfidf_top_terms,
+    "corpus_sample": pipeline.q_corpus_sample,
+    "corpus_sample_fixed": pipeline.q_corpus_sample_fixed,
+    "user_skew_audit": timeseries.q_user_skew_audit,
 }
 
 # Queries with no SQL-expressible oracle (driver runs rows-only check).

@@ -104,6 +104,62 @@ class TestDupSpans:
         assert expect, "fixture corpus should contain duplicate spans"
 
 
+class TestDedupSpanTrim:
+    def test_full_python_recompute(self, q, docs):
+        """Recompute the trim in pure Python (grams → df + first
+        occurrence → covered positions → per-position cut →
+        reassembly) and compare the full row set."""
+        grams: dict[int, list[tuple[int, str]]] = {}
+        homes: dict[str, set[int]] = {}
+        for doc_id, text in docs.items():
+            t = _toks(text)
+            g = [
+                (p, " ".join(t[p:p + DUP_SPAN_W]))
+                for p in range(len(t) - DUP_SPAN_W + 1)
+            ]
+            grams[doc_id] = g
+            for _, s in g:
+                homes.setdefault(s, set()).add(doc_id)
+        rep = {s: min(d) for s, d in homes.items()
+               if len(d) >= DUP_SPAN_MIN_DOCS}
+        expect = set()
+        for doc_id, text in docs.items():
+            t = _toks(text)
+            covered: set[int] = set()
+            for p, s in grams[doc_id]:
+                if s in rep and rep[s] != doc_id:
+                    covered.update(range(p, p + DUP_SPAN_W))
+            kept = [tok for i, tok in enumerate(t) if i not in covered]
+            expect.add((doc_id, len(t), len(t) - len(kept),
+                        len(kept), " ".join(kept)))
+        got = {
+            (r["doc_id"], r["n_tok"], r["removed_tokens"],
+             r["kept_tokens"], r["trimmed_text"])
+            for r in q("dedup_span_trim").collect()
+        }
+        assert got == expect
+        assert any(r[2] > 0 for r in expect), (
+            "fixture corpus should contain trimmed documents")
+
+    def test_consistent_with_dup_spans(self, q):
+        """The trim may only cut inside ``dup_spans``' detected spans:
+        per doc, removed_tokens ≤ the doc's total span coverage, and
+        every trimmed doc has at least one detected span."""
+        span_cov: dict[int, int] = {}
+        for r in q("dup_spans").collect():
+            span_cov[r["doc_id"]] = span_cov.get(r["doc_id"], 0) \
+                + r["n_tok"]
+        trimmed = 0
+        for r in q("dedup_span_trim").collect():
+            assert 0 <= r["removed_tokens"] <= r["n_tok"]
+            assert r["kept_tokens"] == r["n_tok"] - r["removed_tokens"]
+            if r["removed_tokens"] > 0:
+                trimmed += 1
+                assert r["doc_id"] in span_cov
+                assert r["removed_tokens"] <= span_cov[r["doc_id"]]
+        assert trimmed > 0
+
+
 class TestSeqPack:
     def test_full_python_repack(self, q, docs):
         """Recompute shard deal, hash-order layout, offsets, and

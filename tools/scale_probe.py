@@ -601,6 +601,64 @@ def _index_amo_child(mode: str, sf_dir: str, loc: str, db: str) -> int:
     spark = get_spark(f"idx-amo-{mode}")
     spark.sparkContext.setLogLevel("ERROR")
     out: dict[str, float] = {}
+    if mode == "capread":
+        # the r13 read-path comparison, same persisted data: the
+        # capped-universe recompute over a doc-bucketed forward table
+        # (the pre-r13 store layout — the df window re-shuffles the
+        # whole table) vs the gram-bucketed inverted table (df window
+        # exchange-free; only survivors shuffle).  The postings pair
+        # is built 8× the probe corpus so the shuffle delta is not
+        # drowned by the ~0.5 s job floor (at sf0.1's ~9 MB table the
+        # two arms measure within noise of each other); one warm-up +
+        # 3 timed runs per arm.
+        from functools import reduce
+
+        from pyspark.sql import functions as F
+
+        from astra_perseverance_spark.extensions.dedup import (
+            cap_postings,
+            k_gram_rows_of,
+        )
+
+        rep = 8
+        cap_db, cap_loc = f"{db}_capread", f"{loc}_capread"
+        shutil.rmtree(cap_loc, ignore_errors=True)
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS {cap_db} "
+                  f"LOCATION '{cap_loc}'")
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+            .select("doc_id", "lang", "text")
+        n = docs.count()
+        big = reduce(
+            lambda a, b: a.unionByName(b),
+            [docs.select(
+                (F.col("doc_id") + (n + 1) * i).alias("doc_id"),
+                "lang",
+                F.concat(F.lit(f"rep{i} "), "text").alias("text"))
+             for i in range(rep)],
+        ).repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        grams = k_gram_rows_of(big, 3).distinct().cache()
+        try:
+            for table, key in (("shingle_raw", "doc_id"),
+                               ("shingle_inv", "g")):
+                (grams.write.mode("overwrite").format("parquet")
+                 .bucketBy(16, key).sortBy(key)
+                 .saveAsTable(f"{cap_db}.{table}"))
+        finally:
+            grams.unpersist()
+        for key, table in (("capread_fwd", "shingle_raw"),
+                           ("capread_inv", "shingle_inv")):
+            def read():
+                cap_postings(spark.table(f"{cap_db}.{table}")).write \
+                    .format("noop").mode("overwrite").save()
+            read()
+            t0 = _time.time()
+            for _ in range(3):
+                read()
+            out[key] = round((_time.time() - t0) / 3, 4)
+        spark.sql(f"DROP DATABASE IF EXISTS {cap_db} CASCADE")
+        shutil.rmtree(cap_loc, ignore_errors=True)
+        print("AMO_RESULT " + json.dumps(out))
+        return 0
     if mode == "build":
         from astra_perseverance_spark.sinks.index_store import (
             write_index_store,
@@ -662,9 +720,10 @@ def probe_index_amortization(sf_dir: str) -> list[str]:
         for r, _, fs in os.walk(loc) for f in fs)
     memo = child("memo")
     store = child("store")
+    capread = child("capread")
     shutil.rmtree(loc, ignore_errors=True)
     for mode, res in (("build", build), ("memo", memo),
-                      ("store", store)):
+                      ("store", store), ("capread", capread)):
         print(f"index_amortization {mode}: {res}", file=sys.stderr)
 
     lines = [
@@ -695,6 +754,23 @@ def probe_index_amortization(sf_dir: str) -> list[str]:
     tm, ts = sum(memo.values()), sum(store.values())
     lines.append(f"| **total** | {tm:.2f} | {ts:.2f} | "
                  f"{(ts / tm if tm else float('inf')):.2f} |")
+    cf, ci = capread["capread_fwd"], capread["capread_inv"]
+    lines += [
+        "",
+        "Read-path isolation (identical postings rows persisted in",
+        "both orientations at 8× the probe corpus, one fresh app,",
+        "3-run mean after warm-up): the capped-universe recompute",
+        f"costs **{cf:.2f} s over the doc-bucketed forward table**",
+        "(the pre-r13 store layout — the df window re-shuffles the",
+        f"whole table) vs **{ci:.2f} s over the gram-bucketed",
+        f"`shingle_inv`** ({(ci / cf if cf else float('inf')):.2f}×) —",
+        "the inverted orientation's df window plans NO exchange and",
+        "only the surviving postings shuffle to doc grain, so the",
+        "gap IS the full-table shuffle and keeps widening with",
+        "postings volume.  (The dedup_incremental row above cannot",
+        "show this at probe scale: its store arm is dominated by the",
+        "candidate join + verify, not the universe read.)",
+    ]
     lines += [
         "",
         "What the store removes is artifact CONSTRUCTION from the",
@@ -710,7 +786,12 @@ def probe_index_amortization(sf_dir: str) -> list[str]:
         "application is the probe work itself — for",
         "`dedup_incremental` that is the candidate join + Jaccard",
         "verify over the (persisted) postings, which dominates its",
-        "row and caps the ratio here.  The saved fraction grows with",
+        "row and caps the ratio here.  (Round 13: the store read now",
+        "serves the capped universe from the GRAM-bucketed",
+        "`shingle_inv` orientation — the df recompute plans no",
+        "exchange and only the surviving postings shuffle to doc",
+        "grain, which is what moved this row from its r12 0.63.)",
+        "The saved fraction grows with",
         "text volume: shingling is O(corpus bytes) while the verify",
         "is bounded by candidate density (df-capped prefix postings),",
         "so at production scale the construction side the store",
