@@ -364,6 +364,100 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_source_cross_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-SOURCE duplication audit: for every unordered source
+    pair, how many verified duplicate document pairs sit inside or
+    straddle it — the curation question "which dumps duplicate each
+    other" that decides source-level dedup order, crawl-snapshot
+    pruning, and ``source_mix`` weights (a source whose mass is
+    mostly another source's duplicates should not also get that
+    mass's temperature share).
+
+    Two measures per (source_a ≤ source_b) row, independent by
+    construction: ``exact_pairs`` — pairs of identical normalized
+    text (every pair within a content-digest group), and
+    ``near_pairs`` — the verified 3-gram Jaccard ≥ τ pair set
+    (``dedup.ngram_pairs``; an identical-text pair that shingles also
+    passes Jaccard at 1.0, so the two columns overlap — they are
+    separate measures, not a partition).
+
+    Scale shape: the exact side NEVER materializes per-doc pairs — a
+    digest group of k docs would contribute C(k, 2) rows, so the
+    pair counts are computed arithmetically from each group's
+    per-source composition counts (grain: distinct sources per
+    digest, bounded by the source vocabulary, not group size).  The
+    near side re-keys the memoized verified pair frame (already
+    candidate-bounded by the df-capped prefix postings) with two
+    doc-dim joins.  Output grain is source pairs — report-sized.
+    ORDER BY source_a, source_b."""
+    from astra_perseverance_spark.extensions.dedup import (
+        content_digest_frame,
+        ngram_pairs,
+    )
+
+    src = _docs(spark, sf_dir).select("doc_id", "source")
+    # shuffle_hash throughout: every join here pairs two DERIVED
+    # frames (digest dim × doc dim, composition self-join, pair
+    # frame × doc dim, exact ⟗ near) whose size estimates exceed the
+    # broadcast threshold, so without the hint they all plan
+    # SortMergeJoin — double sorts the engine's plan gate forbids
+    comp = (
+        content_digest_frame(spark, sf_dir)
+        .join(src.hint("shuffle_hash"), "doc_id")
+        .groupBy("content_md5", "source")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    within = comp.select(
+        F.col("source").alias("source_a"),
+        F.col("source").alias("source_b"),
+        F.expr("c * (c - 1) DIV 2").alias("p"),
+    )
+    cross = (
+        comp.alias("x")
+        .join(comp.alias("y").hint("shuffle_hash"), "content_md5")
+        .filter(F.col("x.source") < F.col("y.source"))
+        .select(
+            F.col("x.source").alias("source_a"),
+            F.col("y.source").alias("source_b"),
+            (F.col("x.c") * F.col("y.c")).alias("p"),
+        )
+    )
+    exact = (
+        within.union(cross)
+        .groupBy("source_a", "source_b")
+        .agg(F.sum("p").cast("long").alias("exact_pairs"))
+        .filter(F.col("exact_pairs") > 0)
+    )
+    pairs = ngram_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    near = (
+        pairs
+        .join(src.select(F.col("doc_id").alias("doc_a"),
+                         F.col("source").alias("sa"))
+              .hint("shuffle_hash"), "doc_a")
+        .join(src.select(F.col("doc_id").alias("doc_b"),
+                         F.col("source").alias("sb"))
+              .hint("shuffle_hash"), "doc_b")
+        .select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").cast("long").alias("near_pairs"))
+    )
+    return (
+        exact.join(near.hint("shuffle_hash"),
+                   ["source_a", "source_b"], "full")
+        .select(
+            "source_a", "source_b",
+            F.coalesce("exact_pairs", F.lit(0).cast("long"))
+            .alias("exact_pairs"),
+            F.coalesce("near_pairs", F.lit(0).cast("long"))
+            .alias("near_pairs"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
 def q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-based source mixing: distribute a ``MIX_BUDGET``
     document budget over sources with weights w = floor(sqrt(n)) —

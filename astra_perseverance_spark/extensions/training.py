@@ -189,6 +189,15 @@ def q_dedup_span_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
     # That builds the positioned-gram pipeline ONCE — the
     # groupBy+join twin scanned it twice (plans don't share common
     # subtrees) and measured ~1.5× this formulation's wall time.
+    return span_trim_frame(spark, sf_dir).orderBy("doc_id")
+
+
+def span_trim_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UNORDERED span-trim frame behind ``q_dedup_span_trim`` —
+    factored out so the curated-corpus export
+    (``sinks.export.export_curated_corpus(trim_spans=True)``) can
+    consume the trim without the report sort.  See the query's
+    docstring for semantics and scale shape."""
     assert DUP_SPAN_MIN_DOCS == 2, (
         "the min-over-gram-window trim predicate encodes the ≥2 "
         "distinct-docs rule; a higher threshold needs the "
@@ -242,7 +251,6 @@ def q_dedup_span_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("kept_tokens"),
             F.coalesce("trimmed_text", F.lit("")).alias("trimmed_text"),
         )
-        .orderBy("doc_id")
     )
 
 

@@ -890,6 +890,50 @@ SELECT doc_id, bench_doc, n_shared FROM decon_hits
 ORDER BY doc_id, bench_doc
 """
 
+EXT_ORACLE_SQL["source_cross_dup"] = f"""
+WITH {_CAPPED_SH},
+d AS (
+  SELECT doc_id, source,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+           AS content_md5
+  FROM documents
+),
+comp AS (
+  SELECT content_md5, source, CAST(COUNT(*) AS BIGINT) AS c
+  FROM d GROUP BY content_md5, source
+),
+exact AS (
+  SELECT source_a, source_b, CAST(SUM(p) AS BIGINT) AS exact_pairs
+  FROM (
+    SELECT source AS source_a, source AS source_b, c * (c - 1) // 2 AS p
+    FROM comp
+    UNION ALL
+    SELECT x.source AS source_a, y.source AS source_b, x.c * y.c AS p
+    FROM comp x JOIN comp y USING (content_md5) WHERE x.source < y.source
+  ) GROUP BY source_a, source_b HAVING SUM(p) > 0
+),
+np AS (
+  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM sh x JOIN sh y ON x.lang = y.lang AND x.doc_id < y.doc_id
+  WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+        / len(list_distinct(list_concat(x.sh, y.sh)))
+        >= {MINHASH_JACCARD_MIN}
+),
+near AS (
+  SELECT least(sa.source, sb.source) AS source_a,
+         greatest(sa.source, sb.source) AS source_b,
+         CAST(COUNT(*) AS BIGINT) AS near_pairs
+  FROM np JOIN documents sa ON np.doc_a = sa.doc_id
+          JOIN documents sb ON np.doc_b = sb.doc_id
+  GROUP BY 1, 2
+)
+SELECT source_a, source_b,
+       CAST(coalesce(exact_pairs, 0) AS BIGINT) AS exact_pairs,
+       CAST(coalesce(near_pairs, 0) AS BIGINT) AS near_pairs
+FROM exact FULL JOIN near USING (source_a, source_b)
+ORDER BY source_a, source_b
+"""
+
 EXT_ORACLE_SQL["source_mix"] = f"""
 WITH c AS (
   SELECT source, CAST(COUNT(*) AS BIGINT) AS n_src FROM documents

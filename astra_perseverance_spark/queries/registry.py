@@ -23,26 +23,29 @@ queries get a hard driver-side correctness row each round:
 Round-13 rotation (rule 2 first, then the freshness deadline —
 exactly the plan the r12 docstring pre-ordered the tail for):
 
-* Rule 2: ONE new round-13 registration, ``dedup_span_trim`` (the
+* Rule 2: TWO new round-13 registrations, ``dedup_span_trim`` (the
   span-aware curated export that consumes ``dup_spans`` — the r12
-  verdict's "measured but never acted on" prescription), has never
-  had a driver row — position 23.  It consumes one of the round's 8
-  free slots (capacity 99 of 106 stays safe).
+  verdict's "measured but never acted on" prescription) and
+  ``source_cross_dup`` (the cross-source duplication audit: which
+  sources duplicate each other, exact + near, pair counts computed
+  arithmetically from digest-group composition), have never had a
+  driver row — positions 23–24.  They consume two of the round's 8
+  free slots (capacity 100 of 106 stays safe).
 * Into the window: the 20 queries whose last driver row is r10
   (split_assign … ngram_counts — already ordered at the r12 tail
   head for exactly this) — r13 is the last round their K=3
   freshness budget (tests/test_rotation.py) allows, so they take
-  positions 24–43 wholesale.  ``dup_spans`` is among them — the
+  positions 25–44 wholesale.  ``dup_spans`` is among them — the
   producer of this round's new trim operator gets a driver row the
   same round its consumer lands.
-* Positions 44–50: the remaining 7 free slots pre-pay the r14
-  cliff with the 7 oldest r11-green entries (cluster_purity …
-  repeated_lines) so r14 inherits 21 due (22 + 21 = 43, 7 free),
+* Positions 45–50: the remaining 6 free slots pre-pay the r14
+  cliff with the 6 oldest r11-green entries (cluster_purity …
+  quality_signals) so r14 inherits 22 due (22 + 22 = 44, 6 free),
   not all 28.
-* To the tail, ordered for round 14: first the 21 remaining
-  r11-green queries due in r14 (script_profile … dedup_clusters),
+* To the tail, ordered for round 14: first the 22 remaining
+  r11-green queries due in r14 (repeated_lines … dedup_clusters),
   then the 28 r12-green entries (ann_index_health …
-  user_skew_audit, due r15).  r14 should spend its 7 free slots on
+  user_skew_audit, due r15).  r14 should spend its 6 free slots on
   the oldest r12-green entries.
 
 Snapshot protocol (round-10, after two rounds of red snapshots): any
@@ -115,9 +118,10 @@ QUERY_REGISTRY: dict[str, QueryFn] = {
     # Findings framework + Q20 nested summary
     "warnings": warnings.q_warnings,
     "summary_json": summary.q_summary_json,
-    # ---- Rule 2: the round-13 registration, first driver row this
+    # ---- Rule 2: the round-13 registrations, first driver row this
     # round ----
     "dedup_span_trim": training.q_dedup_span_trim,
+    "source_cross_dup": curation.q_source_cross_dup,
     # ---- Tier 2: the 20 r10-last queries — K=3 freshness deadline,
     # r13 is the last round they can be refreshed (see docstring) ----
     "split_assign": training.q_split_assign,
@@ -149,11 +153,11 @@ QUERY_REGISTRY: dict[str, QueryFn] = {
     "quality_filter": pipeline.q_quality_filter,
     "quality_report": curation.q_quality_report,
     "quality_signals": curation.q_quality_signals,
-    "repeated_lines": prep.q_repeated_lines,
-    # ---- Tail (>50) — first the 21 remaining r11-green queries due
+    # ---- Tail (>50) — first the 22 remaining r11-green queries due
     # in the r14 window, then the 28 r12-green entries (due r15);
     # all covered by the full-registry pytest oracle-parity gate +
     # bench ----
+    "repeated_lines": prep.q_repeated_lines,
     "script_profile": prep.q_script_profile,
     "seq_pack": training.q_seq_pack,
     "source_mix": curation.q_source_mix,

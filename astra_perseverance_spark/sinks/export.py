@@ -83,7 +83,8 @@ def export_views(spark: SparkSession, sf_dir: str, out_dir: str,
 
 
 def export_curated_corpus(spark: SparkSession, sf_dir: str, out_dir: str,
-                          fmt: str = "parquet") -> dict[str, object]:
+                          fmt: str = "parquet",
+                          trim_spans: bool = False) -> dict[str, object]:
     """Materialize the training-ready corpus: documents that survive
     the full curation ledger (``curation.curation_ledger`` — quality
     rules + exact/near dedup + decontamination), written sharded by
@@ -97,7 +98,19 @@ def export_curated_corpus(spark: SparkSession, sf_dir: str, out_dir: str,
     driver; at 100 TB the output is a partitioned dataset sized by the
     cluster, not a file.
 
-    Returns {kept_path, rejects_path, n_docs, n_kept}."""
+    ``trim_spans``: additionally excise verified cross-document
+    duplicate spans from the KEPT documents' text
+    (``training.span_trim_frame`` — the sub-document step the
+    doc-grain ledger cannot express: licence headers and quoted
+    boilerplate survive whole-doc dedup, and the RefinedWeb/Gopher
+    preprocessing shape cuts the span, not the document).  The
+    exported ``text`` becomes the lowercase token stream with
+    non-first-occurrence duplicate spans removed, and each kept row
+    carries its ``removed_tokens`` count; the returned dict gains
+    ``n_trimmed_tokens`` (total removed across kept docs).
+
+    Returns {kept_path, rejects_path, n_docs, n_kept
+    [, n_trimmed_tokens]}."""
     if fmt not in ("parquet", "jsonl"):
         raise ValueError(f"unsupported corpus format: {fmt!r}")
     from astra_perseverance_spark.extensions.corpus import docs_frame
@@ -108,6 +121,28 @@ def export_curated_corpus(spark: SparkSession, sf_dir: str, out_dir: str,
     kept = docs.join(
         ledger.filter(F.col("keep")).select("doc_id").hint("shuffle_hash"),
         "doc_id", "semi")
+    trimmed_total = None
+    if trim_spans:
+        from astra_perseverance_spark.extensions.training import (
+            span_trim_frame,
+        )
+
+        trim = span_trim_frame(spark, sf_dir).select(
+            "doc_id",
+            F.col("trimmed_text").alias("__trimmed"),
+            "removed_tokens",
+        )
+        # inner join on the uniform doc key: the trim frame covers
+        # every corpus document, so this only rewrites text — the
+        # kept set is unchanged
+        kept = (
+            kept.join(trim.hint("shuffle_hash"), "doc_id")
+            .withColumn("text", F.col("__trimmed"))
+            .drop("__trimmed")
+        )
+        trimmed_total = kept.agg(
+            F.coalesce(F.sum("removed_tokens"), F.lit(0))
+        ).collect()[0][0]
     rejects = ledger.filter(~F.col("keep")).select("doc_id", "reasons")
 
     kept_path = os.path.join(out_dir, "corpus_kept")
@@ -126,12 +161,15 @@ def export_curated_corpus(spark: SparkSession, sf_dir: str, out_dir: str,
         F.coalesce(F.sum(F.col("keep").cast("long")), F.lit(0))
         .alias("k"),
     ).collect()[0]
-    return {
+    out = {
         "kept_path": kept_path,
         "rejects_path": rejects_path,
         "n_docs": counts["n"],
         "n_kept": counts["k"],
     }
+    if trimmed_total is not None:
+        out["n_trimmed_tokens"] = int(trimmed_total)
+    return out
 
 
 def export_training_shards(spark: SparkSession, sf_dir: str,

@@ -256,6 +256,47 @@ class TestSourceMixQuotas:
         assert picked == {"big": 100, "mid": 25, "tiny": 4}
 
 
+class TestSourceCrossDup:
+    def test_pair_arithmetic_on_planted_duplicates(self, spark,
+                                                   monkeypatch):
+        """Planted corpus: an exact triple spanning srcA (×2) and
+        srcB, a near-dup (5/7 shingle Jaccard ≈ 0.714) in srcC, one
+        unrelated doc.  Exact pair counts must follow the digest
+        composition arithmetic (C(2,2·)=1 within srcA, 2·1=2 across
+        A/B) and near pairs must re-key the verified Jaccard pair
+        set."""
+        from astra_perseverance_spark.extensions import curation, dedup
+
+        text = "alpha beta gamma delta epsilon zeta eta theta"
+        near = "alpha beta gamma delta epsilon zeta eta iota"
+        rows = [
+            (1, text, "en", "srcA", 1),
+            (2, text, "en", "srcA", 1),
+            (3, text, "en", "srcB", 1),
+            (4, near, "en", "srcC", 1),
+            (5, "completely different words entirely unrelated "
+                "content sits here now", "en", "srcB", 1),
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, "
+                  "source string, n_chars long")
+        monkeypatch.setattr(curation, "_docs", lambda s, d: df)
+        monkeypatch.setattr(dedup, "_docs", lambda s, d: df)
+        monkeypatch.setattr(dedup, "_cdocs", lambda s, d: df)
+        got = {
+            (r["source_a"], r["source_b"]):
+                (r["exact_pairs"], r["near_pairs"])
+            for r in curation.q_source_cross_dup(
+                spark, "unused://crossdup").collect()
+        }
+        assert got == {
+            ("srcA", "srcA"): (1, 1),
+            ("srcA", "srcB"): (2, 2),
+            ("srcA", "srcC"): (0, 2),
+            ("srcB", "srcC"): (0, 1),
+        }
+
+
 class TestDecontaminate:
     def test_planted_contamination_is_found(self, spark, monkeypatch):
         """A doc sharing a benchmark doc's text (plus noise) must be

@@ -271,6 +271,37 @@ class TestCuratedCorpusExport:
         with pytest.raises(ValueError):
             export_curated_corpus(spark, SF_SMALL, str(tmp_path), "xml")
 
+    def test_trim_spans_rewrites_kept_text(self, spark, tmp_path):
+        """trim_spans=True exports the SAME kept set with every kept
+        document's text replaced by the registered dedup_span_trim
+        operator's trimmed token stream, a per-doc removed_tokens
+        column, and the total in the returned counts."""
+        from astra_perseverance_spark.queries import QUERY_REGISTRY
+        from astra_perseverance_spark.sinks import export_curated_corpus
+        from tests.conftest import SF_SMALL
+
+        out = export_curated_corpus(
+            spark, SF_SMALL, str(tmp_path), trim_spans=True)
+        kept = spark.read.parquet(out["kept_path"])
+        assert kept.count() == out["n_kept"]
+        assert "removed_tokens" in kept.columns
+        want = {
+            r["doc_id"]: (r["trimmed_text"], r["removed_tokens"])
+            for r in QUERY_REGISTRY["dedup_span_trim"](
+                spark, SF_SMALL).collect()
+        }
+        got = {
+            r["doc_id"]: (r["text"], r["removed_tokens"])
+            for r in kept.select(
+                "doc_id", "text", "removed_tokens").collect()
+        }
+        assert set(got) <= set(want)
+        for doc_id, pair in got.items():
+            assert pair == want[doc_id], doc_id
+        total = sum(rm for _, rm in got.values())
+        assert out["n_trimmed_tokens"] == total
+        assert total > 0, "fixture corpus should trim something"
+
 
 class TestTrainingShards:
     def test_export_training_shards(self, spark, tmp_path):

@@ -20,7 +20,10 @@ CLI-specific):
    and the downstream stages re-curate the grown corpus.
 1. ``export_curated_corpus`` — documents surviving the full curation
    ledger (quality rules + exact/near dedup + decontamination) plus
-   the rejects audit ledger.
+   the rejects audit ledger.  ``--trim-spans`` additionally excises
+   verified cross-document duplicate spans from the kept documents'
+   text (``dedup_span_trim`` semantics — the sub-document dedup step
+   between the doc-grain ledger and sequence packing).
 2. ``export_training_shards`` — the seq_pack concat-and-cut layout as
    shard-partitioned parquet with a shard-grain manifest.
 3. ``--webdataset`` — additionally materialize the run's corpus (the
@@ -75,6 +78,12 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--webdataset", action="store_true",
                     help="also export the run's corpus as WebDataset "
                     "tar shards under OUT/wds")
+    ap.add_argument("--trim-spans", action="store_true",
+                    help="excise verified cross-document duplicate "
+                    "spans from the kept documents' text (the "
+                    "sub-document dedup step; exported text becomes "
+                    "the trimmed lowercase token stream with a "
+                    "per-doc removed_tokens column)")
     ap.add_argument("--skip-corpus", action="store_true",
                     help="skip the curated-corpus materialization")
     ap.add_argument("--skip-shards", action="store_true",
@@ -106,6 +115,9 @@ def main(argv: list[str] | None = None) -> int:
     args = ap.parse_args(argv)
     if args.incremental and not args.src_fmt:
         ap.error("--incremental requires --from jsonl|webdataset")
+    if args.trim_spans and args.skip_corpus:
+        ap.error("--trim-spans rewrites the curated corpus text; it "
+                 "cannot be combined with --skip-corpus")
     if (args.max_list_over_target is not None
             or args.max_rail_rate is not None) and not args.index_store:
         ap.error("--max-list-over-target/--max-rail-rate gate the "
@@ -179,7 +191,8 @@ def main(argv: list[str] | None = None) -> int:
         run["ingested"] = sf_dir
     if not args.skip_corpus:
         run["corpus"] = export_curated_corpus(
-            spark, sf_dir, args.out, fmt=args.fmt)
+            spark, sf_dir, args.out, fmt=args.fmt,
+            trim_spans=args.trim_spans)
     if not args.skip_shards:
         run["shards"] = export_training_shards(spark, sf_dir, args.out)
     if args.webdataset:
