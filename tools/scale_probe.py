@@ -99,6 +99,12 @@ OPS = [
     ("repeated_lines", "O(lines) line-keyed agg"),
     ("token_rarity", "O(tokens) vocab df + doc-grain agg"),
     ("dup_spans", "O(postings) mark + per-doc islands merge"),
+    ("dedup_span_trim",
+     "O(tokens): min-over-gram window + W-bounded coverage + "
+     "token-grain anti-join"),
+    ("source_cross_dup",
+     "digest-composition arithmetic + pair-frame re-key "
+     "(verify-bound like ngram_jaccard)"),
     ("seq_pack", "O(n) per-shard running-total window"),
     ("embedding_quantize", "O(n·dim) map + 64-group dim stats"),
     ("bpe_merges", "O(corpus) word count + capped-table rounds"),
