@@ -175,8 +175,9 @@ def q_dedup_span_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens in position order; '' when everything was duplicate).
     ORDER BY doc_id.
 
-    Scale shape: gram-grain aggregate (one shuffle, map-side
-    combine), rep/df attach back to occurrences on the gram key, a
+    Scale shape: ONE min-over-gram window marks removable positions
+    (one shuffle on the gram key; see the in-body note for why this
+    beats the gram-grain groupBy + join twin), then a
     ×``DUP_SPAN_W`` bounded coverage explode de-duplicated at
     (doc, position) grain, one token-grain anti-join, and a doc-grain
     reassembly — every stage linear in corpus tokens, no candidate

@@ -379,7 +379,7 @@ class TestEmptyCorpus:
         "doc_chunks", "html_extract", "script_profile", "repeated_lines",
         "token_rarity", "corpus_curate",
         "dup_spans", "seq_pack", "embedding_quantize", "bpe_merges",
-        "bpe_token_count",
+        "bpe_token_count", "dedup_span_trim", "source_cross_dup",
     ])
     def test_runs_empty(self, spark, empty_docs, qname):
         from astra_perseverance_spark.queries import QUERY_REGISTRY
