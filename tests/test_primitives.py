@@ -422,3 +422,60 @@ SELECT lsym, rsym FROM {best_cte}
 """).fetchall()
         assert chosen == [(left, right)]
         assert got == expect
+
+
+class TestSpanTrimOracleProperty:
+    """Property test for the shipped ``dedup_span_trim`` oracle SQL:
+    on random tiny-alphabet corpora (collisions forced, so duplicate
+    windows actually occur) the oracle must equal a direct Python
+    brute force of the declared semantics — gram homes, min-doc
+    first occurrence, per-position coverage, reassembly.  The Spark
+    side is pinned to this same oracle by the hash-parity gate, so
+    this transitively fuzzes the operator's semantics without a
+    Spark session per example."""
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        corpus=st.lists(
+            st.lists(st.sampled_from(["a", "b", "c"]),
+                     min_size=0, max_size=14),
+            min_size=1, max_size=7,
+        )
+    )
+    def test_oracle_matches_bruteforce(self, corpus):
+        from astra_perseverance_spark.extensions.training import (
+            DUP_SPAN_MIN_DOCS,
+            DUP_SPAN_W,
+        )
+        from astra_perseverance_spark.oracle import ORACLE_SQL
+
+        assert DUP_SPAN_MIN_DOCS == 2
+        W = DUP_SPAN_W
+        docs = {i: toks for i, toks in enumerate(corpus)}
+
+        homes: dict[str, set[int]] = {}
+        for d, t in docs.items():
+            for p in range(len(t) - W + 1):
+                homes.setdefault(" ".join(t[p:p + W]), set()).add(d)
+        rep = {g: min(s) for g, s in homes.items() if len(s) >= 2}
+        expect = set()
+        for d, t in docs.items():
+            cov: set[int] = set()
+            for p in range(len(t) - W + 1):
+                g = " ".join(t[p:p + W])
+                if g in rep and rep[g] != d:
+                    cov.update(range(p, p + W))
+            kept = [tok for i, tok in enumerate(t) if i not in cov]
+            expect.add((d, len(t), len(t) - len(kept), len(kept),
+                        " ".join(kept)))
+
+        values = ", ".join(
+            f"({d}, '{' '.join(t)}', 'en', 's')" for d, t in docs.items()
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM (VALUES {values}) "
+            f"AS t(doc_id, text, lang, source)"
+        )
+        got = set(con.execute(ORACLE_SQL["dedup_span_trim"]).fetchall())
+        assert got == expect
