@@ -23,11 +23,35 @@ the same sizing rule as shuffle partitions, but durable.
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 DEFAULT_BUCKETS = 16
+
+# the `_NNNNN` bucket-id component saveAsTable writes into bucketed
+# file names (part-<task>-<uuid>_00012.c000.snappy.parquet); the task
+# prefix and uuid use '-' separators, so '_' + 5 digits + '.' is
+# unambiguous
+_BUCKET_ID_RE = re.compile(r"_(\d{5})\.")
+
+
+def _max_bucket_id(path: str) -> int | None:
+    """Largest bucket id any parquet file under ``path`` claims via
+    its ``_NNNNN`` filename component, or None when no file carries
+    one (a plain-parquet directory)."""
+    best: int | None = None
+    for root, _, files in os.walk(path):
+        for f in files:
+            if not f.endswith(".parquet"):
+                continue
+            m = _BUCKET_ID_RE.search(f)
+            if m:
+                b = int(m.group(1))
+                if best is None or b > best:
+                    best = b
+    return best
 
 # table -> (bucket key, sort keys) as written by the two writers below
 _WAREHOUSE_LAYOUT: dict[str, tuple[str, tuple[str, ...]]] = {
@@ -52,9 +76,30 @@ def register_external_bucketed(spark: SparkSession, database: str,
     plain (unbucketed) table.  ``n_buckets`` must match the write
     (catalog metadata, not derivable from the files — a real
     metastore would have remembered it); the schema is inferred from
-    the parquet footers, never guessed."""
+    the parquet footers, never guessed.
+
+    The bucket count is VALIDATED against the data files before the
+    DDL runs: ``saveAsTable`` writes each row's bucket id into the
+    ``_NNNNN`` filename component, so a file claiming bucket id ≥
+    ``n_buckets`` proves the declared count is wrong.  Declaring a
+    wrong count would not fail any query — Spark would hash rows
+    into the wrong logical bucket and every "co-located" join or
+    bucket-local aggregate would be silently WRONG — which is why
+    this is a hard error, not a warning.  (A too-large multiple of
+    the true count passes this check by construction and is equally
+    wrong; the check catches the common operational mistake of
+    registering with a different DEFAULT_BUCKETS than the writer's.)"""
     if spark.catalog.tableExists(f"{database}.{name}"):
         return
+    if bucket_key is not None:
+        seen = _max_bucket_id(path)
+        if seen is not None and seen >= n_buckets:
+            raise ValueError(
+                f"{database}.{name}: data files at {path} carry bucket "
+                f"id {seen} but the table is being registered with "
+                f"n_buckets={n_buckets} — the declared bucket count "
+                f"must match the write, or every bucketed join on "
+                f"this table would be silently mis-clustered")
     sch = spark.read.parquet(path).schema
     cols = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in sch.fields)

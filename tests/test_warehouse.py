@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import contextlib
 import io
+import os
 
 import pytest
 
@@ -101,6 +102,32 @@ def test_register_warehouse_reattaches_bucketed_tables(spark, warehouse):
         for t in names:
             spark.sql(f"DROP TABLE IF EXISTS bucketdemo_reg.{t}")
         spark.sql("DROP DATABASE IF EXISTS bucketdemo_reg")
+
+
+def test_register_rejects_wrong_bucket_count(spark, warehouse):
+    """A declared bucket count below what the data files' `_NNNNN`
+    ids prove is a hard error: registering with the wrong count
+    would not fail any query — it would silently mis-cluster every
+    'co-located' join on the table."""
+    import pytest as _pytest
+
+    from astra_perseverance_spark.sinks.warehouse import (
+        register_external_bucketed,
+    )
+
+    loc = spark.catalog.getDatabase("bucketdemo").locationUri
+    path = loc[5:] if loc.startswith("file:") else loc
+    spark.sql("CREATE DATABASE IF NOT EXISTS bucketdemo_bad")
+    try:
+        with _pytest.raises(ValueError, match="bucket"):
+            register_external_bucketed(
+                spark, "bucketdemo_bad", "documents",
+                os.path.join(path, "documents"),
+                "doc_id", ("doc_id",), 4)
+        assert not spark.catalog.tableExists("bucketdemo_bad.documents")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bucketdemo_bad.documents")
+        spark.sql("DROP DATABASE IF EXISTS bucketdemo_bad")
 
 
 def test_registered_query_join_exchange_free_when_bucketed(
