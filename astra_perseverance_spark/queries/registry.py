@@ -20,33 +20,51 @@ queries get a hard driver-side correctness row each round:
    local pytest oracle-parity gate (tests/test_oracle_parity.py
    parametrizes the full registry) and the bench suite.
 
-Round-13 rotation (rule 2 first, then the freshness deadline —
-exactly the plan the r12 docstring pre-ordered the tail for):
+Round-14 rotation (no new registrations this round — exactly the
+plan the r13 docstring pre-ordered the tail for):
 
-* Rule 2: TWO new round-13 registrations, ``dedup_span_trim`` (the
-  span-aware curated export that consumes ``dup_spans`` — the r12
-  verdict's "measured but never acted on" prescription) and
-  ``source_cross_dup`` (the cross-source duplication audit: which
-  sources duplicate each other, exact + near, pair counts computed
-  arithmetically from digest-group composition), have never had a
-  driver row — positions 23–24.  They consume two of the round's 8
-  free slots (capacity 100 of 106 stays safe).
-* Into the window: the 20 queries whose last driver row is r10
-  (split_assign … ngram_counts — already ordered at the r12 tail
-  head for exactly this) — r13 is the last round their K=3
+* No rule-2 entries: r14 registers nothing new (the capacity policy
+  below governs when the next registration may land), so the whole
+  28-slot rotating budget goes to freshness.
+* Into the window: the 22 queries whose last driver row is r11
+  (repeated_lines … dedup_clusters — already ordered at the r13
+  tail head for exactly this) — r14 is the last round their K=3
   freshness budget (tests/test_rotation.py) allows, so they take
-  positions 25–44 wholesale.  ``dup_spans`` is among them — the
-  producer of this round's new trim operator gets a driver row the
-  same round its consumer lands.
-* Positions 45–50: the remaining 6 free slots pre-pay the r14
-  cliff with the 6 oldest r11-green entries (cluster_purity …
-  quality_signals) so r14 inherits 22 due (22 + 22 = 44, 6 free),
-  not all 28.
-* To the tail, ordered for round 14: first the 22 remaining
-  r11-green queries due in r14 (repeated_lines … dedup_clusters),
-  then the 28 r12-green entries (ann_index_health …
-  user_skew_audit, due r15).  r14 should spend its 6 free slots on
-  the oldest r12-green entries.
+  positions 23–44 wholesale.
+* Positions 45–50: the 6 free slots pre-pay the r15 cliff with the
+  6 oldest r12-green entries (ann_index_health … ann_ivf) so r15
+  inherits 22 due (22 + 22 = 44, 6 free), not all 28.
+* To the tail, ordered for round 15: first the 22 remaining
+  r12-green queries due in r15 (ann_recall_audit … user_skew_audit),
+  then the 28 r13-green entries (dedup_span_trim …
+  quality_signals, due r16).  r15 should spend its 6 free slots on
+  the oldest r13-green entries.
+
+Capacity policy (decided round-14, BEFORE the next registration)
+----------------------------------------------------------------
+The arithmetic: a 50-row window minus the 22 always-checked parity
+rows leaves 28 rotating slots per round; with the K=3 freshness
+budget at most 22 + 28×(K−1) = 50 + 56 = **106 queries** can all
+stay fresh (tests/test_rotation.py::test_window_is_at_least_half_
+the_registry enforces this bound).  The registry holds **100**, so
+exactly **6 registrations remain**.  The rule for spending them:
+
+1. Registrations #101–#106 are legal but each must displace one
+   pre-pay slot in its debut round (a new entry takes a window
+   position that would otherwise refresh an old one), so prefer
+   AT MOST TWO net-new registrations per round — the r13 cadence —
+   and only for operators that deepen a pipeline stage no existing
+   query exercises.
+2. From #107 the ceiling is hard: a new registration requires
+   retiring or merging an existing entry FIRST, in the same commit.
+   Pre-chosen merge candidates, narrowest overlap first:
+   ``corpus_sample`` + ``corpus_sample_fixed`` (same sampler, two
+   panel parameterizations — mergeable into one two-arm output) and
+   ``ann_recall_ivf_kmeans`` + ``ann_recall_ivf_pq`` (same recall
+   audit over two serving indexes — mergeable into one
+   index-labelled frame).  Raising K or widening the window is NOT
+   an option: K=3 is what makes a driver row meaningful, and the
+   window is the driver's contract, not ours to grow.
 
 Snapshot protocol (round-10, after two rounds of red snapshots): any
 commit that changes this registry, an oracle twin, or docs/ — and
@@ -118,45 +136,8 @@ QUERY_REGISTRY: dict[str, QueryFn] = {
     # Findings framework + Q20 nested summary
     "warnings": warnings.q_warnings,
     "summary_json": summary.q_summary_json,
-    # ---- Rule 2: the round-13 registrations, first driver row this
-    # round ----
-    "dedup_span_trim": training.q_dedup_span_trim,
-    "source_cross_dup": curation.q_source_cross_dup,
-    # ---- Tier 2: the 20 r10-last queries — K=3 freshness deadline,
-    # r13 is the last round they can be refreshed (see docstring) ----
-    "split_assign": training.q_split_assign,
-    "events_asof": timeseries.q_events_asof,
-    "events_asof_1h": timeseries.q_events_asof_1h,
-    "events_window_attr": timeseries.q_events_window_attr,
-    "events_next_error": timeseries.q_events_next_error,
-    "events_funnel": timeseries.q_events_funnel,
-    "ann_ivf_pq": similarity.q_ann_ivf_pq,
-    "ann_recall_ivf_pq": similarity.q_ann_recall_ivf_pq,
-    "ann_incremental": similarity.q_ann_incremental,
-    "bpe_merges": training.q_bpe_merges,
-    "bpe_token_count": training.q_bpe_token_count,
-    "corpus_rollup": pipeline.q_corpus_rollup,
-    "decontaminate": curation.q_decontaminate,
-    "dedup_minhash_lsh": dedup.q_dedup_minhash_lsh,
-    "dedup_simhash": dedup.q_dedup_simhash,
-    "doc_chunks": prep.q_doc_chunks,
-    "doc_fingerprint": text_stats.q_doc_fingerprint,
-    "dup_spans": training.q_dup_spans,
-    "html_extract": prep.q_html_extract,
-    "ngram_counts": pipeline.q_ngram_counts,
-    # ---- Tier 3: r14-cliff pre-pay — the 7 oldest r11-green
-    # entries take the window's remaining slots so r14 inherits 21
-    # due, not 28 (see docstring arithmetic) ----
-    "cluster_purity": similarity.q_cluster_purity,
-    "vocab_growth": pipeline.q_vocab_growth,
-    "ngram_novelty": curation.q_ngram_novelty,
-    "quality_filter": pipeline.q_quality_filter,
-    "quality_report": curation.q_quality_report,
-    "quality_signals": curation.q_quality_signals,
-    # ---- Tail (>50) — first the 22 remaining r11-green queries due
-    # in the r14 window, then the 28 r12-green entries (due r15);
-    # all covered by the full-registry pytest oracle-parity gate +
-    # bench ----
+    # ---- Tier 2: the 22 r11-last queries — K=3 freshness deadline,
+    # r14 is the last round they can be refreshed (see docstring) ----
     "repeated_lines": prep.q_repeated_lines,
     "script_profile": prep.q_script_profile,
     "seq_pack": training.q_seq_pack,
@@ -179,13 +160,19 @@ QUERY_REGISTRY: dict[str, QueryFn] = {
     "dedup_tokenset": dedup.q_dedup_tokenset,
     "ngram_jaccard": dedup.q_ngram_jaccard,
     "dedup_clusters": dedup.q_dedup_clusters,
-    # r12-green (due r15; r14 spends its free slots on the head)
+    # ---- Tier 3: r15-cliff pre-pay — the 6 oldest r12-green
+    # entries take the window's remaining slots so r15 inherits 22
+    # due, not 28 (see docstring arithmetic) ----
     "ann_index_health": similarity.q_ann_index_health,
     "postings_health": dedup.q_postings_health,
     "repetition_signals": curation.q_repetition_signals,
     "ann_ivf_kmeans": similarity.q_ann_ivf_kmeans,
     "ann_lsh_bucket": similarity.q_ann_lsh_bucket,
     "ann_ivf": similarity.q_ann_ivf,
+    # ---- Tail (>50) — first the 22 remaining r12-green queries due
+    # in the r15 window, then the 28 r13-green entries (due r16);
+    # all covered by the full-registry pytest oracle-parity gate +
+    # bench ----
     "ann_recall_audit": similarity.q_ann_recall_audit,
     "embedding_cosine_dups": similarity.q_embedding_cosine_dups,
     "embedding_dup_clusters": similarity.q_embedding_dup_clusters,
@@ -208,6 +195,35 @@ QUERY_REGISTRY: dict[str, QueryFn] = {
     "corpus_sample": pipeline.q_corpus_sample,
     "corpus_sample_fixed": pipeline.q_corpus_sample_fixed,
     "user_skew_audit": timeseries.q_user_skew_audit,
+    # r13-green (due r16; r15 spends its free slots on the head)
+    "dedup_span_trim": training.q_dedup_span_trim,
+    "source_cross_dup": curation.q_source_cross_dup,
+    "split_assign": training.q_split_assign,
+    "events_asof": timeseries.q_events_asof,
+    "events_asof_1h": timeseries.q_events_asof_1h,
+    "events_window_attr": timeseries.q_events_window_attr,
+    "events_next_error": timeseries.q_events_next_error,
+    "events_funnel": timeseries.q_events_funnel,
+    "ann_ivf_pq": similarity.q_ann_ivf_pq,
+    "ann_recall_ivf_pq": similarity.q_ann_recall_ivf_pq,
+    "ann_incremental": similarity.q_ann_incremental,
+    "bpe_merges": training.q_bpe_merges,
+    "bpe_token_count": training.q_bpe_token_count,
+    "corpus_rollup": pipeline.q_corpus_rollup,
+    "decontaminate": curation.q_decontaminate,
+    "dedup_minhash_lsh": dedup.q_dedup_minhash_lsh,
+    "dedup_simhash": dedup.q_dedup_simhash,
+    "doc_chunks": prep.q_doc_chunks,
+    "doc_fingerprint": text_stats.q_doc_fingerprint,
+    "dup_spans": training.q_dup_spans,
+    "html_extract": prep.q_html_extract,
+    "ngram_counts": pipeline.q_ngram_counts,
+    "cluster_purity": similarity.q_cluster_purity,
+    "vocab_growth": pipeline.q_vocab_growth,
+    "ngram_novelty": curation.q_ngram_novelty,
+    "quality_filter": pipeline.q_quality_filter,
+    "quality_report": curation.q_quality_report,
+    "quality_signals": curation.q_quality_signals,
 }
 
 # Queries with no SQL-expressible oracle (driver runs rows-only check).
