@@ -61,14 +61,17 @@ DUP_SPAN_W = 5
 DUP_SPAN_MIN_DOCS = 2
 
 
-def _positioned_grams(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
+def _positioned_grams(spark: SparkSession, sf_dir: str, k: int,
+                      docs: DataFrame | None = None) -> DataFrame:
     """(doc_id, p, g): one row per k-token-window occurrence WITH its
     0-based start position — the positioned sibling of
     ``dedup.k_gram_rows`` (same posexplode + ``lead`` row pipeline,
     which measured ~4x faster than array HOFs; see
-    ``dedup.shingle_rows``)."""
+    ``dedup.shingle_rows``).  ``docs`` overrides the document
+    universe (same contract columns; default = the full corpus)."""
     w = Window.partitionBy("doc_id").orderBy("p")
-    grams = _cdocs(spark, sf_dir).select(
+    src = docs if docs is not None else _cdocs(spark, sf_dir)
+    grams = src.select(
         "doc_id", F.posexplode(tokens("text")).alias("p", "t0")
     )
     for i in range(1, k):
@@ -193,17 +196,31 @@ def q_dedup_span_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
     return span_trim_frame(spark, sf_dir).orderBy("doc_id")
 
 
-def span_trim_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+def span_trim_frame(spark: SparkSession, sf_dir: str,
+                    docs: DataFrame | None = None) -> DataFrame:
     """The UNORDERED span-trim frame behind ``q_dedup_span_trim`` —
     factored out so the curated-corpus export
     (``sinks.export.export_curated_corpus(trim_spans=True)``) can
     consume the trim without the report sort.  See the query's
-    docstring for semantics and scale shape."""
+    docstring for semantics and scale shape.
+
+    ``docs`` overrides the document UNIVERSE the trim is computed
+    over (gram duplication counts, first-occurrence representative,
+    and output rows all restrict to it; default = the full corpus —
+    the registered query's semantics).  The export passes the
+    curation ledger's KEPT set, which changes two composed-path
+    behaviors the full-corpus universe gets wrong after curation:
+    a duplicated span whose earliest home was REJECTED survives in
+    its earliest KEPT document (instead of vanishing from the export
+    entirely), and a span whose only duplicate lived in a rejected
+    document is not trimmed at all (the content is unique
+    post-curation)."""
     assert DUP_SPAN_MIN_DOCS == 2, (
         "the min-over-gram-window trim predicate encodes the ≥2 "
         "distinct-docs rule; a higher threshold needs the "
         "groupBy(g)+join formulation back")
-    grams = _positioned_grams(spark, sf_dir, DUP_SPAN_W)
+    src = docs if docs is not None else _cdocs(spark, sf_dir)
+    grams = _positioned_grams(spark, sf_dir, DUP_SPAN_W, docs=src)
     marked = (
         grams
         .withColumn("rep", F.min("doc_id").over(Window.partitionBy("g")))
@@ -219,7 +236,7 @@ def span_trim_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    toks = _cdocs(spark, sf_dir).select(
+    toks = src.select(
         "doc_id", F.posexplode(tokens("text")).alias("q", "tok")
     ).withColumn("q", F.col("q").cast("long"))
     kept = (
@@ -238,7 +255,7 @@ def span_trim_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("trimmed_text"),
         )
     )
-    base = _cdocs(spark, sf_dir).select(
+    base = src.select(
         "doc_id", F.size(tokens("text")).cast("long").alias("n_tok"))
     return (
         base.join(kept, "doc_id", "left")
@@ -294,8 +311,19 @@ def q_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: doc_id, shard_id, pack_pos (1-based rank in shard),
     n_tok, tok_offset, seq_first, seq_last, n_seqs."""
     shards = seq_shard_count(n_docs(spark, sf_dir))
+    return seq_pack_layout(_cdocs(spark, sf_dir), shards).orderBy(
+        "shard_id", "pack_pos")
+
+
+def seq_pack_layout(docs: DataFrame, shards: int) -> DataFrame:
+    """The UNORDERED packing arithmetic of ``q_seq_pack`` over ANY
+    (doc_id, text) frame — factored out so the shard export
+    (``sinks.export.export_training_shards``) can lay out the
+    CURATED (and span-trimmed) corpus instead of the raw one; the
+    registered query is this layout over the full corpus plus the
+    report sort."""
     d = (
-        _cdocs(spark, sf_dir)
+        docs
         .select(
             "doc_id",
             F.size(tokens("text")).cast("long").alias("n_tok"),
@@ -322,7 +350,6 @@ def q_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "n_seqs", F.col("seq_last") - F.col("seq_first") + F.lit(1)
         )
-        .orderBy("shard_id", "pack_pos")
     )
 
 

@@ -103,14 +103,21 @@ def export_curated_corpus(spark: SparkSession, sf_dir: str, out_dir: str,
     (``training.span_trim_frame`` — the sub-document step the
     doc-grain ledger cannot express: licence headers and quoted
     boilerplate survive whole-doc dedup, and the RefinedWeb/Gopher
-    preprocessing shape cuts the span, not the document).  The
-    exported ``text`` becomes the lowercase token stream with
-    non-first-occurrence duplicate spans removed, and each kept row
-    carries its ``removed_tokens`` count; the returned dict gains
-    ``n_trimmed_tokens`` (total removed across kept docs).
-
-    Returns {kept_path, rejects_path, n_docs, n_kept
-    [, n_trimmed_tokens]}."""
+    preprocessing shape cuts the span, not the document).  The trim
+    universe is the KEPT set, not the raw corpus: the
+    first-occurrence representative that keeps each duplicated span
+    alive is the earliest SURVIVING document, so a span whose
+    earliest raw-corpus home was ledger-rejected still survives in
+    exactly one exported document, and a span duplicated only
+    against rejected documents is not trimmed at all (unique
+    post-curation).  The registered ``dedup_span_trim`` query keeps
+    its full-corpus universe — this is the composed-path semantics,
+    not a new operator.  The exported ``text`` becomes the lowercase
+    token stream with non-first-occurrence duplicate spans removed,
+    and each kept row carries its ``removed_tokens`` count; the
+    returned dict gains ``n_trimmed_tokens`` (total removed across
+    kept docs, summed from the WRITTEN output — the trim pipeline
+    executes once, for the write)."""
     if fmt not in ("parquet", "jsonl"):
         raise ValueError(f"unsupported corpus format: {fmt!r}")
     from astra_perseverance_spark.extensions.corpus import docs_frame
@@ -121,28 +128,29 @@ def export_curated_corpus(spark: SparkSession, sf_dir: str, out_dir: str,
     kept = docs.join(
         ledger.filter(F.col("keep")).select("doc_id").hint("shuffle_hash"),
         "doc_id", "semi")
-    trimmed_total = None
     if trim_spans:
         from astra_perseverance_spark.extensions.training import (
             span_trim_frame,
         )
 
-        trim = span_trim_frame(spark, sf_dir).select(
+        # the trim universe is the kept frame itself (docs=kept):
+        # gram duplication and the first-occurrence representative
+        # are computed over curation survivors only — see
+        # span_trim_frame's docstring for the two composed-path
+        # behaviors this fixes vs the full-corpus universe
+        trim = span_trim_frame(spark, sf_dir, docs=kept).select(
             "doc_id",
             F.col("trimmed_text").alias("__trimmed"),
             "removed_tokens",
         )
         # inner join on the uniform doc key: the trim frame covers
-        # every corpus document, so this only rewrites text — the
+        # every kept document, so this only rewrites text — the
         # kept set is unchanged
         kept = (
             kept.join(trim.hint("shuffle_hash"), "doc_id")
             .withColumn("text", F.col("__trimmed"))
             .drop("__trimmed")
         )
-        trimmed_total = kept.agg(
-            F.coalesce(F.sum("removed_tokens"), F.lit(0))
-        ).collect()[0][0]
     rejects = ledger.filter(~F.col("keep")).select("doc_id", "reasons")
 
     kept_path = os.path.join(out_dir, "corpus_kept")
@@ -167,13 +175,29 @@ def export_curated_corpus(spark: SparkSession, sf_dir: str, out_dir: str,
         "n_docs": counts["n"],
         "n_kept": counts["k"],
     }
-    if trimmed_total is not None:
-        out["n_trimmed_tokens"] = int(trimmed_total)
+    if trim_spans:
+        # derive the total from the WRITTEN output instead of a
+        # second agg over the trim frame — the full span-trim
+        # pipeline (positioned grams, gram window, coverage explode,
+        # anti-join, per-doc reassembly) is the export's most
+        # expensive stage and must execute exactly once, for the
+        # write.  Guard the empty-kept case: a zero-row jsonl write
+        # leaves nothing to infer a schema from.
+        if counts["k"]:
+            written = (spark.read.json(kept_path) if fmt == "jsonl"
+                       else spark.read.parquet(kept_path))
+            out["n_trimmed_tokens"] = int(written.agg(
+                F.coalesce(F.sum("removed_tokens"), F.lit(0))
+            ).collect()[0][0])
+        else:
+            out["n_trimmed_tokens"] = 0
     return out
 
 
 def export_training_shards(spark: SparkSession, sf_dir: str,
-                           out_dir: str) -> dict[str, object]:
+                           out_dir: str,
+                           docs: DataFrame | None = None
+                           ) -> dict[str, object]:
     """Materialize the ``training.q_seq_pack`` layout: the corpus
     written as shard-partitioned parquet in pack order, plus a
     shard-grain manifest — the artifact a trainer's data loader mounts.
@@ -191,17 +215,36 @@ def export_training_shards(spark: SparkSession, sf_dir: str,
     part small enough to read on a driver, and it is all a scheduler
     needs to deal shards to trainer ranks.
 
+    ``docs`` overrides the corpus frame (same contract columns —
+    the ``export_webdataset`` pattern): the layout, shard sizing,
+    and text join all run over it instead of ``sf_dir``'s raw
+    corpus.  This is how the CLI packs the CURATED (and, under
+    ``--trim-spans``, span-trimmed) corpus — without it a
+    ledger-rejected document would still land in the trainer-facing
+    shard layout, silently defeating the curation funnel at the one
+    sink a trainer actually mounts.  The registered ``q_seq_pack`` /
+    ``q_shard_manifest`` semantics stay corpus-over-sf_dir.
+
     Returns {shards_path, manifest_path, n_shards, n_docs, n_seqs}."""
     from astra_perseverance_spark.extensions.corpus import docs_frame
     from astra_perseverance_spark.extensions.training import (
         SEQ_BUDGET,
         _idiv,
         q_seq_pack,
+        seq_pack_layout,
+        seq_shard_count,
         shard_manifest_agg,
     )
 
-    layout = q_seq_pack(spark, sf_dir)
-    docs = docs_frame(spark, sf_dir).select("doc_id", "text")
+    if docs is None:
+        layout = q_seq_pack(spark, sf_dir)
+        docs = docs_frame(spark, sf_dir).select("doc_id", "text")
+    else:
+        docs = docs.select("doc_id", "text")
+        # shard sizing needs the frame's own count (the corpus-scaled
+        # rule q_seq_pack applies to sf_dir) — one count job over the
+        # provided frame, the same price export_webdataset pays
+        layout = seq_pack_layout(docs, seq_shard_count(docs.count()))
     packed = (
         layout.join(docs.hint("shuffle_hash"), "doc_id")
         .select("shard_id", "pack_pos", "doc_id", "tok_offset",

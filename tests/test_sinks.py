@@ -273,9 +273,15 @@ class TestCuratedCorpusExport:
 
     def test_trim_spans_rewrites_kept_text(self, spark, tmp_path):
         """trim_spans=True exports the SAME kept set with every kept
-        document's text replaced by the registered dedup_span_trim
-        operator's trimmed token stream, a per-doc removed_tokens
-        column, and the total in the returned counts."""
+        document's text replaced by the span trim computed over the
+        KEPT universe (the curation-aware composed path — NOT the
+        registered full-corpus query), a per-doc removed_tokens
+        column, and the total (derived from the written output) in
+        the returned counts."""
+        from astra_perseverance_spark.extensions.corpus import docs_frame
+        from astra_perseverance_spark.extensions.training import (
+            span_trim_frame,
+        )
         from astra_perseverance_spark.queries import QUERY_REGISTRY
         from astra_perseverance_spark.sinks import export_curated_corpus
         from tests.conftest import SF_SMALL
@@ -285,22 +291,74 @@ class TestCuratedCorpusExport:
         kept = spark.read.parquet(out["kept_path"])
         assert kept.count() == out["n_kept"]
         assert "removed_tokens" in kept.columns
+        kept_ids = QUERY_REGISTRY["corpus_curate"](
+            spark, SF_SMALL).filter("keep").select("doc_id")
+        universe = docs_frame(spark, SF_SMALL).join(
+            kept_ids, "doc_id", "semi")
         want = {
             r["doc_id"]: (r["trimmed_text"], r["removed_tokens"])
-            for r in QUERY_REGISTRY["dedup_span_trim"](
-                spark, SF_SMALL).collect()
+            for r in span_trim_frame(
+                spark, SF_SMALL, docs=universe).collect()
         }
         got = {
             r["doc_id"]: (r["text"], r["removed_tokens"])
             for r in kept.select(
                 "doc_id", "text", "removed_tokens").collect()
         }
-        assert set(got) <= set(want)
+        assert set(got) == set(want)
         for doc_id, pair in got.items():
             assert pair == want[doc_id], doc_id
         total = sum(rm for _, rm in got.values())
         assert out["n_trimmed_tokens"] == total
         assert total > 0, "fixture corpus should trim something"
+
+    def test_trim_universe_is_the_kept_set(self, spark, tmp_path):
+        """The composed-path trim is curation-aware: a span whose
+        earliest raw-corpus home is ledger-REJECTED survives in its
+        earliest KEPT document (it must not vanish from the export),
+        and a span duplicated ONLY against rejected documents is not
+        trimmed at all (unique post-curation)."""
+        from astra_perseverance_spark.sinks import export_curated_corpus
+
+        span_s = "alpha bravo charlie delta echo"
+        span_t = "november oscar papa quebec romeo"
+        fill = ("w{0} x{0} y{0} z{0} k{0} m{0} n{0} p{0} q{0} r{0} "
+                "s{0} t{0} u{0} v{0} a{0} b{0} c{0} d{0} e{0} f{0} "
+                "g{0} h{0} i{0} j{0} l{0}")
+        rows = [
+            # rejected (too_short, < 10 tokens) earliest homes
+            (1, f"{span_s} zulu yankee", "en", "web"),
+            (2, f"{span_t} xray whiskey", "en", "web"),
+            # kept: S duplicated between 3 and 4 (earliest KEPT home
+            # is 3); T lives only in 5 post-curation
+            (3, f"{fill.format(3)} {span_s}", "en", "web"),
+            (4, f"{fill.format(4)} {span_s}", "en", "web"),
+            (5, f"{fill.format(5)} {span_t}", "en", "web"),
+        ]
+        sf_dir = str(tmp_path / "corpus")
+        spark.createDataFrame(
+            [(i, t, la, so, len(t)) for i, t, la, so in rows],
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long",
+        ).write.parquet(f"{sf_dir}/documents.parquet")
+
+        out = export_curated_corpus(
+            spark, sf_dir, str(tmp_path / "out"), trim_spans=True)
+        kept = {r["doc_id"]: r for r in spark.read.parquet(
+            out["kept_path"]).collect()}
+        rejects = {r["doc_id"] for r in spark.read.parquet(
+            out["rejects_path"]).collect()}
+        assert {1, 2} <= rejects
+        assert set(kept) == {3, 4, 5}
+        # S survives in its earliest KEPT home (3), trimmed from 4
+        assert span_s in kept[3]["text"]
+        assert span_s not in kept[4]["text"]
+        assert kept[4]["removed_tokens"] == 5
+        # T's only duplicate was rejected — unique post-curation,
+        # NOT trimmed (the full-corpus universe would excise it)
+        assert span_t in kept[5]["text"]
+        assert kept[5]["removed_tokens"] == 0
+        assert out["n_trimmed_tokens"] == 5
 
 
 class TestTrainingShards:
@@ -373,8 +431,66 @@ class TestTrainingDataCli:
         assert os.path.isdir(run["shards"]["shards_path"])
         assert os.path.isdir(run["shards"]["manifest_path"])
         assert run["corpus"]["n_kept"] <= run["corpus"]["n_docs"]
-        assert run["shards"]["n_docs"] > 0
+        # the shard layout packs the CURATED corpus, and every kept
+        # doc has ≥ QF_MIN_TOKENS tokens (the too_short rule), so the
+        # layout's n_tok>0 filter drops nothing: exact equality
+        assert run["shards"]["n_docs"] == run["corpus"]["n_kept"]
         assert run["shards"]["n_seqs"] > 0
+
+    def test_cli_shards_pack_the_curated_trimmed_corpus(self, spark,
+                                                        tmp_path):
+        """The trainer-facing shard layout is the curation funnel's
+        OUTPUT: a ledger-rejected doc_id lands in corpus_rejects and
+        in NO shard file, manifest totals equal the kept count, and
+        under --trim-spans a trimmed document's shard text is its
+        trimmed_text (the excised span is not in the shards)."""
+        import json
+        import os
+        import sys
+
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "tools"))
+        import make_training_data
+
+        span_s = "alpha bravo charlie delta echo"
+        fill = ("w{0} x{0} y{0} z{0} k{0} m{0} n{0} p{0} q{0} r{0} "
+                "s{0} t{0} u{0} v{0} a{0} b{0} c{0} d{0} e{0} f{0}")
+        rows = [
+            (1, f"{span_s} zulu yankee", "en", "web"),  # too_short
+            (3, f"{fill.format(3)} {span_s}", "en", "web"),
+            (4, f"{fill.format(4)} {span_s}", "en", "web"),
+        ]
+        sf_dir = str(tmp_path / "corpus")
+        spark.createDataFrame(
+            [(i, t, la, so, len(t)) for i, t, la, so in rows],
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long",
+        ).write.parquet(f"{sf_dir}/documents.parquet")
+
+        out = str(tmp_path / "out")
+        rc = make_training_data.main(
+            [sf_dir, "-o", out, "--trim-spans", "--webdataset"])
+        assert rc == 0
+        run = json.load(open(os.path.join(out, "run.json")))
+        rejected = {r["doc_id"] for r in spark.read.parquet(
+            run["corpus"]["rejects_path"]).collect()}
+        assert 1 in rejected
+        shard_rows = {r["doc_id"]: r for r in spark.read.parquet(
+            run["shards"]["shards_path"]).collect()}
+        # the rejected doc is in NO shard file; totals match the kept set
+        assert set(shard_rows) == {3, 4}
+        assert run["shards"]["n_docs"] == run["corpus"]["n_kept"] == 2
+        # the trimmed doc's shard text IS the trimmed text: S survives
+        # only in its earliest kept home
+        kept = {r["doc_id"]: r["text"] for r in spark.read.parquet(
+            run["corpus"]["kept_path"]).collect()}
+        assert shard_rows[3]["text"] == kept[3]
+        assert shard_rows[4]["text"] == kept[4]
+        assert span_s in shard_rows[3]["text"]
+        assert span_s not in shard_rows[4]["text"]
+        # the WebDataset sink gets the same curated docs
+        assert run["webdataset"]["n_docs"] == 2
 
     def test_cli_index_store(self, spark, tmp_path):
         """--index-store persists the incremental-serving artifacts

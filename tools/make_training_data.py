@@ -25,10 +25,14 @@ CLI-specific):
    text (``dedup_span_trim`` semantics — the sub-document dedup step
    between the doc-grain ledger and sequence packing).
 2. ``export_training_shards`` — the seq_pack concat-and-cut layout as
-   shard-partitioned parquet with a shard-grain manifest.
+   shard-partitioned parquet with a shard-grain manifest, over the
+   run's corpus: the CURATED (and, under ``--trim-spans``,
+   span-trimmed) documents when stage 1 ran, the raw corpus only
+   under ``--skip-corpus`` — a ledger-rejected document never lands
+   in the trainer-facing shard layout.
 3. ``--webdataset`` — additionally materialize the run's corpus (the
-   CURATED documents when stage 1 ran, the raw corpus otherwise) as
-   WebDataset tar shards under ``OUT/wds``.
+   same curated-when-available rule) as WebDataset tar shards under
+   ``OUT/wds``.
 4. ``--index-store`` — persist the incremental-serving index
    artifacts (IVF centroids/lists, int8 codes + frozen bounds, digest
    dim, raw shingle postings, split anchors) as tables under
@@ -189,25 +193,28 @@ def main(argv: list[str] | None = None) -> int:
         sf_dir = ingest(
             spark, args.sf_dir, os.path.join(args.out, "ingested"))
         run["ingested"] = sf_dir
+    docs = None  # the curated corpus this run wrote, loaded once
     if not args.skip_corpus:
         run["corpus"] = export_curated_corpus(
             spark, sf_dir, args.out, fmt=args.fmt,
             trim_spans=args.trim_spans)
-    if not args.skip_shards:
-        run["shards"] = export_training_shards(spark, sf_dir, args.out)
-    if args.webdataset:
-        docs = None
-        if not args.skip_corpus:
-            # shard the curated corpus the run just wrote
-            kept_path = run["corpus"]["kept_path"]
-            if args.fmt == "jsonl":
-                from astra_perseverance_spark.sources.corpus_jsonl import (
-                    read_documents_jsonl,
-                )
+        kept_path = run["corpus"]["kept_path"]
+        if args.fmt == "jsonl":
+            from astra_perseverance_spark.sources.corpus_jsonl import (
+                read_documents_jsonl,
+            )
 
-                docs = read_documents_jsonl(spark, kept_path)
-            else:
-                docs = spark.read.parquet(kept_path)
+            docs = read_documents_jsonl(spark, kept_path)
+        else:
+            docs = spark.read.parquet(kept_path)
+    if not args.skip_shards:
+        # shard the CURATED (and, with --trim-spans, span-trimmed)
+        # corpus when stage 1 ran: the trainer-facing layout must not
+        # contain ledger-rejected documents or excised spans —
+        # --skip-corpus is the explicit opt-out that packs sf_dir raw
+        run["shards"] = export_training_shards(
+            spark, sf_dir, args.out, docs=docs)
+    if args.webdataset:
         run["webdataset"] = export_webdataset(
             spark, sf_dir, os.path.join(args.out, "wds"), docs=docs)
 
