@@ -348,8 +348,13 @@ def extend_postings(spark: SparkSession, database: str,
     probed the store BEFORE this append keeps serving the pre-append
     universe until ``conformed.model.release_memos`` is called — a
     fresh application (the normal store consumer) always sees the
-    appended state.  Returns {"shingle_rows": n, "digest_rows": m}
-    actually appended (0/0 on a pure replay)."""
+    appended state.  Returns {"shingle_rows", "shingle_inv_rows",
+    "digest_rows"} actually appended PER TABLE (all 0 on a pure
+    replay).  The two orientation counts are equal on a clean append;
+    they differ exactly on a crash-recovery replay where one
+    orientation's write survived and the other's didn't — reporting
+    both makes the partial repair visible to the caller/run.json
+    instead of a misleading 0."""
     from astra_perseverance_spark.extensions.dedup import (
         content_digest,
         k_gram_rows_of,
@@ -396,7 +401,9 @@ def extend_postings(spark: SparkSession, database: str,
         )
     finally:
         digests.unpersist()
-    return {"shingle_rows": counts["shingle_raw"], "digest_rows": n_dig}
+    return {"shingle_rows": counts["shingle_raw"],
+            "shingle_inv_rows": counts["shingle_inv"],
+            "digest_rows": n_dig}
 
 
 def index_store_health(spark: SparkSession, database: str) -> DataFrame:
@@ -490,7 +497,18 @@ def register_index_store(spark: SparkSession, database: str,
     The database is created WITHOUT ``LOCATION`` — the tables are
     external over the store's own paths, and an in-memory-catalog
     ``DROP DATABASE`` deletes the database directory, so anchoring it
-    at ``location`` would let a drop destroy the persisted index."""
+    at ``location`` would let a drop destroy the persisted index.
+
+    MIGRATION: a store written before ``shingle_inv`` existed (the
+    inverted orientation landed after ``shingle_raw``) has every
+    table except it — that is an upgrade condition, not corruption,
+    so instead of failing, the missing orientation is BACKFILLED
+    here: one gram-bucketed rewrite of ``shingle_raw``'s rows into
+    ``location/shingle_inv`` (the same rows, the read-path layout),
+    after which the store is indistinguishable from a fresh build
+    and later registrations take the normal path.  Only
+    ``shingle_inv`` gets this treatment — any other missing table
+    means an interrupted ``write_index_store`` and still fails."""
     from astra_perseverance_spark.sinks.warehouse import (
         register_external_bucketed,
     )
@@ -499,6 +517,22 @@ def register_index_store(spark: SparkSession, database: str,
     for name, key in _LAYOUT.items():
         path = os.path.join(location, name)
         if not os.path.isdir(path):
+            raw = os.path.join(location, "shingle_raw")
+            if name == "shingle_inv" and os.path.isdir(raw):
+                # pre-upgrade store: derive the inverted orientation
+                # from the forward one — saveAsTable with an explicit
+                # path writes the files AND registers the external
+                # bucketed table in one step, so this iteration's
+                # register call is already done
+                (
+                    spark.read.parquet(raw)
+                    .select("doc_id", "lang", "g")
+                    .write.format("parquet")
+                    .bucketBy(n_buckets, key).sortBy(key)
+                    .option("path", path)
+                    .saveAsTable(f"{database}.{name}")
+                )
+                continue
             raise ValueError(
                 f"index store at {location} has no {name} table — "
                 f"was write_index_store interrupted?")

@@ -324,6 +324,71 @@ def test_extend_index_store_appends_batch(spark, tmp_path_factory,
         spark.sql(f"DROP DATABASE IF EXISTS {db}")
 
 
+def test_register_backfills_missing_shingle_inv(spark, index_store,
+                                                tmp_path_factory,
+                                                monkeypatch):
+    """A store written before the inverted orientation existed (no
+    shingle_inv directory — the pre-upgrade layout) is an UPGRADE
+    condition, not corruption: register_index_store backfills
+    shingle_inv from shingle_raw's rows (one gram-bucketed rewrite)
+    and the store then serves the read path exactly like a fresh
+    build.  Any OTHER missing table still means an interrupted
+    write_index_store and fails."""
+    import shutil
+
+    from astra_perseverance_spark.queries import QUERY_REGISTRY
+    from astra_perseverance_spark.sinks.index_store import (
+        register_index_store,
+    )
+
+    monkeypatch.delenv("SPARK_GRAFT_INDEX_DB", raising=False)
+    # the module store's on-disk location, via the catalog
+    loc_rows = [r for r in spark.sql(
+        f"DESCRIBE FORMATTED {DATABASE}.shingle_raw").collect()
+        if r["col_name"] == "Location"]
+    src = os.path.dirname(
+        loc_rows[0]["data_type"].removeprefix("file:"))
+    store = str(tmp_path_factory.mktemp("pre_upgrade") / "store")
+    shutil.copytree(src, store)
+    shutil.rmtree(os.path.join(store, "shingle_inv"))
+
+    db = "idxstore_upgrade"
+    try:
+        register_index_store(spark, db, store)
+        assert os.path.isdir(os.path.join(store, "shingle_inv"))
+        raw = _rows(spark.table(f"{db}.shingle_raw")
+                    .select("doc_id", "lang", "g"))
+        inv = _rows(spark.table(f"{db}.shingle_inv")
+                    .select("doc_id", "lang", "g"))
+        assert sorted(inv) == sorted(raw) and raw
+        # the backfilled store serves the capped read path with
+        # output identical to the memo build — the whole point of
+        # the inverted orientation
+        expected = _rows(QUERY_REGISTRY["dedup_incremental"](
+            spark, SF_SMALL))
+        monkeypatch.setenv("SPARK_GRAFT_INDEX_DB", db)
+        assert _rows(QUERY_REGISTRY["dedup_incremental"](
+            spark, SF_SMALL)) == expected
+        monkeypatch.delenv("SPARK_GRAFT_INDEX_DB")
+        # a later fresh registration takes the normal path over the
+        # backfilled files (saveAsTable wrote an EXTERNAL table, so
+        # dropping the catalog entry keeps the files)
+        for name in (f"{db}.shingle_inv", f"{db}.shingle_raw"):
+            spark.sql(f"DROP TABLE {name}")
+        register_index_store(spark, db, store)
+        assert sorted(_rows(spark.table(f"{db}.shingle_inv")
+                            .select("doc_id", "lang", "g"))) \
+            == sorted(raw)
+        # any other missing table is still an interrupted write
+        shutil.rmtree(os.path.join(store, "digest_dim"))
+        with pytest.raises(ValueError, match="digest_dim"):
+            register_index_store(spark, "idxstore_upgrade2", store)
+    finally:
+        monkeypatch.delenv("SPARK_GRAFT_INDEX_DB", raising=False)
+        for d in (db, "idxstore_upgrade2"):
+            spark.sql(f"DROP DATABASE IF EXISTS {d} CASCADE")
+
+
 def test_extend_postings_matches_full_rebuild(spark, tmp_path_factory,
                                               monkeypatch):
     """Text-artifact append: folding a document batch into the
@@ -369,6 +434,9 @@ def test_extend_postings_matches_full_rebuild(spark, tmp_path_factory,
         res = extend_postings(spark, db, batch)
         assert res["digest_rows"] == NGRAM_DF_CAP + 2
         assert res["shingle_rows"] > 0
+        # both orientations report their own appended count (equal on
+        # a clean append; they diverge only on a partial-crash replay)
+        assert res["shingle_inv_rows"] == res["shingle_rows"]
 
         # the two postings orientations must hold the SAME row set
         # after the append — shingle_inv (gram-bucketed, the read
@@ -385,7 +453,8 @@ def test_extend_postings_matches_full_rebuild(spark, tmp_path_factory,
         n_raw = spark.table(f"{db}.shingle_raw").count()
         n_dim = spark.table(f"{db}.digest_dim").count()
         replay = extend_postings(spark, db, batch)
-        assert replay == {"shingle_rows": 0, "digest_rows": 0}
+        assert replay == {"shingle_rows": 0, "shingle_inv_rows": 0,
+                          "digest_rows": 0}
         assert spark.table(f"{db}.shingle_raw").count() == n_raw
         assert spark.table(f"{db}.shingle_inv").count() == n_raw
         assert spark.table(f"{db}.digest_dim").count() == n_dim

@@ -926,9 +926,28 @@ class TestIncrementalCli:
             ext = run2["index_store"]["extended"]
             assert ext["digest_rows"] == 4
             assert ext["shingle_rows"] > 0
+            assert ext["shingle_inv_rows"] == ext["shingle_rows"]
             dig = spark.table(f"{db}.digest_dim")
             assert dig.count() == 14
             assert dig.filter("doc_id >= 10").count() == 4
+
+            # third landing, with thresholds below the store's level:
+            # the gate runs BEFORE the extend, so the run exits 2 and
+            # the batch is NOT folded into the degraded index — the
+            # flag's documented contract ("refuse ... instead of
+            # extending"), not extend-then-refuse
+            land("c.jsonl", range(14, 16))
+            rc = make_training_data.main(
+                args + ["--max-list-over-target", "0.000001"])
+            assert rc == 2
+            run3 = json.load(open(out / "run.json"))
+            assert "extended" not in run3["index_store"]
+            assert run3["index_store"]["refused"]
+            # stage 0 still ingested the landing (the corpus grew) …
+            assert spark.read.parquet(os.path.join(
+                run3["ingested"], "documents.parquet")).count() == 16
+            # … but the store did not: no new digests, no postings
+            assert spark.table(f"{db}.digest_dim").count() == 14
         finally:
             for t in run1["index_store"]["tables"].values():
                 spark.sql(f"DROP TABLE IF EXISTS {t}")

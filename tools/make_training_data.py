@@ -48,8 +48,13 @@ CLI-specific):
    run ends with a printed ``index_store_health`` report (recorded
    in run.json), and ``--max-list-over-target`` /
    ``--max-rail-rate`` turn the measured retrain trigger into a
-   GATE: a store drifted past the thresholds makes the run exit 2
-   with the retrain message instead of extending a degraded index.
+   GATE: on the incremental path the health check runs BEFORE the
+   extend, so a store drifted past the thresholds makes the run
+   exit 2 with the retrain message without folding the batch into
+   the degraded index (recommended thresholds:
+   ``RECOMMENDED_MAX_LIST_OVER_TARGET`` / ``RECOMMENDED_MAX_RAIL_RATE``
+   — the measured drift trajectory's build level x margin, see
+   docs/SCALE_PROBE.md).
 5. ``run.json`` — one driver-readable summary of counts and paths.
 
 Everything data-sized is written by executors; the only driver-side
@@ -67,6 +72,19 @@ import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# Recommended health-gate thresholds, derived from the MEASURED
+# post-extend drift trajectory (docs/SCALE_PROBE.md, "Post-extend
+# health trajectory probe"): over three no-retrain corpus-sized
+# appends, max_over_target climbs 1.39 (build) → 2.26 → 2.88 → 3.39
+# and sq_at_rail_rate 0.0021 → 0.0041 → 0.0063 → 0.0093.  Both
+# recommendations are ≈ the build-time level × 2: a fresh build
+# passes with margin, and the gate refuses by the third drift batch
+# — tests/test_scale_docs.py pins these constants against the
+# recorded curve so a re-probe that moves the build level forces
+# this recommendation to be revisited.
+RECOMMENDED_MAX_LIST_OVER_TARGET = 3.0
+RECOMMENDED_MAX_RAIL_RATE = 0.008
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -97,19 +115,28 @@ def main(argv: list[str] | None = None) -> int:
                     "artifacts under OUT/index_store (probe them later "
                     "via SPARK_GRAFT_INDEX_DB)")
     ap.add_argument("--max-list-over-target", type=float, default=None,
-                    help="with --index-store: refuse (exit 2) when the "
-                    "store's max_over_target drifts above this — the "
-                    "measured retrain trigger (ann_index_health / "
-                    "index_store_health) gating the pipeline it was "
-                    "built for; pick the build-time level plus margin")
+                    help="with --index-store: refuse (exit 2) BEFORE "
+                    "extending when the store's max_over_target "
+                    "drifts above this — the measured retrain trigger "
+                    "(ann_index_health / index_store_health) gating "
+                    "the pipeline it was built for.  Recommended: "
+                    f"{RECOMMENDED_MAX_LIST_OVER_TARGET} (build-time "
+                    "level ~1.39 x 2 per the drift trajectory in "
+                    "docs/SCALE_PROBE.md — passes a fresh build, "
+                    "refuses by the third no-retrain corpus-sized "
+                    "append); default None = gate off")
     ap.add_argument("--max-rail-rate", type=float, default=None,
-                    help="with --index-store: refuse (exit 2) when the "
-                    "store's sq_at_rail_rate exceeds this — the "
-                    "store-readable proxy for frozen-bounds clamping "
-                    "(exact per-batch clamp counts are "
-                    "extend_index_store's return; a vector batch that "
-                    "clamps leaves its codes at the rails, which is "
-                    "what this rate reads back)")
+                    help="with --index-store: refuse (exit 2) BEFORE "
+                    "extending when the store's sq_at_rail_rate "
+                    "exceeds this — the store-readable proxy for "
+                    "frozen-bounds clamping (exact per-batch clamp "
+                    "counts are extend_index_store's return; a vector "
+                    "batch that clamps leaves its codes at the rails, "
+                    "which is what this rate reads back).  "
+                    f"Recommended: {RECOMMENDED_MAX_RAIL_RATE} "
+                    "(build-time level ~0.0021 x ~4 per "
+                    "docs/SCALE_PROBE.md's trajectory — refuses by "
+                    "drift batch 3); default None = gate off")
     ap.add_argument("--incremental", action="store_true",
                     help="with --from: exactly-once STREAMING ingest — "
                     "a re-run drains only files landed since the last "
@@ -228,6 +255,30 @@ def main(argv: list[str] | None = None) -> int:
 
         loc = os.path.abspath(os.path.join(args.out, "index_store"))
         db = "training_index"
+
+        def read_health() -> dict[str, float]:
+            # the measured retrain trigger: the same occupancy/rail
+            # signals as the registered ann_index_health audit, read
+            # from THIS store
+            return {r["metric"]: r["value"]
+                    for r in index_store_health(spark, db).collect()}
+
+        def drift_check(health: dict[str, float]) -> list[str]:
+            drifted = []
+            if (args.max_list_over_target is not None
+                    and health["max_over_target"]
+                    > args.max_list_over_target):
+                drifted.append(
+                    f"max_over_target {health['max_over_target']:.4f} "
+                    f"> --max-list-over-target "
+                    f"{args.max_list_over_target}")
+            if (args.max_rail_rate is not None
+                    and health["sq_at_rail_rate"] > args.max_rail_rate):
+                drifted.append(
+                    f"sq_at_rail_rate {health['sq_at_rail_rate']:.4f} "
+                    f"> --max-rail-rate {args.max_rail_rate}")
+            return drifted
+
         if args.incremental and os.path.isdir(
                 os.path.join(loc, "shingle_raw")):
             # a store already exists and this run's ingest appended a
@@ -238,41 +289,32 @@ def main(argv: list[str] | None = None) -> int:
             # when an embedding batch exists; this CLI ingests
             # documents only.
             register_index_store(spark, db, loc)
-            docs = spark.read.parquet(
-                os.path.join(sf_dir, "documents.parquet"))
-            known = spark.table(f"{db}.digest_dim").select("doc_id")
-            batch = docs.join(known, "doc_id", "left_anti")
-            res = extend_postings(spark, db, batch)
+            # gate BEFORE extending: the flags' contract is to refuse
+            # to touch a degraded index, not to fold one more batch in
+            # and then refuse — checking up front is safe because
+            # extend_postings is append-only and idempotent, so a
+            # passing store is extended exactly as before
+            health = read_health()
             run["index_store"] = {"location": loc, "database": db,
-                                  "extended": res}
+                                  "health": health}
+            drifted = drift_check(health)
+            if not drifted:
+                docs = spark.read.parquet(
+                    os.path.join(sf_dir, "documents.parquet"))
+                known = spark.table(f"{db}.digest_dim").select("doc_id")
+                batch = docs.join(known, "doc_id", "left_anti")
+                res = extend_postings(spark, db, batch)
+                run["index_store"]["extended"] = res
         else:
             tables = write_index_store(spark, sf_dir, db, loc)
+            health = read_health()
             run["index_store"] = {"location": loc, "database": db,
-                                  "tables": tables}
+                                  "tables": tables, "health": health}
+            drifted = drift_check(health)
 
-        # post-build/extend health report: the measured retrain
-        # trigger (the same occupancy/rail signals as the registered
-        # ann_index_health audit, read from THIS store) printed every
-        # run and, with the --max-* flags, enforced — a drifted store
-        # refuses further extension instead of silently degrading
-        # recall
-        health = {r["metric"]: r["value"]
-                  for r in index_store_health(spark, db).collect()}
-        run["index_store"]["health"] = health
         print("index store health:")
         for m in sorted(health):
             print(f"  {m:>18} = {health[m]:.4f}")
-        drifted = []
-        if (args.max_list_over_target is not None
-                and health["max_over_target"] > args.max_list_over_target):
-            drifted.append(
-                f"max_over_target {health['max_over_target']:.4f} > "
-                f"--max-list-over-target {args.max_list_over_target}")
-        if (args.max_rail_rate is not None
-                and health["sq_at_rail_rate"] > args.max_rail_rate):
-            drifted.append(
-                f"sq_at_rail_rate {health['sq_at_rail_rate']:.4f} > "
-                f"--max-rail-rate {args.max_rail_rate}")
         if drifted:
             run["index_store"]["refused"] = drifted
             run_path = os.path.join(args.out, "run.json")
