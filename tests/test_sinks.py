@@ -492,6 +492,50 @@ class TestTrainingDataCli:
         # the WebDataset sink gets the same curated docs
         assert run["webdataset"]["n_docs"] == 2
 
+    def test_cli_jsonl_trimmed_corpus_feeds_shards(self, spark,
+                                                   tmp_path):
+        """--fmt jsonl --trim-spans: the jsonl kept corpus (which
+        carries the extra removed_tokens field) round-trips through
+        the conformed reader into the shard export — the curated
+        composition holds for both corpus formats."""
+        import json
+        import os
+        import sys
+
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "tools"))
+        import make_training_data
+
+        span_s = "alpha bravo charlie delta echo"
+        fill = ("w{0} x{0} y{0} z{0} k{0} m{0} n{0} p{0} q{0} r{0} "
+                "s{0} t{0} u{0} v{0} a{0} b{0} c{0} d{0} e{0} f{0}")
+        rows = [
+            (1, f"{span_s} zulu yankee", "en", "web"),  # too_short
+            (3, f"{fill.format(3)} {span_s}", "en", "web"),
+            (4, f"{fill.format(4)} {span_s}", "en", "web"),
+        ]
+        sf_dir = str(tmp_path / "corpus")
+        spark.createDataFrame(
+            [(i, t, la, so, len(t)) for i, t, la, so in rows],
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long",
+        ).write.parquet(f"{sf_dir}/documents.parquet")
+
+        out = str(tmp_path / "out")
+        rc = make_training_data.main(
+            [sf_dir, "-o", out, "--fmt", "jsonl", "--trim-spans"])
+        assert rc == 0
+        run = json.load(open(os.path.join(out, "run.json")))
+        assert run["corpus"]["n_kept"] == 2
+        assert run["corpus"]["n_trimmed_tokens"] == 5
+        kept = {r["doc_id"]: r["text"] for r in spark.read.json(
+            run["corpus"]["kept_path"]).collect()}
+        shard_rows = {r["doc_id"]: r["text"] for r in spark.read.parquet(
+            run["shards"]["shards_path"]).collect()}
+        assert shard_rows == kept
+        assert span_s not in shard_rows[4]
+
     def test_cli_index_store(self, spark, tmp_path):
         """--index-store persists the incremental-serving artifacts
         under OUT/index_store and run.json records the binding; the
