@@ -547,6 +547,14 @@ def probe_health_trajectory(spark, sf_dir: str,
             f"| {post['capped_postings_rate']:.4f} "
             f"| {post['surviving_mean_per_doc']:.1f} |"
         )
+    # the recommendation prose is emitted HERE (not hand-written into
+    # the doc) so a subset re-patch of this section keeps it, and the
+    # interpolated constants can never disagree with the CLI's
+    from make_training_data import (
+        RECOMMENDED_MAX_LIST_OVER_TARGET,
+        RECOMMENDED_MAX_RAIL_RATE,
+    )
+
     lines += [
         "",
         "Reading the curve: `max_over_target` degrades as appends pile",
@@ -558,6 +566,23 @@ def probe_health_trajectory(spark, sf_dir: str,
         "eroding by eviction, the text-side retrain signal.  A real",
         "deployment re-runs `write_index_store` when the curve leaves",
         "the band the build row establishes.",
+        "",
+        "Recommended operating thresholds (round-14, derived from this",
+        f"table): `--max-list-over-target "
+        f"{RECOMMENDED_MAX_LIST_OVER_TARGET}` and `--max-rail-rate",
+        f"{RECOMMENDED_MAX_RAIL_RATE}` — each ≈ the build row's level",
+        "× 2, so a fresh build",
+        "passes with margin and the gate refuses by the third",
+        "no-retrain corpus-sized append.  The constants live in",
+        "`tools/make_training_data.py`",
+        "(`RECOMMENDED_MAX_LIST_OVER_TARGET` /",
+        "`RECOMMENDED_MAX_RAIL_RATE`) and are interpolated into the",
+        "flags' `--help`; `tests/test_scale_docs.py` pins them against",
+        "this table, so re-recording the trajectory forces the",
+        "recommendation to be re-derived rather than silently drifting",
+        "from the curve.  Since round 14 the gate is evaluated BEFORE",
+        "`extend_postings` on the incremental path — a refusing run",
+        "leaves the store untouched.",
     ]
     return lines
 
