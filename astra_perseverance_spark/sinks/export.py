@@ -181,8 +181,12 @@ def export_curated_corpus(spark: SparkSession, sf_dir: str, out_dir: str,
         # pipeline (positioned grams, gram window, coverage explode,
         # anti-join, per-doc reassembly) is the export's most
         # expensive stage and must execute exactly once, for the
-        # write.  Guard the empty-kept case: a zero-row jsonl write
-        # leaves nothing to infer a schema from.
+        # write (measured at sf0.1: 4.5 s vs 5.3 s for the
+        # pre-write-agg shape — 1.18x end-to-end, and the gap IS the
+        # extra trim execution, which only widens with corpus size
+        # while the read-back is manifest-cheap).  Guard the
+        # empty-kept case: a zero-row jsonl write leaves nothing to
+        # infer a schema from.
         if counts["k"]:
             written = (spark.read.json(kept_path) if fmt == "jsonl"
                        else spark.read.parquet(kept_path))
