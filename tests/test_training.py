@@ -141,6 +141,61 @@ class TestDedupSpanTrim:
         assert any(r[2] > 0 for r in expect), (
             "fixture corpus should contain trimmed documents")
 
+    def test_docs_universe_fuzz_vs_bruteforce(self, spark):
+        """The composed-path universe restriction (round 14):
+        ``span_trim_frame(docs=subset)`` must equal the brute-force
+        trim computed over ONLY that subset — gram duplication
+        counts, the min-doc representative, and the output rows all
+        restrict together.  Seeded random tiny-alphabet corpora with
+        a random kept-subset per case; duplicate windows occur by
+        collision (3-token alphabet, W=5 windows)."""
+        import random
+
+        from astra_perseverance_spark.extensions.training import (
+            span_trim_frame,
+        )
+
+        rng = random.Random(1404)
+        for _ in range(6):
+            n = rng.randint(2, 7)
+            corpus = {
+                d: [rng.choice("abc") for _ in range(rng.randint(0, 14))]
+                for d in range(n)
+            }
+            kept_ids = sorted(
+                d for d in corpus if rng.random() < 0.6) or [0]
+            # brute force over the SUBSET only
+            homes: dict[str, set[int]] = {}
+            for d in kept_ids:
+                t = corpus[d]
+                for p in range(len(t) - DUP_SPAN_W + 1):
+                    homes.setdefault(
+                        " ".join(t[p:p + DUP_SPAN_W]), set()).add(d)
+            rep = {g: min(s) for g, s in homes.items()
+                   if len(s) >= DUP_SPAN_MIN_DOCS}
+            expect = set()
+            for d in kept_ids:
+                t = corpus[d]
+                cov: set[int] = set()
+                for p in range(len(t) - DUP_SPAN_W + 1):
+                    g = " ".join(t[p:p + DUP_SPAN_W])
+                    if g in rep and rep[g] != d:
+                        cov.update(range(p, p + DUP_SPAN_W))
+                kept = [tok for i, tok in enumerate(t) if i not in cov]
+                expect.add((d, len(t), len(t) - len(kept),
+                            len(kept), " ".join(kept)))
+            subset = spark.createDataFrame(
+                [(d, " ".join(corpus[d])) for d in kept_ids],
+                "doc_id long, text string",
+            )
+            got = {
+                (r["doc_id"], r["n_tok"], r["removed_tokens"],
+                 r["kept_tokens"], r["trimmed_text"])
+                for r in span_trim_frame(
+                    spark, "unused-sf-dir", docs=subset).collect()
+            }
+            assert got == expect, (kept_ids, corpus)
+
     def test_consistent_with_dup_spans(self, q):
         """The trim may only cut inside ``dup_spans``' detected spans:
         per doc, removed_tokens ≤ the doc's total span coverage, and
