@@ -536,6 +536,43 @@ class TestTrainingDataCli:
         assert shard_rows == kept
         assert span_s not in shard_rows[4]
 
+    def test_cli_all_rejected_corpus_yields_empty_artifacts(self, spark,
+                                                            tmp_path):
+        """A corpus the ledger rejects entirely must flow through the
+        composed pipeline without crashing: zero kept docs, zero
+        trimmed tokens (the empty-jsonl guard — nothing to infer a
+        schema from), zero shards, every doc in the rejects ledger."""
+        import json
+        import os
+        import sys
+
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "tools"))
+        import make_training_data
+
+        rows = [(1, "too short", "en", "web"),
+                (2, "also too short", "en", "web")]
+        sf_dir = str(tmp_path / "corpus")
+        spark.createDataFrame(
+            [(i, t, la, so, len(t)) for i, t, la, so in rows],
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long",
+        ).write.parquet(f"{sf_dir}/documents.parquet")
+
+        out = str(tmp_path / "out")
+        rc = make_training_data.main(
+            [sf_dir, "-o", out, "--fmt", "jsonl", "--trim-spans"])
+        assert rc == 0
+        run = json.load(open(os.path.join(out, "run.json")))
+        assert run["corpus"]["n_kept"] == 0
+        assert run["corpus"]["n_trimmed_tokens"] == 0
+        assert run["shards"]["n_docs"] == 0
+        assert run["shards"]["n_shards"] == 0
+        rejected = {r["doc_id"] for r in spark.read.json(
+            run["corpus"]["rejects_path"]).collect()}
+        assert rejected == {1, 2}
+
     def test_cli_index_store(self, spark, tmp_path):
         """--index-store persists the incremental-serving artifacts
         under OUT/index_store and run.json records the binding; the
