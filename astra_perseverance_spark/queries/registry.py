@@ -44,7 +44,7 @@ Capacity policy (decided round-14, BEFORE the next registration)
 ----------------------------------------------------------------
 The arithmetic: a 50-row window minus the 22 always-checked parity
 rows leaves 28 rotating slots per round; with the K=3 freshness
-budget at most 22 + 28×(K−1) = 50 + 56 = **106 queries** can all
+budget at most 50 + 28×(K−1) = 50 + 56 = **106 queries** can all
 stay fresh (tests/test_rotation.py::test_window_is_at_least_half_
 the_registry enforces this bound).  The registry holds **100**, so
 exactly **6 registrations remain**.  The rule for spending them:

@@ -145,12 +145,19 @@ def export_curated_corpus(spark: SparkSession, sf_dir: str, out_dir: str,
         )
         # inner join on the uniform doc key: the trim frame covers
         # every kept document, so this only rewrites text — the
-        # kept set is unchanged
+        # kept set is unchanged.  n_chars is recomputed alongside
+        # (the conformed schema carries it, and a consumer
+        # re-ingesting the kept corpus keeps a present n_chars
+        # as-is — a stale original-length value would disagree with
+        # every trimmed row's text)
         kept = (
             kept.join(trim.hint("shuffle_hash"), "doc_id")
             .withColumn("text", F.col("__trimmed"))
             .drop("__trimmed")
         )
+        if "n_chars" in kept.columns:
+            kept = kept.withColumn(
+                "n_chars", F.length("text").cast("long"))
     rejects = ledger.filter(~F.col("keep")).select("doc_id", "reasons")
 
     kept_path = os.path.join(out_dir, "corpus_kept")
@@ -188,8 +195,13 @@ def export_curated_corpus(spark: SparkSession, sf_dir: str, out_dir: str,
         # empty-kept case: a zero-row jsonl write leaves nothing to
         # infer a schema from.
         if counts["k"]:
-            written = (spark.read.json(kept_path) if fmt == "jsonl"
-                       else spark.read.parquet(kept_path))
+            # explicit one-column schema on the jsonl read: inference
+            # would be a second full parse of the written corpus (the
+            # cost sources/corpus_jsonl.py forbids); parquet prunes to
+            # the one column from the footer for free
+            written = (
+                spark.read.schema("removed_tokens long").json(kept_path)
+                if fmt == "jsonl" else spark.read.parquet(kept_path))
             out["n_trimmed_tokens"] = int(written.agg(
                 F.coalesce(F.sum("removed_tokens"), F.lit(0))
             ).collect()[0][0])

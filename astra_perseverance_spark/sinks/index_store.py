@@ -513,6 +513,8 @@ def register_index_store(spark: SparkSession, database: str,
         register_external_bucketed,
     )
 
+    import shutil
+
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {database}")
     for name, key in _LAYOUT.items():
         path = os.path.join(location, name)
@@ -520,22 +522,34 @@ def register_index_store(spark: SparkSession, database: str,
             raw = os.path.join(location, "shingle_raw")
             if name == "shingle_inv" and os.path.isdir(raw):
                 # pre-upgrade store: derive the inverted orientation
-                # from the forward one — saveAsTable with an explicit
-                # path writes the files AND registers the external
-                # bucketed table in one step, so this iteration's
-                # register call is already done
+                # from the forward one.  INTERRUPTION-SAFE: the
+                # bucketed write lands in a hidden sibling temp dir
+                # (bucketBy requires saveAsTable, so a throwaway
+                # catalog entry carries the write; external — the
+                # drop keeps the files) and a same-filesystem rename
+                # publishes it — a crash mid-backfill leaves only the
+                # temp, so the next registration re-derives instead
+                # of silently registering a partial table under the
+                # final name
+                tmp = os.path.join(location, ".shingle_inv.backfill")
+                shutil.rmtree(tmp, ignore_errors=True)
+                tmp_table = f"{database}.shingle_inv__backfill"
+                spark.sql(f"DROP TABLE IF EXISTS {tmp_table}")
                 (
                     spark.read.parquet(raw)
                     .select("doc_id", "lang", "g")
                     .write.format("parquet")
                     .bucketBy(n_buckets, key).sortBy(key)
-                    .option("path", path)
-                    .saveAsTable(f"{database}.{name}")
+                    .option("path", tmp)
+                    .saveAsTable(tmp_table)
                 )
-                continue
-            raise ValueError(
-                f"index store at {location} has no {name} table — "
-                f"was write_index_store interrupted?")
+                spark.sql(f"DROP TABLE {tmp_table}")
+                os.rename(tmp, path)
+                # fall through to the normal registration below
+            else:
+                raise ValueError(
+                    f"index store at {location} has no {name} table — "
+                    f"was write_index_store interrupted?")
         register_external_bucketed(
             spark, database, name, path, key,
             (key,) if key else (), n_buckets)

@@ -352,10 +352,20 @@ def test_register_backfills_missing_shingle_inv(spark, index_store,
     shutil.copytree(src, store)
     shutil.rmtree(os.path.join(store, "shingle_inv"))
 
+    # a crashed earlier backfill left a partial hidden temp dir — the
+    # interruption-safe path must discard it and re-derive, never
+    # registering partial files under the final name
+    stale = os.path.join(store, ".shingle_inv.backfill")
+    os.makedirs(stale)
+    open(os.path.join(stale, "garbage"), "w").write("x")
+
     db = "idxstore_upgrade"
     try:
         register_index_store(spark, db, store)
         assert os.path.isdir(os.path.join(store, "shingle_inv"))
+        assert not os.path.isdir(stale), "backfill temp not cleaned up"
+        assert not spark.catalog.tableExists(
+            f"{db}.shingle_inv__backfill"), "throwaway table leaked"
         raw = _rows(spark.table(f"{db}.shingle_raw")
                     .select("doc_id", "lang", "g"))
         inv = _rows(spark.table(f"{db}.shingle_inv")

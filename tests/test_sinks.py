@@ -291,6 +291,10 @@ class TestCuratedCorpusExport:
         kept = spark.read.parquet(out["kept_path"])
         assert kept.count() == out["n_kept"]
         assert "removed_tokens" in kept.columns
+        # n_chars is recomputed with the text rewrite — a stale
+        # original length would disagree with every trimmed row
+        for r in kept.select("text", "n_chars").collect():
+            assert r["n_chars"] == len(r["text"])
         kept_ids = QUERY_REGISTRY["corpus_curate"](
             spark, SF_SMALL).filter("keep").select("doc_id")
         universe = docs_frame(spark, SF_SMALL).join(
