@@ -1033,6 +1033,24 @@ class TestIncrementalCli:
                 run3["ingested"], "documents.parquet")).count() == 16
             # … but the store did not: no new digests, no postings
             assert spark.table(f"{db}.digest_dim").count() == 14
+
+            # pre-upgrade store simulation: delete the inverted
+            # orientation (a store written before shingle_inv
+            # existed) — the incremental CLI, which only probes for
+            # shingle_raw, must BACKFILL at registration and then
+            # extend normally instead of dying on the missing table
+            shutil.rmtree(os.path.join(
+                run3["index_store"]["location"], "shingle_inv"))
+            land("d.jsonl", range(16, 18))
+            assert make_training_data.main(args) == 0
+            run4 = json.load(open(out / "run.json"))
+            ext4 = run4["index_store"]["extended"]
+            # folds the gate-refused batch (14,15) plus the new one
+            assert ext4["digest_rows"] == 4
+            assert ext4["shingle_inv_rows"] == ext4["shingle_rows"] > 0
+            # the two orientations hold the same row set again
+            raw_n = spark.table(f"{db}.shingle_raw").count()
+            assert spark.table(f"{db}.shingle_inv").count() == raw_n
         finally:
             for t in run1["index_store"]["tables"].values():
                 spark.sql(f"DROP TABLE IF EXISTS {t}")
