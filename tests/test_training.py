@@ -246,6 +246,58 @@ class TestSeqPack:
         }
         assert got == expect
 
+    def test_layout_over_subset_fuzz(self, spark):
+        """``seq_pack_layout`` over an arbitrary docs frame (the
+        curated-shard path, round 14) must equal the pure-Python
+        repack of that frame — shard deal, hash order, offsets, and
+        sequence spans all restrict to the provided universe.  Seeded
+        random subsets with mixed empty/non-empty docs."""
+        import random
+
+        from astra_perseverance_spark.extensions.training import (
+            seq_pack_layout,
+        )
+
+        rng = random.Random(1414)
+        for _ in range(4):
+            n = rng.randint(1, 30)
+            corpus = {
+                d: " ".join(
+                    rng.choice(("tok", "x", "word", "q"))
+                    for _ in range(rng.randint(0, 40)))
+                for d in rng.sample(range(1000), n)
+            }
+            shards = seq_shard_count(len(corpus))
+            per_shard: dict[int, list] = {}
+            for doc_id, text in corpus.items():
+                nt = len(_toks(text))
+                if nt == 0:
+                    continue
+                h = _h15(str(doc_id))
+                per_shard.setdefault(h % shards, []).append(
+                    (h, doc_id, nt))
+            expect = set()
+            for shard_id, items in per_shard.items():
+                items.sort()
+                cum = 0
+                for pos, (h, doc_id, nt) in enumerate(items, start=1):
+                    off = cum
+                    cum += nt
+                    expect.add((
+                        doc_id, shard_id, pos, nt, off,
+                        off // SEQ_BUDGET, (cum - 1) // SEQ_BUDGET,
+                        (cum - 1) // SEQ_BUDGET - off // SEQ_BUDGET + 1,
+                    ))
+            frame = spark.createDataFrame(
+                list(corpus.items()), "doc_id long, text string")
+            got = {
+                (r["doc_id"], r["shard_id"], r["pack_pos"], r["n_tok"],
+                 r["tok_offset"], r["seq_first"], r["seq_last"],
+                 r["n_seqs"])
+                for r in seq_pack_layout(frame, shards).collect()
+            }
+            assert got == expect, sorted(corpus)
+
     def test_stream_continuity(self, q):
         """Within a shard the token stream has no holes: each doc
         starts exactly where the previous one ended, and some doc
