@@ -424,6 +424,59 @@ SELECT lsym, rsym FROM {best_cte}
         assert got == expect
 
 
+class TestSourceCrossDupOracleProperty:
+    """Property test for the exact-pairs arithmetic of the shipped
+    ``source_cross_dup`` oracle: on random corpora of SHORT texts
+    (under 3 tokens, so the 3-gram shingle universe is empty and
+    near_pairs is provably 0) the oracle must equal a brute force
+    that MATERIALIZES every within-digest-group C(k,2) pair and
+    tallies it per unordered source pair — exactly the formulation
+    the operator's composition arithmetic avoids at scale.  The
+    Spark side is pinned to this oracle by the hash-parity gate, so
+    this transitively fuzzes the operator's pair counting."""
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        corpus=st.lists(
+            st.tuples(
+                st.sampled_from(["x", "y y", "z", "w  w", ""]),
+                st.sampled_from(["s1", "s2", "s3"]),
+            ),
+            min_size=1, max_size=12,
+        )
+    )
+    def test_oracle_matches_pair_materialization(self, corpus):
+        import itertools
+        import re
+        from collections import Counter
+
+        from astra_perseverance_spark.oracle import ORACLE_SQL
+
+        docs = [(i, t, s) for i, (t, s) in enumerate(corpus)]
+
+        def norm(t: str) -> str:
+            return re.sub(r"\s+", " ", t.lower().strip())
+
+        groups: dict[str, list] = {}
+        for d, t, s in docs:
+            groups.setdefault(norm(t), []).append((d, s))
+        tally: Counter = Counter()
+        for members in groups.values():
+            for (_, s1), (_, s2) in itertools.combinations(members, 2):
+                tally[tuple(sorted((s1, s2)))] += 1
+        expect = {(a, b, n, 0) for (a, b), n in tally.items() if n > 0}
+
+        values = ", ".join(
+            f"({d}, '{t}', 'en', '{s}')" for d, t, s in docs)
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM (VALUES {values}) "
+            f"AS t(doc_id, text, lang, source)"
+        )
+        got = set(con.execute(ORACLE_SQL["source_cross_dup"]).fetchall())
+        assert got == expect
+
+
 class TestSpanTrimOracleProperty:
     """Property test for the shipped ``dedup_span_trim`` oracle SQL:
     on random tiny-alphabet corpora (collisions forced, so duplicate
