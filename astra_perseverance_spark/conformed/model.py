@@ -191,8 +191,19 @@ def memo_plan(spark: SparkSession, sf_dir: str, tag: tuple, build) -> DataFrame:
     (the Q20 document builds hundreds of column expressions through
     py4j — ~1 s of pure driver time), re-running the builder costs
     more than executing the plan; memoizing the plan object is free
-    and changes nothing about execution."""
-    key = (_session_key(spark, sf_dir), ("plan",) + tag)
+    and changes nothing about execution.
+
+    The warehouse/index mode toggles are part of the key for the same
+    reason as in ``memo_frame``: a query plan built in raw-parquet
+    mode must never be served to a bucketed-warehouse session (the
+    bench's bucketed section flips the env mid-session and re-invokes
+    the same query fns)."""
+    import os as _os
+
+    key = (_session_key(spark, sf_dir),
+           _os.environ.get("SPARK_GRAFT_BUCKETED_DB") or None,
+           _os.environ.get("SPARK_GRAFT_INDEX_DB") or None,
+           ("plan",) + tag)
     if key not in _FRAME_MEMO:
         _FRAME_MEMO[key] = build()
     return _FRAME_MEMO[key]
