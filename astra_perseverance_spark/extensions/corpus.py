@@ -59,6 +59,85 @@ def bucketed_db() -> str | None:
     return os.environ.get(BUCKETED_DB_ENV) or None
 
 
+# Scale-adaptive clustering width (optimization r15, guide §2).  The
+# corpus frames used to repartition to ``defaultParallelism``
+# unconditionally — a constant tuned for neither end of the scale: at
+# bench scale (5 000 docs / 2 000 vectors) it makes every downstream
+# stage schedule 32 tasks of ~100 rows each (measured: task scheduling,
+# not compute, dominated the doc/vector families' execution seconds),
+# and on a 100 TB cluster it would under-partition (one wave of
+# enormous tasks).  ``cluster_width`` derives the width from the
+# corpus size instead:
+#
+# - never build tasks smaller than ``min_rows`` (scheduling overhead
+#   floor — at tiny corpora the width collapses to 1..cores);
+# - never build tasks larger than ``target_rows`` (memory/straggler
+#   ceiling — at production scale width grows linearly with the data,
+#   ``rows/target_rows`` ≫ core count, exactly like a byte-sized scan);
+# - use the session's cores in between.
+#
+# Both knobs are per-frame constants here (rows are the unit because
+# the frames exist to cluster COMPUTE — shingling, hashing, vector
+# math — whose cost is per row, not per byte; row counts are also
+# already-memoized driver scalars, so sizing is free).  Cluster
+# deploys can override via env without code changes.
+DOCS_MIN_ROWS_ENV = "SPARK_GRAFT_DOCS_MIN_ROWS"
+DOCS_TARGET_ROWS_ENV = "SPARK_GRAFT_DOCS_TARGET_ROWS"
+VECS_MIN_ROWS_ENV = "SPARK_GRAFT_VECS_MIN_ROWS"
+VECS_TARGET_ROWS_ENV = "SPARK_GRAFT_VECS_TARGET_ROWS"
+
+# ~1k docs of ~2 KB keep a task meaningfully sized; 50k docs ≈ 100 MB
+# of raw text (plus the gram explosion) bound a production task.
+DOCS_MIN_ROWS = 1_000
+DOCS_TARGET_ROWS = 50_000
+# 64-d int8 vectors are narrow, but several consumers do O(n·K)
+# work per row (the 16-query broadcast cosine self-joins): a width-1
+# frame at bench scale serialized those (embedding_cosine_dups
+# measured +0.5 s) while width 4 kept them parallel and still cut
+# the scheduling fan-out 8×.  500 rows ≈ a few hundred µs of HOF
+# compute floors a task; 200k (~13 MB quantized) caps one.
+VECS_MIN_ROWS = 500
+VECS_TARGET_ROWS = 200_000
+# ``clustered_docs`` feeds the explode+window pipelines (shingling,
+# winnowing, span trim): every doc fans out to hundreds of
+# token/gram rows INSIDE the task, so per-task compute is already
+# fat at a few hundred docs — measured: flooring its width like
+# ``docs_frame`` (5 partitions at sf0.1) cost the token-window
+# family 1.5–1.9× wall time.  Floor at 1 row/task (i.e. use every
+# core whenever there are at least that many docs) and let the
+# 50k-target take over at corpus scale.
+CDOCS_MIN_ROWS_ENV = "SPARK_GRAFT_CDOCS_MIN_ROWS"
+CDOCS_MIN_ROWS = 1
+
+
+def cluster_width(spark: SparkSession, n_rows: int,
+                  min_rows: int, target_rows: int) -> int:
+    """Partition count for clustering ``n_rows`` compute-bearing rows:
+    ``max(min(cores, ceil(n/min_rows)), ceil(n/target_rows))`` — floors
+    task size at small n, grows linearly with the corpus at large n,
+    fills the cores in between."""
+    import math
+
+    n = max(int(n_rows), 1)
+    par = spark.sparkContext.defaultParallelism
+    return max(min(par, math.ceil(n / max(min_rows, 1))),
+               math.ceil(n / max(target_rows, 1)))
+
+
+def _docs_width(spark: SparkSession, sf_dir: str) -> int:
+    return cluster_width(
+        spark, n_docs(spark, sf_dir),
+        int(os.environ.get(DOCS_MIN_ROWS_ENV) or 0) or DOCS_MIN_ROWS,
+        int(os.environ.get(DOCS_TARGET_ROWS_ENV) or 0) or DOCS_TARGET_ROWS)
+
+
+def _vecs_width(spark: SparkSession, sf_dir: str) -> int:
+    return cluster_width(
+        spark, n_vectors(spark, sf_dir),
+        int(os.environ.get(VECS_MIN_ROWS_ENV) or 0) or VECS_MIN_ROWS,
+        int(os.environ.get(VECS_TARGET_ROWS_ENV) or 0) or VECS_TARGET_ROWS)
+
+
 def index_db() -> str | None:
     return os.environ.get(INDEX_DB_ENV) or None
 
@@ -86,7 +165,7 @@ def docs_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     return memo_frame(
         spark, sf_dir, ("docs_repart",),
         lambda: spark.read.parquet(f"{sf_dir}/documents.parquet")
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id"),
+        .repartition(_docs_width(spark, sf_dir), "doc_id"),
     )
 
 
@@ -107,7 +186,14 @@ def clustered_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.table(f"{db}.documents")
     return (
         spark.read.parquet(f"{sf_dir}/documents.parquet")
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .repartition(
+            cluster_width(
+                spark, n_docs(spark, sf_dir),
+                int(os.environ.get(CDOCS_MIN_ROWS_ENV) or 0)
+                or CDOCS_MIN_ROWS,
+                int(os.environ.get(DOCS_TARGET_ROWS_ENV) or 0)
+                or DOCS_TARGET_ROWS),
+            "doc_id")
     )
 
 
@@ -162,7 +248,7 @@ def vectors_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         if db:
             return spark.table(f"{db}.embeddings")
         return spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(
-            spark.sparkContext.defaultParallelism, "vec_id")
+            _vecs_width(spark, sf_dir), "vec_id")
 
     return memo_frame(
         spark, sf_dir, ("vectors_bucket",),
