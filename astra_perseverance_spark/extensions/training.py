@@ -180,12 +180,15 @@ def q_dedup_span_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: ONE min-over-gram window marks removable positions
     (one shuffle on the gram key; see the in-body note for why this
-    beats the gram-grain groupBy + join twin), then a
-    ×``DUP_SPAN_W`` bounded coverage explode de-duplicated at
-    (doc, position) grain, one token-grain anti-join, and a doc-grain
-    reassembly — every stage linear in corpus tokens, no candidate
-    pairs anywhere (a universally shared gram degrades to O(n) marked
-    positions, exactly like ``q_dup_spans``)."""
+    beats the gram-grain groupBy + join twin), then the removable
+    START POSITIONS aggregate to one doc-grain list and the token
+    stream is sliced in place with array expressions (coverage
+    expansion, position except, ordered reassembly — all inside the
+    doc row; see the in-body note).  Every stage is linear in corpus
+    tokens and only position METADATA is ever shuffled past the gram
+    window — no candidate pairs anywhere (a universally shared gram
+    degrades to O(n) marked positions, exactly like
+    ``q_dup_spans``)."""
     # With DUP_SPAN_MIN_DOCS == 2, "gram occurs in ≥ 2 distinct docs
     # AND this doc is not its minimum home" collapses to ONE window
     # predicate: doc_id != min(doc_id) over the gram partition (a
@@ -227,47 +230,52 @@ def span_trim_frame(spark: SparkSession, sf_dir: str,
         .filter(F.col("doc_id") != F.col("rep"))
         .select("doc_id", "p")
     )
-    covered = (
-        marked.select(
-            "doc_id",
-            F.explode(
-                F.sequence(F.col("p"), F.col("p") + (DUP_SPAN_W - 1))
-            ).alias("q"),
-        )
-        .distinct()
+    # Positions-as-arrays reassembly (optimization r15, guide §2.3/§8):
+    # every decision past `marked` depends only on POSITIONS, so shuffle
+    # those — one doc-grain list of removable window starts — and slice
+    # the token stream in place with array expressions.  The previous
+    # formulation exploded coverage to (doc, q) rows (×W before the
+    # distinct), anti-joined the posexploded token stream (an exchange
+    # carrying every token as a row, ~2× corpus bytes) and reassembled
+    # with collect_list + array_sort (the same token rows shuffled
+    # again); all three token-grain exchanges are replaced by one
+    # position-metadata aggregation.  Measured 0.69× wall at sf0.1 with
+    # a bit-identical result digest; at corpus scale the shuffle-byte
+    # saving is the point.  Per-doc transient arrays are bounded by
+    # n_tok×W elements (W = 5) before the distinct — the same ×W the
+    # old explode materialized as rows.
+    starts = marked.groupBy("doc_id").agg(
+        F.collect_list("p").alias("starts"))
+    empty = F.expr("array()").cast("array<bigint>")
+    base = src.select("doc_id", tokens("text").alias("toks"))
+    covered = F.array_distinct(F.flatten(F.transform(
+        F.coalesce(F.col("starts"), empty),
+        lambda p: F.sequence(p, p + F.lit(DUP_SPAN_W - 1)))))
+    n_tok = F.size("toks")
+    all_pos = F.when(
+        n_tok > 0,
+        F.sequence(F.lit(0).cast("long"), (n_tok - 1).cast("long")),
+    ).otherwise(empty)
+    # array_except is hash-based (O(n+m)) and preserves the first
+    # array's (ascending) order, so the kept positions come out in
+    # stream order — no sort, no window.
+    kept_pos = F.array_except(all_pos, covered)
+    trimmed = F.array_join(
+        F.transform(
+            kept_pos,
+            lambda q: F.element_at(F.col("toks"), (q + 1).cast("int")),
+        ),
+        " ",
     )
-    toks = src.select(
-        "doc_id", F.posexplode(tokens("text")).alias("q", "tok")
-    ).withColumn("q", F.col("q").cast("long"))
-    kept = (
-        toks.join(covered.hint("shuffle_hash"), ["doc_id", "q"],
-                  "left_anti")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").cast("long").alias("kept_tokens"),
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct("q", "tok"))),
-                    lambda s: s["tok"],
-                ),
-                " ",
-            ).alias("trimmed_text"),
-        )
-    )
-    base = src.select(
-        "doc_id", F.size(tokens("text")).cast("long").alias("n_tok"))
     return (
-        base.join(kept, "doc_id", "left")
+        base.join(starts, "doc_id", "left")
         .select(
             "doc_id",
-            "n_tok",
-            (F.col("n_tok")
-             - F.coalesce("kept_tokens", F.lit(0).cast("long")))
+            n_tok.cast("long").alias("n_tok"),
+            (n_tok.cast("long") - F.size(kept_pos).cast("long"))
             .alias("removed_tokens"),
-            F.coalesce("kept_tokens", F.lit(0).cast("long"))
-            .alias("kept_tokens"),
-            F.coalesce("trimmed_text", F.lit("")).alias("trimmed_text"),
+            F.size(kept_pos).cast("long").alias("kept_tokens"),
+            trimmed.alias("trimmed_text"),
         )
     )
 
