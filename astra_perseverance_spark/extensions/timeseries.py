@@ -62,6 +62,70 @@ def _events_ns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Scale-adaptive clustering width for the whole-user WINDOW consumers
+# (optimization r15, same rule as ``corpus.cluster_width``): the
+# sessionize/funnel windows exchange on user_id and AQE then coalesces
+# that exchange by BYTES (events rows are ~40 B, so a bench-scale
+# stream coalesces to 1–2 partitions and the three window passes run
+# nearly single-threaded — measured 0.8 s → 0.43 s at sf0.1 with the
+# width floored by ROWS instead).  At production scale ``n/target``
+# exceeds the core count and the width grows linearly with the
+# stream, like every other clustered frame.  Applied ONLY to the
+# single-scan window consumers (sessionize ×2, funnel): the planned
+# repartition there IS the window's one exchange at an explicit
+# width.  The as-of family keeps the plain frame — its union-and-
+# carry reads events through TWO filtered branches, and a base-frame
+# repartition would double the scan-side exchanges at scale; the
+# groupBy consumers (``user_skew_audit``) also keep the plain frame
+# so partial aggregation keeps collapsing rows BEFORE their shuffle
+# (measured slower with the pre-shuffle clustering).
+EVENTS_MIN_ROWS_ENV = "SPARK_GRAFT_EVENTS_MIN_ROWS"
+EVENTS_TARGET_ROWS_ENV = "SPARK_GRAFT_EVENTS_TARGET_ROWS"
+# 12.5k events floor a task (sweep over {4, 8, 16, 32} partitions at
+# the 100k-event sf0.1 stream: width 8 best); 4M events ≈ 160 MB cap
+# one.
+EVENTS_MIN_ROWS = 12_500
+EVENTS_TARGET_ROWS = 4_000_000
+
+# (applicationId, sf_dir, db) -> row count; driver scalar, memoized
+# like ``corpus.n_docs`` so consumers never re-run the count job.
+_EVT_COUNT: dict[tuple, int] = {}
+
+
+def n_events(spark: SparkSession, sf_dir: str) -> int:
+    from astra_perseverance_spark.extensions.corpus import bucketed_db
+
+    key = (spark.sparkContext.applicationId, sf_dir, bucketed_db())
+    if key not in _EVT_COUNT:
+        _EVT_COUNT[key] = _events_ns(spark, sf_dir).count()
+    return _EVT_COUNT[key]
+
+
+def _events_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``_events_ns`` clustered by user_id INSIDE the consumer's plan
+    — for the whole-user window pipelines (see the width note above).
+    In bucketed-warehouse mode the table is already durably
+    user_id-clustered and the frame passes through untouched (the
+    zero-Exchange plans pinned in ``tests/test_warehouse.py``)."""
+    import os
+
+    from astra_perseverance_spark.extensions.corpus import (
+        bucketed_db,
+        cluster_width,
+    )
+
+    ev = _events_ns(spark, sf_dir)
+    db = bucketed_db()
+    if db and spark.catalog.tableExists(f"{db}.events"):
+        return ev
+    width = cluster_width(
+        spark, n_events(spark, sf_dir),
+        int(os.environ.get(EVENTS_MIN_ROWS_ENV) or 0) or EVENTS_MIN_ROWS,
+        int(os.environ.get(EVENTS_TARGET_ROWS_ENV) or 0)
+        or EVENTS_TARGET_ROWS)
+    return ev.repartition(width, "user_id")
+
+
 def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Click-to-purchase attribution: each purchase event joined
     as-of to the same user's latest click at-or-before it.
@@ -196,7 +260,7 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output: user_id, view_ns, click_ns, purchase_ns (NULL once the
     chain breaks), reached (1–3 = deepest step completed)."""
-    ev = _events_ns(spark, sf_dir)
+    ev = _events_by_user(spark, sf_dir)
     w = Window.partitionBy("user_id")
     t = F.col("event_type")
     staged = (
@@ -254,7 +318,7 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output: user_id, session_idx (0-based per user), start_ns,
     end_ns, n_events, duration_ns."""
-    return _sessionize(_events_ns(spark, sf_dir))
+    return _sessionize(_events_by_user(spark, sf_dir))
 
 
 def _sessionize(ev: DataFrame) -> DataFrame:
@@ -485,4 +549,4 @@ def q_events_sessionize_capped(spark: SparkSession,
     approximate — fewer events, possibly different gap boundaries),
     uncapped users' sessions are identical to the plain query."""
     return _sessionize(
-        cap_user_events(_events_ns(spark, sf_dir), cap=SESSION_CAP_DEMO))
+        cap_user_events(_events_by_user(spark, sf_dir), cap=SESSION_CAP_DEMO))
