@@ -96,25 +96,38 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     without the documents being near-duplicates, and a training
     pipeline cuts the SPAN, not the document.
 
-    Pipeline: positioned window-grams -> gram-grain df (distinct
-    docs) -> left-semi join back to the duplicated positions ->
-    per-doc islands-and-gaps merge (``lag`` + running flag-sum):
-    a new span starts where the gap to the previous duplicated
-    position exceeds W.  Three exchanges, all on aggregated or pruned
-    grains; no candidate pairs are ever generated, so a universally
-    shared gram degrades to O(n) marked positions, never O(n^2).
+    Pipeline: positioned window-grams -> duplicated positions marked
+    by ONE min/max window over the gram key -> per-doc
+    islands-and-gaps merge (``lag`` + running flag-sum): a new span
+    starts where the gap to the previous duplicated position exceeds
+    W.  Two exchanges, both on aggregated or pruned grains; no
+    candidate pairs are ever generated, so a universally shared gram
+    degrades to O(n) marked positions, never O(n^2).
 
     Output (one row per span): doc_id, span_id (1-based per doc in
     position order), start_tok, end_tok (inclusive), n_tok, and
     n_windows (duplicated windows merged into the span)."""
+    # With DUP_SPAN_MIN_DOCS == 2, "gram occurs in >= 2 distinct docs"
+    # collapses to min(doc_id) != max(doc_id) over the gram partition —
+    # TWO aggregates sharing ONE window exchange, so the positioned-
+    # gram pipeline builds ONCE (optimization r15; the gram-grain
+    # countDistinct + left-semi twin scanned it twice — plans don't
+    # share common subtrees — and measured ~1.2x this formulation's
+    # wall time; results digest-identical).  Same collapse as
+    # ``span_trim_frame``'s rep-window predicate.
+    assert DUP_SPAN_MIN_DOCS == 2, (
+        "the min/max-window duplication predicate encodes the >=2 "
+        "distinct-docs rule; a higher threshold needs the gram-grain "
+        "countDistinct + semi-join formulation back")
     grams = _positioned_grams(spark, sf_dir, DUP_SPAN_W)
-    dup_g = (
-        grams.groupBy("g")
-        .agg(F.countDistinct("doc_id").alias("ndocs"))
-        .filter(F.col("ndocs") >= DUP_SPAN_MIN_DOCS)
-        .select("g")
+    wg = Window.partitionBy("g")
+    dup_pos = (
+        grams
+        .withColumn("mn", F.min("doc_id").over(wg))
+        .withColumn("mx", F.max("doc_id").over(wg))
+        .filter(F.col("mn") != F.col("mx"))
+        .select("doc_id", "p")
     )
-    dup_pos = grams.join(dup_g.hint("shuffle_hash"), "g", "left_semi")
     w = Window.partitionBy("doc_id").orderBy("p")
     marked = dup_pos.withColumn("prev_p", F.lag("p").over(w)).withColumn(
         "new_span",
