@@ -163,10 +163,17 @@ def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan shape: one token-grain lead window (the ``k_gram_rows``
     pipeline, doc-clustered input so the window is partition-local),
     a stack to (doc, n, gram, start) rows, ONE shuffle for the
-    per-(doc, n, gram) occurrence counts, a bounded explode
-    (≤ n positions per duplicated start) for the coverage union, and
-    doc-grain conditional-aggregation joins.  Linear in
-    tokens × |ns|; no per-pair or per-window quadratic stage."""
+    per-(doc, n, gram) occurrence counts, then ONE doc-grain
+    conditional aggregation computes every signal at once: the modal
+    counts as ``max(when(n = N, cnt))`` and each coverage union as
+    array expressions over the collected duplicated-start sequences
+    (bounded ≤ n positions per duplicated start — the same ×n the
+    previous explode materialized as rows).  Linear in tokens × |ns|;
+    no per-pair or per-window quadratic stage.  (r15: the previous
+    tops/coverage BRANCHES forked the plan below the count window, so
+    the whole token pipeline built twice — plans don't share common
+    subtrees; the single aggregation builds it once and measured
+    ~0.6× wall at sf0.1, digest-identical.)"""
     from astra_perseverance_spark.extensions.corpus import clustered_docs
     from astra_perseverance_spark.functions.texthash import tokens
 
@@ -204,32 +211,21 @@ def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").over(Window.partitionBy("doc_id", "n", "g")),
         )
     )
-    tops = (
-        long.filter(F.col("n") <= max(REP_NS_TOP))
-        .groupBy("doc_id", "n").agg(F.max("cnt").alias("top_cnt"))
-        .groupBy("doc_id").agg(*[
-            F.max(F.when(F.col("n") == n, F.col("top_cnt")))
-            .alias(f"top{n}_cnt") for n in REP_NS_TOP
-        ])
+    # One doc-grain aggregation for every signal (see docstring): the
+    # modal counts fold map-side to scalars, the coverage unions
+    # collect only the DUPLICATED starts' position sequences (nulls —
+    # unique grams — are skipped by collect_list), so the doc-grain
+    # exchange carries per-(doc, map-partition) partials, never the
+    # token stream.
+    perdoc = long.groupBy("doc_id").agg(
+        *[F.max(F.when(F.col("n") == n, F.col("cnt")))
+          .alias(f"top{n}_cnt") for n in REP_NS_TOP],
+        *[F.size(F.array_distinct(F.flatten(F.collect_list(
+            F.when((F.col("n") == n) & (F.col("cnt") >= 2),
+                   F.sequence(F.col("p"), F.col("p") + F.lit(n - 1)))))))
+          .cast("long").alias(f"dup{n}_tok") for n in REP_NS_DUP],
     )
-    cov = (
-        long.filter((F.col("n") >= min(REP_NS_DUP)) & (F.col("cnt") >= 2))
-        .select("doc_id", "n",
-                F.explode(F.sequence(F.col("p"),
-                                     F.col("p") + F.col("n") - 1))
-                .alias("pos"))
-        .distinct()
-        .groupBy("doc_id", "n").agg(F.count("*").cast("long").alias("cv"))
-        .groupBy("doc_id").agg(*[
-            F.max(F.when(F.col("n") == n, F.col("cv")))
-            .alias(f"dup{n}_tok") for n in REP_NS_DUP
-        ])
-    )
-    out = (
-        ntok
-        .join(tops.hint("shuffle_hash"), "doc_id", "left")
-        .join(cov.hint("shuffle_hash"), "doc_id", "left")
-    )
+    out = ntok.join(perdoc.hint("shuffle_hash"), "doc_id", "left")
 
     def frac(num: F.Column) -> F.Column:
         return F.when(
