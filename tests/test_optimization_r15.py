@@ -104,3 +104,44 @@ def test_registry_wrapper_preserves_builder_identity():
         "extensions.text_stats")
     assert QUERY_REGISTRY["workload_reads"].__module__.endswith(
         "queries.workload")
+
+
+def test_events_by_user_width_contract(spark, monkeypatch):
+    """C4 (r15): the whole-user window consumers read events through
+    ``_events_by_user`` — a row-derived-width repartition in raw mode,
+    a passthrough in bucketed mode (the warehouse zero-Exchange plans
+    must stay exchange-free)."""
+    from astra_perseverance_spark.extensions import corpus, timeseries
+    from astra_perseverance_spark.extensions.timeseries import (
+        _events_by_user,
+        n_events,
+    )
+
+    # raw mode: the plan carries a user_id hash repartition at the
+    # cluster_width the events row count derives
+    monkeypatch.delenv(corpus.BUCKETED_DB_ENV, raising=False)
+    n = n_events(spark, SF_SMALL)
+    expect = corpus.cluster_width(
+        spark, n, timeseries.EVENTS_MIN_ROWS, timeseries.EVENTS_TARGET_ROWS)
+    df = _events_by_user(spark, SF_SMALL)
+    plan = df._jdf.queryExecution().analyzed().toString()
+    assert "RepartitionByExpression [user_id" in plan
+    assert f", {expect}" in plan.splitlines()[0]
+    # env override reproduces the pre-r15 defaultParallelism behavior
+    monkeypatch.setenv(timeseries.EVENTS_MIN_ROWS_ENV, "1")
+    par = spark.sparkContext.defaultParallelism
+    df1 = _events_by_user(spark, SF_SMALL)
+    assert f", {min(par, n)}" in (
+        df1._jdf.queryExecution().analyzed().toString().splitlines()[0])
+    monkeypatch.delenv(timeseries.EVENTS_MIN_ROWS_ENV)
+    # the three switched consumers still agree with plain _sessionize
+    # over the plain frame (results are partitioning-independent)
+    from astra_perseverance_spark.extensions.timeseries import (
+        _events_ns,
+        _sessionize,
+    )
+    a = sorted(map(tuple, _sessionize(
+        _events_ns(spark, SF_SMALL)).collect()))
+    b = sorted(map(tuple, timeseries.q_events_sessionize(
+        spark, SF_SMALL).collect()))
+    assert a == b
