@@ -218,26 +218,31 @@ def q_events_window_attr(spark: SparkSession, sf_dir: str) -> DataFrame:
             - ATTR_WINDOW_NS,
         )),
     )
-    matches = (
-        probes.join(clicks.hint("shuffle_hash"), ["user_id", "bts"])
-        .filter(
-            (F.col("click_ns") >= F.col("purchase_ns") - ATTR_WINDOW_NS)
-            & (F.col("click_ns") <= F.col("purchase_ns"))
-        )
-        .groupBy("event_id")
-        .agg(
-            F.count("*").cast("long").alias("n_clicks_1h"),
-            F.max("click_ns").alias("last_click_ns"),
-        )
+    # LEFT band join + range predicate folded into the aggregates
+    # (r15): the inner-join twin needed a second purchases scan and an
+    # event_id-keyed join back just to restore zero-click purchases
+    # (F5 — the rejoin rebuilt the purchases subtree).  A click lands
+    # in exactly one bucket, so each (purchase, click-in-range) pair
+    # still matches exactly once; unmatched probe rows aggregate to
+    # (0, NULL), which is precisely what the rejoin's coalesce
+    # produced.  One events pass fewer and one exchange fewer;
+    # digest-identical at sf0.1, rows identical at sf0.001/sf0.01.
+    in_range = (
+        (F.col("click_ns") >= F.col("purchase_ns") - ATTR_WINDOW_NS)
+        & (F.col("click_ns") <= F.col("purchase_ns"))
     )
     return (
-        purchases.join(matches.hint("shuffle_hash"), "event_id", "left")
-        .select(
-            "event_id", "user_id", "purchase_ns",
-            F.coalesce("n_clicks_1h", F.lit(0).cast("long"))
-            .alias("n_clicks_1h"),
-            "last_click_ns",
+        probes.join(clicks.hint("shuffle_hash"), ["user_id", "bts"],
+                    "left")
+        .groupBy("event_id", "user_id", "purchase_ns")
+        .agg(
+            F.count(F.when(in_range, F.lit(1)))
+            .cast("long").alias("n_clicks_1h"),
+            F.max(F.when(in_range, F.col("click_ns")))
+            .alias("last_click_ns"),
         )
+        .select("event_id", "user_id", "purchase_ns", "n_clicks_1h",
+                "last_click_ns")
         .orderBy("event_id")
     )
 
@@ -438,32 +443,34 @@ def q_user_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hist = cnt.groupBy("n_events").agg(
         F.count("*").cast("long").alias("n_users_at"))
-    # tiny frame (distinct count values), single-partition window OK
-    cum = hist.withColumn(
-        "cum",
-        F.sum("n_users_at").over(
-            Window.orderBy("n_events")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)),
-    )
-    tot = cnt.agg(
-        F.count("*").cast("long").alias("n_users"),
-        F.sum("n_events").cast("long").alias("total_events"),
-        F.max("n_events").alias("max_n"),
+    # tiny frame (distinct count values), single-partition window OK.
+    # The totals ride the SAME histogram frame as two whole-frame
+    # window sums (r15: a separate `cnt.agg(...)` totals branch was a
+    # third full events pass — plans don't share common subtrees, F5;
+    # n_users = Σ n_users_at, total_events = Σ n·n_users_at, both
+    # exact over the bounded histogram, results digest-identical).
+    wall = Window.orderBy("n_events").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    wtot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    cum = (
+        hist.withColumn("cum", F.sum("n_users_at").over(wall))
+        .withColumn("n_users", F.sum("n_users_at").over(wtot))
+        .withColumn("total_events",
+                    F.sum(F.col("n_events") * F.col("n_users_at"))
+                    .over(wtot).cast("long"))
     )
     n_users = F.col("n_users")
-    stats = (
-        cum.crossJoin(F.broadcast(tot))  # 1-row totals, declared W3 shape
-        .agg(
-            F.max("n_users").alias("n_users"),
-            F.max("total_events").alias("total_events"),
-            F.max("max_n").alias("max_n"),
-            F.min(F.when(
-                F.col("cum") >= nearest_rank_1based(n_users, 50),
-                F.col("n_events"))).alias("p50_n"),
-            F.min(F.when(
-                F.col("cum") >= nearest_rank_1based(n_users, 99),
-                F.col("n_events"))).alias("p99_n"),
-        )
+    stats = cum.agg(
+        F.max("n_users").alias("n_users"),
+        F.max("total_events").alias("total_events"),
+        F.max("n_events").alias("max_n"),
+        F.min(F.when(
+            F.col("cum") >= nearest_rank_1based(n_users, 50),
+            F.col("n_events"))).alias("p50_n"),
+        F.min(F.when(
+            F.col("cum") >= nearest_rank_1based(n_users, 99),
+            F.col("n_events"))).alias("p99_n"),
     )
     top = (
         cnt.orderBy(F.col("n_events").desc(), F.col("user_id"))
