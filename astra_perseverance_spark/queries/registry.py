@@ -20,25 +20,21 @@ queries get a hard driver-side correctness row each round:
    local pytest oracle-parity gate (tests/test_oracle_parity.py
    parametrizes the full registry) and the bench suite.
 
-Round-14 rotation (no new registrations this round — exactly the
-plan the r13 docstring pre-ordered the tail for):
+Round-16 rotation (no new registrations — reorder only; r15, an
+optimization round, deliberately deferred its rotation, so when
+CORRECTNESS_r15 landed the 22 r12-green tail entries fell out of
+the K=3 freshness budget and tests/test_rotation.py went red at
+the start of r16 — this rotation is the inherited-state repair):
 
-* No rule-2 entries: r14 registers nothing new (the capacity policy
-  below governs when the next registration may land), so the whole
-  28-slot rotating budget goes to freshness.
-* Into the window: the 22 queries whose last driver row is r11
-  (repeated_lines … dedup_clusters — already ordered at the r13
-  tail head for exactly this) — r14 is the last round their K=3
-  freshness budget (tests/test_rotation.py) allows, so they take
-  positions 23–44 wholesale.
-* Positions 45–50: the 6 free slots pre-pay the r15 cliff with the
-  6 oldest r12-green entries (ann_index_health … ann_ivf) so r15
-  inherits 22 due (22 + 22 = 44, 6 free), not all 28.
-* To the tail, ordered for round 15: first the 22 remaining
-  r12-green queries due in r15 (ann_recall_audit … user_skew_audit),
-  then the 28 r13-green entries (dedup_span_trim …
-  quality_signals, due r16).  r15 should spend its 6 free slots on
-  the oldest r13-green entries.
+* Into the window: the 22 queries whose last driver row is r12
+  (ann_recall_audit … user_skew_audit — already ordered at the
+  tail head for exactly this by the r14 plan), positions 23–44.
+* Positions 45–50: the 6 free slots pre-pay the next cliff with
+  the 6 oldest r13-green entries (dedup_span_trim …
+  events_window_attr).
+* To the tail: first the 22 remaining r13-green entries (due
+  next: events_next_error … quality_signals), then the 28
+  r15-green entries (repeated_lines … ann_ivf, freshest).
 
 Capacity policy (decided round-14, BEFORE the next registration)
 ----------------------------------------------------------------
@@ -136,43 +132,10 @@ QUERY_REGISTRY: dict[str, QueryFn] = {
     # Findings framework + Q20 nested summary
     "warnings": warnings.q_warnings,
     "summary_json": summary.q_summary_json,
-    # ---- Tier 2: the 22 r11-last queries — K=3 freshness deadline,
-    # r14 is the last round they can be refreshed (see docstring) ----
-    "repeated_lines": prep.q_repeated_lines,
-    "script_profile": prep.q_script_profile,
-    "seq_pack": training.q_seq_pack,
-    "source_mix": curation.q_source_mix,
-    "token_rarity": prep.q_token_rarity,
-    "events_sessionize_capped": timeseries.q_events_sessionize_capped,
-    "ann_incremental_pq": similarity.q_ann_incremental_pq,
-    "events_sessionize": timeseries.q_events_sessionize,
-    "multimodal_features": multimodal.q_multimodal_features,
-    "multimodal_frame_sample": multimodal.q_multimodal_frame_sample,
-    "gc_sessions": gc_stream.q_gc_sessions,
-    "shard_manifest": training.q_shard_manifest,
-    "dedup_recall_audit": training.q_dedup_recall_audit,
-    "curation_funnel": training.q_curation_funnel,
-    "doc_digest_join": pipeline.q_doc_digest_join,
-    "corpus_curate": curation.q_corpus_curate,
-    "embedding_quantize": training.q_embedding_quantize,
-    "ann_quantized_recall": training.q_ann_quantized_recall,
-    "pii_scan": curation.q_pii_scan,
-    "dedup_tokenset": dedup.q_dedup_tokenset,
-    "ngram_jaccard": dedup.q_ngram_jaccard,
-    "dedup_clusters": dedup.q_dedup_clusters,
-    # ---- Tier 3: r15-cliff pre-pay — the 6 oldest r12-green
-    # entries take the window's remaining slots so r15 inherits 22
-    # due, not 28 (see docstring arithmetic) ----
-    "ann_index_health": similarity.q_ann_index_health,
-    "postings_health": dedup.q_postings_health,
-    "repetition_signals": curation.q_repetition_signals,
-    "ann_ivf_kmeans": similarity.q_ann_ivf_kmeans,
-    "ann_lsh_bucket": similarity.q_ann_lsh_bucket,
-    "ann_ivf": similarity.q_ann_ivf,
-    # ---- Tail (>50) — first the 22 remaining r12-green queries due
-    # in the r15 window, then the 28 r13-green entries (due r16);
-    # all covered by the full-registry pytest oracle-parity gate +
-    # bench ----
+    # ---- Tier 2: the 22 r12-green queries that fell out of the
+    # K=3 freshness budget when CORRECTNESS_r15 landed (r15, an
+    # optimization round, deliberately deferred this rotation) —
+    # r16 is their mandatory refresh round ----
     "ann_recall_audit": similarity.q_ann_recall_audit,
     "embedding_cosine_dups": similarity.q_embedding_cosine_dups,
     "embedding_dup_clusters": similarity.q_embedding_dup_clusters,
@@ -195,13 +158,19 @@ QUERY_REGISTRY: dict[str, QueryFn] = {
     "corpus_sample": pipeline.q_corpus_sample,
     "corpus_sample_fixed": pipeline.q_corpus_sample_fixed,
     "user_skew_audit": timeseries.q_user_skew_audit,
-    # r13-green (due r16; r15 spends its free slots on the head)
+    # ---- Tier 3: r17-cliff pre-pay — the 6 oldest r13-green
+    # entries take the window's remaining slots (same arithmetic
+    # as the r14 rotation: 22 due + 6 pre-paid = 28 slots) ----
     "dedup_span_trim": training.q_dedup_span_trim,
     "source_cross_dup": curation.q_source_cross_dup,
     "split_assign": training.q_split_assign,
     "events_asof": timeseries.q_events_asof,
     "events_asof_1h": timeseries.q_events_asof_1h,
     "events_window_attr": timeseries.q_events_window_attr,
+    # ---- Tail (>50) — first the 22 remaining r13-green entries
+    # (due next), then the 28 r15-green entries (freshest);
+    # all covered by the full-registry pytest oracle-parity
+    # gate + bench ----
     "events_next_error": timeseries.q_events_next_error,
     "events_funnel": timeseries.q_events_funnel,
     "ann_ivf_pq": similarity.q_ann_ivf_pq,
@@ -224,6 +193,35 @@ QUERY_REGISTRY: dict[str, QueryFn] = {
     "quality_filter": pipeline.q_quality_filter,
     "quality_report": curation.q_quality_report,
     "quality_signals": curation.q_quality_signals,
+    # r15-green (freshest; rotate back in after the r13 cohort)
+    "repeated_lines": prep.q_repeated_lines,
+    "script_profile": prep.q_script_profile,
+    "seq_pack": training.q_seq_pack,
+    "source_mix": curation.q_source_mix,
+    "token_rarity": prep.q_token_rarity,
+    "events_sessionize_capped": timeseries.q_events_sessionize_capped,
+    "ann_incremental_pq": similarity.q_ann_incremental_pq,
+    "events_sessionize": timeseries.q_events_sessionize,
+    "multimodal_features": multimodal.q_multimodal_features,
+    "multimodal_frame_sample": multimodal.q_multimodal_frame_sample,
+    "gc_sessions": gc_stream.q_gc_sessions,
+    "shard_manifest": training.q_shard_manifest,
+    "dedup_recall_audit": training.q_dedup_recall_audit,
+    "curation_funnel": training.q_curation_funnel,
+    "doc_digest_join": pipeline.q_doc_digest_join,
+    "corpus_curate": curation.q_corpus_curate,
+    "embedding_quantize": training.q_embedding_quantize,
+    "ann_quantized_recall": training.q_ann_quantized_recall,
+    "pii_scan": curation.q_pii_scan,
+    "dedup_tokenset": dedup.q_dedup_tokenset,
+    "ngram_jaccard": dedup.q_ngram_jaccard,
+    "dedup_clusters": dedup.q_dedup_clusters,
+    "ann_index_health": similarity.q_ann_index_health,
+    "postings_health": dedup.q_postings_health,
+    "repetition_signals": curation.q_repetition_signals,
+    "ann_ivf_kmeans": similarity.q_ann_ivf_kmeans,
+    "ann_lsh_bucket": similarity.q_ann_lsh_bucket,
+    "ann_ivf": similarity.q_ann_ivf,
 }
 
 def _plan_memoized(name: str, fn: QueryFn) -> QueryFn:
