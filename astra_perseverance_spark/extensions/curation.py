@@ -217,6 +217,17 @@ def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     # unique grams — are skipped by collect_list), so the doc-grain
     # exchange carries per-(doc, map-partition) partials, never the
     # token stream.
+    # Per-doc buffer bound (ADVICE r15): one doc's collected sequences
+    # hold ≤ n_tok positions per (n, duplicated start) — worst case
+    # n_tok·Σ|REP_NS_DUP| longs for a pathologically repetitive whale
+    # doc, i.e. ~8·|ns| bytes per token, the SAME ×n volume the old
+    # explode materialized as rows (just held in one task's
+    # aggregation buffer rather than spread as rows).  A corpus whose
+    # documents are individually bounded (this engine's contract:
+    # doc_chunks exists to split whales upstream) keeps that buffer in
+    # task memory; if unbounded docs ever enter, gate this path on a
+    # token threshold and fall back to the explode+distinct
+    # formulation for the outliers.
     perdoc = long.groupBy("doc_id").agg(
         *[F.max(F.when(F.col("n") == n, F.col("cnt")))
           .alias(f"top{n}_cnt") for n in REP_NS_TOP],

@@ -23,6 +23,19 @@ from astra_perseverance_spark.conformed.model import _read
 from astra_perseverance_spark.functions.asof import asof_backward
 
 
+def _serving_bucketed_events(spark: SparkSession) -> bool:
+    """True iff the session serves the durable user_id-bucketed events
+    table — THE one definition of the predicate, shared by
+    ``_events_ns`` (which table to read) and ``_events_by_user``
+    (whether a clustering repartition is redundant), so the two can
+    never drift (ADVICE r15: a drift would silently add a redundant
+    exchange to a bucketed read, or skip clustering a raw one)."""
+    from astra_perseverance_spark.extensions.corpus import bucketed_db
+
+    db = bucketed_db()
+    return bool(db) and spark.catalog.tableExists(f"{db}.events")
+
+
 def _events_ns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(event_id, user_id, event_type, ns): the events table with the
     timestamp as epoch nanos BIGINT — same type-branching as
@@ -38,9 +51,8 @@ def _events_ns(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-only warehouse)."""
     from astra_perseverance_spark.extensions.corpus import bucketed_db
 
-    db = bucketed_db()
-    if db and spark.catalog.tableExists(f"{db}.events"):
-        return spark.table(f"{db}.events").select(
+    if _serving_bucketed_events(spark):
+        return spark.table(f"{bucketed_db()}.events").select(
             "event_id", "user_id", "event_type", "ns")
     raw = _read(spark, sf_dir, "events")
     ts_type = dict(raw.dtypes).get("ts", "")
@@ -109,14 +121,10 @@ def _events_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero-Exchange plans pinned in ``tests/test_warehouse.py``)."""
     import os
 
-    from astra_perseverance_spark.extensions.corpus import (
-        bucketed_db,
-        cluster_width,
-    )
+    from astra_perseverance_spark.extensions.corpus import cluster_width
 
     ev = _events_ns(spark, sf_dir)
-    db = bucketed_db()
-    if db and spark.catalog.tableExists(f"{db}.events"):
+    if _serving_bucketed_events(spark):
         return ev
     width = cluster_width(
         spark, n_events(spark, sf_dir),

@@ -91,6 +91,57 @@ def _conform(df: DataFrame, strict: bool) -> DataFrame:
     )
 
 
+# Scale-adaptive ingest write width (optimization r16, guide §2.2/§6).
+# The three ingest writers used to repartition to
+# ``defaultParallelism`` — a constant tuned for neither end of the
+# scale: at 100 TB it under-partitions the converted corpus (one wave
+# of enormous tasks and parquet files), at test scale it shatters a
+# 100 KB dump into 32 near-empty files.  The width is derived from the
+# SOURCE's listed byte size instead (driver-side filesystem metadata —
+# no pre-scan of the data, unlike a row count, which on JSONL would be
+# a full parse pass before the real one): floor a task at
+# ``INGEST_MIN_BYTES`` of raw source, cap it at ``INGEST_TARGET_BYTES``
+# (≈ the guide's 128 MB–1 GB output-file band after JSON→parquet
+# shrink), use every core in between — the same
+# ``extensions.corpus.cluster_width`` arms the parquet frames got in
+# r15, with bytes as the unit because the source is unparsed text.
+INGEST_MIN_BYTES_ENV = "SPARK_GRAFT_INGEST_MIN_BYTES"
+INGEST_TARGET_BYTES_ENV = "SPARK_GRAFT_INGEST_TARGET_BYTES"
+INGEST_MIN_BYTES = 16 << 20
+INGEST_TARGET_BYTES = 256 << 20
+
+
+def source_bytes(spark: SparkSession, path: str) -> int:
+    """Total listed size of ``path`` (file, directory or glob) through
+    the Hadoop filesystem API — works for any scheme Spark can read,
+    costs one driver-side listing, never touches the data."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    total = 0
+    statuses = fs.globStatus(jpath)
+    for st in statuses or []:
+        if st.isDirectory():
+            it = fs.listFiles(st.getPath(), True)
+            while it.hasNext():
+                total += it.next().getLen()
+        else:
+            total += st.getLen()
+    return total
+
+
+def ingest_width(spark: SparkSession, src: str) -> int:
+    """Partition count for an ingest write over source ``src`` —
+    ``cluster_width`` on the source's listed bytes."""
+    from astra_perseverance_spark.extensions.corpus import cluster_width
+
+    return cluster_width(
+        spark, source_bytes(spark, src),
+        int(os.environ.get(INGEST_MIN_BYTES_ENV) or 0) or INGEST_MIN_BYTES,
+        int(os.environ.get(INGEST_TARGET_BYTES_ENV) or 0)
+        or INGEST_TARGET_BYTES)
+
+
 def jsonl_reader(spark: SparkSession, schema, strict: bool,
                  streaming: bool = False):
     """The ONE JSONL reader assembly shared by the documents and
@@ -143,12 +194,14 @@ def ingest_jsonl_corpus(spark: SparkSession, src: str, out_dir: str,
 
     The write repartitions on doc_id so downstream first reads are
     already spread across tasks even when the dump was a single
-    (unsplittable) gzip member; for a durable clustered layout run
-    ``sinks.warehouse.write_bucketed_corpus`` over the result."""
+    (unsplittable) gzip member — at a width derived from the source's
+    listed bytes (``ingest_width``), not a core-count constant; for a
+    durable clustered layout run ``sinks.warehouse.
+    write_bucketed_corpus`` over the result."""
     docs = read_documents_jsonl(spark, src, strict=strict)
     dest = os.path.join(out_dir, "documents.parquet")
     (
-        docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        docs.repartition(ingest_width(spark, src), "doc_id")
         .write.mode("overwrite").parquet(dest)
     )
     return out_dir

@@ -127,13 +127,17 @@ def ingest_events_jsonl(spark: SparkSession, src: str, out_dir: str,
     """JSONL event dump → ``out_dir/events.parquet``; returns
     ``out_dir``, usable as the ``sf_dir`` of every events query.  The
     write repartitions on user_id — the key the whole family windows
-    and joins on — so first reads are already usefully spread (for a
+    and joins on — so first reads are already usefully spread, at a
+    width derived from the source's listed bytes
+    (``corpus_jsonl.ingest_width``), not a core-count constant (for a
     durable exchange-free layout run ``sinks.warehouse.
     write_bucketed_events`` over the result)."""
+    from astra_perseverance_spark.sources.corpus_jsonl import ingest_width
+
     events = read_events_jsonl(spark, src, strict=strict)
     dest = os.path.join(out_dir, "events.parquet")
     (
-        events.repartition(spark.sparkContext.defaultParallelism, "user_id")
+        events.repartition(ingest_width(spark, src), "user_id")
         .write.mode("overwrite").parquet(dest)
     )
     return out_dir

@@ -222,11 +222,15 @@ def ingest_webdataset_corpus(spark: SparkSession, shards_path: str,
 
     Same ingest contract as ``corpus_jsonl.ingest_jsonl_corpus``: pay
     the container parse once, columnar afterwards — none of the
-    engine's pushdown/pruning/bucketing machinery works on tar."""
+    engine's pushdown/pruning/bucketing machinery works on tar.  The
+    write width is derived from the shards' listed bytes
+    (``corpus_jsonl.ingest_width``), not a core-count constant."""
+    from astra_perseverance_spark.sources.corpus_jsonl import ingest_width
+
     docs = read_webdataset(spark, shards_path)
     dest = os.path.join(out_dir, "documents.parquet")
     (
-        docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        docs.repartition(ingest_width(spark, shards_path), "doc_id")
         .write.mode("overwrite").parquet(dest)
     )
     return out_dir

@@ -126,13 +126,24 @@ def test_events_by_user_width_contract(spark, monkeypatch):
     df = _events_by_user(spark, SF_SMALL)
     plan = df._jdf.queryExecution().analyzed().toString()
     assert "RepartitionByExpression [user_id" in plan
-    assert f", {expect}" in plan.splitlines()[0]
+
+    def _repart_width(frame) -> int:
+        # anchored extract of the RepartitionByExpression width — a
+        # substring check like ", 8" would false-pass on ", 80"
+        # (ADVICE r15)
+        import re
+
+        line = frame._jdf.queryExecution().analyzed().toString(
+        ).splitlines()[0]
+        m = re.search(r", (\d+)$", line.rstrip())
+        assert m, f"no trailing width in: {line!r}"
+        return int(m.group(1))
+
+    assert _repart_width(df) == expect
     # env override reproduces the pre-r15 defaultParallelism behavior
     monkeypatch.setenv(timeseries.EVENTS_MIN_ROWS_ENV, "1")
     par = spark.sparkContext.defaultParallelism
-    df1 = _events_by_user(spark, SF_SMALL)
-    assert f", {min(par, n)}" in (
-        df1._jdf.queryExecution().analyzed().toString().splitlines()[0])
+    assert _repart_width(_events_by_user(spark, SF_SMALL)) == min(par, n)
     monkeypatch.delenv(timeseries.EVENTS_MIN_ROWS_ENV)
     # the three switched consumers still agree with plain _sessionize
     # over the plain frame (results are partitioning-independent)
