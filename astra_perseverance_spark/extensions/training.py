@@ -771,14 +771,16 @@ def q_ann_quantized_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output: query_id, n_exact, n_hit, recall."""
     from astra_perseverance_spark.extensions.similarity import (
+        _exact_topk_rows,
         _recall_vs_exact,
-        _topk,
-        q_embedding_topk,
+        _topk_rows,
         query_ids,
     )
     from astra_perseverance_spark.functions.vectors import cosine, dot_q
 
-    exact = q_embedding_topk(spark, sf_dir)
+    # both arms UNSORTED (r16): the audit aggregates, so the arms'
+    # global sorts would only add range exchanges + sampling passes
+    exact = _exact_topk_rows(spark, sf_dir)
     v = vectors_frame(spark, sf_dir)
     q = (
         v.join(F.broadcast(query_ids(spark, sf_dir)), "vec_id", "semi")
@@ -800,7 +802,7 @@ def q_ann_quantized_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cosine"),
         )
     )
-    return _recall_vs_exact(exact, _topk(pairs))
+    return _recall_vs_exact(exact, _topk_rows(pairs))
 
 
 def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
