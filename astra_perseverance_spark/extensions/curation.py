@@ -392,10 +392,18 @@ def q_source_cross_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     digest group of k docs would contribute C(k, 2) rows, so the
     pair counts are computed arithmetically from each group's
     per-source composition counts (grain: distinct sources per
-    digest, bounded by the source vocabulary, not group size).  The
-    near side re-keys the memoized verified pair frame (already
-    candidate-bounded by the df-capped prefix postings) with two
-    doc-dim joins.  Output grain is source pairs — report-sized.
+    digest, bounded by the source vocabulary, not group size).  r16:
+    the within/cross branches used to fork the composition pipeline
+    THREE ways (the within select plus both sides of a content_md5
+    self-join — plans don't share common subtrees, so the digest ⋈
+    doc-dim join and its aggregation built three times); one
+    digest-grain ``collect_list`` + an array pair expansion now
+    computes both measures from a SINGLE build (the per-digest source
+    list is bounded by the source vocabulary, so the expansion is a
+    tiny in-row transform).  The near side attaches the doc dim ONCE
+    through a melted (pair, side) spine instead of two successive
+    doc-keyed joins — the corpus-sized doc dim crosses one exchange,
+    not two.  Output grain is source pairs — report-sized.
     ORDER BY source_a, source_b."""
     from astra_perseverance_spark.extensions.dedup import (
         content_digest_frame,
@@ -404,50 +412,45 @@ def q_source_cross_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     src = _docs(spark, sf_dir).select("doc_id", "source")
     # shuffle_hash throughout: every join here pairs two DERIVED
-    # frames (digest dim × doc dim, composition self-join, pair
-    # frame × doc dim, exact ⟗ near) whose size estimates exceed the
-    # broadcast threshold, so without the hint they all plan
-    # SortMergeJoin — double sorts the engine's plan gate forbids
+    # frames (digest dim × doc dim, melted pair spine × doc dim,
+    # exact ⟗ near) whose size estimates exceed the broadcast
+    # threshold, so without the hint they all plan SortMergeJoin —
+    # double sorts the engine's plan gate forbids
     comp = (
         content_digest_frame(spark, sf_dir)
         .join(src.hint("shuffle_hash"), "doc_id")
         .groupBy("content_md5", "source")
         .agg(F.count("*").cast("long").alias("c"))
     )
-    within = comp.select(
-        F.col("source").alias("source_a"),
-        F.col("source").alias("source_b"),
-        F.expr("c * (c - 1) DIV 2").alias("p"),
-    )
-    cross = (
-        comp.alias("x")
-        .join(comp.alias("y").hint("shuffle_hash"), "content_md5")
-        .filter(F.col("x.source") < F.col("y.source"))
-        .select(
-            F.col("x.source").alias("source_a"),
-            F.col("y.source").alias("source_b"),
-            (F.col("x.c") * F.col("y.c")).alias("p"),
-        )
-    )
+    # per-digest source composition (sources distinct within a digest
+    # group, sorted ascending), expanded in-row to the same arithmetic
+    # the within/cross branches computed: (s_i, s_i, C(c_i, 2)) and,
+    # for i < j, (s_i, s_j, c_i · c_j)
+    grp = comp.groupBy("content_md5").agg(
+        F.sort_array(F.collect_list(F.struct("source", "c"))).alias("cs"))
     exact = (
-        within.union(cross)
+        grp.select(F.explode(F.expr(
+            "flatten(transform(cs, (x, i) -> concat("
+            " array(struct(x.source AS source_a, x.source AS source_b,"
+            "  CAST(x.c * (x.c - 1) DIV 2 AS BIGINT) AS p)),"
+            " transform(slice(cs, i + 2, size(cs)), y ->"
+            "  struct(x.source AS source_a, y.source AS source_b,"
+            "   CAST(x.c * y.c AS BIGINT) AS p)))))"
+        )).alias("e"))
+        .select("e.*")
         .groupBy("source_a", "source_b")
         .agg(F.sum("p").cast("long").alias("exact_pairs"))
         .filter(F.col("exact_pairs") > 0)
     )
     pairs = ngram_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    melted = pairs.select(
+        "doc_a", "doc_b",
+        F.explode(F.array("doc_a", "doc_b")).alias("doc_id"))
     near = (
-        pairs
-        .join(src.select(F.col("doc_id").alias("doc_a"),
-                         F.col("source").alias("sa"))
-              .hint("shuffle_hash"), "doc_a")
-        .join(src.select(F.col("doc_id").alias("doc_b"),
-                         F.col("source").alias("sb"))
-              .hint("shuffle_hash"), "doc_b")
-        .select(
-            F.least("sa", "sb").alias("source_a"),
-            F.greatest("sa", "sb").alias("source_b"),
-        )
+        melted.join(src.hint("shuffle_hash"), "doc_id")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.min("source").alias("source_a"),
+             F.max("source").alias("source_b"))
         .groupBy("source_a", "source_b")
         .agg(F.count("*").cast("long").alias("near_pairs"))
     )

@@ -1149,15 +1149,20 @@ def q_split_assign_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.min("dup_of").alias("anchor_doc"),
-            F.count_distinct(F.col("dup_of")).cast("long")
-            .alias("n_anchors"),
+            # (doc_id, dup_of) is UNIQUE in q_dedup_incremental's
+            # output by contract ("one row per (new doc, matching
+            # existing doc)"; exact pairs come from a unique digest
+            # join, near pairs from the distinct cross-boundary pair
+            # set with exact anti-joined out), so a plain count IS the
+            # distinct count — and dropping count_distinct removes
+            # the RewriteDistinctAggregates Expand (its 2x row fan-out
+            # plus the SortAggregate chain it forces; also the reason
+            # this query's plan fingerprint recorded "unstable") (r16)
+            F.count("*").cast("long").alias("n_anchors"),
             F.min_by("ex_split", "dup_of").alias("anchor_split"),
-            # "anchors span >1 split" — min!=max, NOT count_distinct:
-            # ex_split is non-null here (inner join on dup_of), so the
-            # two are equivalent, but a second distinct group would
-            # make RewriteDistinctAggregates' Expand fan out 3x and
-            # assign gids in nondeterministic order (the one query
-            # whose plan fingerprint recorded "unstable")
+            # "anchors span >1 split" — min!=max: ex_split is non-null
+            # here (inner join on dup_of), so equivalent to a distinct
+            # count without a second distinct group
             (F.min("ex_split") != F.max("ex_split"))
             .alias("split_conflict"),
         )
